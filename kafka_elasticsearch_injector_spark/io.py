@@ -1,0 +1,46 @@
+"""Table readers.
+
+The batch substrate is one parquet file per table (TESTDATA.md). Parquet
+scans get predicate pushdown + column pruning from Catalyst for free —
+at 100 TB this is the difference between scanning 16 columns and the 2 a
+query projects, so every plan in `plans/` reads through here and relies on
+pruning rather than caching whole tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong); convert ns → µs timestamps here,
+# matching DuckDB's ns→µs truncation, so both engines see identical values.
+_NANOS_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the substrate tables from `sf_dir`."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every substrate table as a temp view (for spark.sql plans)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

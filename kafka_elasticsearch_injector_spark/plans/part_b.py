@@ -1,0 +1,557 @@
+"""Part B — relational surface (SURVEY.md §2.3) on the TPC-H-ish tables.
+
+The reference has NO joins/aggregations/windows/sorts/set-ops
+(SURVEY.md §2.2, grep-verified) — this module declares the full relational
+surface a query engine needs, expressed as Catalyst logical plans so
+pushdown/pruning/join-selection are free.
+
+Scale notes (100 TB):
+- `customer`/`part`/`supplier`/`nation`/`region` are dimension tables →
+  Catalyst auto-broadcasts under the 10 MB threshold; at larger dims AQE
+  converts sort-merge→broadcast at runtime when the built side measures
+  small. We never force a shuffle-hash join by hand.
+- Fact-fact joins (lineitem⋈orders) shuffle on the join key — at 1000
+  executors this is the dominant exchange; bucketing both tables on
+  orderkey at write time removes it entirely (see streaming/README note).
+- Window queries partition by low-cardinality keys; skew is handled by
+  AQE skew-join split; top-k uses per-partition row_number, not a global
+  sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ._util import as_double6, dec
+from .registry import register
+
+# ---------------------------------------------------------------- filters
+
+
+@register(
+    "q_filter_pred",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+      AND (l_returnflag = 'R' OR l_linestatus = 'F')
+    """,
+    doc="Predicate with AND/OR/BETWEEN; pushed to the parquet scan.",
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+        & ((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "F"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ------------------------------------------------------------------ joins
+
+
+@register(
+    "q_join_inner",
+    """
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Equi inner join; customer is broadcast (dimension side).",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "q_join_left",
+    """
+    SELECT c_custkey, c_name, o.o_orderkey
+    FROM customer LEFT JOIN
+      (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'P') o
+      ON c_custkey = o.o_custkey
+    """,
+    doc="Left outer join; unmatched customers keep NULL orderkeys.",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    partial = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        customer.join(partial, customer.c_custkey == partial.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey")
+    )
+
+
+@register(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    doc="Left semi join (EXISTS).",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    done = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(done, customer.c_custkey == done.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    doc="Left anti join (NOT EXISTS).",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    partial = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        customer.join(partial, customer.c_custkey == partial.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_join_multi",
+    """
+    SELECT c_mktsegment,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="3-way join chain (fact⋈fact⋈dim) + exact decimal revenue.",
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            as_double6(F.sum(revenue)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ----------------------------------------------------------- aggregations
+
+
+@register(
+    "q_agg_hash",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: multi-fn hash aggregate with exact decimal sums. "
+        "Flagship query (entry()). Partial aggregation is map-side; 6 groups.",
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            as_double6(F.sum(qty)).alias("sum_qty"),
+            as_double6(F.sum(price)).alias("sum_base_price"),
+            as_double6(F.sum(disc_price)).alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS uniq_cust,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregate (expand + two-phase agg in Spark).",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("uniq_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Rollup grouping sets with grouping_id disambiguating supergroups.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            as_double6(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+
+@register(
+    "q_window_rank",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           RANK() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS rnk
+    FROM customer
+    """,
+    doc="Ranking window; tie-broken by unique key for determinism.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal", F.rank().over(w).alias("rnk"))
+    )
+
+
+@register(
+    "q_window_lag",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    """,
+    doc="Analytic window (lag); raw double passthrough is hash-safe.",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+    )
+
+
+@register(
+    "q_window_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS run_total
+    FROM orders
+    """,
+    doc="Frame spec: per-customer running total, exact via decimal.",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey",
+            as_double6(F.sum(dec("o_totalprice")).over(w)).alias("run_total"),
+        )
+    )
+
+
+@register(
+    "q_topk",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 10
+    """,
+    doc="Top-k per group via row_number — per-partition, no global sort. "
+        "At scale Spark pushes a per-partition limit before the shuffle.",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@register(
+    "q_sort_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="Global sort+limit → Spark TakeOrderedAndProject (no full sort).",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------- set ops
+
+
+@register(
+    "q_union",
+    """
+    SELECT o_custkey, 'F' AS branch FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_custkey, 'O' AS branch FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="UNION ALL (no dedup shuffle).",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey", F.lit("F").alias("branch"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", F.lit("O").alias("branch"))
+    return f.union(o)
+
+
+@register(
+    "q_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT (distinct).",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@register(
+    "q_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="EXCEPT (distinct).",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)
+
+
+# --------------------------------------------------------- scalar functions
+
+
+@register(
+    "q_scalar_string",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_type, 1, 5) AS type_pfx,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    """,
+    doc="String function battery on `part`.",
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_pfx"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string"))
+        .alias("brand_size"),
+    )
+
+
+@register(
+    "q_scalar_date",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS mon,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since
+    FROM orders
+    """,
+    doc="Date function battery on `orders`.",
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("days_since"),
+    )
+
+
+@register(
+    "q_scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS disc_price,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           ABS(l_tax) AS tax_abs
+    FROM lineitem
+    """,
+    doc="Math battery; sqrt is IEEE-exact (bit-identical across engines), "
+        "money math routed through decimal.",
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    disc_price = F.round(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2)
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        disc_price.cast("double").alias("disc_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.abs("l_tax").alias("tax_abs"),
+    )
+
+
+# ------------------------------------------------- event-time (batch analog)
+
+
+@register(
+    "q_window_tumble",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS win_start,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY DATE_TRUNC('hour', ts)
+    """,
+    doc="Tumbling event-time window — batch analog of streaming "
+        "groupBy(window(ts,'1 hour')); oracle uses date_trunc (equivalent "
+        "for hour-aligned tumbling).",
+)
+def q_window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            as_double6(F.sum(F.col("value").cast("decimal(28,6)"))).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "q_window_session_analog",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS sess_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session boundaries via lag-gap > 30 min → running-sum session ids "
+        "(batch analog of session_window; streaming twin in streaming/).",
+)
+def q_window_session_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Microsecond-exact gap so the boundary matches DuckDB's interval compare.
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    flagged = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id", "ts", "event_id",
+            F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+            .otherwise(0).alias("new_sess"),
+        )
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_sess").over(wsum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("sess_start"))
+    )

@@ -1,0 +1,71 @@
+"""Local replica of the driver's t2 oracle check: run each declared query
+in Spark AND its oracle SQL in DuckDB on the same parquet tables, then
+compare row count, column names, and an order-insensitive value multiset
+(floats rounded to 6 before compare, mirroring BASELINE.md discipline).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from collections import Counter
+
+import duckdb
+
+from kafka_elasticsearch_injector_spark.io import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, _dt.timedelta):
+        return v.total_seconds()
+    return v
+
+
+def _multiset(rows, col_order):
+    return Counter(tuple(_norm(row[i]) for i in col_order) for row in rows)
+
+
+def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
+    """Return a list of mismatch descriptions; empty list = match."""
+    problems: list[str] = []
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_res = con.execute(sql)
+    d_cols = [c[0] for c in d_res.description]
+    d_rows = d_res.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"{name}: columns differ spark={s_cols} duck={d_cols}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"{name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+
+    s_order = [s_cols.index(c) for c in sorted(s_cols)]
+    d_order = [d_cols.index(c) for c in sorted(d_cols)]
+    sm, dm = _multiset(s_rows, s_order), _multiset(d_rows, d_order)
+    if sm != dm:
+        only_s = list((sm - dm).items())[:3]
+        only_d = list((dm - sm).items())[:3]
+        problems.append(
+            f"{name}: value multiset differs; spark-only={only_s} duck-only={only_d}")
+    return problems
