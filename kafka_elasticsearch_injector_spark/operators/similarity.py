@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns.
+
+Two tiers (SURVEY.md north star):
+
+- brute-force cosine top-k (plans/part_c.py q_cosine_topk): probes are
+  broadcast, the corpus is scanned once, scoring is a fused
+  zip_with/aggregate inside codegen. Exact; O(probes · corpus).
+- IVF (this module): coarse-quantize the corpus into partitions
+  (here: the pre-assigned `label` plays the k-means cell id — at
+  production scale run .ml KMeans and persist assignments, the plan
+  shape is identical), pick the nearest centroid(s) per probe, and
+  search only those cells. At 100 TB with nlist=4096 cells and
+  nprobe=8, each query scans 0.2% of the corpus; the cell-assignment
+  column doubles as the partition key so a cell is co-located.
+
+LSH sign-bucket sketch (alternative ANN path) is in dedup.py's banding
+machinery — hyperplane signs bucket vectors, same equi-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def label_centroids(emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-cell centroid via posexplode → exact decimal mean per dimension
+    → re-assembled ordered array. Decimal summation keeps the mean
+    order-independent (bit-stable under shuffle), so downstream cosine
+    scores are deterministic.
+    """
+    exploded = emb.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        label_col, "pos",
+        F.col("x").cast("double").cast("decimal(30,10)").alias("xd"),
+    )
+    dims = exploded.groupBy(label_col, "pos").agg(
+        (F.sum("xd").cast("double") / F.count(F.lit(1))).alias("mean"))
+    return dims.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s.getField("mean"),
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             label_col: str = "label") -> DataFrame:
+    """IVF search: nearest centroid per probe (nprobe=1), then exact
+    cosine top-k within that cell only.
+
+    Returns (probe_id, label, vec_id, cos_sim, rn).
+    """
+    cents = label_centroids(emb, label_col, vec_col)
+    probes = (
+        emb.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).alias("probe_id"),
+                V.to_double(F.col(vec_col)).alias("probe_vec"))
+    )
+    # Stage 1: probe × centroid (tiny, broadcast both ways) → nearest cell.
+    pc = F.broadcast(probes).crossJoin(F.broadcast(cents))
+    w_cell = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos_c").desc(), F.col(label_col))
+    nearest = (
+        pc.select(
+            "probe_id", "probe_vec", label_col,
+            V.cosine(F.col("probe_vec"), F.col("centroid")).alias("_cos_c"))
+        .withColumn("rn_c", F.row_number().over(w_cell))
+        .filter(F.col("rn_c") == 1)
+        .select("probe_id", "probe_vec", label_col)
+    )
+    # Stage 2: scan only the selected cell(s) — the equi-join on the cell
+    # id is what prunes the corpus; at scale the corpus is partitioned by
+    # cell so this is a co-located (shuffle-free) join.
+    corpus = emb.select(
+        F.col(id_col), F.col(label_col),
+        V.to_double(F.col(vec_col)).alias("vec"))
+    w_k = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col(id_col))
+    return (
+        F.broadcast(nearest).join(corpus, label_col)
+        .filter(F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id", label_col, id_col,
+            V.cosine(F.col("probe_vec"), F.col("vec")).alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", label_col, id_col,
+                F.round(F.col("_cos"), 6).alias("cos_sim"), "rn")
+    )
+
+
+def nearest_neighbor_pairs(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup: exact top-1 neighbor for every vector.
+    O(N²) — the verify/oracle baseline; the scale path is ivf_topk (or
+    LSH banding) which prunes candidates before exact scoring.
+    """
+    left = emb.select(F.col(id_col).alias("vec_id_a"),
+                      V.to_double(F.col(vec_col)).alias("va"))
+    right = emb.select(F.col(id_col).alias("vec_id_b"),
+                       V.to_double(F.col(vec_col)).alias("vb"))
+    w = Window.partitionBy("vec_id_a").orderBy(
+        F.col("_cos").desc(), F.col("vec_id_b"))
+    return (
+        left.join(right, F.col("vec_id_a") != F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b",
+                V.cosine(F.col("va"), F.col("vb")).alias("_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id_a", F.col("vec_id_b").alias("nn_id"),
+                F.round(F.col("_cos"), 6).alias("cos_sim"))
+    )

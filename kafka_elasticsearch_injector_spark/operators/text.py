@@ -1,0 +1,116 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure Column expressions (JVM-side); the
+per-doc cost is O(chars), embarrassingly parallel, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# Marker tokens per language for the n-gram(1) heuristic language ID.
+# Deliberately tiny: the point is the *operator shape* (profile join +
+# per-doc argmax), which at scale takes a real profile table instead.
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", "the"), ("de", "der"), ("es", "el"), ("fr", "le"), ("zh", "的"),
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def marker_counts(spark: SparkSession, df: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(id, lang, cnt) marker-token occurrence counts via a broadcast
+    cross join with the marker table — the scan stays one pass per doc."""
+    markers = spark.createDataFrame(LANG_MARKERS, ["cand_lang", "marker"])
+    toks = tokens(text_col)
+    cnt = F.size(F.filter(toks, lambda t: t == F.col("marker")))
+    return (
+        df.crossJoin(F.broadcast(markers))
+        .select(F.col(id_col), "cand_lang", cnt.cast("int").alias("cnt"))
+    )
+
+
+def predict_language(spark: SparkSession, df: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Predicted language = argmax marker count (ties → lexicographic
+    lang; zero hits → 'und')."""
+    counts = marker_counts(spark, df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("cand_lang"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.when(F.col("cnt") > 0, F.col("cand_lang"))
+            .otherwise(F.lit("und")).alias("pred_lang"),
+            F.col("cnt").alias("marker_hits"),
+        )
+    )
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Length/stopword/char-class features + a composite quality score.
+
+    Mirrors the usual pretraining-corpus filters (C4/Gopher-style rules):
+    too-short docs and stopword-free docs are down-scored.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin(*STOPWORDS)))
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    stop_ratio = stop_hits.cast("double") / n_words
+    score = F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / 50) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.5, 6)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regex (BPE-ish pre-tokenization) count."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .cast("int").alias("re_tokens"),
+    )
+
+
+MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column, prefix_len: int = 64) -> Column:
+    """Polynomial rolling hash over the first `prefix_len` chars:
+    h = fold(h*31 + ascii(c)) mod 1e9+7. Stays in bigint range because the
+    modulus is applied every step (max acc ≈ 31·(1e9+7)+255 ≪ 2^63)."""
+    idx = F.sequence(F.lit(1), F.least(F.length(text), F.lit(prefix_len)))
+    codes = F.transform(idx, lambda i: F.ascii(text.substr(i, F.lit(1))).cast("bigint"))
+    return F.aggregate(
+        codes, F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % MOD,
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )

@@ -163,3 +163,327 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "vec_id", F.round(F.col("_cos"), 6).alias("cos_sim"), "rn")
     )
+
+
+# ===================================================================
+# Dedup family (operators/dedup.py) — every strategy oracle-checked.
+# ===================================================================
+
+_MINHASH_K, _MINHASH_ROWS, _MINHASH_THRESH = 8, 2, 0.8
+
+_DD_SIGS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig_{i}"
+    for i in range(_MINHASH_K))
+_DD_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, "
+    f"md5('{b}' || '|' || sig_{2*b} || '|' || sig_{2*b+1}) AS bh FROM sigs"
+    for b in range(_MINHASH_K // _MINHASH_ROWS))
+
+
+@register(
+    "q_dedup_minhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_DD_SIGS} FROM toks
+    ), banded AS (
+{_DD_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                 / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))),
+                 6) AS jac
+    FROM cand
+      JOIN toks ta ON ta.doc_id = doc_a
+      JOIN toks tb ON tb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+          / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))
+          >= {_MINHASH_THRESH}
+    """,
+    doc="MinHash(k=8) + LSH(4 bands × 2) near-dup pairs, exact-Jaccard "
+        "verified at ≥0.8. The 100 TB dedup path: O(N) signatures, "
+        "bucket equi-join, verify only candidates.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        k=_MINHASH_K, rows_per_band=_MINHASH_ROWS,
+        shingle_n=1, threshold=_MINHASH_THRESH,
+    )
+
+
+_DD_SIMHASH_LANES = " + ".join(
+    f"""CASE WHEN list_reduce(list_prepend(0, list_transform(sh,
+        t -> CASE WHEN strpos('89abcdef', substr(md5(t), {j + 1}, 1)) > 0
+             THEN 1 ELSE -1 END)), (acc, x) -> acc + x) > 0
+        THEN {2 ** j} ELSE 0 END"""
+    for j in range(16))
+
+
+@register(
+    "q_dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
+      FROM documents
+    )
+    SELECT doc_id, CAST({_DD_SIMHASH_LANES} AS BIGINT) AS simhash
+    FROM toks
+    """,
+    doc="16-lane SimHash fingerprint from md5 nibbles — O(N), no shuffle; "
+        "near-dups collide or differ in few bits.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(D.tokens("text"))
+    return docs.select("doc_id", D.simhash16(toks).alias("simhash"))
+
+
+_NGRAM_N, _NGRAM_THRESH = 2, 0.08
+
+
+@register(
+    "q_dedup_ngram",
+    f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS g
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jac
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= {_NGRAM_THRESH}
+    """,
+    doc="Exact 2-gram Jaccard pairs ≥0.08 — quadratic verify baseline; "
+        "at scale runs only after LSH blocking.",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=_NGRAM_N, threshold=_NGRAM_THRESH)
+
+
+_DD_NORM = ("sqrt(list_reduce(list_prepend(0.0, list_transform({v}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))")
+_DD_PAIR_DOT = ("list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+                "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+                "(acc, x) -> acc + x)")
+
+
+@register(
+    "q_dedup_embcos",
+    f"""
+    SELECT vec_id_a, nn_id, cos_sim FROM (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS nn_id,
+             ROUND({_DD_PAIR_DOT} / ({_DD_NORM.format(v='a.embedding')}
+                   * {_DD_NORM.format(v='b.embedding')}), 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+               {_DD_PAIR_DOT} / ({_DD_NORM.format(v='a.embedding')}
+                 * {_DD_NORM.format(v='b.embedding')}) DESC, b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+    WHERE rn = 1
+    """,
+    doc="Embedding-cosine near-dup: exact top-1 neighbor per vector "
+        "(O(N²) verify baseline; scale path = IVF/LSH pruning).",
+)
+def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    return S.nearest_neighbor_pairs(table(spark, sf_dir, "embeddings"))
+
+
+# ===================================================================
+# Text analysis (operators/text.py)
+# ===================================================================
+
+
+@register(
+    "q_lang_id",
+    """
+    WITH markers(cand_lang, marker) AS (
+      VALUES ('en', 'the'), ('de', 'der'), ('es', 'el'),
+             ('fr', 'le'), ('zh', '的')
+    ), counts AS (
+      SELECT doc_id, cand_lang,
+             len(list_filter(string_split(text, ' '), t -> t = marker)) AS cnt
+      FROM documents CROSS JOIN markers
+    ), ranked AS (
+      SELECT doc_id, cand_lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, cand_lang) AS rn
+      FROM counts
+    )
+    SELECT doc_id,
+           CASE WHEN cnt > 0 THEN cand_lang ELSE 'und' END AS pred_lang,
+           CAST(cnt AS INTEGER) AS marker_hits
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Heuristic language ID: marker-token argmax (broadcast profile "
+        "join + per-doc argmax; swap in real n-gram profiles at scale).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    df = T.predict_language(spark, table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "pred_lang", F.col("marker_hits").cast("int").alias("marker_hits"))
+
+
+@register(
+    "q_quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+           ROUND(CAST(stop_hits AS DOUBLE) / n_words, 6) AS stop_ratio,
+           ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 50) * 0.5
+                 + LEAST(1.0, CAST(stop_hits AS DOUBLE) / n_words * 5) * 0.5, 6)
+             AS quality_score
+    FROM f
+    """,
+    doc="C4/Gopher-style quality features: length, stopword ratio, "
+        "composite score.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    return T.quality_features(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS INTEGER) AS re_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenization.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    return T.token_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, least(length(text), 64) + 1),
+               i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    doc="Rolling polynomial hash fingerprint (first 64 chars, mod 1e9+7).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    return T.fingerprints(table(spark, sf_dir, "documents"))
+
+
+# ===================================================================
+# ANN (IVF) + multimodal plumbing
+# ===================================================================
+
+
+@register(
+    "q_ann_ivf",
+    f"""
+    WITH dims AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(30,10)))
+                  AS DOUBLE) / COUNT(*) AS mean
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) r
+      GROUP BY label, pos
+    ), cents AS (
+      SELECT label, list(mean ORDER BY pos) AS centroid FROM dims GROUP BY label
+    ), probes AS (
+      SELECT vec_id AS probe_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), pc AS (
+      SELECT probe_id, pv, label,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> pv[i] * centroid[i])), (acc, x) -> acc + x)
+               / ({_DD_NORM.format(v='pv')} * {_DD_NORM.format(v='centroid')})
+               DESC, label) AS rn_c
+      FROM probes CROSS JOIN cents
+    ), nearest AS (
+      SELECT probe_id, pv, label FROM pc WHERE rn_c = 1
+    )
+    SELECT probe_id, label, vec_id, cos_sim, rn FROM (
+      SELECT n.probe_id, n.label, e.vec_id,
+             ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> n.pv[i] * CAST(e.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
+               / ({_DD_NORM.format(v='n.pv')} * {_DD_NORM.format(v='e.embedding')}), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY n.probe_id ORDER BY
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> n.pv[i] * CAST(e.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
+               / ({_DD_NORM.format(v='n.pv')} * {_DD_NORM.format(v='e.embedding')})
+               DESC, e.vec_id) AS rn
+      FROM nearest n JOIN embeddings e ON n.label = e.label
+      WHERE n.probe_id <> e.vec_id) t
+    WHERE rn <= 3
+    """,
+    doc="IVF ANN: exact-decimal centroids per cell (label = coarse "
+        "quantizer), nearest-cell probe (nprobe=1), exact top-3 within "
+        "the cell — the corpus-pruning scale path for similarity search.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    return S.ivf_topk(table(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2], k=3)
+
+
+@register(
+    "q_media_meta",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           md5(text) AS content_md5,
+           CAST(64 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+                AS INTEGER) AS width,
+           CAST(64 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+                AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="Multimodal plumbing through a REAL mapInPandas/Arrow path: "
+        "binary media column + stub decode with deterministic fake dims "
+        "(operators/multimodal.py); oracle replicates the md5-derived "
+        "dims, so the Arrow batch kernel itself is correctness-checked.",
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    return M.decode_media(M.attach_media(docs)).select(
+        "doc_id", "media_type", "byte_len", "content_md5", "width", "height")
