@@ -1,0 +1,97 @@
+"""Configuration layer mirroring the reference's env-var surface
+(reference README.md:15-42, src/kafka/config.go:7-17,
+src/elasticsearch/config.go:34-98, src/injector/injector.go:14-61).
+
+The reference's entire "query language" is this config: it fully
+determines the consume→decode→enrich→filter→route→write plan. Here the
+same dataclass compiles to a Structured Streaming DataFrame pipeline
+(streaming/pipeline.py).
+
+Validation happens at construction (fail fast at plan time) — the analog
+of the reference erroring per-batch on missing routing columns
+(src/models/record.go:30-42): strictly earlier, same contract.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+
+def _parse_duration_seconds(s: str) -> float:
+    """Subset of golang time.ParseDuration: '1s', '500ms', '2m', '1h'."""
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h)", s.strip())
+    if not m:
+        raise ValueError(f"bad duration {s!r} (want e.g. '1s', '500ms', '2m')")
+    val, unit = float(m.group(1)), m.group(2)
+    return val * {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}[unit]
+
+
+@dataclass(frozen=True)
+class InjectorConfig:
+    # Kafka source (KAFKA_* env vars)
+    kafka_address: str = "localhost:9092"
+    topics: tuple[str, ...] = ()
+    consumer_group: str = "spark-injector"
+    record_type: str = "avro"            # KAFKA_CONSUMER_RECORD_TYPE: avro|json
+    include_key: bool = False            # KAFKA_CONSUMER_INCLUDE_KEY
+    batch_size: int = 100                # KAFKA_CONSUMER_BATCH_SIZE → maxOffsetsPerTrigger scale
+    concurrency: int = 1                 # KAFKA_CONSUMER_CONCURRENCY → minPartitions
+    metrics_interval_s: float = 30.0     # KAFKA_CONSUMER_METRICS_UPDATE_INTERVAL
+    schema_registry_url: str | None = None
+
+    # Elasticsearch sink (ES_* / ELASTICSEARCH_* env vars)
+    es_host: str = "http://localhost:9200"
+    es_index: str | None = None          # ES_INDEX (None → topic name)
+    es_index_prefix: str = ""            # ES_INDEX_PREFIX
+    es_index_column: str | None = None   # ES_INDEX_COLUMN
+    es_doc_id_column: str | None = None  # ES_DOC_ID_COLUMN
+    es_time_suffix: str = "day"          # ES_TIME_SUFFIX: day|hour
+    blacklisted_columns: tuple[str, ...] = ()  # ES_BLACKLISTED_COLUMNS
+    bulk_timeout_s: float = 1.0          # ES_BULK_TIMEOUT
+    bulk_backoff_s: float = 1.0          # ES_BULK_BACKOFF
+    max_retries: int | None = None       # reference retries FOREVER (store.go:33-46);
+                                         # bounded here by default-able override
+
+    def __post_init__(self) -> None:
+        if self.record_type not in ("avro", "json"):
+            raise ValueError(
+                f"KAFKA_CONSUMER_RECORD_TYPE must be avro|json, got {self.record_type!r}")
+        if self.es_time_suffix not in ("day", "hour"):
+            # reference: unknown suffix falls back silently (config.go:51-57);
+            # we fail fast instead — a silent fallback hides routing bugs.
+            raise ValueError(
+                f"ES_TIME_SUFFIX must be day|hour, got {self.es_time_suffix!r}")
+        if self.record_type == "avro" and not self.schema_registry_url:
+            raise ValueError("SCHEMA_REGISTRY_URL required for avro records")
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "InjectorConfig":
+        e = dict(os.environ) if env is None else env
+
+        def get(k: str, default: str = "") -> str:
+            return e.get(k, default)
+
+        return cls(
+            kafka_address=get("KAFKA_ADDRESS", "localhost:9092"),
+            topics=tuple(t for t in get("KAFKA_TOPICS").split(",") if t),
+            consumer_group=get("KAFKA_CONSUMER_GROUP", "spark-injector"),
+            record_type=get("KAFKA_CONSUMER_RECORD_TYPE", "avro"),
+            include_key=get("KAFKA_CONSUMER_INCLUDE_KEY", "false").lower() == "true",
+            batch_size=int(get("KAFKA_CONSUMER_BATCH_SIZE", "100")),
+            concurrency=int(get("KAFKA_CONSUMER_CONCURRENCY", "1")),
+            metrics_interval_s=_parse_duration_seconds(
+                get("KAFKA_CONSUMER_METRICS_UPDATE_INTERVAL", "30s")),
+            schema_registry_url=e.get("SCHEMA_REGISTRY_URL"),
+            es_host=get("ELASTICSEARCH_HOST", "http://localhost:9200"),
+            es_index=e.get("ES_INDEX"),
+            es_index_prefix=get("ES_INDEX_PREFIX", ""),
+            es_index_column=e.get("ES_INDEX_COLUMN"),
+            es_doc_id_column=e.get("ES_DOC_ID_COLUMN"),
+            es_time_suffix=get("ES_TIME_SUFFIX", "day"),
+            blacklisted_columns=tuple(
+                c for c in get("ES_BLACKLISTED_COLUMNS").split(",") if c),
+            bulk_timeout_s=_parse_duration_seconds(get("ES_BULK_TIMEOUT", "1s")),
+            bulk_backoff_s=_parse_duration_seconds(get("ES_BULK_BACKOFF", "1s")),
+        )

@@ -1,0 +1,182 @@
+"""Elasticsearch bulk sink: create-only writes with status triage.
+
+Re-expresses the reference's store/db layer (src/injector/store/
+store.go:23-48, src/elasticsearch/elasticsearch.go:77-162) as an
+executor-side partition writer for foreachBatch:
+
+- bulk `create` (insert-if-absent) — op_type create is the idempotence
+  trick: at-least-once delivery × stable doc ids ⇒ effectively-once
+  (elasticsearch.go:155, 120-124).
+- per-item triage: 201 created; 409 conflict → AlreadyExists, counted,
+  NOT retried; 400 → dropped (bad request), counted; 429/5xx → retry
+  queue with constant backoff (store.go:42-44) — the reference retries
+  forever; we default to bounded retries (cfg.max_retries) because an
+  unbounded loop can live-lock a partition (a reference bug noted in
+  SURVEY.md §4.1).
+
+Transports are pluggable + picklable (constructed on executors):
+HttpTransport posts to a real ES _bulk endpoint; FileTransport gives
+byte-for-byte create semantics on a shared filesystem (O_EXCL ⇒ 409)
+for offline tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BulkItemResult:
+    status: int  # HTTP-style: 201 created, 409 conflict, 400 bad, 429 busy
+
+
+@dataclass
+class BulkStats:
+    """Per-call counters — the Prometheus metric analog
+    (reference src/metrics/metrics.go recordsConsumed/AlreadyExists)."""
+
+    created: int = 0
+    already_exists: int = 0
+    bad_request: int = 0
+    retried: int = 0
+
+
+class HttpTransport:
+    """Minimal ES _bulk client over stdlib urllib (no external deps).
+
+    Each executor core holds one transport (connection reuse analog of
+    the reference's singleton client, elasticsearch.go:20,39-62).
+    """
+
+    def __init__(self, es_host: str, timeout_s: float = 1.0):
+        self.es_host = es_host.rstrip("/")
+        self.timeout_s = timeout_s
+
+    def bulk_create(self, actions: list[tuple[str, str, str]]) -> list[BulkItemResult]:
+        import urllib.request
+
+        lines = []
+        for index_name, doc_id, payload in actions:
+            lines.append(json.dumps(
+                {"create": {"_index": index_name, "_id": doc_id}}))
+            lines.append(payload)
+        body = ("\n".join(lines) + "\n").encode()
+        req = urllib.request.Request(
+            f"{self.es_host}/_bulk", data=body,
+            headers={"Content-Type": "application/x-ndjson"})
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            out = json.loads(resp.read())
+        return [BulkItemResult(status=item["create"]["status"])
+                for item in out["items"]]
+
+    def ping(self) -> bool:
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self.es_host, timeout=self.timeout_s):
+                return True
+        except Exception:
+            return False
+
+
+class FileTransport:
+    """Filesystem fake with real create-only semantics: one file per doc
+    at <root>/<index>/<doc_id>.json, O_CREAT|O_EXCL ⇒ EEXIST ⇒ 409.
+    Executor-safe (works across Python worker processes) and inspectable
+    by tests. Optional fail-first injection simulates 429 overload."""
+
+    def __init__(self, root: str, fail_first: int = 0):
+        self.root = root
+        self._remaining_failures = fail_first
+
+    def bulk_create(self, actions: list[tuple[str, str, str]]) -> list[BulkItemResult]:
+        results = []
+        for index_name, doc_id, payload in actions:
+            if self._remaining_failures > 0:
+                self._remaining_failures -= 1
+                results.append(BulkItemResult(status=429))
+                continue
+            d = os.path.join(self.root, index_name)
+            os.makedirs(d, exist_ok=True)
+            try:
+                fd = os.open(os.path.join(d, f"{doc_id}.json"),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                results.append(BulkItemResult(status=409))
+                continue
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            results.append(BulkItemResult(status=201))
+        return results
+
+    def ping(self) -> bool:
+        return os.path.isdir(self.root)
+
+
+class ElasticBulkWriter:
+    """Batch → bulk calls of cfg.batch_size with triage + bounded retry."""
+
+    def __init__(self, transport, batch_size: int = 100,
+                 backoff_s: float = 1.0, max_retries: int | None = 10):
+        self.transport = transport
+        self.batch_size = batch_size
+        self.backoff_s = backoff_s
+        self.max_retries = max_retries
+        self.stats = BulkStats()
+
+    def write(self, actions: list[tuple[str, str, str]]) -> BulkStats:
+        for i in range(0, len(actions), self.batch_size):
+            self._write_chunk(actions[i:i + self.batch_size])
+        return self.stats
+
+    def _write_chunk(self, chunk: list[tuple[str, str, str]]) -> None:
+        attempts = 0
+        pending = chunk
+        while pending:
+            results = self.transport.bulk_create(pending)
+            retry = []
+            for action, res in zip(pending, results):
+                if res.status in (200, 201):
+                    self.stats.created += 1
+                elif res.status == 409:
+                    self.stats.already_exists += 1   # NOT retried
+                elif res.status == 400:
+                    self.stats.bad_request += 1      # dropped
+                else:                                # 429 / 5xx
+                    retry.append(action)
+            if not retry:
+                return
+            attempts += 1
+            if self.max_retries is not None and attempts > self.max_retries:
+                raise RuntimeError(
+                    f"bulk write failed after {attempts} attempts for "
+                    f"{len(retry)} records")
+            self.stats.retried += len(retry)
+            time.sleep(self.backoff_s)
+            pending = retry
+
+
+def write_partition_factory(cfg, transport_factory):
+    """Build the picklable per-partition writer used by foreachBatch.
+
+    Only (cfg scalars, transport_factory) are captured — both picklable;
+    the transport itself is constructed ON the executor.
+    """
+    batch_size = cfg.batch_size
+    backoff_s = cfg.bulk_backoff_s
+    max_retries = cfg.max_retries if cfg.max_retries is not None else 10
+
+    def write_partition(rows: Iterator) -> None:
+        actions = [(r.index_name, r.doc_id, r.payload) for r in rows]
+        if not actions:
+            return
+        writer = ElasticBulkWriter(
+            transport_factory(), batch_size=batch_size,
+            backoff_s=backoff_s, max_retries=max_retries)
+        writer.write(actions)
+
+    return write_partition

@@ -1,0 +1,152 @@
+"""The injector pipeline: Kafka source → decode/enrich/route → ES sink.
+
+This is the Spark-first re-expression of the reference's whole hot path
+(SURVEY.md §3.2): what the reference does with goroutines + channels
+(consumer.go:100-178) is here ONE declarative plan — the source's
+partition-parallelism replaces the worker pool, micro-batch triggers
+replace count-based batching, and checkpointing replaces manual offset
+marking (consumer.go:163-173 ⇒ at-least-once; the sink's create-only
+writes make it effectively-once end to end).
+
+100 TB/day design: a Kafka topic with P partitions yields P parallel
+source tasks (minPartitions can oversplit hot partitions); the op chain
+is narrow (zero shuffle), so throughput scales linearly with executors
+until the ES cluster saturates — exactly the reference's model, minus
+its single-pod ceiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import InjectorConfig
+from ..operators import injector as ops
+
+
+def read_kafka_stream(spark: SparkSession, cfg: InjectorConfig) -> DataFrame:
+    """Kafka source (reference consumer.go:73-135). Emits the standard
+    (key, value, topic, partition, offset, timestamp) columns.
+
+    Rate control: maxOffsetsPerTrigger caps a micro-batch the way the
+    bounded exchange buffer caps in-flight records (consumer.go:68,
+    100-113); backpressure is built in.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.kafka_address)
+        .option("subscribe", ",".join(cfg.topics))
+        .option("kafka.group.id", cfg.consumer_group)
+        .option("startingOffsets", "latest")
+        .option("maxOffsetsPerTrigger",
+                cfg.batch_size * max(cfg.concurrency, 1) * 100)
+        .option("minPartitions", max(cfg.concurrency, 1))
+        .load()
+    )
+
+
+def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
+                          payload_schema: T.StructType | str) -> DataFrame:
+    """Compile the config into the decode→enrich→filter→route projection.
+
+    Input: Kafka-shaped DataFrame (key/value binary, topic, partition,
+    offset, timestamp). Output: (index_name, doc_id, doc_type, payload) —
+    the models.ElasticRecord analog (reference
+    src/models/elastic_record.go:3-8) with payload as a JSON string ready
+    for the bulk body.
+
+    Entirely Column expressions — the whole per-record path is one
+    whole-stage-codegen stage, the Catalyst analog of the reference's
+    per-batch encode loop (codec.go:26-48).
+    """
+    if isinstance(payload_schema, str):
+        payload_schema = T.StructType.fromDDL(payload_schema)
+
+    # Decode (ops 5-8): null filter → PERMISSIVE decode → corrupt drop.
+    df = ops.filter_null_payload(df, "value")
+    if cfg.record_type == "json":
+        df = ops.decode_json(df, payload_schema, payload_col="value")
+        df = ops.drop_corrupt(df)
+    else:
+        raise NotImplementedError(
+            "confluent-avro streaming decode needs a live schema registry; "
+            "see operators/injector.py decode_confluent_avro for the "
+            "expression (strip 5-byte header + from_avro)")
+
+    payload_fields = [f.name for f in payload_schema.fields]
+
+    # Enrich + blacklist (ops 9-11): payload = decoded fields minus
+    # blacklist, plus @timestamp (epoch millis) and optionally the key.
+    kept = [f for f in payload_fields if f not in set(cfg.blacklisted_columns)]
+    payload_cols: list[Column] = [F.col(f"decoded.{f}").alias(f) for f in kept]
+    payload_cols.append(F.unix_millis(F.col("timestamp")).alias("@timestamp"))
+    if cfg.include_key:
+        payload_cols.append(F.col("key").cast("string").alias("key"))
+
+    # Routing (ops 12-17). Missing routing columns fail HERE, at plan
+    # time (the reference failed per-batch at runtime, record.go:30-42).
+    for routing_col in (cfg.es_index_column, cfg.es_doc_id_column):
+        if routing_col and routing_col not in payload_fields:
+            raise ValueError(
+                f"routing column {routing_col!r} not in payload schema "
+                f"{payload_fields}")
+
+    index_base = F.coalesce(
+        F.lit(cfg.es_index) if cfg.es_index else F.lit(None).cast("string"),
+        F.col("topic"))
+    if cfg.es_index_column:
+        suffix = F.col(f"decoded.{cfg.es_index_column}").cast("string")
+    else:
+        fmt = "yyyy-MM-dd-HH" if cfg.es_time_suffix == "hour" else "yyyy-MM-dd"
+        suffix = F.date_format(F.col("timestamp"), fmt)
+    index_name = F.concat(F.lit(cfg.es_index_prefix), index_base,
+                          F.lit("-"), suffix)
+
+    if cfg.es_doc_id_column:
+        doc_id = F.col(f"decoded.{cfg.es_doc_id_column}").cast("string")
+    else:
+        doc_id = ops.doc_id_default("partition", "offset")
+
+    return df.select(
+        index_name.alias("index_name"),
+        doc_id.alias("doc_id"),
+        F.lit(ops.DOC_TYPE).alias("doc_type"),
+        F.to_json(F.struct(*payload_cols)).alias("payload"),
+    )
+
+
+def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
+                   payload_schema: T.StructType | str,
+                   transport_factory, checkpoint_dir: str,
+                   source_df: DataFrame | None = None,
+                   trigger_seconds: float = 1.0):
+    """Wire source → transform → foreachBatch ES sink and start.
+
+    `transport_factory` is a picklable zero-arg callable building the
+    bulk transport on each EXECUTOR (HttpTransport for real ES,
+    FileTransport in tests). `source_df` overrides the Kafka source for
+    offline runs (memory/rate/file sources in tests).
+
+    Checkpointing commits offsets only after the batch's sink call
+    returns — the reference's mark-after-write loop (consumer.go:163-173)
+    for free.
+    """
+    from .es_sink import write_partition_factory
+
+    src = source_df if source_df is not None else read_kafka_stream(spark, cfg)
+    records = build_elastic_records(src, cfg, payload_schema)
+    writer = write_partition_factory(cfg, transport_factory)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Executor-side bulk writes: each partition posts its own bulks —
+        # the driver never sees record data (no collect).
+        batch_df.foreachPartition(writer)
+
+    return (
+        records.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,162 @@
+"""Unit tests for the injector operator layer — ports the reference's
+routing matrix (src/elasticsearch/codec_test.go:18-121) and decode tests
+(src/kafka/encode_decode_test.go:31-127) onto build_elastic_records.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_injector_spark.config import InjectorConfig
+from kafka_elasticsearch_injector_spark.operators import injector as ops
+from kafka_elasticsearch_injector_spark.streaming.pipeline import (
+    build_elastic_records,
+)
+
+TS = dt.datetime(2018, 3, 10, 14, 30, 0)
+SCHEMA = "id STRING, value INT"
+
+
+def kafka_df(spark, rows=None):
+    rows = rows if rows is not None else [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+    ]
+    return spark.createDataFrame(
+        rows, "key STRING, value STRING, topic STRING, partition INT, "
+              "offset LONG, timestamp TIMESTAMP")
+
+
+def cfg(**kw):
+    defaults = dict(record_type="json", topics=("my-topic",))
+    defaults.update(kw)
+    return InjectorConfig(**defaults)
+
+
+def rows_of(df):
+    return [r.asDict() for r in df.collect()]
+
+
+# --- routing matrix (codec_test.go) ---------------------------------------
+
+
+def test_default_day_index_and_doc_id(spark):
+    out = rows_of(build_elastic_records(kafka_df(spark), cfg(), SCHEMA))
+    assert out[0]["index_name"] == "my-topic-2018-03-10"
+    assert out[0]["doc_id"] == "0:7"
+    assert out[0]["doc_type"] == "_doc"
+
+
+def test_hour_suffix(spark):
+    out = rows_of(build_elastic_records(
+        kafka_df(spark), cfg(es_time_suffix="hour"), SCHEMA))
+    assert out[0]["index_name"] == "my-topic-2018-03-10-14"
+
+
+def test_index_prefix_and_override(spark):
+    out = rows_of(build_elastic_records(
+        kafka_df(spark), cfg(es_index="custom", es_index_prefix="pfx-"), SCHEMA))
+    assert out[0]["index_name"] == "pfx-custom-2018-03-10"
+
+
+def test_index_column_routing(spark):
+    out = rows_of(build_elastic_records(
+        kafka_df(spark), cfg(es_index_column="id"), SCHEMA))
+    assert out[0]["index_name"] == "my-topic-a"
+
+
+def test_missing_index_column_fails_at_plan_time(spark):
+    with pytest.raises(ValueError, match="routing column 'nope'"):
+        build_elastic_records(kafka_df(spark), cfg(es_index_column="nope"), SCHEMA)
+
+
+def test_doc_id_column(spark):
+    out = rows_of(build_elastic_records(
+        kafka_df(spark), cfg(es_doc_id_column="value"), SCHEMA))
+    assert out[0]["doc_id"] == "1"
+
+
+def test_missing_doc_id_column_fails_at_plan_time(spark):
+    with pytest.raises(ValueError, match="routing column 'nope'"):
+        build_elastic_records(kafka_df(spark), cfg(es_doc_id_column="nope"), SCHEMA)
+
+
+def test_blacklist_removes_field_from_payload_only(spark):
+    out = rows_of(build_elastic_records(
+        kafka_df(spark), cfg(blacklisted_columns=("value",)), SCHEMA))
+    payload = json.loads(out[0]["payload"])
+    assert "value" not in payload and payload["id"] == "a"
+    assert payload["@timestamp"] == int(TS.timestamp() * 1000)
+
+
+# --- decode tests (encode_decode_test.go) ---------------------------------
+
+
+def test_nil_message_dropped(spark):
+    df = kafka_df(spark, [
+        ("k", None, "t", 0, 1, TS),
+        ("k", json.dumps({"id": "x", "value": 2}), "t", 0, 2, TS),
+    ])
+    out = rows_of(build_elastic_records(df, cfg(), SCHEMA))
+    assert len(out) == 1 and out[0]["doc_id"] == "0:2"
+
+
+def test_malformed_json_dropped_batch_continues(spark):
+    df = kafka_df(spark, [
+        ("k", '{"alo": 60"', "t", 0, 1, TS),          # fixture from A2
+        ("k", json.dumps({"id": "x", "value": 2}), "t", 0, 2, TS),
+    ])
+    out = rows_of(build_elastic_records(df, cfg(), SCHEMA))
+    assert len(out) == 1 and out[0]["doc_id"] == "0:2"
+
+
+def test_include_key_embeds_key(spark):
+    out = rows_of(build_elastic_records(
+        kafka_df(spark), cfg(include_key=True), SCHEMA))
+    assert json.loads(out[0]["payload"])["key"] == "k1"
+
+
+def test_timestamp_is_epoch_millis(spark):
+    out = rows_of(build_elastic_records(kafka_df(spark), cfg(), SCHEMA))
+    assert json.loads(out[0]["payload"])["@timestamp"] == 1520692200000
+
+
+# --- config layer ----------------------------------------------------------
+
+
+def test_config_from_env_roundtrip():
+    c = InjectorConfig.from_env({
+        "KAFKA_ADDRESS": "k:9092", "KAFKA_TOPICS": "a,b",
+        "KAFKA_CONSUMER_GROUP": "g", "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "ELASTICSEARCH_HOST": "http://es:9200", "ES_TIME_SUFFIX": "hour",
+        "ES_BLACKLISTED_COLUMNS": "a,b", "ES_BULK_BACKOFF": "500ms",
+    })
+    assert c.topics == ("a", "b") and c.es_time_suffix == "hour"
+    assert c.blacklisted_columns == ("a", "b") and c.bulk_backoff_s == 0.5
+
+
+def test_config_rejects_bad_record_type():
+    with pytest.raises(ValueError, match="avro|json"):
+        InjectorConfig(record_type="protobuf")
+
+
+def test_config_rejects_bad_time_suffix():
+    with pytest.raises(ValueError, match="day|hour"):
+        InjectorConfig(record_type="json", es_time_suffix="week")
+
+
+def test_avro_requires_registry():
+    with pytest.raises(ValueError, match="SCHEMA_REGISTRY_URL"):
+        InjectorConfig(record_type="avro")
+
+
+# --- blacklist operator non-destructiveness (record_test.go:15-45) --------
+
+
+def test_blacklist_ignores_unknown_and_keeps_rest(spark):
+    df = spark.createDataFrame([(1, "x", "y")], "a INT, b STRING, c STRING")
+    out = ops.blacklist(df, ["b", "zzz"])
+    assert out.columns == ["a", "c"]

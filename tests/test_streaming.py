@@ -1,0 +1,123 @@
+"""End-to-end streaming smoke: file source → injector pipeline →
+foreachBatch ES sink (FileTransport fake with real create-only
+semantics), mirroring the reference's consumer_test.go:106-147 e2e
+(produce → consume → assert doc at expected index/id with @timestamp)
+plus its elasticsearch_test.go duplicate-id semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from kafka_elasticsearch_injector_spark.config import InjectorConfig
+from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+    ElasticBulkWriter, FileTransport,
+)
+from kafka_elasticsearch_injector_spark.streaming.pipeline import start_pipeline
+
+TS = dt.datetime(2018, 3, 10, 14, 30, 0)
+SCHEMA = "id STRING, value INT"
+
+
+def _write_source(spark, path, rows):
+    spark.createDataFrame(
+        rows, "key STRING, value STRING, topic STRING, partition INT, "
+              "offset LONG, timestamp TIMESTAMP"
+    ).write.mode("overwrite").parquet(path)
+
+
+def _read_docs(root):
+    docs = {}
+    for index_name in os.listdir(root):
+        for fn in os.listdir(os.path.join(root, index_name)):
+            with open(os.path.join(root, index_name, fn)) as f:
+                docs[(index_name, fn.removesuffix(".json"))] = json.load(f)
+    return docs
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    es_root = str(tmp_path / "es")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(es_root)
+
+    rows = [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+        ("k2", json.dumps({"id": "b", "value": 2}), "my-topic", 1, 3, TS),
+        ("k3", None, "my-topic", 0, 8, TS),             # nil → dropped
+        ("k4", '{"broken', "my-topic", 0, 9, TS),       # corrupt → dropped
+    ]
+    _write_source(spark, src_dir, rows)
+
+    cfg = InjectorConfig(record_type="json", topics=("my-topic",))
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir)
+    )
+    q = start_pipeline(
+        spark, cfg, SCHEMA,
+        transport_factory=lambda root=es_root: FileTransport(root),
+        checkpoint_dir=ckpt, source_df=source)
+    try:
+        assert q.awaitTermination(60) or not q.isActive or q.lastProgress is not None
+        # availableNow isn't used (processingTime trigger); wait for batch 0.
+        import time
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(_read_docs(es_root)) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    docs = _read_docs(es_root)
+    assert set(docs) == {("my-topic-2018-03-10", "0:7"),
+                         ("my-topic-2018-03-10", "1:3")}
+    doc = docs[("my-topic-2018-03-10", "0:7")]
+    assert doc["id"] == "a" and doc["value"] == 1
+    assert doc["@timestamp"] == int(TS.timestamp() * 1000)
+
+
+def test_create_only_dedup_and_triage(tmp_path):
+    """elasticsearch_test.go:70-133 semantics: duplicate id → 409 counted
+    AlreadyExists, count stays 1; 429 retried with backoff."""
+    root = str(tmp_path / "es")
+    os.makedirs(root)
+    w = ElasticBulkWriter(FileTransport(root), batch_size=2,
+                          backoff_s=0.01, max_retries=3)
+    stats = w.write([
+        ("idx", "1", '{"a": 1}'),
+        ("idx", "1", '{"a": 1}'),   # same batch duplicate → 409
+        ("idx", "2", '{"a": 2}'),
+    ])
+    assert stats.created == 2 and stats.already_exists == 1
+    # re-deliver the whole batch (at-least-once replay) → all 409s
+    stats2 = ElasticBulkWriter(FileTransport(root), batch_size=10,
+                               backoff_s=0.01).write(
+        [("idx", "1", "{}"), ("idx", "2", "{}")])
+    assert stats2.created == 0 and stats2.already_exists == 2
+    assert len(os.listdir(os.path.join(root, "idx"))) == 2
+
+
+def test_backoff_retry_on_429(tmp_path):
+    root = str(tmp_path / "es")
+    os.makedirs(root)
+    w = ElasticBulkWriter(FileTransport(root, fail_first=2), batch_size=10,
+                          backoff_s=0.01, max_retries=5)
+    stats = w.write([("idx", "1", "{}"), ("idx", "2", "{}")])
+    assert stats.created == 2 and stats.retried == 2
+
+
+def test_retry_cap_raises(tmp_path):
+    root = str(tmp_path / "es")
+    os.makedirs(root)
+    w = ElasticBulkWriter(FileTransport(root, fail_first=100), batch_size=10,
+                          backoff_s=0.0, max_retries=2)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        w.write([("idx", "1", "{}")])
