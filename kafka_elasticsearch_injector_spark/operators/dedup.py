@@ -204,27 +204,38 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16(toks_distinct: Column) -> Column:
-    """16-bit SimHash from md5 nibbles: lane j votes +1 when hex digit j
-    of md5(token) has its high bit set ('8'-'f'), else -1; fingerprint
-    bit j = sign of the lane sum. Pure HOF — O(tokens·16) per doc, no
-    shuffle; near-dup docs land on equal/neighboring fingerprints.
-    """
-    def vote_fn(j: int):
-        # Closure factory (see minhash_signature): keeps the merge lambda
-        # binary so ArrayAggregate gets its expected (acc, x) arity.
-        return lambda acc, t: acc + F.when(
-            F.instr(F.lit("89abcdef"), F.substring(F.md5(t), j + 1, 1)) > 0, 1
-        ).otherwise(-1)
+def simhash16(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per row: lane j votes +1 when hex digit j of
+    md5(token) has its high bit set ('8'-'f'), else -1, over the row's
+    DISTINCT tokens; fingerprint bit j = sign of the lane sum.
 
-    lane_bits = []
+    Physical plan: explode distinct tokens → md5 ONCE per token → 16
+    vote columns from its nibbles → groupBy(id).sum — everything stays in
+    whole-stage codegen and the only shuffle moves 16 small ints per
+    token with map-side partial aggregation. (A per-lane higher-order
+    aggregate recomputes md5 16× per token AND runs interpreted —
+    measured 5× slower at sf0.1.) Returns (id, simhash).
+    """
+    hashed = (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    votes = hashed.select(
+        id_col,
+        *[
+            F.when(F.instr(F.lit("89abcdef"), F.substring("h", j + 1, 1)) > 0, 1)
+            .otherwise(-1).alias(f"v{j}")
+            for j in range(16)
+        ],
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(16)])
+    fp: Column = F.lit(0)
     for j in range(16):
-        vote = F.aggregate(toks_distinct, F.lit(0), vote_fn(j))
-        lane_bits.append(F.when(vote > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
-    out = lane_bits[0]
-    for bit in lane_bits[1:]:
-        out = out + bit
-    return out.cast("bigint")
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return summed.select(id_col, fp.cast("bigint").alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -244,9 +244,7 @@ _DD_SIMHASH_LANES = " + ".join(
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
-    docs = table(spark, sf_dir, "documents")
-    toks = F.array_distinct(D.tokens("text"))
-    return docs.select("doc_id", D.simhash16(toks).alias("simhash"))
+    return D.simhash16(table(spark, sf_dir, "documents"))
 
 
 _NGRAM_N, _NGRAM_THRESH = 2, 0.08

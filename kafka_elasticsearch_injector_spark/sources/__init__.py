@@ -1,0 +1,17 @@
+"""Source-side machinery: Confluent wire-format Avro decode, schema
+registry client, and the pure-Python Avro binary codec backing them when
+the spark-avro artifact isn't loaded."""
+
+from .avro_codec import AvroError, Codec, parse_schema  # noqa: F401
+from .confluent import (  # noqa: F401
+    avro_to_spark_type,
+    decode_confluent,
+    drop_decode_errors,
+    wire_decode,
+    wire_encode,
+)
+from .schema_registry import (  # noqa: F401
+    SchemaRegistryClient,
+    SchemaRegistryError,
+    dict_registry,
+)

@@ -1,0 +1,323 @@
+"""Pure-Python Avro binary codec (Apache Avro 1.11 spec subset).
+
+Why this exists: the reference decodes Confluent-framed Avro with goavro
+(reference src/kafka/encode_decode.go:42-81) and Spark's `from_avro`
+lives in the external spark-avro artifact, which is not always loaded.
+This module implements the Avro binary encoding from the public spec for
+the types the reference's payload surface uses (SURVEY.md §1.2): null,
+boolean, int, long, float, double, bytes, string, record, enum, array,
+map, union, fixed. Logical types pass through as their underlying type,
+exactly like goavro's native representation.
+
+Codecs are compiled once per schema and cached by the caller (mirroring
+the per-schema-id codec cache at encode_decode.go:123-134) — the
+recursive readers/writers are built at compile time, so per-record decode
+is closure dispatch, no schema interpretation in the hot loop. For Spark,
+the hot path wraps this in Arrow-batched mapInPandas
+(sources/confluent.py); at 100 TB the decode is embarrassingly parallel
+per partition and this codec is only the per-record kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Callable
+
+PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+_Reader = Callable[[memoryview, int], tuple[Any, int]]
+_Writer = Callable[[bytearray, Any], None]
+
+
+class AvroError(ValueError):
+    """Malformed schema or payload."""
+
+
+def parse_schema(schema: str | dict | list) -> dict | list | str:
+    """Parse and minimally validate a schema declaration."""
+    if isinstance(schema, str):
+        s = schema.strip()
+        if s.startswith("{") or s.startswith("["):
+            schema = json.loads(s)
+        else:
+            schema = s.strip('"')
+    return schema
+
+
+def _schema_type(schema) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+# ------------------------------------------------------------ varint/zigzag
+
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise AvroError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos  # zigzag decode
+
+
+def _write_varint(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1  # zigzag encode
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+# ---------------------------------------------------------------- readers
+
+
+def _make_reader(schema, named: dict[str, _Reader] | None = None) -> _Reader:
+    named = named if named is not None else {}
+    schema = parse_schema(schema)
+    t = _schema_type(schema)
+
+    if t == "null":
+        return lambda buf, pos: (None, pos)
+    if t == "boolean":
+        return lambda buf, pos: (buf[pos] != 0, pos + 1)
+    if t in ("int", "long"):
+        return _read_varint
+    if t == "float":
+        return lambda buf, pos: (
+            struct.unpack_from("<f", buf, pos)[0], pos + 4)
+    if t == "double":
+        return lambda buf, pos: (
+            struct.unpack_from("<d", buf, pos)[0], pos + 8)
+    if t in ("bytes", "string"):
+        decode = t == "string"
+
+        def read_bytes(buf, pos, _decode=decode):
+            n, pos = _read_varint(buf, pos)
+            if n < 0 or pos + n > len(buf):
+                raise AvroError("bad length")
+            raw = bytes(buf[pos:pos + n])
+            return (raw.decode("utf-8") if _decode else raw), pos + n
+
+        return read_bytes
+
+    if t == "record":
+        fullname = schema.get("name", "")
+        if fullname in named:
+            return lambda buf, pos: named[fullname](buf, pos)
+        field_readers: list[tuple[str, _Reader]] = []
+
+        def read_record(buf, pos):
+            out = {}
+            for fname, fr in field_readers:
+                out[fname], pos = fr(buf, pos)
+            return out, pos
+
+        named[fullname] = read_record  # register before fields: recursion
+        for f in schema["fields"]:
+            field_readers.append((f["name"], _make_reader(f["type"], named)))
+        return read_record
+
+    if t == "enum":
+        symbols = schema["symbols"]
+
+        def read_enum(buf, pos):
+            i, pos = _read_varint(buf, pos)
+            if not 0 <= i < len(symbols):
+                raise AvroError(f"enum index {i} out of range")
+            return symbols[i], pos
+
+        return read_enum
+
+    if t == "array" or t == "map":
+        item_reader = _make_reader(
+            schema["items"] if t == "array" else schema["values"], named)
+        is_map = t == "map"
+
+        def read_blocks(buf, pos):
+            out: Any = {} if is_map else []
+            while True:
+                n, pos = _read_varint(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # negative count: byte size follows (skippable)
+                    n = -n
+                    _, pos = _read_varint(buf, pos)
+                for _ in range(n):
+                    if is_map:
+                        klen, pos = _read_varint(buf, pos)
+                        key = bytes(buf[pos:pos + klen]).decode("utf-8")
+                        pos += klen
+                        out[key], pos = item_reader(buf, pos)
+                    else:
+                        v, pos = item_reader(buf, pos)
+                        out.append(v)
+
+        return read_blocks
+
+    if t == "union":
+        branch_readers = [_make_reader(b, named) for b in schema]
+
+        def read_union(buf, pos):
+            i, pos = _read_varint(buf, pos)
+            if not 0 <= i < len(branch_readers):
+                raise AvroError(f"union branch {i} out of range")
+            return branch_readers[i](buf, pos)
+
+        return read_union
+
+    if t == "fixed":
+        size = schema["size"]
+        return lambda buf, pos: (bytes(buf[pos:pos + size]), pos + size)
+
+    raise AvroError(f"unsupported Avro type {t!r}")
+
+
+# ---------------------------------------------------------------- writers
+
+
+def _make_writer(schema, named: dict[str, _Writer] | None = None) -> _Writer:
+    named = named if named is not None else {}
+    schema = parse_schema(schema)
+    t = _schema_type(schema)
+
+    if t == "null":
+        return lambda out, v: None
+    if t == "boolean":
+        return lambda out, v: out.append(1 if v else 0)
+    if t in ("int", "long"):
+        return _write_varint
+    if t == "float":
+        return lambda out, v: out.extend(struct.pack("<f", v))
+    if t == "double":
+        return lambda out, v: out.extend(struct.pack("<d", v))
+    if t in ("bytes", "string"):
+        def write_bytes(out, v):
+            raw = v.encode("utf-8") if isinstance(v, str) else v
+            _write_varint(out, len(raw))
+            out.extend(raw)
+
+        return write_bytes
+
+    if t == "record":
+        fullname = schema.get("name", "")
+        if fullname in named:
+            return lambda out, v: named[fullname](out, v)
+        field_writers: list[tuple[str, _Writer]] = []
+
+        def write_record(out, v):
+            for fname, fw in field_writers:
+                fw(out, v[fname])
+
+        named[fullname] = write_record
+        for f in schema["fields"]:
+            field_writers.append((f["name"], _make_writer(f["type"], named)))
+        return write_record
+
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+        return lambda out, v: _write_varint(out, index[v])
+
+    if t == "array":
+        item_writer = _make_writer(schema["items"], named)
+
+        def write_array(out, v):
+            if v:
+                _write_varint(out, len(v))
+                for item in v:
+                    item_writer(out, item)
+            _write_varint(out, 0)
+
+        return write_array
+
+    if t == "map":
+        value_writer = _make_writer(schema["values"], named)
+
+        def write_map(out, v):
+            if v:
+                _write_varint(out, len(v))
+                for k, item in v.items():
+                    raw = k.encode("utf-8")
+                    _write_varint(out, len(raw))
+                    out.extend(raw)
+                    value_writer(out, item)
+            _write_varint(out, 0)
+
+        return write_map
+
+    if t == "union":
+        branch_writers = [(b, _make_writer(b, named)) for b in schema]
+
+        def write_union(out, v):
+            for i, (bschema, bw) in enumerate(branch_writers):
+                if _matches(bschema, v):
+                    _write_varint(out, i)
+                    bw(out, v)
+                    return
+            raise AvroError(f"no union branch for {type(v).__name__}")
+
+        return write_union
+
+    if t == "fixed":
+        return lambda out, v: out.extend(v)
+
+    raise AvroError(f"unsupported Avro type {t!r}")
+
+
+def _matches(schema, v) -> bool:
+    t = _schema_type(parse_schema(schema))
+    if t == "null":
+        return v is None
+    if t == "boolean":
+        return isinstance(v, bool)
+    if t in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if t in ("float", "double"):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if t in ("string", "enum"):
+        return isinstance(v, str)
+    if t in ("bytes", "fixed"):
+        return isinstance(v, (bytes, bytearray))
+    if t == "record":
+        return isinstance(v, dict)
+    if t == "array":
+        return isinstance(v, (list, tuple))
+    if t == "map":
+        return isinstance(v, dict)
+    return False
+
+
+class Codec:
+    """Compiled per-schema binary codec — build once, reuse per record
+    (the analog of goavro.Codec cached per schema id,
+    reference src/kafka/encode_decode.go:123-134)."""
+
+    def __init__(self, schema: str | dict | list):
+        self.schema = parse_schema(schema)
+        self._read = _make_reader(self.schema)
+        self._write = _make_writer(self.schema)
+
+    def decode(self, payload: bytes) -> Any:
+        value, pos = self._read(memoryview(payload), 0)
+        if pos != len(payload):
+            raise AvroError(f"{len(payload) - pos} trailing bytes")
+        return value
+
+    def encode(self, value: Any) -> bytes:
+        out = bytearray()
+        self._write(out, value)
+        return bytes(out)

@@ -47,7 +47,9 @@ def read_kafka_stream(spark: SparkSession, cfg: InjectorConfig) -> DataFrame:
 
 
 def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
-                          payload_schema: T.StructType | str) -> DataFrame:
+                          payload_schema: T.StructType | str | None = None,
+                          registry=None, reader_schema_id: int | None = None,
+                          ) -> DataFrame:
     """Compile the config into the decode→enrich→filter→route projection.
 
     Input: Kafka-shaped DataFrame (key/value binary, topic, partition,
@@ -66,13 +68,23 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
     # Decode (ops 5-8): null filter → PERMISSIVE decode → corrupt drop.
     df = ops.filter_null_payload(df, "value")
     if cfg.record_type == "json":
+        if payload_schema is None:
+            raise ValueError("json record_type needs payload_schema")
         df = ops.decode_json(df, payload_schema, payload_col="value")
         df = ops.drop_corrupt(df)
     else:
-        raise NotImplementedError(
-            "confluent-avro streaming decode needs a live schema registry; "
-            "see operators/injector.py decode_confluent_avro for the "
-            "expression (strip 5-byte header + from_avro)")
+        # Confluent wire-format Avro: registry-resolved reader schema,
+        # per-id codec dispatch, malformed side-drop (sources/confluent.py).
+        if registry is None or reader_schema_id is None:
+            raise ValueError(
+                "avro record_type needs registry + reader_schema_id")
+        from ..sources import avro_to_spark_type, decode_confluent, \
+            drop_decode_errors
+
+        df = decode_confluent(df, registry, reader_schema_id)
+        df = drop_decode_errors(df)
+        payload_schema = avro_to_spark_type(
+            registry.get_schema(reader_schema_id))
 
     payload_fields = [f.name for f in payload_schema.fields]
 
@@ -117,10 +129,11 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
 
 
 def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
-                   payload_schema: T.StructType | str,
+                   payload_schema: T.StructType | str | None,
                    transport_factory, checkpoint_dir: str,
                    source_df: DataFrame | None = None,
-                   trigger_seconds: float = 1.0):
+                   trigger_seconds: float = 1.0,
+                   registry=None, reader_schema_id: int | None = None):
     """Wire source → transform → foreachBatch ES sink and start.
 
     `transport_factory` is a picklable zero-arg callable building the
@@ -135,7 +148,9 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
     from .es_sink import write_partition_factory
 
     src = source_df if source_df is not None else read_kafka_stream(spark, cfg)
-    records = build_elastic_records(src, cfg, payload_schema)
+    records = build_elastic_records(
+        src, cfg, payload_schema,
+        registry=registry, reader_schema_id=reader_schema_id)
     writer = write_partition_factory(cfg, transport_factory)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
