@@ -1,0 +1,409 @@
+"""Part B extension — relational operators beyond the first declared set:
+multidimensional aggregation (cube / grouping sets), temporal joins
+(range, as-of), subquery shapes (scalar), pivot, ordered string
+aggregation, percentile/ntile analytics, null-semantics scalars, and two
+TPC-H-shaped multi-join benchmarks (Q3/Q5 analogs).
+
+The reference has none of these (SURVEY.md §2.2); they complete the
+"what a query engine user would run" surface. Scale notes inline per
+query; the shared discipline (decimal money sums, unique tie-breaks,
+round-to-6) comes from plans/_util.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ._util import as_double6, dec
+from .registry import register
+
+# ------------------------------------------------- multidimensional aggs
+
+
+@register(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dims + grouping id: 4 grouping sets in one "
+        "partial-aggregated pass (Expand + hash agg; no repeated scans).",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"),
+             F.count(F.lit(1)).alias("n"),
+             as_double6(F.sum(dec("l_quantity"))).alias("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (status totals, priority totals, grand "
+        "total) — one Expand pass instead of three scans + union.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                 AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+# ------------------------------------------------------- temporal joins
+
+
+@register(
+    "q_join_range",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_late,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS late_value
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+    doc="Range join: equi key + interval band predicate. The equi half "
+        "drives the physical join (hash/sort-merge on orderkey); the band "
+        "is a cheap post-join filter — never a cross product. Pure-range "
+        "joins (no equi key) get bucketed by coarse time bucket first.",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= F.expr("o_orderdate + INTERVAL 60 DAY"))
+        & (li.l_shipdate < F.expr("o_orderdate + INTERVAL 90 DAY"))
+    )
+    return (
+        orders.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"),
+             as_double6(F.sum(dec("l_extendedprice"))).alias("late_value"))
+    )
+
+
+@register(
+    "q_join_asof",
+    """
+    SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+               AS rn
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+    WHERE rn = 1
+    """,
+    doc="As-of join: each event matched to its user's most recent order "
+        "at event time (backward inexact match, ties to highest key; "
+        "events without prior orders keep NULLs). Shape: equi join on the "
+        "entity key + time inequality, then keep-latest per left row. At "
+        "100 TB: partition both sides by key, sort by time — the window "
+        "collapses to a per-partition merge; or run merge-asof inside "
+        "applyInPandas over cogrouped key buckets.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        ev.join(orders, (orders.o_custkey == ev.user_id)
+                & (orders.o_orderdate <= ev.ts), "left")
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------------------- subqueries
+
+
+@register(
+    "q_scalar_subquery",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > 0.9 * (SELECT MAX(p_retailprice) FROM part)
+    """,
+    doc="Uncorrelated scalar subquery: one-row aggregate computed once, "
+        "folded into the scan filter (MAX is order-exact on doubles).",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql("""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part_sq
+        WHERE p_retailprice > 0.9 * (SELECT MAX(p_retailprice) FROM part_sq)
+    """)
+
+
+# ------------------------------------------------------ pivot / string agg
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+             AS not_specified,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Pivot (long→wide): explicit value list so the plan is static — "
+        "no extra distinct-values pass, single partial-agg stage.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_names = ["urgent", "high", "medium", "not_specified", "low"]
+    piv = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(n)
+          for v, n in zip(_PRIORITIES, out_names)])
+    return renamed
+
+
+@register(
+    "q_string_agg",
+    """
+    SELECT n_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS members
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    doc="Ordered string aggregation: collect_list → array_sort → join. "
+        "The sort is per-group post-shuffle (values are unique names), so "
+        "results are deterministic despite parallel accumulation.",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), ",")
+             .alias("members"))
+    )
+
+
+# ------------------------------------------------------------- analytics
+
+
+@register(
+    "q_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (sort-based agg). At "
+        "100 TB swap to approx_percentile(...) — t-digest sketch, no "
+        "per-group sort — when 1e-3 relative error is acceptable.",
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6)
+            .alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6)
+            .alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "q_window_ntile",
+    """
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+    doc="NTILE bucketing per segment (unique tie-break key → stable).",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment",
+                F.ntile(4).over(w).alias("balance_quartile"))
+    )
+
+
+@register(
+    "q_window_firstlast",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last/nth_value over an unbounded frame — per-customer "
+        "order history framing (NULL when the frame has no 2nd row).",
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    price = F.col("o_totalprice")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey",
+                F.first(price).over(w).alias("first_price"),
+                F.last(price).over(w).alias("last_price"),
+                F.nth_value(price, 2).over(w).alias("second_price"))
+    )
+
+
+# ----------------------------------------------------------- null scalars
+
+
+@register(
+    "q_null_scalars",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_open
+    FROM orders
+    """,
+    doc="NULL-semantics scalars: NULLIF / COALESCE / null-safe equality "
+        "(Spark <=> ≡ IS NOT DISTINCT FROM).",
+)
+def q_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            status_or_null.alias("status_or_null"),
+            F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+            status_or_null.eqNullSafe(F.lit(None).cast("string"))
+            .alias("is_open"),
+        )
+    )
+
+
+# ----------------------------------------------------- TPC-H-shaped joins
+
+
+@register(
+    "q_tpch_q3",
+    """
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter → "
+        "broadcast customer → fact-fact join on orderkey → top-10 by "
+        "revenue (TakeOrdered, no global sort).",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(as_double6(F.sum(revenue)).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5",
+    """
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+             AS revenue
+    FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): 6-table join — Catalyst "
+        "reorders so region/nation/supplier broadcast and only the "
+        "orders⋈lineitem exchange shuffles; the s_nationkey = c_nationkey "
+        "residual makes the supplier join a non-trivial two-key match.",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), (supp.s_suppkey == li.l_suppkey)
+              & (supp.s_nationkey == cust.c_nationkey))
+        .groupBy("n_name")
+        .agg(as_double6(F.sum(revenue)).alias("revenue"))
+    )
