@@ -1,0 +1,112 @@
+"""Event-time streaming operators: watermarked tumbling/session windows
+and keyed stateful dedup.
+
+The reference has NO event-time logic — batching is count-based
+(reference src/kafka/consumer.go:137-145) and time only routes index
+names (SURVEY.md §2.2) — so these are engine capabilities the reference
+user gains, not parity items. They're exercised by integration tests
+(tests/test_event_time.py), not the DuckDB oracle: watermark/late-data
+semantics are trigger-dependent and deliberately excluded from t2
+(SURVEY.md §2.3).
+
+Scale notes:
+- watermark state is per-window-per-key; with 1h tumbling windows and a
+  30m watermark the state store holds ≤ 2 open windows per key — bounded
+  regardless of throughput.
+- session windows merge on overlap; skewed keys (one chatty user) grow a
+  single session, not state cardinality.
+- stateful dedup state is one empty row per seen key — at 100 TB scale
+  bound it with a TTL (processing-time timeout) matching the dedup
+  horizon; create-only ES writes (es_sink.py) already make re-emission
+  after expiry harmless (409 → AlreadyExists).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_counts(events: DataFrame, ts_col: str = "ts",
+                    key_col: str = "event_type",
+                    window: str = "1 hour",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per key (append-mode safe:
+    a window emits once its end passes the watermark; later rows are
+    late data and are dropped)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), key_col, "n")
+    )
+
+
+def session_counts(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "user_id",
+                   gap: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Session windows: events within `gap` of each other merge into one
+    session per key; a session closes when the watermark passes its end."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
+                 F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("sess.start").alias("sess_start"),
+                F.col("sess.end").alias("sess_end"), key_col, "n")
+    )
+
+
+def streaming_dedup(events: DataFrame, key_col: str,
+                    payload_cols: list[str],
+                    ttl_minutes: int | None = None) -> DataFrame:
+    """First-occurrence-wins dedup across micro-batches via
+    applyInPandasWithState: one empty state row per seen key; later
+    arrivals of the same key emit nothing.
+
+    This is the streaming-native twin of the sink-side create-only
+    idempotence (op 20, reference src/elasticsearch/elasticsearch.go:
+    95-104,120-124): dedup BEFORE the sink saves the wasted bulk traffic
+    the reference spends on 409 round-trips. `ttl_minutes` bounds state
+    (processing-time timeout); expired keys may re-emit, which the
+    create-only sink still absorbs.
+    """
+    out_fields = [T.StructField(key_col, T.LongType())] + [
+        T.StructField(c, T.StringType()) for c in payload_cols]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_minutes else GroupStateTimeout.NoTimeout)
+
+    def dedup_fn(key: Any, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            for _ in pdfs:  # drain; all rows are duplicates
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[:1][[key_col, *payload_cols]]
+        state.update((True,))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if first is not None:
+            yield first
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            dedup_fn, out_schema, state_schema, "append", timeout)
+    )

@@ -1,0 +1,110 @@
+"""Event-time streaming semantics: watermark + tumbling windows with
+late-data drop, session windows, and stateful cross-batch dedup.
+
+These behaviors are trigger-dependent and have no DuckDB oracle
+(SURVEY.md §2.3 exclusion); expectations are hand-computed, mirroring
+the reference's integration-test tier (consumer_test.go) in spirit.
+Micro-batch boundaries are forced by running one availableNow pass per
+added file against a shared checkpoint (see _run_batches).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from kafka_elasticsearch_injector_spark.streaming.event_time import (
+    session_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _m(minutes: float) -> dt.datetime:
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def _run_batches(spark, root, schema, transform, batches):
+    """Deterministic micro-batch boundaries: add one file, run an
+    availableNow pass to completion, repeat. Watermark/state live in the
+    shared checkpoint, so each pass IS one (or more) micro-batch over
+    exactly the new file — no reliance on file-source admission control.
+    Returns the accumulated append-mode output."""
+    src_dir = os.path.join(root, "src")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"batch_{i}.parquet"))
+        src = spark.readStream.schema(schema).parquet(
+            os.path.join(src_dir, "*.parquet"))
+        q = (
+            transform(src).writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120), "stream pass timed out"
+    return spark.read.parquet(out_dir)
+
+
+def test_tumbling_window_drops_late_data(spark, tmp_path):
+    schema = "ts TIMESTAMP, event_type STRING"
+    batches = [
+        # batch 0: window 10:00-11:00 gets 2 rows; 12:00 advances the
+        # max event time, so the watermark after this batch is 11:30.
+        [(_m(5), "a"), (_m(20), "a"), (_m(120), "a")],
+        # batch 1: 10:15 is LATE (watermark 11:30 > window end 11:00) →
+        # dropped; 12:40 advances the watermark to 12:10, finalizing the
+        # 12:00-13:00 window only later.
+        [(_m(15), "a"), (_m(160), "a")],
+        # batch 2: push the watermark past 13:00 so window 12:00-13:00
+        # (and 12:40's) finalize and emit.
+        [(_m(240), "a")],
+    ]
+    out = _run_batches(
+        spark, str(tmp_path), schema,
+        lambda df: tumbling_counts(df, "ts", "event_type",
+                                   "1 hour", "30 minutes"),
+        batches)
+    got = {(r.win_start, r.n) for r in out.collect()}
+    # the 10:00 window emitted with count 2 — the late 10:15 row did NOT
+    # re-open or bump it.
+    assert (BASE, 2) in got
+    assert (BASE.replace(hour=12), 2) in got  # 12:00 + 12:40
+
+
+def test_session_window_merges_within_gap(spark, tmp_path):
+    schema = "ts TIMESTAMP, user_id LONG"
+    batches = [
+        # user 1: events at 0,20,35m chain into one session (gap 30m);
+        # the 200m event closes it (and advances the watermark).
+        [(_m(0), 1), (_m(20), 1), (_m(35), 1), (_m(200), 1)],
+        [(_m(500), 1)],  # push watermark to finalize everything earlier
+    ]
+    out = _run_batches(
+        spark, str(tmp_path), schema,
+        lambda df: session_counts(df, "ts", "user_id", "30 minutes",
+                                  "30 minutes"),
+        batches)
+    rows = {(r.sess_start, r.sess_end, r.n) for r in out.collect()}
+    assert (_m(0), _m(65), 3) in rows          # merged session + 30m gap tail
+    assert any(s == _m(200) and n == 1 for s, _e, n in rows)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    schema = "event_id LONG, props STRING, ts TIMESTAMP"
+    batches = [
+        [(1, "first-1", _m(0)), (1, "dup-in-batch", _m(1)), (2, "first-2", _m(2))],
+        [(2, "dup-across-batch", _m(3)), (3, "first-3", _m(4))],
+    ]
+    out = _run_batches(
+        spark, str(tmp_path), schema,
+        lambda df: streaming_dedup(df, "event_id", ["props"]),
+        batches)
+    got = {(r.event_id, r.props) for r in out.collect()}
+    assert got == {(1, "first-1"), (2, "first-2"), (3, "first-3")}
