@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the scale properties every query relies on
+must actually appear in the optimized plan — filters reaching the
+parquet scan, column pruning, dimension-table broadcasts, whole-stage
+codegen — so a regression that silently de-optimizes a plan (e.g. a UDF
+blocking pushdown, a lost broadcast hint) fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_elasticsearch_injector_spark import plans
+
+
+def _explain(spark, sf_dir, name: str) -> str:
+    df = plans.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _explain(spark, sf_dir, "q_filter_pred")
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, plan
+    assert "l_quantity" in pushed.group(1)      # < 24 pushed to parquet
+    assert "l_discount" in pushed.group(1)      # BETWEEN pushed
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    plan = _explain(spark, sf_dir, "q_filter_pred")
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schema, plan
+    cols = {c.split(":")[0] for c in read_schema.group(1).split(",") if c}
+    # 4 projected + 3 filter columns; NOT the full 11-column lineitem
+    assert "l_comment" not in cols and "l_partkey" not in cols
+    assert len(cols) <= 7, cols
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for q in ("q_join_inner", "q_tpch_q3", "q_tpch_q5"):
+        plan = _explain(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, f"{q} lost its broadcast:\n{plan}"
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    # A CartesianProduct in any declared plan means an equi-key was lost
+    # (broadcast nested loop is fine for tiny probe/marker tables).
+    for name, fn in plans.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # The injector projection chain (decode/enrich/route) must fuse into
+    # whole-stage codegen — zero Python, zero interpreted expressions.
+    for q in ("q_index_day", "q_doc_id", "q_timestamp_millis", "q_agg_hash"):
+        df = plans.queries()[q](spark, sf_dir)
+        df.collect()  # finalize AQE so codegen annotations materialize
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        # formatted mode marks codegen'd operators with '* ' / codegen id
+        assert "codegen id" in plan or "* Project" in plan, (q, plan)
+
+
+def test_minhash_join_has_no_pair_shuffle(spark, sf_dir):
+    # The LSH candidate join must broadcast the exploded band side: the
+    # N-pair join OUTPUT must never hit an exchange. Shuffles upstream of
+    # the join inputs (tiny) are fine; an Exchange ABOVE the join is not.
+    plan = _explain(spark, sf_dir, "q_dedup_minhash")
+    tree = plan.split("\n\n", 1)[0]  # the operator tree section
+    assert "BroadcastHashJoin" in tree, tree
+    above_join = tree.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange" not in above_join, tree
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
+    # q_dedup_exact partitions by sha2(text): the window exchange key must
+    # be the 64-hex digest, not raw document text.
+    plan = _explain(spark, sf_dir, "q_dedup_exact")
+    m = re.search(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert m, plan
+    assert m.group(1).startswith("_w"), plan   # derived expr, not `text`
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
