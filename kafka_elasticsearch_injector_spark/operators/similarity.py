@@ -19,7 +19,7 @@ machinery — hyperplane signs bucket vectors, same equi-join shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
@@ -92,6 +92,72 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
         .withColumn("rn", F.row_number().over(w_k))
         .filter(F.col("rn") <= k)
         .select("probe_id", label_col, id_col,
+                F.round(F.col("_cos"), 6).alias("cos_sim"), "rn")
+    )
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplanes: sign(p, d) = +1 iff
+    the first hex nibble of md5(f"{p}:{d}") has its high bit set. Both
+    the Spark plan and the DuckDB oracle embed these as literals, so the
+    'randomness' is reproducible everywhere (no RNG state to ship)."""
+    import hashlib
+
+    return [
+        [1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+         else -1 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_sign_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Sign-LSH bucketing: bucket bit p = (v · hyperplane_p ≥ 0).
+
+    One narrow projection — O(N·planes·dim) inside codegen, no shuffle.
+    Cosine-similar vectors land in the same bucket with probability
+    1 - θ/π per plane; the bucket column then drives an equi-join, the
+    same corpus-pruning shape as IVF but with no training pass. At
+    100 TB, partition the corpus by bucket so probe lookups are
+    single-partition reads."""
+    planes = hyperplane_signs(n_planes, dim)
+    v = V.to_double(F.col(vec_col))
+    bucket: Column | None = None
+    for p, signs in enumerate(planes):
+        # zip_with+aggregate (interpreted HOF) on purpose: an UNROLLED
+        # 512-term codegen expression costs ~4s of Janino compilation per
+        # plan — far more than interpreting 8·dim ops over the corpus.
+        # Same IEEE sequence as the oracle: ((0 + s1·x1) + s2·x2) + ...
+        lits = F.array(*[F.lit(float(s)) for s in signs])
+        proj = V.dot(v, lits)
+        bit = F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
+             n_planes: int = 8, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN via sign-LSH: exact cosine top-k within the probe's bucket
+    only. Returns (probe_id, bucket, vec_id, cos_sim, rn)."""
+    bucketed = lsh_sign_buckets(emb, n_planes, dim, vec_col)
+    probes = (
+        bucketed.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).alias("probe_id"),
+                V.to_double(F.col(vec_col)).alias("probe_vec"), "bucket")
+    )
+    corpus = bucketed.select(
+        F.col(id_col), "bucket", V.to_double(F.col(vec_col)).alias("vec"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col(id_col))
+    return (
+        F.broadcast(probes).join(corpus, "bucket")
+        .filter(F.col("probe_id") != F.col(id_col))
+        .select("probe_id", "bucket", id_col,
+                V.cosine(F.col("probe_vec"), F.col("vec")).alias("_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "bucket", id_col,
                 F.round(F.col("_cos"), 6).alias("cos_sim"), "rn")
     )
 

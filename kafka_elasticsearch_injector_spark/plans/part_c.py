@@ -462,6 +462,65 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2], k=3)
 
 
+def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64,
+                    probe_ids=(0, 1, 2), k: int = 3) -> str:
+    """Oracle for q_ann_lsh: the hyperplane sign literals are generated
+    by the same deterministic md5 scheme the Spark plan embeds, so both
+    engines score identical projections."""
+    from ..operators.similarity import hyperplane_signs
+
+    planes = hyperplane_signs(n_planes, dim)
+    projs = []
+    for signs in planes:
+        lst = "list_value(" + ", ".join(f"{s}.0" for s in signs) + ")"
+        projs.append(
+            "list_reduce(list_prepend(0.0, list_transform(range(1, "
+            f"{dim + 1}), i -> CAST(embedding[i] AS DOUBLE) * {lst}[i])), "
+            "(acc, x) -> acc + x)")
+    bucket = " + ".join(
+        f"CASE WHEN ({p}) >= 0 THEN {2 ** b} ELSE 0 END"
+        for b, p in enumerate(projs))
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv, bucket
+      FROM bucketed WHERE vec_id IN ({ids})
+    )
+    SELECT probe_id, bucket, vec_id, cos_sim, rn FROM (
+      SELECT p.probe_id, p.bucket, c.vec_id,
+             ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+                 i -> p.pv[i] * CAST(c.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
+               / ({_DD_NORM.format(v='p.pv')} * {_DD_NORM.format(v='c.embedding')}), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+               list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+                 i -> p.pv[i] * CAST(c.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
+               / ({_DD_NORM.format(v='p.pv')} * {_DD_NORM.format(v='c.embedding')})
+               DESC, c.vec_id) AS rn
+      FROM probes p JOIN bucketed c ON c.bucket = p.bucket
+      WHERE p.probe_id <> c.vec_id) t
+    WHERE rn <= {k}
+    """
+
+
+@register(
+    "q_ann_lsh",
+    _lsh_oracle_sql(),
+    doc="ANN via sign-LSH: 8 deterministic md5-derived hyperplanes bucket "
+        "the corpus in one codegen pass (no training, unlike IVF); exact "
+        "cosine top-3 within the probe's bucket only. The bucket equi-join "
+        "is the corpus-pruning shape; at scale partition by bucket.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    return S.lsh_topk(table(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2])
+
+
 @register(
     "q_media_meta",
     """
