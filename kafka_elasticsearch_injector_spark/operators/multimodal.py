@@ -83,6 +83,65 @@ def decode_media(df_media: DataFrame) -> DataFrame:
     return df_media.mapInPandas(decode_media_batch, schema=DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+FEATURE_SCHEMA = "doc_id bigint, features array<double>"
+
+
+def sample_frames(df_media: DataFrame, frame_bytes: int = 64,
+                  stride: int = 4) -> DataFrame:
+    """Frame sampling: treat the media blob as concatenated fixed-size
+    frames and emit every `stride`-th one — a 1→N Arrow kernel (one input
+    row fans out to many frame rows inside the same batch iterator, no
+    explode/join). A real video path swaps the byte-chunking for
+    container parsing (pyav/ffmpeg) — the fan-out shape, schema, and
+    partition-parallelism are exactly this.
+
+    100 TB note: frames inherit the parent's partition, so per-frame
+    models (captioning, OCR) run data-local with no shuffle; downstream
+    repartition only if frame skew (long videos) unbalances tasks.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                buf = bytes(media)
+                chunks = [buf[i:i + frame_bytes]
+                          for i in range(0, len(buf), frame_bytes)]
+                for j, chunk in enumerate(chunks[::stride]):
+                    ids.append(doc_id)
+                    idxs.append(j * stride)
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df_media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def extract_features(df_media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction: normalized byte-value histogram per blob — a
+    real, deterministic stand-in for fbank/embedding extraction with the
+    production shape (binary in → fixed-dim float vector out, one Arrow
+    batch at a time, numpy-vectorized inside the kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for media in pdf["media"]:
+                arr = np.frombuffer(bytes(media), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                hist = np.bincount(arr % n_bins, minlength=n_bins)
+                feats.append((hist / arr.size).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df_media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
 def resize_stub(df_media: DataFrame, width: int, height: int) -> DataFrame:
     """Plumbing for image resize. The kernel is NOT implemented (no image
     libs here); calling collect on the result raises NotImplementedError

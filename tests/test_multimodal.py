@@ -1,0 +1,92 @@
+"""Multimodal kernels: frame sampling (1→N Arrow fan-out), feature
+extraction (binary → fixed-dim vector), stub boundary behavior, and the
+streaming metrics listener. Expectations are hand-computed on tiny
+deterministic inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_elasticsearch_injector_spark.operators import multimodal as M
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, media binary, media_type string, "
+              "byte_len int, content_md5 string")
+
+
+def test_sample_frames_fan_out(spark):
+    blob = bytes(range(20))  # 20 bytes → frames of 8: [0:8],[8:16],[16:20]
+    df = _media_df(spark, [(1, blob, "video/fake", 20, "x")])
+    out = M.sample_frames(df, frame_bytes=8, stride=2).collect()
+    got = {(r.doc_id, r.frame_idx, bytes(r.frame)) for r in out}
+    # stride 2 keeps chunk 0 and chunk 2
+    assert got == {(1, 0, bytes(range(8))), (1, 2, bytes(range(16, 20)))}
+
+
+def test_sample_frames_empty_blob(spark):
+    df = _media_df(spark, [(1, b"", "video/fake", 0, "x")])
+    assert M.sample_frames(df, frame_bytes=8).count() == 0
+
+
+def test_extract_features_histogram(spark):
+    blob = bytes([0, 0, 1, 17])  # %16 → bins {0: 2, 1: 2}
+    df = _media_df(spark, [(1, blob, "audio/fake", 4, "x"),
+                           (2, b"", "audio/fake", 0, "y")])
+    rows = {r.doc_id: r.features for r in M.extract_features(df).collect()}
+    assert rows[1][0] == 0.5 and rows[1][1] == 0.5 and sum(rows[1]) == 1.0
+    assert rows[2] == [0.0] * 16
+
+
+def test_resize_stub_raises_from_executors(spark):
+    df = _media_df(spark, [(1, b"xx", "image/fake", 2, "x")])
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        M.resize_stub(df, 32, 32).collect()
+
+
+def test_media_pipeline_end_to_end(spark, sf_dir):
+    """attach → decode over the real documents table: md5-derived dims
+    land in [64, 79] and byte_len matches the text length."""
+    from kafka_elasticsearch_injector_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    out = M.decode_media(M.attach_media(docs))
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(64 <= r.width <= 79 and 64 <= r.height <= 79 for r in rows)
+
+
+def test_metrics_listener_collects_progress(spark, tmp_path):
+    import json
+    import os
+
+    from kafka_elasticsearch_injector_spark.streaming.listener import (
+        InjectorMetricsListener,
+    )
+
+    listener = InjectorMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        src_dir = str(tmp_path / "src")
+        os.makedirs(src_dir)
+        spark.createDataFrame(
+            [(1, "a")], "id long, v string").write.parquet(
+            os.path.join(src_dir, "f.parquet"))
+        q = (
+            spark.readStream.schema("id long, v string")
+            .parquet(os.path.join(src_dir, "*.parquet"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        # listener events are delivered asynchronously
+        import time
+        deadline = time.time() + 20
+        while time.time() < deadline and listener.total_rows < 1:
+            time.sleep(0.2)
+        assert listener.total_rows >= 1
+        assert json.dumps(listener.progress)  # serializable shape
+    finally:
+        spark.streams.removeListener(listener)
