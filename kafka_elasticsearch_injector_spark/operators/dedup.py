@@ -204,6 +204,71 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         node_col: str = "doc_id",
+                         src_col: str = "doc_a", dst_col: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node's label converges to the smallest node id in its component.
+    Returns (node, label).
+
+    The loop is driver-side control flow over DataFrame ops (each
+    iteration: symmetric-edge join → per-node min → convergence count);
+    lineage is truncated per iteration with localCheckpoint so plans
+    don't grow unboundedly. Near-dup graphs are clique-like, so
+    convergence takes O(log diameter) ≈ 2-3 iterations in practice;
+    `max_iter` bounds pathological chains. This is the standard
+    large-graph CC shape (label propagation ≙ Hash-Min a la Pregel);
+    at 100 TB pre-partition edges by src so each iteration's join is
+    co-located.
+    """
+    sym = edges.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst")).unionByName(
+        edges.select(F.col(dst_col).alias("src"),
+                     F.col(src_col).alias("dst"))).localCheckpoint()
+    labels = nodes.select(F.col(node_col).alias("node"),
+                          F.col(node_col).alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
+                   node_col: str = "doc_id") -> DataFrame:
+    """Cluster assignment + canonical pick from a near-dup pair list:
+    (doc_id, cluster_id, is_canonical) where cluster_id is the smallest
+    doc_id in the connected component — the keep-first policy every
+    dedup pipeline needs after pair detection."""
+    labels = connected_components(nodes, pairs, node_col=node_col)
+    return labels.select(
+        F.col("node").alias(node_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """16-bit SimHash per row: lane j votes +1 when hex digit j of

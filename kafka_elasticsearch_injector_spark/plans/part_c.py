@@ -250,9 +250,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_N, _NGRAM_THRESH = 2, 0.08
 
 
-@register(
-    "q_dedup_ngram",
-    f"""
+def _ngram_pairs_sql(threshold: float) -> str:
+    """Oracle fragment: exact 2-gram Jaccard pairs (doc_a < doc_b) at
+    `threshold` — reused by q_dedup_ngram and the clustering oracle."""
+    return f"""
     WITH grams AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(string_split(text, ' '))),
@@ -265,8 +266,13 @@ _NGRAM_N, _NGRAM_THRESH = 2, 0.08
                  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jac
     FROM grams a JOIN grams b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= {_NGRAM_THRESH}
-    """,
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= {threshold}
+    """
+
+
+@register(
+    "q_dedup_ngram",
+    _ngram_pairs_sql(_NGRAM_THRESH),
     doc="Exact 2-gram Jaccard pairs ≥0.08 — quadratic verify baseline; "
         "at scale runs only after LSH blocking.",
 )
@@ -275,6 +281,42 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return D.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), n=_NGRAM_N, threshold=_NGRAM_THRESH)
+
+
+_CLUSTER_THRESH = 0.5
+
+
+@register(
+    "q_dedup_cluster",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_ngram_pairs_sql(_CLUSTER_THRESH)}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           (node = MIN(label)) AS is_canonical
+    FROM walk GROUP BY node
+    """,
+    doc="Duplicate-cluster resolution: near-dup pairs (2-gram Jaccard "
+        "≥0.5) → connected components → cluster id = min doc_id, which "
+        "doubles as the canonical-keeper pick. Spark side is iterative "
+        "min-label propagation (operators/dedup.py connected_components); "
+        "oracle is a recursive-CTE transitive closure — same fixpoint.",
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=_NGRAM_N, threshold=_CLUSTER_THRESH)
+    return D.dedup_clusters(docs.select("doc_id"), pairs)
 
 
 _DD_NORM = ("sqrt(list_reduce(list_prepend(0.0, list_transform({v}, "
