@@ -7,6 +7,7 @@ from .confluent import (  # noqa: F401
     avro_to_spark_type,
     decode_confluent,
     drop_decode_errors,
+    encode_confluent,
     wire_decode,
     wire_encode,
 )

@@ -178,3 +178,51 @@ def drop_decode_errors(df: DataFrame,
     from pyspark.sql import functions as F
 
     return df.filter(F.col(error_col).isNull()).drop(error_col)
+
+
+def encode_confluent(
+    df: DataFrame,
+    registry: SchemaRegistryClient,
+    schema_id: int,
+    struct_col: str,
+    out_col: str = "value",
+) -> DataFrame:
+    """Encode a struct column into Confluent-framed Avro binary — the
+    producer side (reference op 26: fixtures/producer.go:75-146,
+    util/producer/producer.go:15-53, which frame goavro-encoded bodies
+    with the same magic+id header).
+
+    The schema is resolved and the header PRECOMPUTED at plan time (the
+    producer caches its header bytes per schema, producer.go:97-117);
+    executors encode batch-at-a-time in mapInPandas. Round-trips through
+    decode_confluent by construction. Use with `write.format("kafka")`
+    (key/value binary columns) to produce back to a topic.
+    """
+    schema_json = registry.get_schema(schema_id)
+    writer_type = avro_to_spark_type(schema_json)
+    if not isinstance(writer_type, T.StructType):
+        raise AvroError("writer schema must be a record")
+    header = bytes([MAGIC_BYTE]) + struct.pack(">i", schema_id)
+    field_names = [f.name for f in writer_type.fields]
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != struct_col]
+        + [T.StructField(out_col, T.BinaryType(), True)])
+    keep = [f.name for f in df.schema.fields if f.name != struct_col]
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = Codec(schema_json)  # compiled once per worker
+
+        def encode_one(row) -> bytes | None:
+            if row is None:
+                return None
+            value = {k: row.get(k) for k in field_names} \
+                if isinstance(row, dict) else dict(zip(field_names, row))
+            return header + codec.encode(value)
+
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[out_col] = [encode_one(r) for r in pdf[struct_col]]
+            yield out
+
+    return df.mapInPandas(encode_batches, out_schema)

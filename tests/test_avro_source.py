@@ -190,3 +190,22 @@ def test_avro_streaming_end_to_end(spark, tmp_path):
     assert doc["@timestamp"] == int(ts.timestamp() * 1000)
     # the malformed record was side-dropped, not fatal
     assert os.listdir(os.path.join(es_root, "t-2018-03-10")) == ["0:7.json"]
+
+
+def test_encode_confluent_roundtrip(spark):
+    """Producer-side framing (reference op 26): struct → framed Avro →
+    decode_confluent recovers the struct, id and header byte-exact."""
+    from kafka_elasticsearch_injector_spark.sources import encode_confluent
+
+    registry = dict_registry({1: FIXTURE_SCHEMA})
+    df = spark.createDataFrame(
+        [(7, (10,)), (8, (20,)), (9, None)],
+        "k long, payload struct<id:int>")
+    framed = encode_confluent(df, registry, schema_id=1, struct_col="payload")
+    raw = {r.k: r.value and bytes(r.value) for r in framed.collect()}
+    assert raw[7][:5] == b"\x00\x00\x00\x00\x01"       # magic + BE id
+    assert raw[7][5:] == Codec(FIXTURE_SCHEMA).encode({"id": 10})
+    assert raw[9] is None                               # null passthrough
+    decoded = decode_confluent(
+        framed.filter("value is not null"), registry, reader_schema_id=1)
+    assert {(r.k, r.decoded.id) for r in decoded.collect()} == {(7, 10), (8, 20)}
