@@ -173,20 +173,24 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_b"), "bidx", "bh",
         *[F.col(c).alias(f"b_{c}") for c in [*payload, *band_cols]])
 
-    # The exploded sides are N·bands rows — broadcast one, repartition the
-    # other so the N_candidate-row join OUTPUT is produced (and filtered)
-    # in parallel with zero shuffle.
+    # The exploded sides are N·bands rows. Small corpora: broadcast one
+    # side and repartition the other, so the N_candidate-row join OUTPUT
+    # is produced (and filtered) in parallel with zero shuffle. Beyond
+    # broadcastable size, fall back to the shuffle equi-join on
+    # (band, hash) — the standard LSH topology; AQE splits hot buckets.
     par = a.sparkSession.sparkContext.defaultParallelism
+    n_docs = df.select(id_col).count()
+    broadcastable = n_docs * n_bands <= 1_000_000
     first_match = [
         (F.lit(j) >= F.col("bidx"))
         | (F.col(f"a_band_{j}") != F.col(f"b_band_{j}"))
         for j in range(n_bands - 1)
     ]
-    joined = (
-        a.repartition(par)
-        .join(F.broadcast(b), ["bidx", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
+    if broadcastable:
+        joined = a.repartition(par).join(F.broadcast(b), ["bidx", "bh"])
+    else:
+        joined = a.join(b, ["bidx", "bh"])
+    joined = joined.filter(F.col("doc_a") < F.col("doc_b"))
     for cond in first_match:
         joined = joined.filter(cond)
 
