@@ -407,3 +407,76 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(as_double6(F.sum(revenue)).alias("revenue"))
     )
+
+
+@register(
+    "q_window_cume",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           ROUND(percent_rank() OVER w, 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions (cume_dist / percent_rank) with "
+        "a unique tie-break so ranks are stable.",
+)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority",
+                F.round(F.cume_dist().over(w), 6).alias("cd"),
+                F.round(F.percent_rank().over(w), 6).alias("pr"))
+    )
+
+
+@register(
+    "q_regex_extract",
+    r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_matches(p_name, '[0-9]') AS has_digit,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER)
+             AS vowel_runs
+    FROM part
+    """,
+    doc="Regex scalar surface: extract group, boolean match, match count "
+        "(patterns restricted to the POSIX-compatible common subset both "
+        "engines implement identically).",
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = F.col("p_name")
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.regexp_extract(name, "([a-z]+)", 1).alias("first_word"),
+            name.rlike("[0-9]").alias("has_digit"),
+            F.size(F.regexp_extract_all(name, F.lit("[aeiou]+"), 0))
+            .cast("int").alias("vowel_runs"),
+        )
+    )
+
+
+@register(
+    "q_array_explode",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, toks[u.i] AS tok
+    FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+    """,
+    doc="Lateral array expansion with ordinality (posexplode ≙ unnest "
+        "WITH ORDINALITY) — the generator/flatten operator.",
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "tok"),
+    ).select("doc_id", "pos", "tok")
