@@ -29,14 +29,25 @@ _NANOS_TS_COLS = {
 }
 
 
+# (session id, sf_dir, table) → analyzed DataFrame. Re-reading the same
+# parquet re-lists files and re-reads footers per query; memoizing the
+# analyzed logical plan removes that fixed cost from every plan build.
+# Keyed by session so a restarted SparkSession never serves stale plans.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one of the substrate tables from `sf_dir`."""
+    """Read one of the substrate tables from `sf_dir` (memoized)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for c in _NANOS_TS_COLS.get(name, ()):
+            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        _TABLE_CACHE[key] = df
     return df
 
 

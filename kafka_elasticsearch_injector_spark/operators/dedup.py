@@ -237,23 +237,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
+        # The change flag rides along in the same projection, so each
+        # iteration is ONE materializing action (localCheckpoint) plus a
+        # cheap count over the checkpointed rows — not a second join.
+        merged = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label")))
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nbr_label"), F.col("label")))
-                .alias("label"),
-            )
+            .select("node", merged.alias("new_label"),
+                    (merged != F.col("label")).alias("changed"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.select(
+            "node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels
