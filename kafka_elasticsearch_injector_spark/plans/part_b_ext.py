@@ -12,6 +12,7 @@ round-to-6) comes from plans/_util.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -480,3 +481,75 @@ def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "tok"),
     ).select("doc_id", "pos", "tok")
+
+
+@register(
+    "q_scalar_array",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           list_contains(toks, 'the') AS has_the,
+           list_sort(toks)[1] AS first_tok,
+           array_to_string(list_slice(toks, 1, 3), ' ') AS head3
+    FROM t
+    """,
+    doc="Array scalar surface: size/contains/sort/slice on a split "
+        "column — the list-manipulation toolkit (DuckDB list_* twins).",
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ", -1)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_toks"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(F.array_sort(toks), 1).alias("first_tok"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("head3"),
+    )
+
+
+@register(
+    "q_udf_grouped_range",
+    """
+    SELECT l_returnflag,
+           MAX(l_extendedprice) - MIN(l_extendedprice) AS price_range
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Grouped-aggregate Pandas UDF (Arrow-batched, numpy inside) — "
+        "the UDAF extension point. max-min is order-independent and "
+        "IEEE-exact, so the custom aggregate stays oracle-checkable. "
+        "At scale: grouped-agg UDFs skip partial aggregation (full "
+        "shuffle of raw rows) — prefer built-ins unless the aggregate "
+        "genuinely needs custom code.",
+)
+def q_udf_grouped_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def price_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(price_range("l_extendedprice").alias("price_range"))
+    )
+
+
+@register(
+    "q_approx_distinct",
+    None,  # HLL sketches are engine-specific — no cross-engine oracle;
+           # tests/test_sketches.py bounds the error against the exact count.
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
+        "distinct counts — constant memory per group vs the exact "
+        "expand+two-phase plan q_agg_distinct pays. rsd=0.01.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01)
+             .alias("approx_uniq_cust"))
+    )
