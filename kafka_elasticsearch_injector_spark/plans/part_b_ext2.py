@@ -1,0 +1,297 @@
+"""Part B extension, second slice — remaining relational-surface families:
+correlated/uncorrelated subqueries, unpivot (wide→long), min_by/max_by
+argument aggregates, date interval arithmetic, conditional scalars,
+sliding event-time windows, statistical (moment) aggregates, and the
+semi-structured VARIANT path.
+
+The reference has none of these (SURVEY.md §2.2); together with part_b /
+part_b_ext they complete the "what a query engine user would run"
+surface. Determinism discipline per plans/_util.py: decimal money sums,
+round-to-6 floats, unique tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from .registry import register
+
+# ----------------------------------------------------------- subqueries
+
+
+@register(
+    "q_exists_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > c.c_acctbal)
+    """,
+    doc="Correlated EXISTS with a non-key correlated predicate "
+        "(o_totalprice > c_acctbal). Catalyst rewrites to a left-semi "
+        "join with the extra conjunct as the join condition — no "
+        "per-row re-execution, unlike a naive nested-loop subquery. "
+        "At scale the rewrite shuffles both sides on custkey once.",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > c.c_acctbal)
+    """)
+
+
+@register(
+    "q_in_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_quantity > 49)
+    """,
+    doc="IN + NOT IN subqueries. IN → left-semi join; NOT IN → "
+        "null-aware left-anti join (Catalyst must prove the subquery "
+        "column non-null or keep the null-aware variant, which cannot "
+        "broadcast-skip nulls). l_orderkey is non-nullable here so the "
+        "plan degenerates to a plain anti join — the cheap path.",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_in")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_in")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_in")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_in
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_in
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem_in
+                                 WHERE l_quantity > 49)
+    """)
+
+
+# -------------------------------------------------------------- unpivot
+
+
+@register(
+    "q_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice, l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (val FOR metric IN
+             (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+    doc="Wide→long unpivot (inverse of q_pivot): 4 measure columns → "
+        "(metric, val) rows. Spark Expand node — one scan, 4× output, "
+        "no shuffle; raw-double passthrough is hash-safe (no "
+        "arithmetic). DuckDB twin is SQL-standard UNPIVOT.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+# ----------------------------------------------------- argument aggregates
+
+
+@register(
+    "q_minmax_by",
+    """
+    SELECT c_nationkey,
+           max_by(c_name, c_acctbal * 1000000 + c_custkey) AS top_cust,
+           min_by(c_name, c_acctbal * 1000000 + c_custkey) AS bottom_cust,
+           ROUND(MAX(c_acctbal), 6) AS max_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="max_by/min_by argument aggregates (DuckDB arg_max/arg_min "
+        "aliases). Ordering key is acctbal*1e6 + custkey: custkey is "
+        "unique and dominates the double's ulp at this magnitude, so "
+        "the winner is deterministic even when acctbal ties — max_by "
+        "with a non-unique key is nondeterministic in BOTH engines. "
+        "Partial-aggregable: one shuffle of one row per group.",
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = F.col("c_acctbal") * 1000000 + F.col("c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", key).alias("top_cust"),
+            F.min_by("c_name", key).alias("bottom_cust"),
+            F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+        )
+    )
+
+
+# ------------------------------------------------------- interval arithmetic
+
+
+@register(
+    "q_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 90 AS DATE) AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    """,
+    doc="Date interval arithmetic: +N days, +N months (end-of-month "
+        "clamping semantics agree across engines), last_day. All "
+        "narrow projections — whole-stage codegen, no shuffle.",
+)
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("o_orderdate").cast("date")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_add(d, 90).alias("due_date"),
+        F.add_months(d, 3).alias("plus3mo"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+# -------------------------------------------------------- conditional scalars
+
+
+@register(
+    "q_scalar_cond",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_band,
+           ROUND(LEAST(l_discount, l_tax), 6) AS min_rate,
+           ROUND(GREATEST(l_discount, l_tax), 6) AS max_rate,
+           CASE l_linestatus WHEN 'F' THEN 1 ELSE 0 END AS is_f
+    FROM lineitem
+    """,
+    doc="Conditional scalar surface: searched CASE, simple CASE, "
+        "LEAST/GREATEST. Pure codegen projections.",
+)
+def q_scalar_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high").alias("qty_band"),
+        F.round(F.least("l_discount", "l_tax"), 6).alias("min_rate"),
+        F.round(F.greatest("l_discount", "l_tax"), 6).alias("max_rate"),
+        F.when(F.col("l_linestatus") == "F", 1).otherwise(0).alias("is_f"),
+    )
+
+
+# --------------------------------------------------------- sliding windows
+
+
+@register(
+    "q_window_slide",
+    """
+    SELECT win_start, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS uniq_users
+    FROM (
+      SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS win_start, user_id
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES,
+             user_id
+      FROM events
+    ) GROUP BY win_start
+    """,
+    doc="Sliding event-time window (1 h window, 30 min slide) — batch "
+        "analog of streaming groupBy(window(ts, '1 hour', '30 "
+        "minutes')). Spark's window() expands each event into "
+        "window/slide = 2 rows before the agg (the oracle makes the "
+        "expansion explicit as a two-bucket UNION ALL); both are "
+        "epoch-aligned in UTC. At scale the 2× expansion happens "
+        "map-side and partial aggregation collapses it pre-shuffle.",
+)
+def q_window_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .select(F.col("win.start").alias("win_start"),
+                "n_events", "uniq_users")
+    )
+
+
+# ------------------------------------------------------ moment aggregates
+
+
+@register(
+    "q_stats_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_sd,
+           ROUND(var_pop(l_discount), 6) AS disc_var,
+           ROUND(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical moment aggregates: corr, stddev, variance, "
+        "covariance. Both engines use single-pass co-moment updates "
+        "(Welford/Chan merge), so results agree far inside the 1e-6 "
+        "rounding at these magnitudes (quantity ≤ 50, rates ≤ 0.1; "
+        "corr is scale-free). Partial-aggregable: each partition "
+        "ships one (n, mean, M2, co-moment) tuple per group.",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+            .alias("qty_price_corr"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+            F.round(F.var_pop("l_discount"), 6).alias("disc_var"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 6)
+            .alias("disc_tax_cov"),
+        )
+    )
+
+
+# ------------------------------------------------------------- VARIANT
+
+
+@register(
+    "q_variant_json",
+    """
+    SELECT event_id,
+           CASE WHEN try_cast(props AS JSON) IS NOT NULL
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k
+    FROM events
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): try_parse_json → "
+        "binary variant → typed try_variant_get extraction. Malformed "
+        "and NULL payloads yield NULL instead of failing the batch — "
+        "the reference's decode-error side-drop semantic "
+        "(consumer.go:154-159) as a total function. VARIANT keeps a "
+        "parsed binary form, so repeated path extraction avoids "
+        "re-tokenizing the JSON text (vs get_json_object per path).",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.try_parse_json(F.col("props"))
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+    )

@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def _load_all() -> None:
     # Import for side effects: each module registers its queries.
-    from . import part_a, part_b, part_b_ext, part_c  # noqa: F401
+    from . import part_a, part_b, part_b_ext, part_b_ext2, part_c  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
