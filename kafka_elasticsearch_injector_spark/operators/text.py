@@ -23,7 +23,8 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 def marker_counts(spark: SparkSession, df: DataFrame, id_col: str,
                   text_col: str) -> DataFrame:
     """(id, lang, cnt) marker-token occurrence counts via a broadcast
-    cross join with the marker table — the scan stays one pass per doc."""
+    cross join with the marker table — the shape to use when the
+    profile table is data (thousands of n-gram rows), not code."""
     markers = spark.createDataFrame(LANG_MARKERS, ["cand_lang", "marker"])
     toks = tokens(text_col)
     cnt = F.size(F.filter(toks, lambda t: t == F.col("marker")))
@@ -37,18 +38,38 @@ def predict_language(spark: SparkSession, df: DataFrame,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Predicted language = argmax marker count (ties → lexicographic
-    lang; zero hits → 'und')."""
-    counts = marker_counts(spark, df, id_col, text_col)
-    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("cand_lang"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            id_col,
-            F.when(F.col("cnt") > 0, F.col("cand_lang"))
-            .otherwise(F.lit("und")).alias("pred_lang"),
-            F.col("cnt").alias("marker_hits"),
+    lang; zero hits → 'und').
+
+    The marker list is plan-time constant, so the argmax folds into a
+    single zero-shuffle projection: one tokenize per doc, one
+    (cnt, lang) struct per language, `array_min` over (-cnt, lang) =
+    max count with lexicographic-smallest tie-break. With a *data*
+    profile table instead, use marker_counts() + groupBy(id).agg(
+    min(struct(-cnt, lang))) — partial-aggregable, one row per doc
+    shuffled — never a row_number window over the exploded counts.
+    """
+    toks = tokens(text_col)
+
+    def eq(marker: str):
+        # one-arg lambda: a two-arg signature would make F.filter pass
+        # (element, index) instead of binding the marker
+        return lambda t: t == F.lit(marker)
+
+    cands = F.array(*[
+        F.struct(
+            (-F.size(F.filter(toks, eq(marker)))).cast("int")
+            .alias("neg_cnt"),
+            F.lit(lang).alias("lang"),
         )
+        for lang, marker in LANG_MARKERS
+    ])
+    best = F.array_min(cands)
+    hits = -best["neg_cnt"]
+    return df.select(
+        F.col(id_col),
+        F.when(hits > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        hits.alias("marker_hits"),
     )
 
 
