@@ -87,6 +87,58 @@ def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
     assert m.group(1).startswith("_w"), plan   # derived expr, not `text`
 
 
+def test_exists_rewrites_to_semi_join(spark, sf_dir):
+    # Correlated EXISTS must become a semi join carrying the non-key
+    # conjunct as the join condition — not a per-row subquery.
+    plan = _explain(spark, sf_dir, "q_exists_subquery")
+    assert "LeftSemi" in plan, plan
+    assert "o_totalprice" in plan.split("LeftSemi", 1)[0].rsplit("\n", 1)[-1] \
+        or "o_totalprice" in plan  # conjunct survives into the join
+
+
+def test_not_in_degenerates_to_plain_anti(spark, sf_dir):
+    # Non-nullable subquery column: NOT IN must take the cheap anti-join
+    # path; IN stays a semi join. Both sides broadcast at this dim size.
+    plan = _explain(spark, sf_dir, "q_in_subquery")
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan
+
+
+def test_unpivot_is_shuffle_free_expand(spark, sf_dir):
+    # Wide→long must be a single Expand over one scan — no exchange.
+    plan = _explain(spark, sf_dir, "q_unpivot")
+    assert "Expand" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_sliding_window_partially_aggregates(spark, sf_dir):
+    # The 2× slide expansion must collapse map-side (partial_count before
+    # the exchange) so the shuffle carries one row per (window, user).
+    plan = _explain(spark, sf_dir, "q_window_slide")
+    assert "Expand" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_minmax_by_partially_aggregates(spark, sf_dir):
+    # max_by/min_by ship one candidate per group per partition, not rows.
+    plan = _explain(spark, sf_dir, "q_minmax_by")
+    assert "partial_max_by" in plan and "partial_min_by" in plan, plan
+
+
+def test_relational_surface_stays_jvm_side(spark, sf_dir):
+    # No Python evaluation nodes anywhere in the declared relational
+    # surface — the only sanctioned Python is the UDAF extension point
+    # and the Part C Arrow kernels.
+    allowed_python = {
+        "q_udf_grouped_range", "q_dedup_ngram", "q_dedup_embcos",
+        "q_dedup_cluster", "q_media_meta",
+    }
+    for name, fn in plans.queries().items():
+        if name in allowed_python:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
+
+
 @pytest.fixture(scope="module")
 def sf_dir():
     import os
