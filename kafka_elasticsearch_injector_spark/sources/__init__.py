@@ -11,6 +11,16 @@ from .confluent import (  # noqa: F401
     wire_decode,
     wire_encode,
 )
+from .files import (  # noqa: F401
+    csv_to_parquet,
+    drop_malformed,
+    json_to_parquet,
+    malformed_only,
+    read_csv,
+    read_json,
+    read_parquet,
+    split_malformed,
+)
 from .schema_registry import (  # noqa: F401
     SchemaRegistryClient,
     SchemaRegistryError,
