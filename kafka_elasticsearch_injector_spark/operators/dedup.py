@@ -226,10 +226,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     at 100 TB pre-partition edges by src so each iteration's join is
     co-located.
     """
-    sym = edges.select(F.col(src_col).alias("src"),
-                       F.col(dst_col).alias("dst")).unionByName(
-        edges.select(F.col(dst_col).alias("src"),
-                     F.col(src_col).alias("dst"))).localCheckpoint()
+    # Checkpoint BEFORE the symmetric flip: a union's branches are
+    # evaluated independently, so flipping first would run the (possibly
+    # expensive) pair-generation lineage twice. The flip of checkpointed
+    # rows is a narrow op — cheap to recompute each iteration.
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).localCheckpoint()
+    sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
     labels = nodes.select(F.col(node_col).alias("node"),
                           F.col(node_col).alias("label")).localCheckpoint()
     for _ in range(max_iter):
