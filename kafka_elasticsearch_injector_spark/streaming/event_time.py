@@ -49,6 +49,26 @@ def tumbling_counts(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def sliding_counts(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "event_type",
+                   window: str = "1 hour", slide: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked sliding-window counts per key: each event lands in
+    window/slide overlapping windows (the Expand happens map-side and
+    partial aggregation collapses it before the shuffle — see the batch
+    twin q_window_slide). A window emits once its END passes the
+    watermark, so each logical window appears exactly once in append
+    mode; state holds window/slide open windows per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"),
+                 F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), key_col, "n")
+    )
+
+
 def session_counts(events: DataFrame, ts_col: str = "ts",
                    key_col: str = "user_id",
                    gap: str = "30 minutes",

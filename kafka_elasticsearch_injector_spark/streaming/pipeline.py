@@ -128,6 +128,25 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
     )
 
 
+def enrich_static(stream: DataFrame, dim: DataFrame, on: str | list,
+                  how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment: broadcast-join each
+    micro-batch against a static table.
+
+    The injector-pipeline analog of a lookup enrich stage the reference
+    lacks entirely (its only enrichment is the injected @timestamp/key
+    fields, SURVEY.md §2.1 ops 9-10). Stateless — no watermark, no
+    state store: every micro-batch joins against the dimension as
+    re-resolved for that batch, and the broadcast hint keeps it
+    map-side (no shuffle of the stream). Default LEFT join so an
+    unmatched stream row passes through with nulls instead of being
+    dropped by an enrichment gap. At scale: cache() the dimension if
+    it's expensive to produce; stream-static joins never trigger AQE,
+    so the broadcast hint (not the threshold) is what guarantees the
+    plan."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
                    payload_schema: T.StructType | str | None,
                    transport_factory, checkpoint_dir: str,

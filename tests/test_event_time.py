@@ -15,8 +15,12 @@ import os
 
 from kafka_elasticsearch_injector_spark.streaming.event_time import (
     session_counts,
+    sliding_counts,
     streaming_dedup,
     tumbling_counts,
+)
+from kafka_elasticsearch_injector_spark.streaming.pipeline import (
+    enrich_static,
 )
 
 BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
@@ -94,6 +98,40 @@ def test_session_window_merges_within_gap(spark, tmp_path):
     rows = {(r.sess_start, r.sess_end, r.n) for r in out.collect()}
     assert (_m(0), _m(65), 3) in rows          # merged session + 30m gap tail
     assert any(s == _m(200) and n == 1 for s, _e, n in rows)
+
+
+def test_sliding_window_double_counts_overlap(spark, tmp_path):
+    schema = "ts TIMESTAMP, event_type STRING"
+    batches = [
+        # 10:05 and 10:20 each belong to windows [9:30,10:30) and
+        # [10:00,11:00); 13:00 advances the watermark to 12:30 so both
+        # windows finalize and emit.
+        [(_m(5), "a"), (_m(20), "a"), (_m(180), "a")],
+    ]
+    out = _run_batches(
+        spark, str(tmp_path), schema,
+        lambda df: sliding_counts(df, "ts", "event_type",
+                                  "1 hour", "30 minutes", "30 minutes"),
+        batches)
+    got = {(r.win_start, r.n) for r in out.collect()}
+    assert (_m(-30), 2) in got   # 09:30-10:30
+    assert (_m(0), 2) in got     # 10:00-11:00
+
+
+def test_stream_static_enrich_broadcast_left_join(spark, tmp_path):
+    schema = "ts TIMESTAMP, event_type STRING"
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "event_type STRING, label STRING")
+    batches = [
+        [(_m(0), "a"), (_m(1), "zzz")],   # zzz has no dimension row
+        [(_m(2), "b")],
+    ]
+    out = _run_batches(
+        spark, str(tmp_path), schema,
+        lambda df: enrich_static(df, dim, "event_type"),
+        batches)
+    got = {(r.event_type, r.label) for r in out.collect()}
+    assert got == {("a", "alpha"), ("zzz", None), ("b", "beta")}
 
 
 def test_streaming_dedup_across_batches(spark, tmp_path):
