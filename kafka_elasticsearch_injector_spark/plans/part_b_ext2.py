@@ -295,3 +295,122 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.try_variant_get(v, "$.k", "int").alias("k"),
     )
+
+
+# ------------------------------------------------------------ map scalars
+
+
+@register(
+    "q_map_scalars",
+    """
+    SELECT p_partkey,
+           map_extract(map(['brand','type'], [p_brand, p_type]),
+                       'brand')[1] AS brand,
+           CAST(cardinality(map(['brand','type'], [p_brand, p_type]))
+                AS INTEGER) AS n_keys,
+           map_keys(map(['brand','type'], [p_brand, p_type])) AS ks
+    FROM part
+    """,
+    doc="Map scalar surface: construction, key extraction, cardinality, "
+        "key listing. DuckDB's map_extract returns a list (unwrapped "
+        "with [1]); Spark's element_at returns the scalar directly. "
+        "Construction order is preserved by both engines, so map_keys "
+        "compares deterministically.",
+)
+def q_map_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.create_map(F.lit("brand"), F.col("p_brand"),
+                     F.lit("type"), F.col("p_type"))
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.map_keys(m).alias("ks"),
+    )
+
+
+# ---------------------------------------------------------- bitwise aggs
+
+
+@register(
+    "q_bit_agg",
+    """
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS ln_and,
+           bit_or(l_linenumber) AS ln_or,
+           bit_xor(l_linenumber) AS ln_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bitwise aggregates — commutative/associative, so fully "
+        "partial-aggregable: each partition ships three ints per group.",
+)
+def q_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("ln_and"),
+            F.bit_or("l_linenumber").alias("ln_or"),
+            F.bit_xor("l_linenumber").alias("ln_xor"),
+        )
+    )
+
+
+# ---------------------------------------------------------- lateral join
+
+
+@register(
+    "q_lateral_topk",
+    """
+    SELECT n_name, c_name, c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3)
+    """,
+    doc="Correlated LATERAL subquery: top-3 customers per nation. "
+        "Catalyst decorrelates to a join + per-key window rather than "
+        "re-running the subquery per outer row; ties broken by the "
+        "unique custkey for determinism.",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lt")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lt")
+    return spark.sql("""
+        SELECT n_name, c_name, c_acctbal
+        FROM nation_lt, LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lt
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3)
+    """)
+
+
+# ------------------------------------------------------- try-arithmetic
+
+
+@register(
+    "q_try_arith",
+    """
+    SELECT o_orderkey,
+           ROUND(o_totalprice / (day(CAST(o_orderdate AS DATE)) - 15), 6)
+             AS per_day_off,
+           try_cast(o_orderpriority AS INTEGER) AS prio_bad,
+           try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+    FROM orders
+    """,
+    doc="Total (never-failing) arithmetic under ANSI mode: try_divide "
+        "yields NULL on the day-15 zero divisor (DuckDB's plain / "
+        "already returns NULL on zero — same totalization), and "
+        "try_cast absorbs unparseable strings. The ANSI-mode engine "
+        "keeps strict errors by default; try_* is the explicit opt-out "
+        "per expression, not a global setting flip.",
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.try_divide(
+            F.col("o_totalprice"),
+            F.dayofmonth(F.col("o_orderdate").cast("date")) - 15), 6)
+        .alias("per_day_off"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_bad"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+    )
