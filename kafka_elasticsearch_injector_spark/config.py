@@ -28,6 +28,13 @@ def _parse_duration_seconds(s: str) -> float:
     return val * {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}[unit]
 
 
+def _compose_host(host: str, scheme: str) -> str:
+    """ELASTICSEARCH_SCHEME applies only when the host has no scheme of
+    its own (reference src/elasticsearch/config.go builds url from
+    scheme + host)."""
+    return host if "://" in host else f"{scheme}://{host}"
+
+
 @dataclass(frozen=True)
 class InjectorConfig:
     # Kafka source (KAFKA_* env vars)
@@ -38,11 +45,21 @@ class InjectorConfig:
     include_key: bool = False            # KAFKA_CONSUMER_INCLUDE_KEY
     batch_size: int = 100                # KAFKA_CONSUMER_BATCH_SIZE → maxOffsetsPerTrigger scale
     concurrency: int = 1                 # KAFKA_CONSUMER_CONCURRENCY → minPartitions
+    buffer_size: int | None = None       # KAFKA_CONSUMER_BUFFER_SIZE (default batch×concurrency,
+                                         # injector.go:31-34) → maxOffsetsPerTrigger
     metrics_interval_s: float = 30.0     # KAFKA_CONSUMER_METRICS_UPDATE_INTERVAL
     schema_registry_url: str | None = None
 
     # Elasticsearch sink (ES_* / ELASTICSEARCH_* env vars)
     es_host: str = "http://localhost:9200"
+    es_user: str | None = None           # ELASTICSEARCH_USER
+    es_password: str | None = None       # ELASTICSEARCH_PASSWORD
+    es_ignore_cert: bool = False         # ELASTICSEARCH_IGNORE_CERT
+    # ELASTICSEARCH_DISABLE_SNIFFING: our stdlib transport never sniffs
+    # (it posts only to the configured host), so "true" is the permanent
+    # behavior; the field exists for env-surface parity.
+    es_disable_sniffing: bool = True
+    probes_port: int | None = None       # PROBES_PORT (streaming/probes.py)
     es_index: str | None = None          # ES_INDEX (None → topic name)
     es_index_prefix: str = ""            # ES_INDEX_PREFIX
     es_index_column: str | None = None   # ES_INDEX_COLUMN
@@ -81,10 +98,22 @@ class InjectorConfig:
             include_key=get("KAFKA_CONSUMER_INCLUDE_KEY", "false").lower() == "true",
             batch_size=int(get("KAFKA_CONSUMER_BATCH_SIZE", "100")),
             concurrency=int(get("KAFKA_CONSUMER_CONCURRENCY", "1")),
+            buffer_size=(int(e["KAFKA_CONSUMER_BUFFER_SIZE"])
+                         if "KAFKA_CONSUMER_BUFFER_SIZE" in e else None),
             metrics_interval_s=_parse_duration_seconds(
                 get("KAFKA_CONSUMER_METRICS_UPDATE_INTERVAL", "30s")),
             schema_registry_url=e.get("SCHEMA_REGISTRY_URL"),
-            es_host=get("ELASTICSEARCH_HOST", "http://localhost:9200"),
+            es_host=_compose_host(
+                get("ELASTICSEARCH_HOST", "http://localhost:9200"),
+                get("ELASTICSEARCH_SCHEME", "http")),
+            es_user=e.get("ELASTICSEARCH_USER"),
+            es_password=e.get("ELASTICSEARCH_PASSWORD"),
+            es_ignore_cert=get("ELASTICSEARCH_IGNORE_CERT",
+                               "false").lower() == "true",
+            es_disable_sniffing=get("ELASTICSEARCH_DISABLE_SNIFFING",
+                                    "true").lower() == "true",
+            probes_port=(int(e["PROBES_PORT"])
+                         if "PROBES_PORT" in e else None),
             es_index=e.get("ES_INDEX"),
             es_index_prefix=get("ES_INDEX_PREFIX", ""),
             es_index_column=e.get("ES_INDEX_COLUMN"),

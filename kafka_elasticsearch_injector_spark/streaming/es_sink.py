@@ -52,9 +52,46 @@ class HttpTransport:
     the reference's singleton client, elasticsearch.go:20,39-62).
     """
 
-    def __init__(self, es_host: str, timeout_s: float = 1.0):
+    def __init__(self, es_host: str, timeout_s: float = 1.0,
+                 user: str | None = None, password: str | None = None,
+                 ignore_cert: bool = False):
         self.es_host = es_host.rstrip("/")
         self.timeout_s = timeout_s
+        self.user = user
+        self.password = password
+        self.ignore_cert = ignore_cert
+
+    @classmethod
+    def from_config(cls, cfg) -> "HttpTransport":
+        return cls(cfg.es_host, timeout_s=cfg.bulk_timeout_s,
+                   user=cfg.es_user, password=cfg.es_password,
+                   ignore_cert=cfg.es_ignore_cert)
+
+    def _headers(self) -> dict[str, str]:
+        h = {"Content-Type": "application/x-ndjson"}
+        if self.user is not None:
+            import base64
+
+            cred = f"{self.user}:{self.password or ''}".encode()
+            h["Authorization"] = "Basic " + base64.b64encode(cred).decode()
+        return h
+
+    def _ssl_context(self):
+        # ELASTICSEARCH_IGNORE_CERT=true parity: unverified TLS context.
+        if not (self.ignore_cert and self.es_host.startswith("https")):
+            return None
+        import ssl
+
+        return ssl._create_unverified_context()
+
+    def _open(self, req):
+        import urllib.request
+
+        ctx = self._ssl_context()
+        kwargs = {"timeout": self.timeout_s}
+        if ctx is not None:
+            kwargs["context"] = ctx
+        return urllib.request.urlopen(req, **kwargs)
 
     def bulk_create(self, actions: list[tuple[str, str, str]]) -> list[BulkItemResult]:
         import urllib.request
@@ -66,9 +103,8 @@ class HttpTransport:
             lines.append(payload)
         body = ("\n".join(lines) + "\n").encode()
         req = urllib.request.Request(
-            f"{self.es_host}/_bulk", data=body,
-            headers={"Content-Type": "application/x-ndjson"})
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            f"{self.es_host}/_bulk", data=body, headers=self._headers())
+        with self._open(req) as resp:
             out = json.loads(resp.read())
         return [BulkItemResult(status=item["create"]["status"])
                 for item in out["items"]]
@@ -77,7 +113,9 @@ class HttpTransport:
         import urllib.request
 
         try:
-            with urllib.request.urlopen(self.es_host, timeout=self.timeout_s):
+            req = urllib.request.Request(
+                self.es_host, headers=self._headers())
+            with self._open(req):
                 return True
         except Exception:
             return False

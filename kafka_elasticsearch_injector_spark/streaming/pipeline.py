@@ -31,16 +31,21 @@ def read_kafka_stream(spark: SparkSession, cfg: InjectorConfig) -> DataFrame:
 
     Rate control: maxOffsetsPerTrigger caps a micro-batch the way the
     bounded exchange buffer caps in-flight records (consumer.go:68,
-    100-113); backpressure is built in.
+    100-113); backpressure is built in. KAFKA_CONSUMER_BUFFER_SIZE maps
+    directly when set; the default scales the reference's
+    batch×concurrency formula (injector.go:31-34) by 100 because a
+    Spark micro-batch amortizes scheduling over far more rows than a
+    goroutine flush.
     """
+    buffer = (cfg.buffer_size if cfg.buffer_size
+              else cfg.batch_size * max(cfg.concurrency, 1) * 100)
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", cfg.kafka_address)
         .option("subscribe", ",".join(cfg.topics))
         .option("kafka.group.id", cfg.consumer_group)
         .option("startingOffsets", "latest")
-        .option("maxOffsetsPerTrigger",
-                cfg.batch_size * max(cfg.concurrency, 1) * 100)
+        .option("maxOffsetsPerTrigger", buffer)
         .option("minPartitions", max(cfg.concurrency, 1))
         .load()
     )

@@ -1,0 +1,68 @@
+"""Kubernetes-style health probes for the streaming driver.
+
+Mirrors the reference's probes server (src/probes/probes.go:65-81,
+started in cmd/injector.go:24-32, port from PROBES_PORT): liveness is
+constant-true (cmd/injector.go:26-28) and readiness is a live
+Elasticsearch ping (src/injector/service.go:23-25,
+src/elasticsearch/elasticsearch.go:142-150).
+
+Runs a daemon-thread stdlib HTTP server next to the Spark driver — no
+executor involvement. Endpoints: /healthz (always 200) and /readiness
+(200 when `ready_fn()` is truthy, else 503). `ready_fn` is typically
+`transport.ping` (es_sink.HttpTransport) or, once a query is running,
+`lambda: query.isActive`.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class ProbeServer:
+    def __init__(self, port: int, ready_fn: Callable[[], bool] | None = None):
+        self.ready_fn = ready_fn or (lambda: True)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib casing)
+                if self.path == "/healthz":
+                    self._reply(200, b"ok")
+                elif self.path == "/readiness":
+                    try:
+                        ready = bool(outer.ready_fn())
+                    except Exception:
+                        ready = False
+                    self._reply(200 if ready else 503,
+                                b"ready" if ready else b"not ready")
+                else:
+                    self._reply(404, b"not found")
+
+            def _reply(self, code: int, body: bytes) -> None:
+                self.send_response(code)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args) -> None:  # quiet
+                pass
+
+        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self.port = self._server.server_address[1]  # resolved when port=0
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+
+    def start(self) -> "ProbeServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def start_probes(port: int,
+                 ready_fn: Callable[[], bool] | None = None) -> ProbeServer:
+    """Start the probe server (port 0 → ephemeral, see `.port`)."""
+    return ProbeServer(port, ready_fn).start()

@@ -160,3 +160,74 @@ def test_blacklist_ignores_unknown_and_keeps_rest(spark):
     df = spark.createDataFrame([(1, "x", "y")], "a INT, b STRING, c STRING")
     out = ops.blacklist(df, ["b", "zzz"])
     assert out.columns == ["a", "c"]
+
+
+def test_config_es_connection_surface():
+    c = InjectorConfig.from_env({
+        "ELASTICSEARCH_HOST": "es.internal:9200",
+        "ELASTICSEARCH_SCHEME": "https",
+        "ELASTICSEARCH_USER": "writer",
+        "ELASTICSEARCH_PASSWORD": "s3cret",
+        "ELASTICSEARCH_IGNORE_CERT": "true",
+        "KAFKA_CONSUMER_BUFFER_SIZE": "500",
+        "PROBES_PORT": "0",
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+    })
+    assert c.es_host == "https://es.internal:9200"  # scheme composed
+    assert c.es_user == "writer" and c.es_password == "s3cret"
+    assert c.es_ignore_cert is True
+    assert c.buffer_size == 500
+    assert c.probes_port == 0
+
+
+def test_config_scheme_does_not_override_explicit():
+    c = InjectorConfig.from_env({
+        "ELASTICSEARCH_HOST": "http://explicit:9200",
+        "ELASTICSEARCH_SCHEME": "https",
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+    })
+    assert c.es_host == "http://explicit:9200"
+
+
+def test_http_transport_basic_auth_header():
+    from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+        HttpTransport,
+    )
+
+    t = HttpTransport("https://es:9200", user="writer", password="pw",
+                      ignore_cert=True)
+    h = t._headers()
+    import base64
+
+    assert h["Authorization"] == "Basic " + base64.b64encode(
+        b"writer:pw").decode()
+    assert t._ssl_context() is not None      # unverified ctx for https
+    t2 = HttpTransport("http://es:9200", ignore_cert=True)
+    assert t2._ssl_context() is None         # plain http: no ctx
+    assert "Authorization" not in t2._headers()
+
+
+def test_probe_server_liveness_and_readiness():
+    import urllib.error
+    import urllib.request
+
+    from kafka_elasticsearch_injector_spark.streaming.probes import (
+        start_probes,
+    )
+
+    state = {"ready": False}
+    srv = start_probes(0, ready_fn=lambda: state["ready"])
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            assert r.status == 200           # liveness: constant true
+        try:
+            urllib.request.urlopen(f"{base}/readiness")
+            raise AssertionError("expected 503 before ready")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+        state["ready"] = True                # ES ping comes up
+        with urllib.request.urlopen(f"{base}/readiness") as r:
+            assert r.status == 200
+    finally:
+        srv.stop()
