@@ -12,7 +12,7 @@ round-to-6 floats, unique tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -413,4 +413,118 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("per_day_off"),
         F.col("o_orderpriority").try_cast("int").alias("prio_bad"),
         F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+    )
+
+
+# ----------------------------------------------------- remaining joins/sorts
+
+
+@register(
+    "q_join_full",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE') c
+    FULL OUTER JOIN (SELECT * FROM orders
+                     WHERE o_orderpriority = '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="FULL OUTER join: rows survive from BOTH unmatched sides. "
+        "Cannot broadcast (either side may need to emit unmatched rows) "
+        "— always a shuffle sort-merge join; plan accordingly at scale: "
+        "full-outer on a skewed key is AQE-split like any other shuffle "
+        "join, but there is no broadcast escape hatch.",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    orders = table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full") \
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_select_distinct",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    doc="SELECT DISTINCT — rewrites to a group-by with partial "
+        "aggregation: each partition dedups map-side, the shuffle "
+        "carries unique (status, priority) combinations only.",
+)
+def q_select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders") \
+        .select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "q_order_nulls",
+    """
+    SELECT event_id, props
+    FROM events
+    ORDER BY props NULLS FIRST, event_id
+    LIMIT 50
+    """,
+    doc="Explicit NULLS FIRST ordering (Spark's default for ASC is "
+        "nulls-first, DuckDB's is nulls-last — the explicit modifier "
+        "is what makes the two engines agree). Unique event_id "
+        "tie-break keeps the prefix deterministic.",
+)
+def q_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "props")
+        .orderBy(F.col("props").asc_nulls_first(), "event_id")
+        .limit(50)
+    )
+
+
+@register(
+    "q_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+    doc="Pagination: ORDER BY + LIMIT/OFFSET. Spark executes as a "
+        "global top-(offset+limit) then drops the prefix — fine for "
+        "page 3, quadratic-ish for page 10000 (keyset pagination, "
+        "WHERE key > last_seen, is the scale answer).",
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(20).limit(10)
+    )
+
+
+@register(
+    "q_window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+             AS n_orders_30d
+    FROM orders
+    """,
+    doc="RANGE frame over a physical quantity (trailing 30 days in "
+        "epoch-millis): peers are value-distance, not row-distance — "
+        "the moving-window-by-time aggregate ROWS frames can't express. "
+        "One shuffle on custkey; the frame scan is a per-partition "
+        "two-pointer sweep.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ→LTZ cast is value-preserving in the UTC session and is
+        # what DuckDB's epoch_ms does implicitly.
+        .orderBy(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2592000000, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
