@@ -528,3 +528,46 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey",
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+# ------------------------------------------------------------ merge/upsert
+
+
+@register(
+    "q_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(18,2)), 2) AS DOUBLE)
+               AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 6) AS o_totalprice
+    FROM (
+      SELECT * FROM orders WHERE o_orderkey NOT IN
+        (SELECT o_orderkey FROM updates)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    """,
+    doc="MERGE INTO emulation on a plain table (operators/etl.py "
+        "merge_upsert): WHEN MATCHED THEN UPDATE + WHEN NOT MATCHED "
+        "THEN INSERT as anti-join + union — the no-Delta CDC-apply "
+        "pattern. The updates side broadcasts (a CDC batch vs the "
+        "whole table), so the target is scanned once, never shuffled.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import merge_upsert
+    from ._util import dec
+
+    orders = table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice",
+        F.round(dec("o_totalprice") * dec(F.lit(1.1)), 2).cast("double"))
+    return merge_upsert(orders, updates, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice"), 6).alias("o_totalprice"),
+    )

@@ -1,0 +1,42 @@
+"""MERGE/SCD2 maintenance operators: hand-computed expectations on tiny
+frames (the oracle covers q_merge_upsert at scale)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from kafka_elasticsearch_injector_spark.operators.etl import (
+    merge_upsert,
+    scd2_apply,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+T1 = dt.datetime(2024, 6, 1)
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k INT, v STRING")
+    updates = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k INT, v STRING")
+    got = {(r.k, r.v) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_scd2_closes_and_appends(spark):
+    dim = spark.createDataFrame(
+        [(1, "old", T0, None, True),
+         (2, "keep", T0, None, True),
+         (1, "ancient", dt.datetime(2023, 1, 1), T0, False)],
+        "k INT, v STRING, valid_from TIMESTAMP, valid_to TIMESTAMP, "
+        "is_current BOOLEAN")
+    changes = spark.createDataFrame(
+        [(1, "new", T1)], "k INT, v STRING, ts TIMESTAMP")
+    out = scd2_apply(dim, changes, ["k"], "ts")
+    rows = {(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()}
+    assert (1, "old", T0, T1, False) in rows        # closed by the change
+    assert (1, "new", T1, None, True) in rows       # new current row
+    assert (2, "keep", T0, None, True) in rows      # untouched key
+    assert (1, "ancient", dt.datetime(2023, 1, 1), T0, False) in rows
+    assert len(rows) == 4
