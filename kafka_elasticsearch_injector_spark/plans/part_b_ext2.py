@@ -571,3 +571,53 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus",
         F.round(F.col("o_totalprice"), 6).alias("o_totalprice"),
     )
+
+
+@register(
+    "q_scd2_apply",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_name,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ), changes AS (
+      SELECT c_custkey, 'UPD-' || c_name AS c_name,
+             TIMESTAMP '1996-06-01' AS ts
+      FROM customer WHERE c_custkey % 20 = 0
+    )
+    SELECT c_custkey, c_name, valid_from, valid_to, is_current FROM (
+      SELECT d.c_custkey, d.c_name, d.valid_from,
+             CASE WHEN ch.c_custkey IS NOT NULL
+                  THEN ch.ts ELSE d.valid_to END AS valid_to,
+             ch.c_custkey IS NULL AS is_current
+      FROM dim d LEFT JOIN changes ch ON d.c_custkey = ch.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_name, ts, CAST(NULL AS TIMESTAMP), TRUE
+      FROM changes
+    )
+    """,
+    doc="SCD2 history application (operators/etl.py scd2_apply) as an "
+        "oracle-checked query: every 20th customer gets a name change; "
+        "the old row closes at the change timestamp, the new row "
+        "becomes current. The oracle spells out the same close+append "
+        "as LEFT JOIN + UNION ALL.",
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import scd2_apply
+
+    cust = table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey", "c_name",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPD-"), F.col("c_name")).alias("c_name"),
+        F.lit("1996-06-01").cast("timestamp").alias("ts"),
+    )
+    return scd2_apply(dim, changes, ["c_custkey"], "ts").select(
+        "c_custkey", "c_name", "valid_from", "valid_to", "is_current")
