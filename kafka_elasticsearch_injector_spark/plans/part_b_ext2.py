@@ -621,3 +621,23 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scd2_apply(dim, changes, ["c_custkey"], "ts").select(
         "c_custkey", "c_name", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "q_approx_percentile",
+    None,  # t-digest sketches are engine-specific — no cross-engine
+           # oracle; tests/test_sketches.py bounds the rank error.
+    doc="approx_percentile (t-digest-style quantile sketch): the "
+        "100 TB path for quantiles — fixed-size sketch per group, "
+        "partial-aggregable, vs the full per-group sort the exact "
+        "percentile pays. accuracy=10000 ≈ 1e-4 rank error.",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+            .alias("price_q"),
+        )
+    )
