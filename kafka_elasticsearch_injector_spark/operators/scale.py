@@ -35,7 +35,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     Cost model: small side is shuffled n_salts× — pick n_salts ≈ the
     skew factor of the hottest key, not "as big as possible". Result
     column set matches a plain `big.join(small, key, how)`.
+
+    Only join types where the SMALL side never emits unmatched rows are
+    valid: inner/left/semi/anti. A right or full join would emit each
+    unmatched small row once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "semi",
+                   "left_anti", "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join cannot express {how!r}: the replicated small "
+            "side would emit unmatched rows once per salt")
     salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

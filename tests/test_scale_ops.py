@@ -108,3 +108,23 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_pair):
         F.sum("l_quantity").alias("q"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer"):
+        try:
+            S.salted_join(big, small, "k", how=how)
+            raise AssertionError(f"{how} should be rejected")
+        except ValueError:
+            pass
+
+
+def test_salted_join_left_keeps_unmatched_big_rows(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"),
+                                  F.col("id").alias("dim"))
+    out = S.salted_join(big, small, "k", n_salts=4, how="left")
+    assert out.count() == 10
+    assert out.filter(F.col("dim").isNull()).count() == 7
