@@ -28,9 +28,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     inventory = queries()
 
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # engine, not first-touch JIT/IO.
+    # Warm the JVM, parquet footers, and the Python/Arrow worker pool once
+    # so per-query times measure the engine, not first-touch JIT/IO/fork.
     inventory["q_agg_hash"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    from kafka_elasticsearch_injector_spark.io import table
+    for t in ("documents", "embeddings", "events", "orders", "customer"):
+        table(spark, SF_DIR, t).write.format("noop").mode("overwrite").save()
+    def _warm_kernel(it):
+        import numpy as np  # noqa: F811 — fault in numpy+BLAS per worker
+        (np.ones((8, 8), np.float32) @ np.ones((8, 8), np.float32))
+        yield from it
+
+    spark.range(64).repartition(64).mapInPandas(
+        _warm_kernel, "id long").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(inventory.items()):

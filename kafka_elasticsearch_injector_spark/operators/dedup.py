@@ -225,6 +225,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     large-graph CC shape (label propagation ≙ Hash-Min a la Pregel);
     at 100 TB pre-partition edges by src so each iteration's join is
     co-located.
+
+    Scale-critical: only nodes that appear in an edge enter the loop.
+    In a dedup corpus the duplicate subgraph is a sliver of the corpus
+    (most documents are isolated), so the iterated state is |touched|
+    rows, not |nodes| — the final labels for isolated nodes are just
+    themselves, recovered with one broadcast left-join at the end.
     """
     # Checkpoint BEFORE the symmetric flip: a union's branches are
     # evaluated independently, so flipping first would run the (possibly
@@ -234,8 +240,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                      F.col(dst_col).alias("dst")).localCheckpoint()
     sym = e.unionByName(e.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
-    labels = nodes.select(F.col(node_col).alias("node"),
-                          F.col(node_col).alias("label")).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -257,7 +266,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             "node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels
+    # Isolated nodes (no edges) label themselves; the converged labels
+    # cover only the duplicate subgraph, so AQE broadcasts this join from
+    # the checkpointed runtime stats whenever that subgraph is small.
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("label"))
 
 
 def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
