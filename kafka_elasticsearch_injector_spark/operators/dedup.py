@@ -102,6 +102,15 @@ def bitmask64(shingled: DataFrame, id_col: str,
     """
     from pyspark.sql import Window
 
+    # Cheap reject first: any handful of documents whose union of grams
+    # already exceeds 64 proves the global vocabulary does — real text
+    # corpora exit here after reading a few rows instead of paying an
+    # explode+distinct over every gram in the corpus.
+    sampled: set[str] = set()
+    for row in shingled.select(set_col).limit(8).collect():
+        sampled.update(row[0] or ())
+    if len(sampled) > 64:
+        return None
     vocab = shingled.select(F.explode(set_col).alias("gram")).distinct()
     if vocab.count() > 64:  # tiny driver-side action; vocab is the dict
         return None
