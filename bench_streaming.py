@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Throughput benchmark for the streaming injector hot path.
+
+Measures end-to-end records/sec of the full injector pipeline —
+micro-batch source → null-filter → JSON decode → enrich (@timestamp,
+key) → blacklist → day index routing → doc-id synthesis → bulk-body
+assembly through the create-only sink protocol — over a synthetic
+Kafka-shaped corpus, with real Structured Streaming execution
+(availableNow trigger + checkpointing), the NullTransport standing in
+for the Elasticsearch endpoint so the number measures the ENGINE, not
+a co-located ES process.
+
+Reference comparison (BASELINE.md): the reference's per-pod ceiling is
+`concurrency x batch / (decode + bulk RTT)` records/sec — its demo
+config holds 1,000 records in flight (10 workers x 100-record bulks,
+docker-compose.yml:70-71). This pipeline's per-node throughput is the
+number printed here; partition-parallel executors scale it linearly
+until the real ES cluster saturates.
+
+Prints ONE JSON line:
+  {"metric": "injector_throughput", "value": N, "unit": "records/sec",
+   "rows": R, "wall_s": S}
+
+Environment: SPARK_GRAFT_STREAM_ROWS (default 1,000,000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", 1_000_000))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_injector_spark.config import InjectorConfig
+    from kafka_elasticsearch_injector_spark.session import get_spark
+    from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+        NullTransport,
+    )
+    from kafka_elasticsearch_injector_spark.streaming.pipeline import (
+        start_pipeline,
+    )
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = spark.sparkContext.defaultParallelism
+
+    work = tempfile.mkdtemp(prefix="bench_streaming_")
+    src_dir = os.path.join(work, "source")
+    ckpt_dir = os.path.join(work, "ckpt")
+    try:
+        # Kafka-shaped corpus: (key, value, topic, partition, offset,
+        # timestamp) with a JSON payload of mixed field types. One file
+        # per core so the single availableNow micro-batch fans out.
+        payload = F.to_json(F.struct(
+            (F.col("id") % 100000).alias("user_id"),
+            F.concat(F.lit("type_"), (F.col("id") % 7)).alias("event_type"),
+            (F.col("id") % 997 / F.lit(10.0)).alias("amount"),
+            F.concat(F.lit("session_"), (F.col("id") % 5003)).alias("session"),
+            F.lit("internal").alias("debug_tag"),
+        ))
+        (
+            spark.range(N_ROWS)
+            .select(
+                F.col("id").cast("string").cast("binary").alias("key"),
+                payload.cast("binary").alias("value"),
+                F.lit("events").alias("topic"),
+                (F.col("id") % cpus).cast("int").alias("partition"),
+                F.col("id").alias("offset"),
+                F.timestamp_seconds(
+                    F.lit(1700000000) + F.col("id") % 86400).alias("timestamp"),
+            )
+            .repartition(cpus)
+            .write.mode("overwrite").parquet(src_dir)
+        )
+
+        schema = ("key binary, value binary, topic string, partition int, "
+                  "offset bigint, timestamp timestamp")
+        source = spark.readStream.schema(schema).parquet(src_dir)
+
+        cfg = InjectorConfig(
+            record_type="json",
+            include_key=True,
+            blacklisted_columns=("debug_tag",),
+            es_index_prefix="bench-",
+            batch_size=500,
+        )
+        payload_schema = ("user_id bigint, event_type string, amount double, "
+                          "session string, debug_tag string")
+
+        t0 = time.perf_counter()
+        q = start_pipeline(
+            spark, cfg, payload_schema,
+            transport_factory=NullTransport,
+            checkpoint_dir=ckpt_dir,
+            source_df=source,
+            available_now=True,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "injector_throughput",
+        "value": round(N_ROWS / wall, 1),
+        "unit": "records/sec",
+        "rows": N_ROWS,
+        "wall_s": round(wall, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

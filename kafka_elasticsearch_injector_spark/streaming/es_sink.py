@@ -155,6 +155,19 @@ class FileTransport:
         return os.path.isdir(self.root)
 
 
+class NullTransport:
+    """Always-succeeds transport (every doc 201). For throughput
+    measurement of the engine path (decode→enrich→route→serialize→bulk
+    assembly) without an Elasticsearch endpoint in the loop — the sink
+    protocol runs in full, the network does not."""
+
+    def bulk_create(self, actions: list[tuple[str, str, str]]) -> list[BulkItemResult]:
+        return [BulkItemResult(status=201) for _ in actions]
+
+    def ping(self) -> bool:
+        return True
+
+
 class ElasticBulkWriter:
     """Batch → bulk calls of cfg.batch_size with triage + bounded retry."""
 

@@ -157,6 +157,7 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
                    transport_factory, checkpoint_dir: str,
                    source_df: DataFrame | None = None,
                    trigger_seconds: float = 1.0,
+                   available_now: bool = False,
                    registry=None, reader_schema_id: int | None = None):
     """Wire source → transform → foreachBatch ES sink and start.
 
@@ -182,10 +183,15 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
         # the driver never sees record data (no collect).
         batch_df.foreachPartition(writer)
 
-    return (
+    stream = (
         records.writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
     )
+    if available_now:
+        # Drain-everything-then-stop: bounded runs (backfills, benchmarks)
+        # still go through real micro-batch execution + checkpointing.
+        stream = stream.trigger(availableNow=True)
+    else:
+        stream = stream.trigger(processingTime=f"{trigger_seconds} seconds")
+    return stream.start()
