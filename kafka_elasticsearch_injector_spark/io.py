@@ -36,10 +36,35 @@ _NANOS_TS_COLS = {
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+# Runtime-settable confs every reader needs, applied to whatever session we
+# are handed (not just the one session.py builds): the testdata parquet
+# stores TIMESTAMP(NANOS) columns, which Spark refuses to read without
+# nanosAsLong, and date_format/window hashing must not shift with the host
+# timezone.
+_SESSION_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+_CONFIGURED_SESSIONS: set[int] = set()
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    if id(spark) in _CONFIGURED_SESSIONS:
+        return
+    for k, v in _SESSION_CONFS:
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+    _CONFIGURED_SESSIONS.add(id(spark))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the substrate tables from `sf_dir` (memoized)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     key = (id(spark), sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
