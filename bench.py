@@ -21,6 +21,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
+    # The driver parses stdout as JSON; guarantee the result line is the ONLY
+    # stdout line by pointing fd 1 at stderr for the whole run (the JVM child
+    # inherits the redirected fd, so py4j/log4j/progress chatter can't land on
+    # stdout) and writing the JSON to the saved real stdout at the end.
+    real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(2), "w", buffering=1)
+
     from kafka_elasticsearch_injector_spark.plans import queries
     from kafka_elasticsearch_injector_spark.session import get_spark
 
@@ -53,13 +61,14 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    real_stdout.write(json.dumps({
         "metric": "declared_inventory_wall_clock",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }) + "\n")
+    real_stdout.flush()
 
 
 if __name__ == "__main__":
