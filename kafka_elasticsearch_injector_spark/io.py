@@ -76,6 +76,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — a driver-side
+    metadata read (no Spark job, no data scan). This is how operators
+    that need a size hint for physical-strategy choices (broadcast vs
+    shuffle) get one without paying a `count()` action: at 100 TB a
+    pre-query count() is a full table scan, the footer read is O(files).
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every substrate table as a temp view (for spark.sql plans)."""
     for name in TABLES:

@@ -93,36 +93,35 @@ def lsh_band_hashes(k: int, rows_per_band: int) -> list[Column]:
 
 
 def bitmask64(shingled: DataFrame, id_col: str,
-              set_col: str = "shingles") -> DataFrame | None:
+              set_col: str = "shingles") -> DataFrame:
     """Dictionary-encode each row's distinct string set into ONE bigint
-    bitmask (None when the global vocabulary exceeds 64). Set intersection
-    then costs a single codegen'd `bit_count(a & b)` per pair instead of
-    an interpreted array_intersect — the verify stage stops being the
-    bottleneck. Returns (id, sz, mask).
+    bitmask. Set intersection then costs a single codegen'd
+    `bit_count(a & b)` per pair instead of an interpreted
+    array_intersect — the verify stage stops being the bottleneck.
+
+    Caller contract: the GLOBAL vocabulary must have ≤ 64 distinct
+    elements (pass `vocab_hint` from corpus knowledge — e.g. enum-like
+    tag sets). The plan is fully lazy (no driver-side probing jobs); a
+    vocabulary overflow fails loudly at runtime via raise_error instead
+    of silently wrapping shiftleft past bit 63. Returns (id, sz, mask).
     """
     from pyspark.sql import Window
 
-    # Cheap reject first: any handful of documents whose union of grams
-    # already exceeds 64 proves the global vocabulary does — real text
-    # corpora exit here after reading a few rows instead of paying an
-    # explode+distinct over every gram in the corpus.
-    sampled: set[str] = set()
-    for row in shingled.select(set_col).limit(8).collect():
-        sampled.update(row[0] or ())
-    if len(sampled) > 64:
-        return None
     vocab = shingled.select(F.explode(set_col).alias("gram")).distinct()
-    if vocab.count() > 64:  # tiny driver-side action; vocab is the dict
-        return None
     dict_df = vocab.select(
         "gram", (F.row_number().over(Window.orderBy("gram")) - 1).alias("gid"))
-    one = F.lit(1).cast("long")
+    # The overflow guard lives INSIDE the mask expression so the optimizer
+    # can never prune it away as an unused column.
+    mask_bit = F.expr(
+        "shiftleft(1L, if(gid < 64, gid, cast(raise_error("
+        "'bitmask64: global vocabulary exceeds 64 distinct elements') "
+        "as int)))")
     return (
         shingled.select(F.col(id_col), F.explode(set_col).alias("gram"))
         .join(F.broadcast(dict_df), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("sz"),
-             F.expr("bit_or(shiftleft(1L, gid))").alias("mask"))
+             F.bit_or(mask_bit).alias("mask"))
     )
 
 
@@ -134,13 +133,32 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     shingle_n: int = 1,
     threshold: float = 0.8,
+    size_hint: int | None = None,
+    vocab_hint: int | None = None,
 ) -> DataFrame:
     """MinHash→LSH→verify near-dup pairs (doc_a < doc_b, jac ≥ threshold).
 
     Plan shape (scale-critical): one narrow pass computes signatures and
     distinct shingle sets per doc; explode to (doc, band, hash) — k/rows
     rows per doc, NOT N² — equi-join on (band, hash) for candidates;
-    exact-Jaccard verify runs only on candidates.
+    exact-Jaccard verify runs only on candidates. Building the plan
+    launches ZERO Spark jobs: physical-strategy choices come from the
+    caller's hints, not driver-side counts (at 100 TB a `count()` for a
+    broadcast heuristic is a full scan before the real query).
+
+    - `size_hint`: approximate row count of `df` (parquet footer
+      metadata, catalog stats — see io.parquet_row_count). When the
+      exploded band side fits a broadcast (size_hint·bands ≤ 1M rows)
+      the candidate join broadcasts one side so the pair-join OUTPUT
+      never hits an exchange. When None/large: plain shuffle equi-join
+      on (band, hash) — the standard LSH topology; AQE splits hot
+      buckets and still broadcasts at runtime if the side turns out
+      tiny.
+    - `vocab_hint`: global distinct-shingle count when the caller knows
+      it is ≤ 64 (enum-like sets). Enables single-long set encoding:
+      verify is `bit_count(mask_a & mask_b)` inline in the same codegen
+      stage — no join back to shingle arrays. Real text vocabularies
+      leave this None and verify via array_intersect on candidates.
 
     Two shuffle-killers on top of the naive bucket join:
     - **first-matching-band emission**: a pair sharing several bands is
@@ -148,10 +166,6 @@ def minhash_lsh_pairs(
       earlier bands differ), so candidates are distinct by construction —
       no N-candidate `distinct()` shuffle. Near-dup-heavy corpora share
       most bands, making that shuffle the dominant cost otherwise.
-    - **single-long set encoding** (small vocabularies): verify is
-      `bit_count(mask_a & mask_b)` inline in the same codegen stage — no
-      join back to shingle arrays. Falls back to array_intersect over a
-      candidate⋈shingles join when the vocabulary exceeds 64.
     """
     toks = tokens(text_col)
     shingled = df.select(
@@ -164,11 +178,12 @@ def minhash_lsh_pairs(
     band_cols = [f"band_{i}" for i in range(n_bands)]
     banded = sigs.select(id_col, "shingles", *lsh_band_hashes(k, rows_per_band))
 
-    masked = bitmask64(shingled, id_col)
-    if masked is not None:
+    if vocab_hint is not None and vocab_hint <= 64:
+        masked = bitmask64(shingled, id_col)
         banded = banded.drop("shingles").join(masked, id_col)
         payload = ["sz", "mask"]
     else:
+        masked = None
         payload = ["shingles"]
 
     exploded = banded.select(
@@ -185,11 +200,10 @@ def minhash_lsh_pairs(
     # The exploded sides are N·bands rows. Small corpora: broadcast one
     # side and repartition the other, so the N_candidate-row join OUTPUT
     # is produced (and filtered) in parallel with zero shuffle. Beyond
-    # broadcastable size, fall back to the shuffle equi-join on
+    # broadcastable size (or with no hint), the shuffle equi-join on
     # (band, hash) — the standard LSH topology; AQE splits hot buckets.
     par = a.sparkSession.sparkContext.defaultParallelism
-    n_docs = df.select(id_col).count()
-    broadcastable = n_docs * n_bands <= 1_000_000
+    broadcastable = size_hint is not None and size_hint * n_bands <= 1_000_000
     first_match = [
         (F.lit(j) >= F.col("bidx"))
         | (F.col(f"a_band_{j}") != F.col(f"b_band_{j}"))
@@ -329,6 +343,79 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
     for j in range(16):
         fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
     return summed.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from 16-bit SimHash fingerprints:
+    (doc_a < doc_b, hamming ≤ max_hamming). Returns (doc_a, doc_b, hamming).
+
+    Scale topology (the Manku/Jain/Sarma WWW'07 multi-index shape): two
+    fingerprints within hamming distance r must agree EXACTLY on at least
+    one of r+1 disjoint bit segments (pigeonhole), so candidate
+    generation is a bucket equi-join on (segment_idx, segment_value) —
+    r+1 rows per doc, never the O(N²) pair space and never the
+    C(16,r) bit-flip expansion. Verify is one codegen'd
+    `bit_count(a ^ b)` per candidate.
+
+    Same shuffle-killer as minhash_lsh_pairs: a pair agreeing on several
+    segments is emitted only at its LOWEST matching segment, so
+    candidates are distinct by construction — no distinct() shuffle.
+
+    Scale note: 16 bits (md5-nibble lanes, oracle-checkable in DuckDB)
+    is the verification width. At corpus scale the same topology runs on
+    a 64-bit fingerprint (swap simhash16's md5 nibbles for xxhash64
+    bits), where (r+1) segments of ~16 bits keep bucket sizes ~N/2^16 —
+    at 16 bits total, segment buckets are 2^4-way and grow quadratic
+    with N, fine for verify-scale corpora only.
+    """
+    n_seg = max_hamming + 1
+    assert 1 <= n_seg <= 16, "max_hamming must be in [0, 15]"
+    fp = simhash16(df, id_col=id_col, text_col=text_col)
+
+    # Split 16 bits into n_seg near-equal segments: seg j covers
+    # [off_j, off_j + w_j). Widths differ by ≤1 bit.
+    widths = [(16 // n_seg) + (1 if j < 16 % n_seg else 0)
+              for j in range(n_seg)]
+    offsets = [sum(widths[:j]) for j in range(n_seg)]
+    seg_cols = [
+        F.shiftright(F.col("simhash"), offsets[j])
+        .bitwiseAND(F.lit((1 << widths[j]) - 1)).alias(f"seg_{j}")
+        for j in range(n_seg)
+    ]
+    seg_names = [f"seg_{j}" for j in range(n_seg)]
+    segmented = fp.select(id_col, "simhash", *seg_cols)
+
+    exploded = segmented.select(
+        id_col, "simhash", *seg_names,
+        F.posexplode(F.array(*[F.col(c) for c in seg_names]))
+        .alias("sidx", "sval"),
+    )
+    a = exploded.select(
+        F.col(id_col).alias("doc_a"), "sidx", "sval",
+        F.col("simhash").alias("fp_a"),
+        *[F.col(c).alias(f"a_{c}") for c in seg_names])
+    b = exploded.select(
+        F.col(id_col).alias("doc_b"), "sidx", "sval",
+        F.col("simhash").alias("fp_b"),
+        *[F.col(c).alias(f"b_{c}") for c in seg_names])
+
+    joined = a.join(b, ["sidx", "sval"]).filter(F.col("doc_a") < F.col("doc_b"))
+    # First-matching-segment emission: all segments before sidx differ.
+    for j in range(n_seg - 1):
+        joined = joined.filter(
+            (F.lit(j) >= F.col("sidx"))
+            | (F.col(f"a_seg_{j}") != F.col(f"b_seg_{j}")))
+
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        joined.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def ngram_jaccard_pairs(

@@ -211,12 +211,16 @@ _DD_BANDS = "\n      UNION ALL\n".join(
         "bucket equi-join, verify only candidates.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import parquet_row_count
     from ..operators import dedup as D
 
+    # size_hint from parquet footer metadata: picks the broadcast LSH
+    # topology without a pre-query count() job (full scan at 100 TB).
     return D.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         k=_MINHASH_K, rows_per_band=_MINHASH_ROWS,
         shingle_n=1, threshold=_MINHASH_THRESH,
+        size_hint=parquet_row_count(sf_dir, "documents"),
     )
 
 
@@ -245,6 +249,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     return D.simhash16(table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_MAX_HAMMING = 3
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
+      FROM documents
+    ), fp AS (
+      SELECT doc_id, CAST({_DD_SIMHASH_LANES} AS BIGINT) AS simhash
+      FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash near-dup PAIRS at hamming ≤ 3 via the Manku multi-index "
+        "topology: r+1 bit-segment buckets (pigeonhole guarantees a "
+        "full-segment collision), equi-join per bucket, bit_count(xor) "
+        "verify on candidates only — never O(N²), never bit-flip "
+        "expansion. Completes the simhash path from fingerprints to the "
+        "same pair output shape as the minhash path.",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as D
+
+    return D.simhash_pairs(
+        table(spark, sf_dir, "documents"),
+        max_hamming=_SIMHASH_MAX_HAMMING,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
 _NGRAM_N, _NGRAM_THRESH = 2, 0.08

@@ -1,0 +1,88 @@
+"""Dedup operator family unit tests (operators/dedup.py).
+
+Covers the pieces the oracle queries can't isolate: hint-driven physical
+strategy (no plan-time Spark jobs), the bitmask64 overflow guard, and
+simhash/minhash agreement on planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_injector_spark.operators import dedup as D
+
+
+def _planted_corpus(spark):
+    """60 distinct docs + 3 planted near-dup pairs (one word changed in a
+    24-word doc — high Jaccard AND low simhash hamming)."""
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(f"base{i}w{j}" for j in range(24))))
+    for p, src in enumerate((3, 17, 42)):
+        text = " ".join(
+            f"base{src}w{j}" if j != 11 else "CHANGED" for j in range(24))
+        rows.append((100 + p, text))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_simhash_pairs_finds_minhash_planted_dups(spark):
+    df = _planted_corpus(spark)
+    planted = {(3, 100), (17, 101), (42, 102)}
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(
+            df, threshold=0.5, size_hint=63).collect()
+    }
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert planted <= mh, mh
+    # The planted near-dups the minhash path finds, simhash finds too.
+    assert planted <= sh, sh
+
+
+def test_simhash_pairs_verifies_hamming(spark):
+    df = _planted_corpus(spark)
+    for r in D.simhash_pairs(df, max_hamming=2).collect():
+        assert r.hamming <= 2
+
+
+def test_simhash_pairs_no_duplicate_candidates(spark):
+    # First-matching-segment emission: each qualifying pair appears once.
+    df = _planted_corpus(spark)
+    pairs = D.simhash_pairs(df, max_hamming=15).collect()  # everything pairs
+    keys = [(r.doc_a, r.doc_b) for r in pairs]
+    assert len(keys) == len(set(keys))
+    n = df.count()
+    assert len(keys) == n * (n - 1) // 2  # all pairs, exactly once
+
+
+def test_minhash_plan_build_launches_no_jobs(spark):
+    df = _planted_corpus(spark)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup() or [])
+    D.minhash_lsh_pairs(df, size_hint=63, vocab_hint=None)
+    D.simhash_pairs(df)
+    after = set(tracker.getJobIdsForGroup() or [])
+    assert after == before  # physical strategy from hints, not count() jobs
+
+
+def test_minhash_bitmask_path_matches_array_path(spark):
+    rows = [(i, "a b c d" if i % 2 else "a b c e") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    arr = D.minhash_lsh_pairs(df, threshold=0.5, size_hint=20)
+    bit = D.minhash_lsh_pairs(df, threshold=0.5, size_hint=20, vocab_hint=5)
+    a = {(r.doc_a, r.doc_b, r.jac) for r in arr.collect()}
+    b = {(r.doc_a, r.doc_b, r.jac) for r in bit.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bitmask64_overflow_raises(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(80))) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    shingled = df.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("shingles"))
+    with pytest.raises(Exception, match="vocabulary exceeds 64"):
+        D.bitmask64(shingled, "doc_id").collect()
