@@ -162,10 +162,15 @@ def decode_confluent(
                 return None, f"{type(ex).__name__}: {ex}"
 
         for pdf in batches:
-            decoded, errors = zip(*(decode_one(r) for r in pdf[payload_col]))
+            # zip(*[]) unpacks to 0 values, not 2 — guard zero-row
+            # Arrow batches so they pass through instead of failing the
+            # task.
+            results = [decode_one(r) for r in pdf[payload_col]]
+            decoded = [d for d, _ in results]
+            errors = [e for _, e in results]
             out = pdf[in_cols].copy()
-            out[decoded_col] = list(decoded)
-            out[error_col] = list(errors)
+            out[decoded_col] = decoded
+            out[error_col] = errors
             yield out
 
     return df.mapInPandas(decode_batches, out_schema)

@@ -54,6 +54,7 @@ def read_kafka_stream(spark: SparkSession, cfg: InjectorConfig) -> DataFrame:
 def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
                           payload_schema: T.StructType | str | None = None,
                           registry=None, reader_schema_id: int | None = None,
+                          key_reader_schema_id: int | None = None,
                           ) -> DataFrame:
     """Compile the config into the decode→enrich→filter→route projection.
 
@@ -99,7 +100,34 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
     payload_cols: list[Column] = [F.col(f"decoded.{f}").alias(f) for f in kept]
     payload_cols.append(F.unix_millis(F.col("timestamp")).alias("@timestamp"))
     if cfg.include_key:
-        payload_cols.append(F.col("key").cast("string").alias("key"))
+        # The reference DECODES the key before embedding it, it never
+        # ships raw bytes: Avro keys via nativeFromBinary
+        # (encode_decode.go:66-72), JSON keys via json.Unmarshal into a
+        # map (encode_decode.go:98-104); an undecodable non-null key
+        # fails the record. A nil key is fine — the field is omitted.
+        if cfg.record_type == "json":
+            key_str = F.col("key").cast("string")
+            key_var = F.try_parse_json(key_str)
+            bad_key = key_str.isNotNull() & (
+                key_var.isNull()
+                | ~F.ltrim(key_str).startswith("{"))  # must be an object
+            df = df.filter(~bad_key)
+            payload_cols.append(F.try_parse_json(
+                F.col("key").cast("string")).alias("key"))
+        else:
+            if key_reader_schema_id is None:
+                raise ValueError(
+                    "avro record_type with include_key needs "
+                    "key_reader_schema_id (the reference resolves key "
+                    "codecs from the registry, encode_decode.go:66-72)")
+            from ..sources import decode_confluent as _dc
+
+            df = _dc(df, registry, key_reader_schema_id,
+                     payload_col="key", decoded_col="decoded_key",
+                     error_col="_key_decode_error")
+            df = df.filter(F.col("key").isNull()
+                           | F.col("_key_decode_error").isNull())
+            payload_cols.append(F.col("decoded_key").alias("key"))
 
     # Routing (ops 12-17). Missing routing columns fail HERE, at plan
     # time (the reference failed per-batch at runtime, record.go:30-42).
@@ -109,11 +137,23 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
                 f"routing column {routing_col!r} not in payload schema "
                 f"{payload_fields}")
 
+    def _required(col: Column, what: str) -> Column:
+        # A NULL routing value fails the batch explicitly — the
+        # reference's GetValueForField errors on missing/unparseable
+        # values (record.go:30-42) and the codec propagates it
+        # (codec.go:62-68, 82-88); silently shipping "_index": null or
+        # a "None" doc id is worse than failing loudly.
+        return F.coalesce(col, F.raise_error(F.lit(
+            f"null {what} routing value (reference record.go:30-42 "
+            "fails the record)")))
+
     index_base = F.coalesce(
         F.lit(cfg.es_index) if cfg.es_index else F.lit(None).cast("string"),
         F.col("topic"))
     if cfg.es_index_column:
-        suffix = F.col(f"decoded.{cfg.es_index_column}").cast("string")
+        suffix = _required(
+            F.col(f"decoded.{cfg.es_index_column}").cast("string"),
+            f"es_index_column={cfg.es_index_column}")
     else:
         fmt = "yyyy-MM-dd-HH" if cfg.es_time_suffix == "hour" else "yyyy-MM-dd"
         suffix = F.date_format(F.col("timestamp"), fmt)
@@ -121,7 +161,9 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
                           F.lit("-"), suffix)
 
     if cfg.es_doc_id_column:
-        doc_id = F.col(f"decoded.{cfg.es_doc_id_column}").cast("string")
+        doc_id = _required(
+            F.col(f"decoded.{cfg.es_doc_id_column}").cast("string"),
+            f"es_doc_id_column={cfg.es_doc_id_column}")
     else:
         doc_id = ops.doc_id_default("partition", "offset")
 
@@ -158,7 +200,8 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
                    source_df: DataFrame | None = None,
                    trigger_seconds: float = 1.0,
                    available_now: bool = False,
-                   registry=None, reader_schema_id: int | None = None):
+                   registry=None, reader_schema_id: int | None = None,
+                   key_reader_schema_id: int | None = None):
     """Wire source → transform → foreachBatch ES sink and start.
 
     `transport_factory` is a picklable zero-arg callable building the
@@ -175,7 +218,8 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
     src = source_df if source_df is not None else read_kafka_stream(spark, cfg)
     records = build_elastic_records(
         src, cfg, payload_schema,
-        registry=registry, reader_schema_id=reader_schema_id)
+        registry=registry, reader_schema_id=reader_schema_id,
+        key_reader_schema_id=key_reader_schema_id)
     writer = write_partition_factory(cfg, transport_factory)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

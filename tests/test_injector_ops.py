@@ -113,10 +113,86 @@ def test_malformed_json_dropped_batch_continues(spark):
     assert len(out) == 1 and out[0]["doc_id"] == "0:2"
 
 
-def test_include_key_embeds_key(spark):
+def test_include_key_embeds_decoded_json_key(spark):
+    # The reference json.Unmarshals the key into a map and embeds the
+    # DECODED object (encode_decode.go:98-104) — never the raw bytes.
+    df = kafka_df(spark, [
+        (json.dumps({"uid": "u1"}), json.dumps({"id": "a", "value": 1}),
+         "my-topic", 0, 7, TS),
+    ])
+    out = rows_of(build_elastic_records(df, cfg(include_key=True), SCHEMA))
+    assert json.loads(out[0]["payload"])["key"] == {"uid": "u1"}
+
+
+def test_include_key_nil_key_omits_field(spark):
+    # msg.Key == nil → key field omitted, record kept
+    # (encode_decode.go:66: `includeKey && msg.Key != nil`).
+    df = kafka_df(spark, [
+        (None, json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+    ])
+    out = rows_of(build_elastic_records(df, cfg(include_key=True), SCHEMA))
+    assert len(out) == 1
+    assert "key" not in json.loads(out[0]["payload"])
+
+
+def test_include_key_undecodable_key_fails_record(spark):
+    # A non-null key that isn't a JSON object errors the record in the
+    # reference (json.Unmarshal into map fails); here it is side-dropped.
+    df = kafka_df(spark, [
+        ("not-json", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+        (json.dumps({"u": 1}), json.dumps({"id": "b", "value": 2}),
+         "my-topic", 0, 8, TS),
+    ])
+    out = rows_of(build_elastic_records(df, cfg(include_key=True), SCHEMA))
+    assert len(out) == 1 and out[0]["doc_id"] == "0:8"
+
+
+def test_include_key_avro_decodes_key_record(spark):
+    # Avro keys go through the same Confluent decode path as values
+    # (encode_decode.go:66-72, nativeFromBinary on msg.Key).
+    from kafka_elasticsearch_injector_spark.sources import (
+        Codec, dict_registry, wire_encode,
+    )
+
+    val_schema = json.dumps({
+        "type": "record", "name": "v",
+        "fields": [{"name": "id", "type": "string"},
+                   {"name": "value", "type": "int"}]})
+    key_schema = json.dumps({
+        "type": "record", "name": "k",
+        "fields": [{"name": "uid", "type": "string"}]})
+    registry = dict_registry({1: val_schema, 5: key_schema})
+    vc, kc = Codec(val_schema), Codec(key_schema)
+    rows = [
+        (wire_encode(5, kc.encode({"uid": "u1"})),
+         wire_encode(1, vc.encode({"id": "a", "value": 1})),
+         "my-topic", 0, 7, TS),
+        (None,  # nil key: record kept, key field omitted
+         wire_encode(1, vc.encode({"id": "b", "value": 2})),
+         "my-topic", 0, 8, TS),
+    ]
+    df = spark.createDataFrame(
+        rows, "key BINARY, value BINARY, topic STRING, partition INT, "
+              "offset LONG, timestamp TIMESTAMP")
     out = rows_of(build_elastic_records(
-        kafka_df(spark), cfg(include_key=True), SCHEMA))
-    assert json.loads(out[0]["payload"])["key"] == "k1"
+        df, cfg(record_type="avro", include_key=True,
+                schema_registry_url="mem://fixture"), None,
+        registry=registry, reader_schema_id=1, key_reader_schema_id=5))
+    by_id = {r["doc_id"]: json.loads(r["payload"]) for r in out}
+    assert by_id["0:7"]["key"] == {"uid": "u1"}
+    assert "key" not in by_id["0:8"]
+
+
+def test_null_routing_value_fails_batch(spark):
+    # record.go:30-42: a missing/null routing value errors the record;
+    # the Spark analog fails the batch via raise_error instead of
+    # shipping "_index": null.
+    df = kafka_df(spark, [
+        ("k", json.dumps({"id": None, "value": 1}), "my-topic", 0, 7, TS),
+    ])
+    out = build_elastic_records(df, cfg(es_index_column="id"), SCHEMA)
+    with pytest.raises(Exception, match="null es_index_column"):
+        out.collect()
 
 
 def test_timestamp_is_epoch_millis(spark):
