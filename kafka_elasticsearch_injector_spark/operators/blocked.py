@@ -57,13 +57,28 @@ def _round6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e6 + 0.5) / 1e6
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def replicate_block_pairs(df: DataFrame, id_col: str, n_blocks: int) -> DataFrame:
     """Tag rows with every unordered block pair they participate in.
 
     Returns df + (_k1, _k2) where _k1 ≤ _k2; a row of block b appears once
     per pair {b, other}. Group by (_k1, _k2) to hand one tile per task.
     The kernel re-derives each row's side as ``id % n_blocks == _k1``.
+
+    The id column must be integral: pmod on a string id yields NULL
+    blocks, both side filters drop every row, and the caller would get a
+    silently-empty result — so non-integral ids are rejected at plan
+    time. Hash non-numeric ids first (e.g. ``F.xxhash64(doc_id)``) and
+    join the originals back on the hashed id afterwards.
     """
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"blocked kernels need an integral id column; {id_col!r} is "
+            f"{dtype!r}. Hash non-numeric ids first "
+            f"(F.xxhash64({id_col!r})) and re-join the originals after.")
     other = df.sparkSession.range(n_blocks).select(
         F.col("id").cast("int").alias("_ob"))
     w = df.withColumn("_blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int"))
@@ -96,6 +111,7 @@ def jaccard_pairs_blocked(
     set_col: str = "g",
     threshold: float = 0.08,
     n_blocks: int | None = None,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard for every pair (doc_a < doc_b, jac ≥ threshold).
 
@@ -104,11 +120,17 @@ def jaccard_pairs_blocked(
     0/1 float32 matrices, and gets all pairwise intersection counts from
     one BLAS sgemm — exact integers, so the Jaccard division is
     bit-identical to the DuckDB oracle's list_intersect formulation.
+
+    Pass `size_hint` (parquet footer metadata / catalog stats) so block
+    choice doesn't need a plan-time count() — that count is a full scan
+    at 100 TB. With neither n_blocks nor size_hint, count() runs as a
+    last resort.
     """
     base = df.select(F.col(id_col), F.col(set_col))
     if n_blocks is None:
         n_blocks = choose_blocks(
-            base.count(), df.sparkSession.sparkContext.defaultParallelism)
+            size_hint if size_hint is not None else base.count(),
+            df.sparkSession.sparkContext.defaultParallelism)
     rep = replicate_block_pairs(base, id_col, n_blocks)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -162,6 +184,7 @@ def nearest_neighbor_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-1 neighbor for every vector (excluding itself).
 
@@ -171,12 +194,14 @@ def nearest_neighbor_blocked(
     dimension-sequentially, so scores are bit-identical to the oracle's
     list_reduce and the argmax/tie-break agree exactly.
 
-    Returns (vec_id_a, nn_id, cos_sim[rounded 6]).
+    Returns (vec_id_a, nn_id, cos_sim[rounded 6]). `size_hint` as in
+    jaccard_pairs_blocked: avoids the plan-time count() for block choice.
     """
     base = df.select(F.col(id_col), F.col(vec_col))
     if n_blocks is None:
         n_blocks = choose_blocks(
-            base.count(), df.sparkSession.sparkContext.defaultParallelism)
+            size_hint if size_hint is not None else base.count(),
+            df.sparkSession.sparkContext.defaultParallelism)
     rep = replicate_block_pairs(base, id_col, n_blocks)
 
     def seq_dots(lv: np.ndarray, rv: np.ndarray) -> np.ndarray:

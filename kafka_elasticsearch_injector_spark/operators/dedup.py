@@ -424,6 +424,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.08,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs (doc_a < doc_b, jac ≥ threshold).
 
@@ -442,4 +443,5 @@ def ngram_jaccard_pairs(
         F.array_distinct(word_ngrams(tokens(text_col), n)).alias("g"),
     )
     return jaccard_pairs_blocked(
-        grams, id_col=id_col, set_col="g", threshold=threshold)
+        grams, id_col=id_col, set_col="g", threshold=threshold,
+        size_hint=size_hint)

@@ -166,7 +166,8 @@ def lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
 
 
 def nearest_neighbor_pairs(emb: DataFrame, id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           size_hint: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup: exact top-1 neighbor for every vector.
     O(N²) scoring — the verify/oracle baseline; ivf_topk (or LSH banding)
     prunes candidates first when exactness isn't required.
@@ -179,4 +180,5 @@ def nearest_neighbor_pairs(emb: DataFrame, id_col: str = "vec_id",
     """
     from .blocked import nearest_neighbor_blocked
 
-    return nearest_neighbor_blocked(emb, id_col=id_col, vec_col=vec_col)
+    return nearest_neighbor_blocked(
+        emb, id_col=id_col, vec_col=vec_col, size_hint=size_hint)

@@ -319,8 +319,11 @@ def _ngram_pairs_sql(threshold: float) -> str:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
+    from ..io import parquet_row_count
+
     return D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), n=_NGRAM_N, threshold=_NGRAM_THRESH)
+        table(spark, sf_dir, "documents"), n=_NGRAM_N, threshold=_NGRAM_THRESH,
+        size_hint=parquet_row_count(sf_dir, "documents"))
 
 
 _CLUSTER_THRESH = 0.5
@@ -354,8 +357,11 @@ _CLUSTER_THRESH = 0.5
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
+    from ..io import parquet_row_count
+
     docs = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, n=_NGRAM_N, threshold=_CLUSTER_THRESH)
+    pairs = D.ngram_jaccard_pairs(docs, n=_NGRAM_N, threshold=_CLUSTER_THRESH,
+                                  size_hint=parquet_row_count(sf_dir, "documents"))
     return D.dedup_clusters(docs.select("doc_id"), pairs)
 
 
@@ -383,9 +389,12 @@ _DD_PAIR_DOT = ("list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
         "(O(N²) verify baseline; scale path = IVF/LSH pruning).",
 )
 def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import parquet_row_count
     from ..operators import similarity as S
 
-    return S.nearest_neighbor_pairs(table(spark, sf_dir, "embeddings"))
+    return S.nearest_neighbor_pairs(
+        table(spark, sf_dir, "embeddings"),
+        size_hint=parquet_row_count(sf_dir, "embeddings"))
 
 
 # ===================================================================

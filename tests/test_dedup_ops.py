@@ -79,6 +79,33 @@ def test_minhash_bitmask_path_matches_array_path(spark):
     assert a == b and len(a) > 0
 
 
+def test_blocked_kernels_reject_string_ids(spark):
+    # pmod on a string id yields NULL blocks and a silently-empty result;
+    # the kernels must reject non-integral ids at plan time instead.
+    from kafka_elasticsearch_injector_spark.operators.blocked import (
+        jaccard_pairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [("a", ["x", "y"]), ("b", ["x", "z"])], "doc_id string, g array<string>")
+    with pytest.raises(TypeError, match="integral id column"):
+        jaccard_pairs_blocked(df, id_col="doc_id", size_hint=2)
+
+
+def test_blocked_size_hint_skips_count_job(spark):
+    from kafka_elasticsearch_injector_spark.operators.blocked import (
+        jaccard_pairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["x", "z"])], "doc_id int, g array<string>")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup() or [])
+    jaccard_pairs_blocked(df, size_hint=2)
+    after = set(tracker.getJobIdsForGroup() or [])
+    assert after == before
+
+
 def test_bitmask64_overflow_raises(spark):
     rows = [(i, " ".join(f"w{j}" for j in range(80))) for i in range(3)]
     df = spark.createDataFrame(rows, "doc_id int, text string")
