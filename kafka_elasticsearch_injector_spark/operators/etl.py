@@ -38,7 +38,8 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
 def scd2_apply(dim: DataFrame, changes: DataFrame, key_cols: list[str],
                ts_col: str, current_col: str = "is_current",
                start_col: str = "valid_from",
-               end_col: str = "valid_to") -> DataFrame:
+               end_col: str = "valid_to",
+               broadcast_changes: bool = True) -> DataFrame:
     """Slowly-changing-dimension type 2: each change CLOSES the key's
     current row (valid_to = change ts, is_current = false) and appends
     a new current row (valid_from = change ts, valid_to = null).
@@ -47,11 +48,19 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, key_cols: list[str],
     is_current); `changes` carries (key_cols, attributes, ts_col) — at
     most one change per key per call (dedupe upstream with a
     row_number over ts if needed).
+
+    `broadcast_changes` defaults to True — a CDC batch is normally tiny
+    next to the dimension, and the hint keeps the dimension un-shuffled.
+    Pass False when a change batch can exceed executor memory (bulk
+    backfills); the join then shuffles both sides on the key, and AQE
+    still converts back to broadcast at runtime if the batch is small.
     """
     chg_keyed = changes.select(
         *key_cols, F.col(ts_col).alias("_chg_ts"))
+    if broadcast_changes:
+        chg_keyed = F.broadcast(chg_keyed)
     closed = (
-        dim.join(F.broadcast(chg_keyed), key_cols, "left")
+        dim.join(chg_keyed, key_cols, "left")
         .withColumn(
             end_col,
             F.when(F.col(current_col) & F.col("_chg_ts").isNotNull(),
