@@ -211,11 +211,13 @@ class ElasticBulkWriter:
             pending = retry
 
 
-def write_partition_factory(cfg, transport_factory):
+def write_partition_factory(cfg, transport_factory, sink_acc=None):
     """Build the picklable per-partition writer used by foreachBatch.
 
-    Only (cfg scalars, transport_factory) are captured — both picklable;
-    the transport itself is constructed ON the executor.
+    Only (cfg scalars, transport_factory, sink_acc) are captured — all
+    picklable; the transport itself is constructed ON the executor.
+    `sink_acc` (metrics.SinkAccumulators) folds each partition's
+    BulkStats into driver-visible Prometheus counters.
     """
     batch_size = cfg.batch_size
     backoff_s = cfg.bulk_backoff_s
@@ -228,6 +230,8 @@ def write_partition_factory(cfg, transport_factory):
         writer = ElasticBulkWriter(
             transport_factory(), batch_size=batch_size,
             backoff_s=backoff_s, max_retries=max_retries)
-        writer.write(actions)
+        stats = writer.write(actions)
+        if sink_acc is not None:
+            sink_acc.add_stats(stats)
 
     return write_partition

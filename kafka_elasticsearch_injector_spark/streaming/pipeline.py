@@ -201,7 +201,8 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
                    trigger_seconds: float = 1.0,
                    available_now: bool = False,
                    registry=None, reader_schema_id: int | None = None,
-                   key_reader_schema_id: int | None = None):
+                   key_reader_schema_id: int | None = None,
+                   metrics=None):
     """Wire source → transform → foreachBatch ES sink and start.
 
     `transport_factory` is a picklable zero-arg callable building the
@@ -220,7 +221,15 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
         src, cfg, payload_schema,
         registry=registry, reader_schema_id=reader_schema_id,
         key_reader_schema_id=key_reader_schema_id)
-    writer = write_partition_factory(cfg, transport_factory)
+    sink_acc = None
+    if metrics is not None:
+        # metrics is an InjectorMetrics: sink triage counts flow back via
+        # accumulators; the progress listener feeds rows/lag/latency.
+        sink_acc = metrics.sink
+        if not getattr(metrics, "_listener_registered", False):
+            spark.streams.addListener(metrics.listener)
+            metrics._listener_registered = True
+    writer = write_partition_factory(cfg, transport_factory, sink_acc)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # Executor-side bulk writes: each partition posts its own bulks —

@@ -21,8 +21,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class ProbeServer:
-    def __init__(self, port: int, ready_fn: Callable[[], bool] | None = None):
+    def __init__(self, port: int, ready_fn: Callable[[], bool] | None = None,
+                 metrics_fn: Callable[[], str] | None = None):
         self.ready_fn = ready_fn or (lambda: True)
+        self.metrics_fn = metrics_fn
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -36,11 +38,23 @@ class ProbeServer:
                         ready = False
                     self._reply(200 if ready else 503,
                                 b"ready" if ready else b"not ready")
+                elif self.path == "/metrics" and outer.metrics_fn is not None:
+                    # Prometheus text exposition — the reference's
+                    # promhttp handler (metrics_instrumenter.go:10-14).
+                    try:
+                        body = outer.metrics_fn().encode()
+                    except Exception as ex:  # noqa: BLE001 — scrape-safe
+                        self._reply(500, f"metrics error: {ex}".encode())
+                        return
+                    self._reply(200, body,
+                                "text/plain; version=0.0.4; charset=utf-8")
                 else:
                     self._reply(404, b"not found")
 
-            def _reply(self, code: int, body: bytes) -> None:
+            def _reply(self, code: int, body: bytes,
+                       content_type: str = "text/plain") -> None:
                 self.send_response(code)
+                self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -63,6 +77,9 @@ class ProbeServer:
 
 
 def start_probes(port: int,
-                 ready_fn: Callable[[], bool] | None = None) -> ProbeServer:
-    """Start the probe server (port 0 → ephemeral, see `.port`)."""
-    return ProbeServer(port, ready_fn).start()
+                 ready_fn: Callable[[], bool] | None = None,
+                 metrics_fn: Callable[[], str] | None = None) -> ProbeServer:
+    """Start the probe server (port 0 → ephemeral, see `.port`).
+    Pass `metrics_fn` (e.g. InjectorMetrics.prometheus_text) to also
+    serve /metrics."""
+    return ProbeServer(port, ready_fn, metrics_fn).start()

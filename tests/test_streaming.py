@@ -84,6 +84,79 @@ def test_streaming_end_to_end(spark, tmp_path):
     assert doc["@timestamp"] == int(TS.timestamp() * 1000)
 
 
+def test_metrics_endpoint_scrape_during_run(spark, tmp_path):
+    """VERDICT parity item: /metrics serves the reference's Prometheus
+    metric names (metrics_instrumenter.go:10-14, metrics.go:101-125),
+    with executor-side sink counters flowing back via accumulators."""
+    import urllib.request
+
+    from kafka_elasticsearch_injector_spark.streaming.metrics import (
+        InjectorMetrics,
+    )
+    from kafka_elasticsearch_injector_spark.streaming.probes import (
+        start_probes,
+    )
+
+    src_dir = str(tmp_path / "src")
+    es_root = str(tmp_path / "es")
+    os.makedirs(es_root)
+    rows = [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+        ("k2", json.dumps({"id": "b", "value": 2}), "my-topic", 1, 3, TS),
+    ]
+    _write_source(spark, src_dir, rows)
+
+    cfg = InjectorConfig(record_type="json", topics=("my-topic",))
+    metrics = InjectorMetrics(spark)
+    server = start_probes(0, metrics_fn=metrics.prometheus_text)
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir)
+    )
+    q = start_pipeline(
+        spark, cfg, SCHEMA,
+        transport_factory=lambda root=es_root: FileTransport(root),
+        checkpoint_dir=str(tmp_path / "ckpt"), source_df=source,
+        available_now=True, metrics=metrics)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    # Listener events arrive on an async bus; wait for batch 0's
+    # progress to land before scraping.
+    import time
+    deadline = time.time() + 30
+    while time.time() < deadline and not (
+            metrics.listener.total_rows >= 3
+            and metrics.sink.created.value >= 2):
+        time.sleep(0.2)
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics", timeout=5) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        body = resp.read().decode()
+    server.stop()
+
+    def value_of(name):
+        for line in body.splitlines():
+            if line.startswith(name + " "):
+                return float(line.split()[1])
+        raise AssertionError(f"{name} not in:\n{body}")
+
+    # 3 rows in; duplicate (partition,offset) → same doc id → one 409.
+    assert value_of("kafka_consumer_records_consumed_successfully") == 3
+    assert value_of("elasticsearch_documents_created") == 2
+    assert value_of("elasticsearch_document_already_exists") == 1
+    assert value_of("elasticsearch_bad_request") == 0
+    assert value_of("kafka_consumer_buffer_full") == 0
+    assert value_of(
+        "kafka_consumer_endpoint_latency_histogram_seconds_count") >= 1
+
+
 def test_create_only_dedup_and_triage(tmp_path):
     """elasticsearch_test.go:70-133 semantics: duplicate id → 409 counted
     AlreadyExists, count stays 1; 429 retried with backoff."""
