@@ -120,6 +120,73 @@ class HttpTransport:
         except Exception:
             return False
 
+    def template_exists(self, name: str) -> bool:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.es_host}/_template/{name}", headers=self._headers(),
+            method="HEAD")
+        try:
+            with self._open(req):
+                return True
+        except urllib.error.HTTPError as ex:
+            if ex.code == 404:
+                return False
+            raise
+
+    def put_template(self, name: str, body: dict) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.es_host}/_template/{name}",
+            data=json.dumps(body).encode(),
+            headers={**self._headers(),
+                     "Content-Type": "application/json"},
+            method="PUT")
+        with self._open(req):
+            pass
+
+
+# The reference's index template (Makefile:17, applied idempotently in
+# elasticsearch_test.go:136-143): @timestamp as epoch_millis date,
+# string fields indexed as keyword.
+DEFAULT_INDEX_TEMPLATE = {
+    "template": "*",
+    "settings": {"refresh_interval": "30s", "number_of_replicas": 0},
+    "mappings": {
+        "_source": {"enabled": "true"},
+        "properties": {
+            "@timestamp": {
+                "format": "epoch_millis",
+                "ignore_malformed": True,
+                "type": "date",
+            },
+        },
+        "dynamic_templates": [
+            {"strings": {
+                "match_mapping_type": "string",
+                "mapping": {"type": "keyword", "index": True},
+            }},
+        ],
+    },
+}
+
+
+def ensure_index_template(transport, name: str,
+                          template: dict | None = None) -> bool:
+    """Create the index template if absent (reference
+    elasticsearch_test.go:136-143: IndexTemplateExists → IndexPutTemplate;
+    operationally Makefile:17's curl). Returns True when created, False
+    when it already existed. Driver-side, once per deploy — never in the
+    per-batch path."""
+    body = template if template is not None else {
+        **DEFAULT_INDEX_TEMPLATE, "template": f"{name}-*"}
+    if transport.template_exists(name):
+        return False
+    transport.put_template(name, body)
+    return True
+
 
 class FileTransport:
     """Filesystem fake with real create-only semantics: one file per doc
@@ -153,6 +220,18 @@ class FileTransport:
 
     def ping(self) -> bool:
         return os.path.isdir(self.root)
+
+    def _template_path(self, name: str) -> str:
+        return os.path.join(self.root, "_templates", f"{name}.json")
+
+    def template_exists(self, name: str) -> bool:
+        return os.path.exists(self._template_path(name))
+
+    def put_template(self, name: str, body: dict) -> None:
+        path = self._template_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(body, f)
 
 
 class NullTransport:

@@ -178,6 +178,67 @@ def test_create_only_dedup_and_triage(tmp_path):
     assert len(os.listdir(os.path.join(root, "idx"))) == 2
 
 
+def test_index_template_bootstrap_idempotent(tmp_path):
+    """Makefile:17 / elasticsearch_test.go:136-143 parity: create the
+    template when absent, no-op when present."""
+    from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+        ensure_index_template,
+    )
+
+    root = str(tmp_path / "es")
+    os.makedirs(root)
+    t = FileTransport(root)
+    assert ensure_index_template(t, "my-topic") is True
+    assert ensure_index_template(t, "my-topic") is False  # already there
+    path = os.path.join(root, "_templates", "my-topic.json")
+    with open(path) as f:
+        body = json.load(f)
+    assert body["template"] == "my-topic-*"
+    assert body["mappings"]["properties"]["@timestamp"]["format"] == \
+        "epoch_millis"
+
+
+def test_index_template_http_put(tmp_path):
+    """HttpTransport template round-trip against a stdlib HTTP fake."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+        HttpTransport, ensure_index_template,
+    )
+
+    store: dict[str, bytes] = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_HEAD(self):  # noqa: N802
+            code = 200 if self.path in store else 404
+            self.send_response(code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_PUT(self):  # noqa: N802
+            store[self.path] = self.rfile.read(
+                int(self.headers["Content-Length"]))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        t = HttpTransport(f"http://127.0.0.1:{server.server_address[1]}")
+        assert ensure_index_template(t, "my-topic") is True
+        assert ensure_index_template(t, "my-topic") is False
+        body = json.loads(store["/_template/my-topic"])
+        assert body["template"] == "my-topic-*"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_backoff_retry_on_429(tmp_path):
     root = str(tmp_path / "es")
     os.makedirs(root)
