@@ -47,11 +47,46 @@ def _load_all() -> None:
     from . import part_a, part_b, part_b_ext, part_b_ext2, part_c  # noqa: F401
 
 
+# Consumers (correctness drivers, demo runs) may verify a PREFIX of the
+# inventory; order it so a truncated pass still covers every operator
+# family — all reference-semantics queries (Part A), the whole
+# LLM-pipeline layer (Part C), then a representative relational spread
+# (joins, aggs, windows, OLAP, ETL, variant), then the remaining
+# relational surface. Pure presentation order: names and definitions
+# are unchanged.
+_PRIORITY = [
+    # Part A — reference semantics (events table)
+    "q_scan_events", "q_null_filter", "q_json_decode", "q_corrupt_drop",
+    "q_timestamp_millis", "q_key_embed", "q_blacklist_project",
+    "q_field_cast", "q_doc_id", "q_doc_id_column", "q_index_day",
+    "q_index_hour", "q_index_column", "q_dedup_docid", "q_offset_lag",
+    # Part C — LLM-pipeline layer
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_simhash_pairs", "q_dedup_ngram", "q_dedup_cluster",
+    "q_dedup_embcos", "q_cosine_topk", "q_ann_ivf", "q_ann_lsh",
+    "q_embed_norm", "q_lang_id", "q_lang_dist", "q_quality_score",
+    "q_token_count", "q_doc_fingerprint", "q_text_stats", "q_media_meta",
+    # Part B — representative relational spread
+    "q_tpch_q3", "q_tpch_q5", "q_join_inner", "q_join_asof",
+    "q_join_range", "q_agg_hash", "q_agg_distinct", "q_window_rank",
+    "q_window_tumble", "q_window_session_analog", "q_cube", "q_pivot",
+    "q_percentile", "q_variant_json", "q_merge_upsert", "q_scd2_apply",
+    "q_topk",
+]
+
+
+def _ordered() -> dict[str, QueryDef]:
+    out = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    out.update((n, qd) for n, qd in QUERIES.items() if n not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: qd.spark for name, qd in QUERIES.items()}
+    return {name: qd.spark for name, qd in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}
+    return {name: qd.oracle for name, qd in _ordered().items()
+            if qd.oracle is not None}
