@@ -94,6 +94,48 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def small_vocab_probe(sf_dir: str, name: str, col: str = "text",
+                      limit: int = 64, probe_rows: int = 4096) -> int | None:
+    """Driver-side bounded probe: distinct whitespace tokens of `col`
+    over the first `probe_rows` rows, early-exiting as soon as the
+    running union exceeds `limit`. Returns the observed count (≤ limit)
+    or None.
+
+    Purpose: choosing the single-long set encoding in
+    dedup.minhash_lsh_pairs needs to know whether the GLOBAL vocabulary
+    fits 64 bits. Deciding with a Spark job means a scan before the real
+    query; this probe streams a few Arrow batches of one column on the
+    driver (keyboard-interrupt cheap, no Spark job) instead. Real text
+    blows past `limit` within the first batch and exits immediately;
+    enum-like columns confirm cheaply. The probe is a SAMPLE: a corpus
+    whose tail introduces new tokens past `probe_rows` would pass here
+    and then fail LOUDLY at runtime via bitmask64's overflow guard —
+    callers with corpus knowledge should pass vocab_hint directly.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            hits = sorted(f for f in files if f.endswith(".parquet"))
+            if hits:
+                path = os.path.join(root, hits[0])
+                break
+    vocab: set[str] = set()
+    seen = 0
+    for batch in pq.ParquetFile(path).iter_batches(
+            batch_size=256, columns=[col]):
+        for txt in batch.column(0).to_pylist():
+            if txt:
+                vocab.update(txt.split(" "))
+                if len(vocab) > limit:
+                    return None
+        seen += batch.num_rows
+        if seen >= probe_rows:
+            break
+    return len(vocab)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every substrate table as a temp view (for spark.sql plans)."""
     for name in TABLES:

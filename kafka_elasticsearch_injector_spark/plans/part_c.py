@@ -211,16 +211,21 @@ _DD_BANDS = "\n      UNION ALL\n".join(
         "bucket equi-join, verify only candidates.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io import parquet_row_count
+    from ..io import parquet_row_count, small_vocab_probe
     from ..operators import dedup as D
 
-    # size_hint from parquet footer metadata: picks the broadcast LSH
-    # topology without a pre-query count() job (full scan at 100 TB).
+    # Hints from driver-side parquet reads, zero Spark jobs at plan
+    # build: footer row count picks the broadcast LSH topology, and the
+    # bounded vocabulary probe enables the single-long set encoding
+    # (bit_count verify) when the corpus vocabulary fits 64 bits —
+    # real text exits the probe on its first batch and verifies via
+    # array_intersect instead.
     return D.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         k=_MINHASH_K, rows_per_band=_MINHASH_ROWS,
         shingle_n=1, threshold=_MINHASH_THRESH,
         size_hint=parquet_row_count(sf_dir, "documents"),
+        vocab_hint=small_vocab_probe(sf_dir, "documents"),
     )
 
 

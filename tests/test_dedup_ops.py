@@ -106,6 +106,23 @@ def test_blocked_size_hint_skips_count_job(spark):
     assert after == before
 
 
+def test_small_vocab_probe_bounds(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_elasticsearch_injector_spark.io import small_vocab_probe
+
+    small = tmp_path / "small.parquet"
+    pq.write_table(pa.table({"text": ["a b c", "b c d", "a d"]}), small)
+    assert small_vocab_probe(str(tmp_path), "small") == 4
+
+    big = tmp_path / "big.parquet"
+    pq.write_table(
+        pa.table({"text": [" ".join(f"w{i}_{j}" for j in range(40))
+                           for i in range(10)]}), big)
+    assert small_vocab_probe(str(tmp_path), "big") is None  # early exit
+
+
 def test_bitmask64_overflow_raises(spark):
     rows = [(i, " ".join(f"w{j}" for j in range(80))) for i in range(3)]
     df = spark.createDataFrame(rows, "doc_id int, text string")
