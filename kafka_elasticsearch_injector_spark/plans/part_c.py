@@ -640,3 +640,174 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return M.decode_media(M.attach_media(docs)).select(
         "doc_id", "media_type", "byte_len", "content_md5", "width", "height")
+
+
+# ===================================================================
+# Corpus statistics & curation (pure built-ins, all partial-aggregable)
+# ===================================================================
+
+
+@register(
+    "q_token_freq",
+    """
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT 20
+    """,
+    doc="Global token frequency top-20 — the corpus-statistics staple "
+        "(vocab audits, stopword lists). explode → hash agg with map-side "
+        "partial aggregation → top-k; shuffles (token, partial count) "
+        "pairs only, never text rows.",
+)
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tfidf_topterms",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (n.n + 1.0) / (dfreq.df + 1.0) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (n.n + 1.0) / (dfreq.df + 1.0) DESC, tf.tok
+             ) AS rn
+      FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, ROUND(score, 6) AS score, CAST(rn AS INTEGER) AS rn
+    FROM scored WHERE rn <= 3
+    """,
+    doc="Per-document top-3 terms by TF-IDF with a RATIONAL idf "
+        "(tf·(N+1)/(df+1), monotone in tf·idf): ln() is libm-dependent "
+        "and can differ in the last ulp across engines, while IEEE "
+        "mul/div are correctly-rounded everywhere — so ranks and scores "
+        "hash-match the oracle exactly. Plan: one explode, two hash "
+        "aggs (both partial-aggregable), document-frequency join, "
+        "per-doc window top-k. The corpus total N enters as a scalar "
+        "cross join, not a collected literal.",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = (F.col("tf") * (F.col("n") + 1.0)) / (F.col("df") + 1.0)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        tf.join(dfreq, "tok").crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+@register(
+    "q_pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.org or +1-555-'
+                    || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+               '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS text_scrubbed
+    FROM documents
+    """,
+    doc="PII redaction (emails, phone numbers) — the pre-training scrub "
+        "pass. Synthetic PII is appended deterministically so the "
+        "redaction is observable; both regex dialects (Java, RE2) accept "
+        "the shared pattern subset. Pure narrow projection: no shuffle, "
+        "whole-stage codegen.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.example.org or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, r"[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+        r"\+1-555-[0-9]{4}", "<PHONE>")
+    return docs.select("doc_id", scrubbed.alias("text_scrubbed"))
+
+
+@register(
+    "q_doc_len_histogram",
+    """
+    SELECT CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt, MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Document-length histogram (100-char buckets) — the length-"
+        "distribution audit every curation pipeline starts with. "
+        "Integer bucket arithmetic (engine-exact), partial-aggregable "
+        "count/min/max.",
+)
+def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 100.0).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    """
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+    doc="Deterministic stratified sample: top-20 per language ordered by "
+        "md5(doc_id) — a seedless, engine-independent 'random' order, so "
+        "the training-mix sample is reproducible everywhere (rand() "
+        "never hash-matches across engines). One window per stratum, no "
+        "driver involvement.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
