@@ -144,3 +144,30 @@ def sf_dir():
     import os
 
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_token_freq_partial_topk(spark, sf_dir):
+    # Global top-20 must be a map-side partial count + TakeOrdered, never
+    # a full sort of the aggregated vocabulary.
+    plan = _explain(spark, sf_dir, "q_token_freq")
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_windowed_topk_prunes_map_side(spark, sf_dir):
+    # WindowGroupLimit (Partial before the exchange) caps each map task's
+    # output at k rows per doc; the df join must broadcast; both aggs
+    # must be partial-aggregable.
+    plan = _explain(spark, sf_dir, "q_tfidf_topterms")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_pii_scrub_is_narrow_codegen(spark, sf_dir):
+    # A redaction pass is a projection: no exchange anywhere, fused into
+    # whole-stage codegen.
+    plan = _explain(spark, sf_dir, "q_pii_scrub")
+    tree = plan.split("\n\n", 1)[0]
+    assert "Exchange" not in tree, tree
+    assert "codegen id" in plan or "* Project" in plan, plan
