@@ -180,9 +180,11 @@ _DD_BANDS = "\n      UNION ALL\n".join(
     for b in range(_MINHASH_K // _MINHASH_ROWS))
 
 
-@register(
-    "q_dedup_minhash",
-    f"""
+def _minhash_pairs_sql(threshold: float) -> str:
+    """Oracle fragment: MinHash(k=8)+LSH(4×2) candidate pairs verified at
+    exact Jaccard ≥ `threshold` — reused by q_dedup_minhash and the
+    scale-path clustering oracle."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
       FROM documents
@@ -204,8 +206,13 @@ _DD_BANDS = "\n      UNION ALL\n".join(
       JOIN toks tb ON tb.doc_id = doc_b
     WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
           / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))
-          >= {_MINHASH_THRESH}
-    """,
+          >= {threshold}
+    """
+
+
+@register(
+    "q_dedup_minhash",
+    _minhash_pairs_sql(_MINHASH_THRESH),
     doc="MinHash(k=8) + LSH(4 bands × 2) near-dup pairs, exact-Jaccard "
         "verified at ≥0.8. The 100 TB dedup path: O(N) signatures, "
         "bucket equi-join, verify only candidates.",
@@ -367,6 +374,46 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=_NGRAM_N, threshold=_CLUSTER_THRESH,
                                   size_hint=parquet_row_count(sf_dir, "documents"))
+    return D.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
+    "q_dedup_minhash_cluster",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_pairs_sql(_MINHASH_THRESH)}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           (node = MIN(label)) AS is_canonical
+    FROM walk GROUP BY node
+    """,
+    doc="The 100 TB dedup pipeline END TO END: MinHash+LSH pair "
+        "discovery (O(N) signatures, bucket equi-join — never all-pairs) "
+        "→ connected components → canonical pick. q_dedup_cluster proves "
+        "the same clustering over the exact quadratic pair source; this "
+        "query proves it over the pruned LSH source actually usable at "
+        "scale. Oracle: recursive-CTE closure over the minhash-pair CTE.",
+)
+def q_dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import parquet_row_count, small_vocab_probe
+    from ..operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=_MINHASH_K, rows_per_band=_MINHASH_ROWS,
+        shingle_n=1, threshold=_MINHASH_THRESH,
+        size_hint=parquet_row_count(sf_dir, "documents"),
+        vocab_hint=small_vocab_probe(sf_dir, "documents"),
+    )
     return D.dedup_clusters(docs.select("doc_id"), pairs)
 
 

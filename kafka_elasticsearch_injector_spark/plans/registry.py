@@ -67,11 +67,11 @@ _PRIORITY = [
     "q_embed_norm", "q_lang_id", "q_lang_dist", "q_quality_score",
     "q_token_count", "q_doc_fingerprint", "q_text_stats", "q_media_meta",
     "q_token_freq", "q_tfidf_topterms", "q_pii_scrub",
-    "q_doc_len_histogram", "q_sample_stratified",
+    "q_doc_len_histogram", "q_sample_stratified", "q_dedup_minhash_cluster",
     # Part B — representative relational spread
     "q_tpch_q3", "q_tpch_q5", "q_join_asof", "q_join_range",
     "q_agg_hash", "q_window_tumble", "q_window_session_analog", "q_cube",
-    "q_pivot", "q_percentile", "q_variant_json", "q_merge_upsert",
+    "q_percentile", "q_variant_json", "q_merge_upsert",
 ]
 
 
