@@ -51,10 +51,15 @@ def read_kafka_stream(spark: SparkSession, cfg: InjectorConfig) -> DataFrame:
     )
 
 
+#: Columns preserved for quarantined records (the raw Kafka envelope).
+SOURCE_COLS = ("key", "value", "topic", "partition", "offset", "timestamp")
+
+
 def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
                           payload_schema: T.StructType | str | None = None,
                           registry=None, reader_schema_id: int | None = None,
                           key_reader_schema_id: int | None = None,
+                          return_drops: bool = False,
                           ) -> DataFrame:
     """Compile the config into the decode→enrich→filter→route projection.
 
@@ -64,6 +69,14 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
     src/models/elastic_record.go:3-8) with payload as a JSON string ready
     for the bulk body.
 
+    With `return_drops=True` the undeliverable rows are NOT filtered:
+    the output additionally carries `_drop_reason` (null for clean rows)
+    plus the raw source columns, so a sink can quarantine drops to a
+    dead-letter store in the same pass (the reference only logs-and-
+    skips, consumer.go:154-159 — at pipeline scale the drops must be
+    auditable). Routing/payload expressions are when()-guarded so they
+    never evaluate (and raise_error never fires) on dropped rows.
+
     Entirely Column expressions — the whole per-record path is one
     whole-stage-codegen stage, the Catalyst analog of the reference's
     per-batch encode loop (codec.go:26-48).
@@ -71,24 +84,32 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
     if isinstance(payload_schema, str):
         payload_schema = T.StructType.fromDDL(payload_schema)
 
-    # Decode (ops 5-8): null filter → PERMISSIVE decode → corrupt drop.
-    df = ops.filter_null_payload(df, "value")
+    # Decode (ops 5-8): nil payload, PERMISSIVE decode, corrupt marking.
+    # Instead of filtering stage by stage, each stage contributes to one
+    # _drop_reason when-chain; clean rows have reason NULL.
     if cfg.record_type == "json":
         if payload_schema is None:
             raise ValueError("json record_type needs payload_schema")
         df = ops.decode_json(df, payload_schema, payload_col="value")
-        df = ops.drop_corrupt(df)
+        reason = (
+            F.when(F.col("value").isNull(), F.lit("null_payload"))
+            .when(F.col("decoded._corrupt_record").isNotNull(),
+                  F.lit("corrupt_payload"))
+        )
     else:
         # Confluent wire-format Avro: registry-resolved reader schema,
         # per-id codec dispatch, malformed side-drop (sources/confluent.py).
         if registry is None or reader_schema_id is None:
             raise ValueError(
                 "avro record_type needs registry + reader_schema_id")
-        from ..sources import avro_to_spark_type, decode_confluent, \
-            drop_decode_errors
+        from ..sources import avro_to_spark_type, decode_confluent
 
         df = decode_confluent(df, registry, reader_schema_id)
-        df = drop_decode_errors(df)
+        reason = (
+            F.when(F.col("value").isNull(), F.lit("null_payload"))
+            .when(F.col("_decode_error").isNotNull(),
+                  F.concat(F.lit("decode_error: "), F.col("_decode_error")))
+        )
         payload_schema = avro_to_spark_type(
             registry.get_schema(reader_schema_id))
 
@@ -111,7 +132,7 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
             bad_key = key_str.isNotNull() & (
                 key_var.isNull()
                 | ~F.ltrim(key_str).startswith("{"))  # must be an object
-            df = df.filter(~bad_key)
+            reason = reason.when(bad_key, F.lit("bad_key"))
             payload_cols.append(F.try_parse_json(
                 F.col("key").cast("string")).alias("key"))
         else:
@@ -125,8 +146,10 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
             df = _dc(df, registry, key_reader_schema_id,
                      payload_col="key", decoded_col="decoded_key",
                      error_col="_key_decode_error")
-            df = df.filter(F.col("key").isNull()
-                           | F.col("_key_decode_error").isNull())
+            reason = reason.when(
+                F.col("key").isNotNull()
+                & F.col("_key_decode_error").isNotNull(),
+                F.concat(F.lit("bad_key: "), F.col("_key_decode_error")))
             payload_cols.append(F.col("decoded_key").alias("key"))
 
     # Routing (ops 12-17). Missing routing columns fail HERE, at plan
@@ -167,12 +190,18 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
     else:
         doc_id = ops.doc_id_default("partition", "offset")
 
-    return df.select(
-        index_name.alias("index_name"),
-        doc_id.alias("doc_id"),
+    clean = reason.isNull()
+    out_cols = [
+        F.when(clean, index_name).alias("index_name"),
+        F.when(clean, doc_id).alias("doc_id"),
         F.lit(ops.DOC_TYPE).alias("doc_type"),
-        F.to_json(F.struct(*payload_cols)).alias("payload"),
-    )
+        F.when(clean, F.to_json(F.struct(*payload_cols))).alias("payload"),
+    ]
+    if return_drops:
+        return df.select(
+            *out_cols, reason.alias("_drop_reason"),
+            *[F.col(c) for c in SOURCE_COLS])
+    return df.filter(clean).select(*out_cols)
 
 
 def enrich_static(stream: DataFrame, dim: DataFrame, on: str | list,
@@ -202,7 +231,7 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
                    available_now: bool = False,
                    registry=None, reader_schema_id: int | None = None,
                    key_reader_schema_id: int | None = None,
-                   metrics=None):
+                   metrics=None, dead_letter_dir: str | None = None):
     """Wire source → transform → foreachBatch ES sink and start.
 
     `transport_factory` is a picklable zero-arg callable building the
@@ -220,7 +249,8 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
     records = build_elastic_records(
         src, cfg, payload_schema,
         registry=registry, reader_schema_id=reader_schema_id,
-        key_reader_schema_id=key_reader_schema_id)
+        key_reader_schema_id=key_reader_schema_id,
+        return_drops=dead_letter_dir is not None)
     sink_acc = None
     if metrics is not None:
         # metrics is an InjectorMetrics: sink triage counts flow back via
@@ -234,7 +264,22 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # Executor-side bulk writes: each partition posts its own bulks —
         # the driver never sees record data (no collect).
-        batch_df.foreachPartition(writer)
+        if dead_letter_dir is None:
+            batch_df.foreachPartition(writer)
+            return
+        # Dead-letter mode: one shared batch feeds both outputs. The
+        # quarantine keeps the raw Kafka envelope + reason as parquet
+        # (auditable, replayable); clean rows go to the bulk writer.
+        batch_df.persist()
+        try:
+            (batch_df.filter(F.col("_drop_reason").isNotNull())
+             .select(*SOURCE_COLS, "_drop_reason")
+             .write.mode("append").parquet(dead_letter_dir))
+            (batch_df.filter(F.col("_drop_reason").isNull())
+             .select("index_name", "doc_id", "doc_type", "payload")
+             .foreachPartition(writer))
+        finally:
+            batch_df.unpersist()
 
     stream = (
         records.writeStream
