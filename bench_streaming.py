@@ -71,7 +71,11 @@ def main() -> None:
         (
             spark.range(N_ROWS)
             .select(
-                F.col("id").cast("string").cast("binary").alias("key"),
+                # Keys are JSON OBJECTS: the pipeline decodes keys the
+                # way the reference does (json.Unmarshal into a map) and
+                # fails records whose non-null key isn't an object.
+                F.to_json(F.struct(F.col("id").alias("kid")))
+                .cast("binary").alias("key"),
                 payload.cast("binary").alias("value"),
                 F.lit("events").alias("topic"),
                 (F.col("id") % cpus).cast("int").alias("partition"),
@@ -97,6 +101,11 @@ def main() -> None:
         payload_schema = ("user_id bigint, event_type string, amount double, "
                           "session string, debug_tag string")
 
+        from kafka_elasticsearch_injector_spark.streaming.metrics import (
+            InjectorMetrics,
+        )
+
+        metrics = InjectorMetrics(spark)
         t0 = time.perf_counter()
         q = start_pipeline(
             spark, cfg, payload_schema,
@@ -104,17 +113,27 @@ def main() -> None:
             checkpoint_dir=ckpt_dir,
             source_df=source,
             available_now=True,
+            metrics=metrics,
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
+        delivered = metrics.sink.created.value
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+    # Guard against measuring the drop path: every synthetic record must
+    # actually reach the sink protocol.
+    if delivered != N_ROWS:
+        raise SystemExit(
+            f"throughput bench delivered {delivered}/{N_ROWS} records — "
+            "the corpus is being dropped, the number would be a lie")
 
     print(json.dumps({
         "metric": "injector_throughput",
         "value": round(N_ROWS / wall, 1),
         "unit": "records/sec",
         "rows": N_ROWS,
+        "delivered": delivered,
         "wall_s": round(wall, 3),
     }))
 

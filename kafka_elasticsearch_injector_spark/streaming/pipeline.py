@@ -127,14 +127,17 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
         # map (encode_decode.go:98-104); an undecodable non-null key
         # fails the record. A nil key is fine — the field is omitted.
         if cfg.record_type == "json":
+            # Parse ONCE into a column; both the validity check and the
+            # payload embed read it (try_parse_json per use would double
+            # the per-record parse cost — it dominates this hot path).
+            df = df.withColumn(
+                "_key_var", F.try_parse_json(F.col("key").cast("string")))
             key_str = F.col("key").cast("string")
-            key_var = F.try_parse_json(key_str)
             bad_key = key_str.isNotNull() & (
-                key_var.isNull()
+                F.col("_key_var").isNull()
                 | ~F.ltrim(key_str).startswith("{"))  # must be an object
             reason = reason.when(bad_key, F.lit("bad_key"))
-            payload_cols.append(F.try_parse_json(
-                F.col("key").cast("string")).alias("key"))
+            payload_cols.append(F.col("_key_var").alias("key"))
         else:
             if key_reader_schema_id is None:
                 raise ValueError(
