@@ -106,6 +106,25 @@ def test_blocked_size_hint_skips_count_job(spark):
     assert after == before
 
 
+@pytest.mark.parametrize("max_hamming", [0, 1, 3, 5])
+def test_simhash_pairs_complete_vs_bruteforce(spark, max_hamming):
+    """The multi-index topology must find EXACTLY the brute-force pair
+    set — pigeonhole (some segment matches whenever hamming ≤ r) is the
+    part that's easy to get subtly wrong at segment boundaries."""
+    rows = [(i, " ".join(f"w{(i * 7 + j * 13) % 40}" for j in range(10)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {r.doc_id: r.simhash for r in D.simhash16(df).collect()}
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= max_hamming
+    }
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in D.simhash_pairs(df, max_hamming=max_hamming).collect()}
+    assert got == brute
+
+
 def test_small_vocab_probe_bounds(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
