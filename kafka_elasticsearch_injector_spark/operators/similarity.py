@@ -54,19 +54,25 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
 
 def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             label_col: str = "label") -> DataFrame:
-    """IVF search: nearest centroid per probe (nprobe=1), then exact
-    cosine top-k within that cell only.
+             label_col: str = "label", nprobe: int = 1,
+             dim: int = 64) -> DataFrame:
+    """IVF search: the `nprobe` nearest centroids per probe, then exact
+    cosine top-k within those cells only.
+
+    `nprobe` is the recall/cost dial every IVF index exposes: 1 scans a
+    single cell (fastest, boundary probes may miss true neighbors);
+    raising it widens the candidate set — at nlist=4096, nprobe=8 scans
+    ~0.2% of a corpus. The declared oracle query pins nprobe=1.
 
     Returns (probe_id, label, vec_id, cos_sim, rn).
     """
-    cents = label_centroids(emb, label_col, vec_col)
+    cents = label_centroids(emb, label_col, vec_col, dim=dim)
     probes = (
         emb.filter(F.col(id_col).isin(probe_ids))
         .select(F.col(id_col).alias("probe_id"),
                 V.to_double(F.col(vec_col)).alias("probe_vec"))
     )
-    # Stage 1: probe × centroid (tiny, broadcast both ways) → nearest cell.
+    # Stage 1: probe × centroid (tiny, broadcast both ways) → nearest cells.
     pc = F.broadcast(probes).crossJoin(F.broadcast(cents))
     w_cell = Window.partitionBy("probe_id").orderBy(
         F.col("_cos_c").desc(), F.col(label_col))
@@ -75,7 +81,7 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
             "probe_id", "probe_vec", label_col,
             V.cosine(F.col("probe_vec"), F.col("centroid")).alias("_cos_c"))
         .withColumn("rn_c", F.row_number().over(w_cell))
-        .filter(F.col("rn_c") == 1)
+        .filter(F.col("rn_c") <= nprobe)
         .select("probe_id", "probe_vec", label_col)
     )
     # Stage 2: scan only the selected cell(s) — the equi-join on the cell
