@@ -105,22 +105,30 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
     )
 
 
-def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+def hyperplane_signs(n_planes: int, dim: int,
+                     table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random ±1 hyperplanes: sign(p, d) = +1 iff
     the first hex nibble of md5(f"{p}:{d}") has its high bit set. Both
     the Spark plan and the DuckDB oracle embed these as literals, so the
-    'randomness' is reproducible everywhere (no RNG state to ship)."""
+    'randomness' is reproducible everywhere (no RNG state to ship).
+    `table` > 0 derives an independent plane set per LSH table
+    (md5(f"{table}:{p}:{d}")); table 0 keeps the original keying so the
+    declared oracle stays byte-identical."""
     import hashlib
 
+    def key(p: int, d: int) -> str:
+        return f"{p}:{d}" if table == 0 else f"{table}:{p}:{d}"
+
     return [
-        [1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+        [1 if int(hashlib.md5(key(p, d).encode()).hexdigest()[0], 16) >= 8
          else -1 for d in range(dim)]
         for p in range(n_planes)
     ]
 
 
 def lsh_sign_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64,
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding", table: int = 0,
+                     out_col: str = "bucket") -> DataFrame:
     """Sign-LSH bucketing: bucket bit p = (v · hyperplane_p ≥ 0).
 
     One narrow projection — O(N·planes·dim) inside codegen, no shuffle.
@@ -129,7 +137,7 @@ def lsh_sign_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64,
     same corpus-pruning shape as IVF but with no training pass. At
     100 TB, partition the corpus by bucket so probe lookups are
     single-partition reads."""
-    planes = hyperplane_signs(n_planes, dim)
+    planes = hyperplane_signs(n_planes, dim, table=table)
     v = V.to_double(F.col(vec_col))
     bucket: Column | None = None
     for p, signs in enumerate(planes):
@@ -141,29 +149,58 @@ def lsh_sign_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64,
         proj = V.dot(v, lits)
         bit = F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return emb.withColumn("bucket", bucket.cast("int"))
+    return emb.withColumn(out_col, bucket.cast("int"))
 
 
 def lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
              n_planes: int = 8, dim: int = 64,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN via sign-LSH: exact cosine top-k within the probe's bucket
-    only. Returns (probe_id, bucket, vec_id, cos_sim, rn)."""
-    bucketed = lsh_sign_buckets(emb, n_planes, dim, vec_col)
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_tables: int = 1) -> DataFrame:
+    """ANN via sign-LSH: exact cosine top-k within the probe's bucket(s).
+
+    `n_tables` is sign-LSH's recall dial (the FAISS/Annoy L parameter):
+    each table hashes with an independent hyperplane set, and a
+    candidate qualifies if it shares a bucket in ANY table —
+    P(miss) = (1 - (1-θ/π)^planes)^tables decays exponentially in
+    tables. Candidates seen in several tables are emitted only at their
+    LOWEST matching table (the same first-match predicate as the
+    minhash/simhash banding), so no distinct() shuffle is needed.
+    Returns (probe_id, bucket, vec_id, cos_sim, rn); `bucket` is the
+    matching table's bucket. The declared oracle query pins n_tables=1.
+    """
+    bucket_cols = [f"bucket_{t}" for t in range(n_tables)]
+    bucketed = emb
+    for t in range(n_tables):
+        bucketed = lsh_sign_buckets(
+            bucketed, n_planes, dim, vec_col, table=t, out_col=bucket_cols[t])
     probes = (
         bucketed.filter(F.col(id_col).isin(probe_ids))
         .select(F.col(id_col).alias("probe_id"),
-                V.to_double(F.col(vec_col)).alias("probe_vec"), "bucket")
+                V.to_double(F.col(vec_col)).alias("probe_vec"),
+                *[F.col(c).alias(f"p_{c}") for c in bucket_cols],
+                F.posexplode(F.array(*[F.col(c) for c in bucket_cols]))
+                .alias("tidx", "bucket"))
     )
     corpus = bucketed.select(
-        F.col(id_col), "bucket", V.to_double(F.col(vec_col)).alias("vec"))
+        F.col(id_col), V.to_double(F.col(vec_col)).alias("vec"),
+        *[F.col(c).alias(f"c_{c}") for c in bucket_cols],
+        F.posexplode(F.array(*[F.col(c) for c in bucket_cols]))
+        .alias("tidx", "bucket"))
+    joined = (
+        F.broadcast(probes).join(corpus, ["tidx", "bucket"])
+        .filter(F.col("probe_id") != F.col(id_col))
+    )
+    # First-matching-table emission keeps candidates distinct.
+    for t in range(n_tables - 1):
+        joined = joined.filter(
+            (F.lit(t) >= F.col("tidx"))
+            | (F.col(f"p_bucket_{t}") != F.col(f"c_bucket_{t}")))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("_cos").desc(), F.col(id_col))
     return (
-        F.broadcast(probes).join(corpus, "bucket")
-        .filter(F.col("probe_id") != F.col(id_col))
-        .select("probe_id", "bucket", id_col,
-                V.cosine(F.col("probe_vec"), F.col("vec")).alias("_cos"))
+        joined.select(
+            "probe_id", "bucket", id_col,
+            V.cosine(F.col("probe_vec"), F.col("vec")).alias("_cos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("probe_id", "bucket", id_col,

@@ -68,3 +68,32 @@ def test_ivf_nprobe_recall_monotone(spark):
     b1, b2, b4 = best(1), best(2), best(N_CELLS)
     for p in b1:
         assert b1[p] <= b2[p] <= b4[p]  # wider scan never worsens recall
+
+
+def test_lsh_multi_table_recall_monotone_and_distinct(spark):
+    _, df = _corpus(spark)
+
+    def run(n_tables):
+        rows = S.lsh_topk(df, probe_ids=[0, 1, 2], k=1, n_planes=4,
+                          dim=DIM, n_tables=n_tables).collect()
+        best = {r.probe_id: r.cos_sim for r in rows if r.rn == 1}
+        return best, rows
+
+    b1, _ = run(1)
+    b3, rows3 = run(3)
+    for p in b1:
+        assert b1[p] <= b3[p]  # extra tables never worsen recall
+    # first-matching-table emission: no duplicate candidates per probe
+    keys = [(r.probe_id, r.vec_id) for r in rows3]
+    assert len(keys) == len(set(keys))
+
+
+def test_lsh_single_table_matches_legacy_buckets(spark):
+    # n_tables=1 must keep the original md5("{p}:{d}") hyperplanes — the
+    # declared oracle embeds them as literals.
+    _, df = _corpus(spark)
+    legacy = S.lsh_sign_buckets(df, n_planes=4, dim=DIM)
+    multi = S.lsh_sign_buckets(df, n_planes=4, dim=DIM, table=0)
+    a = {(r.vec_id, r.bucket) for r in legacy.collect()}
+    b = {(r.vec_id, r.bucket) for r in multi.collect()}
+    assert a == b
