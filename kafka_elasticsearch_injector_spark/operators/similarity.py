@@ -208,6 +208,55 @@ def lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
     )
 
 
+def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
+                     n_planes: int = 8, dim: int = 64, n_tables: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup PAIRS at corpus scale: multi-table
+    sign-LSH candidate generation (corpus × corpus bucket equi-join,
+    never all-pairs) + exact-cosine verify ≥ threshold. Returns
+    (vec_a < vec_b, cos_sim rounded 6).
+
+    This is the discovery path the blocked O(N²) kernel
+    (nearest_neighbor_pairs) verifies against: per (table, bucket)
+    equi-join, first-matching-table emission (no distinct() shuffle),
+    cosine computed only on candidates. Recall: a pair at angle θ
+    collides in one table with P = (1-θ/π)^planes; tables union
+    independently, so for genuine near-dups (cos ≥ 0.9, θ ≤ 26°)
+    two 8-plane tables already catch ~2/3 of pairs and recall rises
+    exponentially with `n_tables` — while wide-angle pairs stay
+    cheaply unexamined. At 100 TB partition the corpus by (table 0's)
+    bucket so the self-join is co-located.
+    """
+    bucket_cols = [f"bucket_{t}" for t in range(n_tables)]
+    bucketed = emb
+    for t in range(n_tables):
+        bucketed = lsh_sign_buckets(
+            bucketed, n_planes, dim, vec_col, table=t, out_col=bucket_cols[t])
+    exploded = bucketed.select(
+        F.col(id_col), V.to_double(F.col(vec_col)).alias("vec"),
+        *bucket_cols,
+        F.posexplode(F.array(*[F.col(c) for c in bucket_cols]))
+        .alias("tidx", "bh"))
+    a = exploded.select(
+        F.col(id_col).alias("vec_a"), F.col("vec").alias("va"), "tidx", "bh",
+        *[F.col(c).alias(f"a_{c}") for c in bucket_cols])
+    b = exploded.select(
+        F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"), "tidx", "bh",
+        *[F.col(c).alias(f"b_{c}") for c in bucket_cols])
+    joined = a.join(b, ["tidx", "bh"]).filter(F.col("vec_a") < F.col("vec_b"))
+    for t in range(n_tables - 1):
+        joined = joined.filter(
+            (F.lit(t) >= F.col("tidx"))
+            | (F.col(f"a_bucket_{t}") != F.col(f"b_bucket_{t}")))
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        joined.select("vec_a", "vec_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
 def nearest_neighbor_pairs(emb: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            size_hint: int | None = None) -> DataFrame:

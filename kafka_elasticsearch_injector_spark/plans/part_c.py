@@ -664,6 +664,65 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(table(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2])
 
 
+_EMBCOS_LSH_THRESH, _EMBCOS_LSH_TABLES = 0.35, 2
+
+
+def _lsh_pairs_oracle_sql(threshold: float, n_tables: int,
+                          n_planes: int = 8, dim: int = 64) -> str:
+    """Oracle for q_dedup_embcos_lsh: buckets for every LSH table from
+    the same md5-derived hyperplane literals; a pair qualifies when ANY
+    table's buckets collide, verified at exact cosine ≥ threshold."""
+    from ..operators.similarity import hyperplane_signs
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        projs = []
+        for signs in hyperplane_signs(n_planes, dim, table=t):
+            lst = "list_value(" + ", ".join(f"{s}.0" for s in signs) + ")"
+            projs.append(
+                "list_reduce(list_prepend(0.0, list_transform(range(1, "
+                f"{dim + 1}), i -> CAST(embedding[i] AS DOUBLE) * {lst}[i])), "
+                "(acc, x) -> acc + x)")
+        bucket = " + ".join(
+            f"CASE WHEN ({p}) >= 0 THEN {2 ** b} ELSE 0 END"
+            for b, p in enumerate(projs))
+        bucket_exprs.append(f"CAST({bucket} AS INTEGER) AS b{t}")
+    collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    cos = (f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+           "(acc, x) -> acc + x) "
+           f"/ ({_DD_NORM.format(v='a.embedding')} * {_DD_NORM.format(v='b.embedding')})")
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {', '.join(bucket_exprs)} FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.vec_id < b.vec_id AND ({collide})
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "q_dedup_embcos_lsh",
+    _lsh_pairs_oracle_sql(_EMBCOS_LSH_THRESH, _EMBCOS_LSH_TABLES),
+    doc="Embedding-cosine near-dup pairs via the SCALE discovery path: "
+        "2-table sign-LSH bucket self-join (never all-pairs) + exact "
+        "cosine verify. Complements q_dedup_embcos (exact O(N²) top-1 "
+        "baseline): same verify arithmetic, pruned candidate set. The "
+        "synthetic embeddings have no true near-dups (max cos ≈ 0.46), "
+        "so the threshold sits at the distribution tail — the query "
+        "checks the full plumbing deterministically; real corpora run "
+        "cos ≥ 0.9 where per-table collision probability is high.",
+)
+def q_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    return S.cosine_pairs_lsh(
+        table(spark, sf_dir, "embeddings"),
+        threshold=_EMBCOS_LSH_THRESH, n_tables=_EMBCOS_LSH_TABLES)
+
+
 @register(
     "q_media_meta",
     """

@@ -68,10 +68,11 @@ _PRIORITY = [
     "q_token_count", "q_doc_fingerprint", "q_text_stats", "q_media_meta",
     "q_token_freq", "q_tfidf_topterms", "q_pii_scrub",
     "q_doc_len_histogram", "q_sample_stratified", "q_dedup_minhash_cluster",
+    "q_dedup_embcos_lsh",
     # Part B — representative relational spread
     "q_tpch_q3", "q_tpch_q5", "q_join_asof", "q_join_range",
     "q_agg_hash", "q_window_tumble", "q_window_session_analog", "q_cube",
-    "q_percentile", "q_variant_json", "q_merge_upsert",
+    "q_percentile", "q_variant_json",
 ]
 
 
