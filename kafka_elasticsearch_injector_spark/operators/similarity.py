@@ -105,6 +105,40 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
     )
 
 
+def ivf_train(emb: DataFrame, nlist: int, id_col: str = "vec_id",
+              vec_col: str = "embedding", seed: int = 42,
+              label_col: str = "label", max_iter: int = 20) -> DataFrame:
+    """Train the IVF coarse quantizer: k-means over the embedding column
+    (pyspark.ml, distributed Lloyd's), returning (id, label) cell
+    assignments to feed ivf_topk's `label_col`.
+
+    The declared queries use the pre-assigned `label` column so the
+    oracle stays deterministic; this is the production path that
+    produces such a column (SURVEY.md §2.3: "at production scale run
+    .ml KMeans and persist assignments — the plan shape is identical").
+    At 100 TB: train on a sample (KMeans fits the sample in driver-side
+    iterations over aggregated stats, not raw rows), then one narrow
+    transform assigns every row; persist the assignments partitioned by
+    cell so probes are co-located single-cell reads.
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as ex:  # pragma: no cover — ml ships with pyspark
+        raise NotImplementedError(
+            "ivf_train needs pyspark.ml (not available in this "
+            "deployment); assign cells externally and pass label_col "
+            "to ivf_topk") from ex
+
+    feats = emb.select(
+        F.col(id_col),
+        array_to_vector(V.to_double(F.col(vec_col))).alias("_features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter,
+                   featuresCol="_features", predictionCol=label_col,
+                   ).fit(feats)
+    return model.transform(feats).select(id_col, label_col)
+
+
 def hyperplane_signs(n_planes: int, dim: int,
                      table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random ±1 hyperplanes: sign(p, d) = +1 iff

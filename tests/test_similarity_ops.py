@@ -97,3 +97,21 @@ def test_lsh_single_table_matches_legacy_buckets(spark):
     a = {(r.vec_id, r.bucket) for r in legacy.collect()}
     b = {(r.vec_id, r.bucket) for r in multi.collect()}
     assert a == b
+
+
+def test_ivf_train_and_search_end_to_end(spark):
+    """Production IVF path: KMeans-trained cells drive the same search
+    plan the declared (pre-labeled) query uses."""
+    rows, df = _corpus(spark)
+    cells = S.ivf_train(df.select("vec_id", "embedding"), nlist=4, seed=7)
+    assert cells.count() == 60
+    n_cells = cells.select("label").distinct().count()
+    assert 1 < n_cells <= 4
+    relabeled = df.drop("label").join(cells, "vec_id")
+    got = S.ivf_topk(relabeled, probe_ids=[0, 1, 2], k=3,
+                     nprobe=n_cells, dim=DIM)
+    by_probe: dict[int, list[int]] = {}
+    for r in sorted(got.collect(), key=lambda r: (r.probe_id, r.rn)):
+        by_probe.setdefault(r.probe_id, []).append(r.vec_id)
+    # full cell coverage ⇒ exact, regardless of the trained partition
+    assert by_probe == _brute_topk(rows, [0, 1, 2], 3)
