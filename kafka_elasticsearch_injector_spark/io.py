@@ -29,11 +29,20 @@ _NANOS_TS_COLS = {
 }
 
 
-# (session id, sf_dir, table) → analyzed DataFrame. Re-reading the same
+# (session key, sf_dir, table) → analyzed DataFrame. Re-reading the same
 # parquet re-lists files and re-reads footers per query; memoizing the
 # analyzed logical plan removes that fixed cost from every plan build.
-# Keyed by session so a restarted SparkSession never serves stale plans.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by the Spark application id (unique per context, unlike id(),
+# which CPython can reuse after GC) so a restarted SparkSession never
+# serves stale plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover — stopped context
+        return f"id-{id(spark)}"
 
 
 # Runtime-settable confs every reader needs, applied to whatever session we
@@ -45,11 +54,12 @@ _SESSION_CONFS = (
     ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ("spark.sql.session.timeZone", "UTC"),
 )
-_CONFIGURED_SESSIONS: set[int] = set()
+_CONFIGURED_SESSIONS: set[str] = set()
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
-    if id(spark) in _CONFIGURED_SESSIONS:
+    key = _session_key(spark)
+    if key in _CONFIGURED_SESSIONS:
         return
     for k, v in _SESSION_CONFS:
         try:
@@ -57,7 +67,7 @@ def _ensure_session_confs(spark: SparkSession) -> None:
                 spark.conf.set(k, v)
         except Exception:
             spark.conf.set(k, v)
-    _CONFIGURED_SESSIONS.add(id(spark))
+    _CONFIGURED_SESSIONS.add(key)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -65,7 +75,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
