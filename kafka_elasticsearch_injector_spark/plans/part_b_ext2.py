@@ -641,3 +641,24 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_q"),
         )
     )
+
+
+@register(
+    "q_salted_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact distinct count through the SKEW-SALTED topology "
+        "(operators/scale.py): phase 1 dedups (group, salt(value), "
+        "value) so a hot group's distinct values spread over 16 "
+        "reducers instead of funneling through one; per-salt counts sum "
+        "to the exact answer because a value always hashes to the same "
+        "salt. Oracle is the plain COUNT(DISTINCT) — results must be "
+        "identical, only the physical plan differs.",
+)
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import salted_distinct_count
+
+    return salted_distinct_count(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey")

@@ -72,7 +72,7 @@ _PRIORITY = [
     # Part B — representative relational spread
     "q_tpch_q3", "q_tpch_q5", "q_join_asof", "q_join_range",
     "q_agg_hash", "q_window_tumble", "q_window_session_analog", "q_cube",
-    "q_percentile", "q_variant_json",
+    "q_percentile", "q_salted_distinct",
 ]
 
 
