@@ -3,6 +3,16 @@ registry client, and the pure-Python Avro binary codec backing them when
 the spark-avro artifact isn't loaded."""
 
 from .avro_codec import AvroError, Codec, parse_schema  # noqa: F401
+from .avro_ocf import (  # noqa: F401
+    decode_ocf,
+    df_to_ocf,
+    drop_malformed_ocf,
+    encode_ocf,
+    ocf_schema,
+    ocf_to_parquet,
+    read_ocf,
+    write_ocf,
+)
 from .confluent import (  # noqa: F401
     avro_to_spark_type,
     decode_confluent,
