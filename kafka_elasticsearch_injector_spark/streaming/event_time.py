@@ -85,6 +85,51 @@ def session_counts(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def join_streams(left: DataFrame, right: DataFrame, key: str,
+                 left_ts: str = "ts", right_ts: str = "ts",
+                 watermark: str = "30 minutes",
+                 bound: str = "15 minutes",
+                 how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events for the same key whose timestamp falls in
+    [left_ts, left_ts + bound] — the click↔impression correlation shape.
+
+    Semantics (Structured Streaming's spec, restated):
+    - Both sides are watermarked; buffered state on each side is evicted
+      once the watermark passes `bound` + watermark delay, so state is
+      bounded by (throughput × horizon), independent of stream age.
+    - `how="inner"` emits as matches arrive. `how="left"` additionally
+      emits unmatched left rows with null right columns — but only once
+      the watermark proves no match can still arrive, so outer results
+      trail by the watermark delay (that lag is inherent, not a bug).
+    - The time-bound condition is REQUIRED — an unconstrained
+      stream-stream join would buffer both streams forever; this
+      function makes the unsafe shape unrepresentable.
+
+    Output columns: left's as-is, right's prefixed `r_` (the key and
+    timestamp columns collide by construction).
+
+    Scale: the join shuffles both sides on the key; state-store entries
+    live in executor memory/RocksDB. Skewed keys concentrate buffered
+    rows — at 100 TB route chatty keys through a salted pre-aggregation
+    or shorten `bound` for them.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"interval {bound}"))
+    )
+    joined = lw.join(rw, cond, "inner" if how == "inner" else "leftOuter")
+    left_cols = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    right_cols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
+    return joined.select(*left_cols, *right_cols)
+
+
 def streaming_dedup(events: DataFrame, key_col: str,
                     payload_cols: list[str],
                     ttl_minutes: int | None = None) -> DataFrame:

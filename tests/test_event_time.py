@@ -13,6 +13,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+from pyspark.sql import functions as F
+
 from kafka_elasticsearch_injector_spark.streaming.event_time import (
     session_counts,
     sliding_counts,
@@ -146,3 +148,92 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         batches)
     got = {(r.event_id, r.props) for r in out.collect()}
     assert got == {(1, "first-1"), (2, "first-2"), (3, "first-3")}
+
+
+def _run_two_stream_batches(spark, root, lschema, rschema, transform,
+                            batches):
+    """Two-source twin of _run_batches: each step adds one file per
+    side, then one availableNow pass over the shared checkpoint."""
+    ldir, rdir = os.path.join(root, "lsrc"), os.path.join(root, "rsrc")
+    out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    os.makedirs(ldir, exist_ok=True)
+    os.makedirs(rdir, exist_ok=True)
+    for i, (lrows, rrows) in enumerate(batches):
+        spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(
+            os.path.join(ldir, f"batch_{i}.parquet"))
+        spark.createDataFrame(rrows, rschema).coalesce(1).write.parquet(
+            os.path.join(rdir, f"batch_{i}.parquet"))
+        left = spark.readStream.schema(lschema).parquet(
+            os.path.join(ldir, "*.parquet"))
+        right = spark.readStream.schema(rschema).parquet(
+            os.path.join(rdir, "*.parquet"))
+        q = (
+            transform(left, right).writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120), "stream pass timed out"
+    return spark.read.parquet(out_dir)
+
+
+def test_stream_stream_interval_join_inner(spark, tmp_path):
+    from kafka_elasticsearch_injector_spark.streaming.event_time import (
+        join_streams,
+    )
+    lschema = "user_id LONG, ts TIMESTAMP, imp STRING"     # impressions
+    rschema = "user_id LONG, ts TIMESTAMP, page STRING"    # clicks
+    batches = [
+        # u1's click at +2 is within [imp_ts, imp_ts+15m] of its +0
+        # impression → match. u2's click at +30 is outside the bound.
+        ([(1, _m(0), "imp-1"), (2, _m(0), "imp-2")],
+         [(1, _m(2), "home")]),
+        ([], [(2, _m(30), "late-click")]),
+        # u3: click arrives a batch AFTER the impression — the buffered
+        # left state must still produce the match.
+        ([(3, _m(40), "imp-3")], []),
+        ([], [(3, _m(45), "detail")]),
+    ]
+    out = _run_two_stream_batches(
+        spark, str(tmp_path), lschema, rschema,
+        lambda l, r: join_streams(l, r, "user_id", bound="15 minutes"),
+        batches)
+    got = {(r.user_id, r.imp, r.r_page) for r in out.collect()}
+    assert got == {(1, "imp-1", "home"), (3, "imp-3", "detail")}
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    from kafka_elasticsearch_injector_spark.streaming.event_time import (
+        join_streams,
+    )
+    lschema = "user_id LONG, ts TIMESTAMP, imp STRING"
+    rschema = "user_id LONG, ts TIMESTAMP, page STRING"
+    batches = [
+        ([(1, _m(0), "imp-1"), (2, _m(0), "imp-2")],
+         [(1, _m(2), "home")]),
+        # Advance BOTH watermarks far past imp-2's horizon (+15m bound +
+        # 30m delay) so the unmatched left row is provably final and the
+        # null-extended row emits.
+        ([(9, _m(600), "imp-9")], [(9, _m(600), "p9")]),
+        ([(8, _m(1200), "imp-8")], [(8, _m(1200), "p8")]),
+    ]
+    out = _run_two_stream_batches(
+        spark, str(tmp_path), lschema, rschema,
+        lambda l, r: join_streams(l, r, "user_id", bound="15 minutes",
+                                  how="left"),
+        batches)
+    rows = {(r.user_id, r.imp, r.r_page) for r in out.collect()}
+    assert (2, "imp-2", None) in rows          # unmatched → null-extended
+    assert (1, "imp-1", "home") in rows        # matched row intact
+
+
+def test_join_streams_rejects_unknown_how(spark):
+    from kafka_elasticsearch_injector_spark.streaming.event_time import (
+        join_streams,
+    )
+    df = spark.range(1).select(
+        F.current_timestamp().alias("ts"), F.col("id").alias("user_id"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner|left"):
+        join_streams(df, df, "user_id", how="full")
