@@ -405,13 +405,24 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per expression, not a global setting flip.",
 )
 def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # try_cast string→int goes through the ANSI cast, which THROWS and
+    # catches a JVM exception per unparseable row — on a column where
+    # most rows don't parse (this one: '1-URGENT'…) that's ~50× slower
+    # than the parse itself, and at 100 TB an exception storm. The rlike
+    # guard short-circuits non-candidates to NULL without entering the
+    # throwing path; CaseWhen evaluates the cast branch lazily, and the
+    # guard accepts exactly the trimmed [+-]?digits forms the Spark cast
+    # does (ASCII \d, no decimals/exponents — verified against plain
+    # try_cast on edge cases), so results are identical.
+    maybe_int = F.col("o_orderpriority").rlike(r"^\s*[+-]?\d+\s*$")
     return table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.try_divide(
             F.col("o_totalprice"),
             F.dayofmonth(F.col("o_orderdate").cast("date")) - 15), 6)
         .alias("per_day_off"),
-        F.col("o_orderpriority").try_cast("int").alias("prio_bad"),
+        F.when(maybe_int, F.col("o_orderpriority").try_cast("int"))
+        .alias("prio_bad"),
         F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
     )
 
