@@ -1,0 +1,125 @@
+"""Corpus-curation operators for assembling an LLM training mix:
+sequence packing, deterministic mixture sampling, and eval-set
+decontamination.
+
+None of this exists in the reference (its surface ends at routing
+records into Elasticsearch, src/elasticsearch/codec.go:21-100); these
+are the operations a training-data pipeline runs BETWEEN a deduplicated
+corpus and the trainer, declared here Spark-first:
+
+- pack_sequences: concat-and-chunk token budgeting — the standard
+  pretraining packing scheme (documents concatenated in a fixed order,
+  split into budget-sized chunks; a document belongs to the chunk where
+  it starts). One window cumsum per shard, no Python in the row path.
+- mixture_sample: per-domain sampling weights applied via a seedless
+  md5 threshold, so the sampled mix is reproducible across engines,
+  retries, and partial re-runs (rand() is none of those).
+- decontaminate: exact word-n-gram overlap against an eval/benchmark
+  set — the screen that keeps test data out of the training mix.
+
+All three are pure Column-expression plans: whole-stage codegen, no
+UDFs, no driver-side actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens, word_ngrams
+
+# 2^32 as a double: dividing the 8-hex-digit (32-bit) md5 prefix by it
+# maps ids to [0, 1) exactly (power-of-two division is lossless), so
+# threshold comparisons are bit-identical in every engine.
+_TWO_32 = 4294967296.0
+
+
+def n_tokens(text_col: Column | str) -> Column:
+    """Whitespace token count (the corpus's tokenizer stand-in)."""
+    return F.size(tokens(text_col)).cast("int")
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 32,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Assign each document its position in a concat-and-chunk packing:
+    documents are laid out shard-by-shard in id order, and chunk
+    `chunk_id` of a shard holds tokens [chunk_id*budget, (chunk_id+1)*
+    budget). A document belongs to the chunk containing its FIRST token
+    (documents may straddle a boundary — the trainer reads them across
+    the cut, exactly how pretraining packing works).
+
+    Returns (id, shard, n_tokens, chunk_id, chunk_offset).
+
+    Scale: the only wide op is one hash-partition by `shard` for the
+    per-shard window cumsum. Shards bound the sequential region — the
+    cumsum within a shard is a single-task scan, so pick n_shards ≈
+    cluster cores × a few (or reuse the upstream partition id) and the
+    packing of a 100 TB corpus is embarrassingly parallel while staying
+    fully deterministic (shard = id % n_shards, order = id). A global
+    single-window formulation would serialize the whole corpus through
+    one task; this one never does.
+    """
+    nt = n_tokens(text_col)
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return (
+        docs.select(F.col(id_col), shard.alias("shard"),
+                    nt.alias("n_tokens"))
+        .withColumn("_start", start)
+        .select(
+            id_col, "shard", "n_tokens",
+            F.expr(f"_start div {int(budget)}").alias("chunk_id"),
+            (F.col("_start") % budget).alias("chunk_offset"),
+        )
+    )
+
+
+def mixture_sample(docs: DataFrame, rates: dict[str, float],
+                   key_col: str = "source", default_rate: float = 0.0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted mixture: keep a row iff
+    u(id) < rates[key], where u(id) = first 32 md5 bits of the id as a
+    uniform [0,1) draw. Same columns out as in.
+
+    Why a hash, not rand(): the sampled set is a pure function of the
+    data, so re-running a failed partition, changing parallelism, or
+    reproducing the mix months later yields byte-identical output — and
+    raising a domain's rate later only ADDS documents (u is fixed per
+    id, thresholds are nested), which makes mixture experiments
+    monotone. Plan: one narrow filter, no shuffle, no state.
+    """
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("bigint") / F.lit(_TWO_32))
+    rate: Column = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(key_col) == key, F.lit(float(r))).otherwise(rate)
+    return docs.filter(u < rate)
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Contamination screen: for every corpus document, count its
+    distinct word n-grams that also occur anywhere in `eval_df`.
+    Returns (id, n_hits) for contaminated documents only — the set a
+    curation pipeline quarantines (anti-join) or downweights.
+
+    Shape: the eval side collapses to DISTINCT n-grams — benchmarks are
+    tiny relative to a corpus, so that set broadcasts and the screen is
+    a map-side semi-join-with-count: corpus n-grams never shuffle. At
+    100 TB the corpus side stays a narrow explode → broadcast-join →
+    partial-count; only (doc, hit-count) rows — bounded by the eval
+    set's size — reach the reducers. n≈8-13 word n-grams is the
+    published decontamination range (GPT-3 used 13-grams); collisions
+    at that length are evidence of copying, not chance.
+    """
+    grams = F.array_distinct(word_ngrams(tokens(text_col), n))
+    ev = (eval_df.select(F.explode(grams).alias("gram")).distinct())
+    co = corpus.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return (
+        co.join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )

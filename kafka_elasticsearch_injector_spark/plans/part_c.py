@@ -934,3 +934,113 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return M.audio_features(M.attach_audio(docs))
+
+
+# ===================================================================
+# Corpus curation (operators/curation.py): packing, mixing, decontam
+# ===================================================================
+
+
+_PACK_BUDGET, _PACK_SHARDS = 512, 8
+
+
+@register(
+    "q_pack_sequences",
+    f"""
+    SELECT doc_id, shard, n_tokens,
+           (start_tok // {_PACK_BUDGET}) AS chunk_id,
+           (start_tok % {_PACK_BUDGET}) AS chunk_offset
+    FROM (
+      SELECT doc_id,
+             CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(SUM(len(string_split(text, ' '))) OVER (
+                    PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id)
+                  - len(string_split(text, ' ')) AS BIGINT) AS start_tok
+      FROM documents
+    )
+    """,
+    doc="Sequence packing for the trainer: concat-and-chunk token "
+        "budgeting (budget=512 whitespace tokens, 8 shards) — each doc "
+        "gets the chunk containing its first token plus its offset in "
+        "that chunk. One per-shard window cumsum; shards keep the "
+        "packing of an arbitrarily large corpus parallel AND "
+        "deterministic.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as C
+
+    return C.pack_sequences(
+        table(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _mix_rate_sql(key: str = "source") -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {r}" for k, r in sorted(_MIX_RATES.items()))
+    return f"CASE {key} {whens} ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "q_mixture_sample",
+    f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS DOUBLE) / 4294967296.0
+          < {_mix_rate_sql()}
+    """,
+    doc="Training-mix assembly: per-domain sampling weights (src0 kept "
+        "whole, src1-3 down-weighted, long tail at 10%) applied via a "
+        "seedless md5-of-id threshold — reproducible across engines, "
+        "retries, and reruns, and monotone under weight increases "
+        "(raising a rate only adds documents). One narrow filter; "
+        "no shuffle, no RNG state.",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as C
+
+    return C.mixture_sample(
+        table(spark, sf_dir, "documents"), _MIX_RATES,
+        default_rate=_MIX_DEFAULT).select("doc_id", "source", "lang")
+
+
+_DECON_N, _DECON_MOD = 4, 41
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {_DECON_N} + 2, 1)),
+               i -> array_to_string(t[i:i+{_DECON_N}-1], ' ')))) AS gram
+      FROM d
+    ), ev AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0
+    ), co AS (
+      SELECT doc_id, gram FROM g WHERE doc_id % {_DECON_MOD} <> 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits
+    FROM co JOIN ev USING (gram) GROUP BY doc_id
+    """,
+    doc="Eval-set decontamination screen: corpus documents sharing any "
+        "word 4-gram with the held-out set (doc_id % 41 = 0 plays the "
+        "benchmark) are flagged with their overlap count. The eval "
+        "n-gram set broadcasts (benchmarks are tiny vs the corpus), so "
+        "the screen is a map-side join — corpus n-grams never shuffle.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as C
+
+    docs = table(spark, sf_dir, "documents")
+    return C.decontaminate(
+        docs.filter(F.col("doc_id") % _DECON_MOD != 0),
+        docs.filter(F.col("doc_id") % _DECON_MOD == 0),
+        n=_DECON_N)

@@ -1,0 +1,104 @@
+"""Corpus-curation operators: packing positions hand-computed, mixture
+sampling's determinism/monotonicity/rate contracts, and the
+decontamination screen on planted eval overlap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_injector_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_pack_sequences_positions(spark):
+    # One shard (n_shards=1): token counts 3, 4, 5 with budget 6 —
+    # starts 0, 3, 7 → chunks 0, 0, 1 and offsets 0, 3, 1.
+    docs = _docs(spark, [
+        (0, "a b c"), (1, "a b c d"), (2, "a b c d e")])
+    out = {r.doc_id: r for r in C.pack_sequences(
+        docs, budget=6, n_shards=1).collect()}
+    assert (out[0].chunk_id, out[0].chunk_offset) == (0, 0)
+    assert (out[1].chunk_id, out[1].chunk_offset) == (0, 3)
+    assert (out[2].chunk_id, out[2].chunk_offset) == (1, 1)
+    assert all(out[i].shard == 0 for i in range(3))
+    assert [out[i].n_tokens for i in range(3)] == [3, 4, 5]
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    # Two shards: each shard's cumsum starts at zero — doc 1 (shard 1)
+    # must not see doc 0's tokens.
+    docs = _docs(spark, [(0, "a b c d e"), (1, "x y"), (2, "p q r")])
+    out = {r.doc_id: r for r in C.pack_sequences(
+        docs, budget=4, n_shards=2).collect()}
+    assert out[1].shard == 1 and out[1].chunk_id == 0 \
+        and out[1].chunk_offset == 0
+    # Shard 0: doc 0 starts at 0; doc 2 starts at 5 → chunk 1 offset 1.
+    assert out[2].shard == 0 and out[2].chunk_id == 1 \
+        and out[2].chunk_offset == 1
+
+
+def test_mixture_sample_rate_edges_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "srcA" if i % 2 == 0 else "srcB") for i in range(200)],
+        "doc_id LONG, source STRING")
+    keep_all = C.mixture_sample(docs, {"srcA": 1.0, "srcB": 1.0})
+    assert keep_all.count() == 200
+    drop_b = C.mixture_sample(docs, {"srcA": 1.0}, default_rate=0.0)
+    kept = [r.source for r in drop_b.collect()]
+    assert set(kept) == {"srcA"} and len(kept) == 100
+    # Determinism: identical plans sample identical ids.
+    a = {r.doc_id for r in C.mixture_sample(docs, {"srcA": 0.4}).collect()}
+    b = {r.doc_id for r in C.mixture_sample(docs, {"srcA": 0.4}).collect()}
+    assert a == b
+
+
+def test_mixture_sample_monotone_in_rate(spark):
+    # Raising a rate only ADDS documents (nested thresholds) — the
+    # property that makes mixture-weight experiments comparable.
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(500)], "doc_id LONG, source STRING")
+    low = {r.doc_id for r in C.mixture_sample(docs, {"s": 0.3}).collect()}
+    high = {r.doc_id for r in C.mixture_sample(docs, {"s": 0.7}).collect()}
+    assert low <= high
+    # And the realized fraction tracks the nominal rate.
+    assert 0.2 < len(low) / 500 < 0.4
+    assert 0.6 < len(high) / 500 < 0.8
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    ev = _docs(spark, [(100, "alpha beta gamma delta")])
+    corpus = _docs(spark, [
+        # shares the 3-grams "alpha beta gamma" and "beta gamma delta"
+        (1, "x alpha beta gamma delta y"),
+        (2, "no overlap at all here"),
+        (3, "alpha beta gamma"),            # one shared 3-gram
+    ])
+    out = {r.doc_id: r.n_hits for r in C.decontaminate(
+        corpus, ev, n=3).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # A corpus doc repeating the same contaminated n-gram counts it once.
+    ev = _docs(spark, [(100, "a b c")])
+    corpus = _docs(spark, [(1, "a b c a b c a b c")])
+    out = C.decontaminate(corpus, ev, n=3).collect()
+    assert [(r.doc_id, r.n_hits) for r in out] == [(1, 1)]
+
+
+def test_decontaminate_short_docs_are_clean(spark):
+    # Docs shorter than n produce no n-grams (and no crash).
+    ev = _docs(spark, [(100, "a b c d")])
+    corpus = _docs(spark, [(1, "a b")])
+    assert C.decontaminate(corpus, ev, n=3).count() == 0
+
+
+def test_pack_sequences_plan_has_no_python(spark):
+    docs = _docs(spark, [(0, "a b"), (1, "c")])
+    plan = C.pack_sequences(
+        docs, budget=8, n_shards=2)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
