@@ -171,3 +171,42 @@ def test_pii_scrub_is_narrow_codegen(spark, sf_dir):
     tree = plan.split("\n\n", 1)[0]
     assert "Exchange" not in tree, tree
     assert "codegen id" in plan or "* Project" in plan, plan
+
+
+def test_tpch_q1_scan_side_reduction(spark, sf_dir):
+    # The pricing summary must reduce at the scan side: date filter
+    # pushed into parquet, partial HashAggregate before any exchange.
+    plan = _explain(spark, sf_dir, "q_tpch_q1")
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1), plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_tpch_q10_broadcasts_nation(spark, sf_dir):
+    plan = _explain(spark, sf_dir, "q_tpch_q10")
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    flat = " ".join(pushed)
+    assert "o_orderdate" in flat and "l_returnflag" in flat, pushed
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    # Packing's only wide op is the per-shard window partition; a second
+    # hash exchange would mean the cumsum stopped reusing it.
+    plan = _explain(spark, sf_dir, "q_pack_sequences")
+    assert "Window" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # shard hash (+ AQE wrapper)
+
+
+def test_mixture_sample_is_narrow(spark, sf_dir):
+    # A sampling filter that shuffles would be a scale bug.
+    plan = _explain(spark, sf_dir, "q_mixture_sample")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    # The eval n-gram set must broadcast — shuffling the corpus's
+    # exploded n-grams is exactly what the operator exists to avoid.
+    plan = _explain(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
