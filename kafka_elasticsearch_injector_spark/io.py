@@ -19,10 +19,14 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
-# (spark.sql.legacy.parquet.nanosAsLong); convert ns → µs timestamps here,
-# matching DuckDB's ns→µs truncation, so both engines see identical values.
-_NANOS_TS_COLS = {
+# Event-time columns whose parquet physical type has varied across testdata
+# generations: INT64 TIMESTAMP(NANOS) (read as long under
+# spark.sql.legacy.parquet.nanosAsLong) or INT64 TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Either way we normalize to
+# the session TIMESTAMP type under a UTC session timezone, so every
+# downstream operator (unix_millis, window(), date_format) sees one type and
+# the values agree instant-for-instant with DuckDB's naive-µs reading.
+_EVENT_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -79,9 +83,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for c in _NANOS_TS_COLS.get(name, ()):
-            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        dtypes = dict(df.dtypes)
+        for c in _EVENT_TS_COLS.get(name, ()):
+            if c not in dtypes:
+                continue
+            if dtypes[c] == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            elif dtypes[c] == "timestamp_ntz":  # TIMESTAMP(MICROS, NTZ)
+                # NTZ wall time reinterpreted in the (UTC) session zone —
+                # identical instants to the nanos path above.
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         _TABLE_CACHE[key] = df
     return df
 
