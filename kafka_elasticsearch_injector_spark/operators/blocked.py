@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scale import fill_cluster
+
 DEFAULT_BLOCKS = 8
 
 # Adaptive blocking targets ~this many rows per tile side: tiles stay
@@ -79,6 +81,7 @@ def replicate_block_pairs(df: DataFrame, id_col: str, n_blocks: int) -> DataFram
             f"blocked kernels need an integral id column; {id_col!r} is "
             f"{dtype!r}. Hash non-numeric ids first "
             f"(F.xxhash64({id_col!r})) and re-join the originals after.")
+    df = fill_cluster(df)
     other = df.sparkSession.range(n_blocks).select(
         F.col("id").cast("int").alias("_ob"))
     w = df.withColumn("_blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int"))

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import tokens, word_ngrams
+from .scale import fill_cluster
 
 # 2^32 as a double: dividing the 8-hex-digit (32-bit) md5 prefix by it
 # maps ids to [0, 1) exactly (power-of-two division is lossless), so
@@ -116,8 +117,12 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
     at that length are evidence of copying, not chance.
     """
     grams = F.array_distinct(word_ngrams(tokens(text_col), n))
-    ev = (eval_df.select(F.explode(grams).alias("gram")).distinct())
-    co = corpus.select(F.col(id_col), F.explode(grams).alias("gram"))
+    # N-gram construction is the CPU cost here and runs below any
+    # exchange — rebalance both sides so it uses the whole cluster.
+    ev = (fill_cluster(eval_df)
+          .select(F.explode(grams).alias("gram")).distinct())
+    co = fill_cluster(corpus).select(
+        F.col(id_col), F.explode(grams).alias("gram"))
     return (
         co.join(F.broadcast(ev), "gram")
         .groupBy(id_col)

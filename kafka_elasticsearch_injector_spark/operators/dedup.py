@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .scale import fill_cluster
+
 
 def tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
@@ -168,7 +170,9 @@ def minhash_lsh_pairs(
       most bands, making that shuffle the dominant cost otherwise.
     """
     toks = tokens(text_col)
-    shingled = df.select(
+    # Shingling + k salted hashes are CPU-bound and sit BELOW any later
+    # exchange, so they inherit the scan's split count — rebalance first.
+    shingled = fill_cluster(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(toks, shingle_n)).alias("shingles"),
     )
@@ -263,9 +267,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                      F.col(dst_col).alias("dst")).localCheckpoint()
     sym = e.unionByName(e.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
+    # Initial label = least(node, min neighbor): the same single shuffle a
+    # plain distinct() would pay, but it folds propagation iteration 1
+    # into the init. Clique-like dup components (the common near-dup
+    # shape) converge immediately — the loop then only has to CONFIRM
+    # (one iteration) instead of propagate-then-confirm (two).
     labels = (
-        sym.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("label"))
+        sym.groupBy("src").agg(F.min("dst").alias("_m"))
+        .select(F.col("src").alias("node"),
+                F.least("src", "_m").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -325,8 +335,9 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
     measured 5× slower at sf0.1.) Returns (id, simhash).
     """
     hashed = (
-        df.select(F.col(id_col),
-                  F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        fill_cluster(df)
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
         .withColumn("h", F.md5(F.col("tok")))
     )
     votes = hashed.select(
@@ -438,7 +449,7 @@ def ngram_jaccard_pairs(
     """
     from .blocked import jaccard_pairs_blocked
 
-    grams = df.select(
+    grams = fill_cluster(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(tokens(text_col), n)).alias("g"),
     )

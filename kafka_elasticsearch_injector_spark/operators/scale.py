@@ -25,6 +25,31 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fill_cluster(df: DataFrame, min_rows: int = 0) -> DataFrame:
+    """Rebalance a narrow scan across the cluster before a compute-heavy
+    kernel (n-gram shingling, minhash, vector math).
+
+    Parquet parallelism comes from file byte-range splits; a corpus
+    packed into few files/row groups yields fewer scan partitions than
+    cores, so a CPU-bound kernel downstream runs on a sliver of the
+    cluster while the rest idles. When — and only when — the input has
+    fewer partitions than `defaultParallelism`, shuffle it out. The
+    guard makes this free at scale: a 100 TB table scans as tens of
+    thousands of splits, the condition is false, and no exchange is
+    added. When the condition IS true, the data at that point is by
+    definition small (few splits), so the round-robin shuffle costs
+    less than the idle cores it reclaims.
+
+    The partition probe converts the plan driver-side (no Spark job,
+    no data read).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join where `big.key` is skewed and `small` is too large to

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from .scale import fill_cluster
 
 
 def label_centroids(emb: DataFrame, label_col: str = "label",
@@ -43,7 +44,7 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
         return (F.element_at(F.col(vec_col), d + 1)
                 .cast("double").cast("decimal(30,10)"))
 
-    sums = emb.groupBy(label_col).agg(
+    sums = fill_cluster(emb).groupBy(label_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(xd(d)).alias(f"_s{d}") for d in range(dim)],
     )
@@ -66,6 +67,9 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
 
     Returns (probe_id, label, vec_id, cos_sim, rn).
     """
+    # Per-candidate cosine is interpreted-HOF work below any exchange —
+    # spread the corpus scan before it.
+    emb = fill_cluster(emb)
     cents = label_centroids(emb, label_col, vec_col, dim=dim)
     probes = (
         emb.filter(F.col(id_col).isin(probe_ids))
@@ -130,7 +134,7 @@ def ivf_train(emb: DataFrame, nlist: int, id_col: str = "vec_id",
             "deployment); assign cells externally and pass label_col "
             "to ivf_topk") from ex
 
-    feats = emb.select(
+    feats = fill_cluster(emb).select(
         F.col(id_col),
         array_to_vector(V.to_double(F.col(vec_col))).alias("_features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter,
@@ -172,6 +176,7 @@ def lsh_sign_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64,
     100 TB, partition the corpus by bucket so probe lookups are
     single-partition reads."""
     planes = hyperplane_signs(n_planes, dim, table=table)
+    emb = fill_cluster(emb)
     v = V.to_double(F.col(vec_col))
     bucket: Column | None = None
     for p, signs in enumerate(planes):
