@@ -541,6 +541,39 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_repetition",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2 THEN list_transform(
+               range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END AS bg
+      FROM d
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(t) > 0
+             THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+             ELSE 0.0 END, 6) AS dup_token_frac,
+           ROUND(CASE WHEN len(bg) > 0
+             THEN CAST(list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                  / len(bg)
+             ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM g
+    """,
+    doc="Gopher/MassiveText repetition filters: duplicate-token "
+        "fraction and most-common-bigram mass, computed inside the row "
+        "(no groupBy, no shuffle — a pure projection at any scale).",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    return T.repetition_signals(table(spark, sf_dir, "documents"))
+
+
+@register(
     "q_token_count",
     """
     SELECT doc_id,

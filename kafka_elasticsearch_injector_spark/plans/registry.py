@@ -65,7 +65,7 @@ _PRIORITY = [
     "q_dedup_simhash_pairs", "q_dedup_ngram", "q_dedup_cluster",
     "q_dedup_embcos", "q_cosine_topk", "q_ann_ivf", "q_ann_lsh",
     "q_embed_norm", "q_lang_id", "q_lang_dist", "q_quality_score",
-    "q_token_count", "q_doc_fingerprint", "q_text_stats", "q_media_meta",
+    "q_quality_repetition", "q_token_count", "q_doc_fingerprint", "q_text_stats", "q_media_meta",
     "q_token_freq", "q_tfidf_topterms", "q_pii_scrub",
     "q_doc_len_histogram", "q_sample_stratified", "q_dedup_minhash_cluster",
     "q_dedup_embcos_lsh", "q_pack_sequences", "q_mixture_sample",

@@ -102,3 +102,39 @@ def test_pack_sequences_plan_has_no_python(spark):
         docs, budget=8, n_shards=2)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_signals_hand_computed(spark):
+    from kafka_elasticsearch_injector_spark.operators import text as T
+
+    docs = _docs(spark, [
+        # 4 tokens, 2 distinct -> dup 1/2; bigrams [a b, b a, a b]:
+        # top "a b" = 2/3.
+        (0, "a b a b"),
+        # all distinct -> dup 0; 3 bigrams all distinct -> top 1/3.
+        (1, "w x y z"),
+        # single token: no bigrams -> top 0.0.
+        (2, "solo"),
+        # pathological repeat: dup 4/5; one distinct bigram -> top 1.0.
+        (3, "spam spam spam spam spam"),
+    ])
+    out = {r.doc_id: r for r in T.repetition_signals(docs).collect()}
+    assert out[0].dup_token_frac == 0.5
+    assert out[0].top_bigram_frac == round(2 / 3, 6)
+    assert out[1].dup_token_frac == 0.0
+    assert out[1].top_bigram_frac == round(1 / 3, 6)
+    assert out[2].top_bigram_frac == 0.0
+    assert out[3].dup_token_frac == 0.8
+    assert out[3].top_bigram_frac == 1.0
+
+
+def test_repetition_signals_plan_is_projection(spark):
+    from kafka_elasticsearch_injector_spark.operators import text as T
+
+    docs = _docs(spark, [(0, "a b"), (1, "c")])
+    plan = T.repetition_signals(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # No aggregation shuffle (the in-row histogram replaces groupBy);
+    # the only allowed exchange is fill_cluster's round-robin rebalance.
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
