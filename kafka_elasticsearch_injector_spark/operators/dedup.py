@@ -378,41 +378,56 @@ def simhash_pairs(
     candidates are distinct by construction — no distinct() shuffle.
 
     Scale note: 16 bits (md5-nibble lanes, oracle-checkable in DuckDB)
-    is the verification width. At corpus scale the same topology runs on
-    a 64-bit fingerprint (swap simhash16's md5 nibbles for xxhash64
-    bits), where (r+1) segments of ~16 bits keep bucket sizes ~N/2^16 —
-    at 16 bits total, segment buckets are 2^4-way and grow quadratic
-    with N, fine for verify-scale corpora only.
+    is the verification width — segment buckets are 2^4-way and grow
+    quadratic with N, fine for verify-scale corpora only. The
+    production path is simhash64_pairs: same topology over a 64-bit
+    xxhash64-lane fingerprint, where (r+1) segments of ~16 bits keep
+    bucket sizes ~N/2^16.
     """
-    n_seg = max_hamming + 1
-    assert 1 <= n_seg <= 16, "max_hamming must be in [0, 15]"
     fp = simhash16(df, id_col=id_col, text_col=text_col)
+    return hamming_segment_pairs(
+        fp, id_col=id_col, fp_col="simhash", bits=16,
+        max_hamming=max_hamming)
 
-    # Split 16 bits into n_seg near-equal segments: seg j covers
+
+def hamming_segment_pairs(fp: DataFrame, id_col: str = "doc_id",
+                          fp_col: str = "simhash", bits: int = 16,
+                          max_hamming: int = 3) -> DataFrame:
+    """Pairs within `max_hamming` of a `bits`-wide fingerprint column,
+    via the pigeonhole segment equi-join (see simhash_pairs docstring).
+    Shared candidate topology for the 16-bit (oracle) and 64-bit
+    (production) fingerprint widths."""
+    n_seg = max_hamming + 1
+    assert 1 <= n_seg <= bits, f"max_hamming must be in [0, {bits - 1}]"
+
+    # Split `bits` into n_seg near-equal segments: seg j covers
     # [off_j, off_j + w_j). Widths differ by ≤1 bit.
-    widths = [(16 // n_seg) + (1 if j < 16 % n_seg else 0)
+    widths = [(bits // n_seg) + (1 if j < bits % n_seg else 0)
               for j in range(n_seg)]
     offsets = [sum(widths[:j]) for j in range(n_seg)]
-    seg_cols = [
-        F.shiftright(F.col("simhash"), offsets[j])
-        .bitwiseAND(F.lit((1 << widths[j]) - 1)).alias(f"seg_{j}")
-        for j in range(n_seg)
-    ]
+    def seg(j: int) -> Column:
+        shifted = F.shiftright(F.col(fp_col), offsets[j])
+        if widths[j] >= 64:  # whole-word segment: mask would overflow
+            return shifted.alias(f"seg_{j}")
+        return shifted.bitwiseAND(
+            F.lit((1 << widths[j]) - 1)).alias(f"seg_{j}")
+
+    seg_cols = [seg(j) for j in range(n_seg)]
     seg_names = [f"seg_{j}" for j in range(n_seg)]
-    segmented = fp.select(id_col, "simhash", *seg_cols)
+    segmented = fp.select(id_col, fp_col, *seg_cols)
 
     exploded = segmented.select(
-        id_col, "simhash", *seg_names,
+        id_col, fp_col, *seg_names,
         F.posexplode(F.array(*[F.col(c) for c in seg_names]))
         .alias("sidx", "sval"),
     )
     a = exploded.select(
         F.col(id_col).alias("doc_a"), "sidx", "sval",
-        F.col("simhash").alias("fp_a"),
+        F.col(fp_col).alias("fp_a"),
         *[F.col(c).alias(f"a_{c}") for c in seg_names])
     b = exploded.select(
         F.col(id_col).alias("doc_b"), "sidx", "sval",
-        F.col("simhash").alias("fp_b"),
+        F.col(fp_col).alias("fp_b"),
         *[F.col(c).alias(f"b_{c}") for c in seg_names])
 
     joined = a.join(b, ["sidx", "sval"]).filter(F.col("doc_a") < F.col("doc_b"))
@@ -427,6 +442,65 @@ def simhash_pairs(
         joined.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash — the production fingerprint width. Lane j votes
+    by bit j of xxhash64(token) over the row's distinct tokens;
+    fingerprint bit j = sign of the lane sum. Returns (id, simhash).
+
+    Same physical shape as simhash16 (explode distinct tokens → hash
+    ONCE per token → vote columns → one partial-aggregable groupBy),
+    but with xxhash64 — a single native 64-bit hash instead of md5
+    nibble surgery — and 64 lanes, so segment buckets in
+    simhash64_pairs stay ~N/2^16 at corpus scale. Not oracle-checkable
+    (DuckDB has no xxhash64); verified by property tests against
+    brute-force hamming and by planted-near-dup agreement with the
+    16-bit and minhash paths.
+    """
+    hashed = (
+        fill_cluster(df)
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .withColumn("h", F.xxhash64(F.col("tok")))
+    )
+    votes = hashed.select(
+        id_col,
+        *[
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1).alias(f"v{j}")
+            for j in range(64)
+        ],
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(64)])
+    fp: Column = F.lit(0).cast("bigint")
+    for j in range(64):
+        # OR the bit in (sum-of-powers would overflow at bit 63).
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"s{j}") > 0,
+                   F.shiftleft(F.lit(1).cast("bigint"), j))
+            .otherwise(F.lit(0).cast("bigint")))
+    return summed.select(id_col, fp.alias("simhash"))
+
+
+def simhash64_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over the 64-bit production fingerprint:
+    simhash64 + the same pigeonhole segment equi-join as the 16-bit
+    path. With max_hamming=3, candidates bucket on four ~16-bit
+    segments — bucket size ~N/2^16, so candidate volume stays linear
+    in N for corpus-scale inputs where 16-bit buckets would go
+    quadratic."""
+    fp = simhash64(df, id_col=id_col, text_col=text_col)
+    return hamming_segment_pairs(
+        fp, id_col=id_col, fp_col="simhash", bits=64,
+        max_hamming=max_hamming)
 
 
 def ngram_jaccard_pairs(

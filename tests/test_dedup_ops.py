@@ -149,3 +149,39 @@ def test_bitmask64_overflow_raises(spark):
         "doc_id", F.array_distinct(F.split("text", " ")).alias("shingles"))
     with pytest.raises(Exception, match="vocabulary exceeds 64"):
         D.bitmask64(shingled, "doc_id").collect()
+
+
+def test_simhash64_pairs_finds_planted_dups(spark):
+    df = _planted_corpus(spark)
+    planted = {(3, 100), (17, 101), (42, 102)}
+    got = {(r.doc_a, r.doc_b)
+           for r in D.simhash64_pairs(df, max_hamming=8).collect()}
+    assert planted <= got, got
+
+
+@pytest.mark.parametrize("max_hamming", [0, 1, 3, 7])
+def test_simhash64_pairs_complete_vs_bruteforce(spark, max_hamming):
+    """64-bit multi-index must equal brute force — the signed-bigint
+    segment masking (arithmetic shiftright + mask) and the bit-63 OR
+    construction are the easy-to-botch parts."""
+    rows = [(i, " ".join(f"w{(i * 7 + j * 13) % 40}" for j in range(10)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
+    u64 = (1 << 64) - 1
+    brute = {
+        (a, b, bin((fps[a] ^ fps[b]) & u64).count("1"))
+        for a in fps for b in fps
+        if a < b and bin((fps[a] ^ fps[b]) & u64).count("1") <= max_hamming
+    }
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in D.simhash64_pairs(df, max_hamming=max_hamming).collect()}
+    assert got == brute
+
+
+def test_simhash64_uses_full_width(spark):
+    # Fingerprints should populate high bits too (a 16-bit-wide result
+    # would mean the lane construction silently truncated).
+    df = _planted_corpus(spark)
+    fps = [r.simhash for r in D.simhash64(df).collect()]
+    assert any(fp < 0 or fp >= (1 << 32) for fp in fps)
