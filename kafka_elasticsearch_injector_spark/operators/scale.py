@@ -50,6 +50,27 @@ def fill_cluster(df: DataFrame, min_rows: int = 0) -> DataFrame:
     return df
 
 
+def no_pushdown(col: Column) -> Column:
+    """Pin a computed column's evaluation ABOVE the operator that
+    produces it by adding a nondeterministic zero
+    (monotonically_increasing_id() * 0 — value unchanged, type
+    preserved).
+
+    Why: Catalyst splits conjunctive filters and pushes each
+    deterministic conjunct as deep as it can — including below a
+    fill_cluster rebalance and into the parquet scan's DataFilters.
+    For a CHEAP prunable predicate that is exactly right; for an
+    expensive derived signal (an interpreted-HOF quality score) it
+    re-serializes the work onto the narrow pre-rebalance scan, undoing
+    the rebalance. A predicate referencing a nondeterministic input
+    cannot be pushed through the projection that computes it, so the
+    filter evaluates post-exchange, in parallel. At scale (rebalance
+    is a no-op, no exchange) filter placement is intra-stage and this
+    wrapper costs one fused add-zero.
+    """
+    return col + F.monotonically_increasing_id() * F.lit(0)
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join where `big.key` is skewed and `small` is too large to

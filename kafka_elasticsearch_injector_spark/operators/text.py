@@ -73,6 +73,19 @@ def predict_language(spark: SparkSession, df: DataFrame,
     )
 
 
+def quality_score_col(text_col: Column | str) -> Column:
+    """Composite quality score as a reusable Column expression (rounded
+    to 6 decimals — thresholds compare the rounded value on both the
+    engine and oracle sides)."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = stop_hits.cast("double") / n_words
+    return F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / 50) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.5, 6)
+
+
 def quality_features(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Length/stopword/char-class features + a composite quality score.
@@ -87,15 +100,12 @@ def quality_features(df: DataFrame, id_col: str = "doc_id",
         toks, lambda t: t.isin(*STOPWORDS)))
     avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
     stop_ratio = stop_hits.cast("double") / n_words
-    score = F.round(
-        F.least(F.lit(1.0), n_words.cast("double") / 50) * 0.5
-        + F.least(F.lit(1.0), stop_ratio * 5) * 0.5, 6)
     return df.select(
         F.col(id_col),
         n_words.cast("int").alias("n_words"),
         F.round(avg_word_len, 6).alias("avg_word_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        score.alias("quality_score"),
+        quality_score_col(text_col).alias("quality_score"),
     )
 
 
@@ -126,17 +136,30 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     """
     from .scale import fill_cluster
 
-    df = fill_cluster(df)
+    return fill_cluster(df).select(
+        F.col(id_col),
+        dup_token_frac_col(text_col).alias("dup_token_frac"),
+        top_bigram_frac_col(text_col).alias("top_bigram_frac"),
+    )
+
+
+def dup_token_frac_col(text_col: Column | str) -> Column:
+    """Duplicate-token fraction (rounded 6) as a reusable Column."""
     toks = tokens(text_col)
     n_toks = F.size(toks)
-    dup_frac = F.when(
+    return F.round(F.when(
         n_toks > 0,
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_toks,
-    ).otherwise(F.lit(0.0))
-    grams = word_ngrams(toks, 2)
+    ).otherwise(F.lit(0.0)), 6)
+
+
+def top_bigram_frac_col(text_col: Column | str) -> Column:
+    """Most-common-bigram mass fraction (rounded 6) as a reusable
+    Column: longest equal-run in the SORTED gram array == max bigram
+    frequency — one native array_sort plus one O(G) fold."""
+    grams = word_ngrams(tokens(text_col), 2)
     n_grams = F.size(grams)
 
-    # Longest equal-run in the sorted grams == max bigram frequency.
     def _step(acc, x):
         run = F.when(x == acc.getField("prev"),
                      acc.getField("run") + 1).otherwise(F.lit(1))
@@ -151,13 +174,8 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
         _step,
         lambda acc: acc.getField("best"),
     )
-    top_frac = F.when(
-        n_grams > 0, top_cnt.cast("double") / n_grams).otherwise(F.lit(0.0))
-    return df.select(
-        F.col(id_col),
-        F.round(dup_frac, 6).alias("dup_token_frac"),
-        F.round(top_frac, 6).alias("top_bigram_frac"),
-    )
+    return F.round(F.when(
+        n_grams > 0, top_cnt.cast("double") / n_grams).otherwise(F.lit(0.0)), 6)
 
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space.

@@ -1103,3 +1103,119 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % _DECON_MOD != 0),
         docs.filter(F.col("doc_id") % _DECON_MOD == 0),
         n=_DECON_N)
+
+
+# ===================================================================
+# End-to-end curation pipeline: the operators composed the way a
+# pretraining-data run actually chains them.
+# ===================================================================
+
+_CUR_Q, _CUR_TB, _CUR_DUP = 0.5, 0.1, 0.7
+
+
+@register(
+    "q_curation_pipeline",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, lang, source, string_split(text, ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT *, CASE WHEN len(t) >= 2 THEN list_transform(
+                  range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE [] END AS bg
+      FROM d
+    ), sig AS (
+      SELECT doc_id, text, lang, source, t,
+        ROUND(LEAST(1.0, CAST(len(t) AS DOUBLE) / 50) * 0.5
+              + LEAST(1.0, CAST(len(list_filter(t,
+                  x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                / len(t) * 5) * 0.5, 6) AS q,
+        ROUND(CASE WHEN len(bg) > 0
+          THEN CAST(list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+          ELSE 0.0 END, 6) AS tb,
+        ROUND(CASE WHEN len(t) > 0
+          THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+          ELSE 0.0 END, 6) AS dup
+      FROM g
+    ), kept AS (
+      SELECT doc_id, text, lang, source, t FROM sig
+      WHERE q >= {_CUR_Q} AND tb <= {_CUR_TB} AND dup <= {_CUR_DUP}
+        AND doc_id % {_DECON_MOD} <> 0
+    ), kgrams AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= {_DECON_N} THEN list_transform(
+          range(1, len(t) - {_DECON_N} + 2),
+          i -> array_to_string(t[i:i+{_DECON_N}-1], ' '))
+        ELSE [] END)) AS gram
+      FROM d WHERE doc_id % {_DECON_MOD} <> 0
+    ), evg AS (
+      SELECT DISTINCT unnest(list_distinct(
+        CASE WHEN len(t) >= {_DECON_N} THEN list_transform(
+          range(1, len(t) - {_DECON_N} + 2),
+          i -> array_to_string(t[i:i+{_DECON_N}-1], ' '))
+        ELSE [] END)) AS gram
+      FROM d WHERE doc_id % {_DECON_MOD} = 0
+    ), flagged AS (
+      SELECT DISTINCT kg.doc_id FROM kgrams kg JOIN evg USING (gram)
+    ), clean AS (
+      SELECT * FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ), dd AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM clean
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+    FROM dd WHERE rn = 1
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="The curation pipeline END TO END: quality + repetition signal "
+        "gates (single-scan projections — the reusable Column builders "
+        "from operators/text.py, no self-joins), eval-set "
+        "decontamination (broadcast n-gram screen, anti-join), exact "
+        "dedup (digest shuffle, keep-min), then the per-(lang, source) "
+        "corpus summary a mixture design reads. The contamination "
+        "screen runs over ALL non-eval docs, not the signal-filtered "
+        "subset: the final anti-join result is identical, and it keeps "
+        "the expensive signal subtree out of the screen's plan — each "
+        "branch of the DAG is computed once, from a narrow scan.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as C
+    from ..operators import text as T
+    from ..operators.scale import fill_cluster, no_pushdown
+
+    docs = table(spark, sf_dir, "documents")
+    # no_pushdown pins the signal evaluation above the rebalance: the
+    # threshold filter below would otherwise be conjunct-split and
+    # pushed into the narrow scan, re-serializing the HOF signal work
+    # the rebalance exists to parallelize.
+    sig = fill_cluster(docs).select(
+        "doc_id", "text", "lang", "source",
+        no_pushdown(T.quality_score_col("text")).alias("q"),
+        no_pushdown(T.top_bigram_frac_col("text")).alias("tb"),
+        no_pushdown(T.dup_token_frac_col("text")).alias("dup"),
+    )
+    kept = (
+        sig.filter((F.col("q") >= _CUR_Q) & (F.col("tb") <= _CUR_TB)
+                   & (F.col("dup") <= _CUR_DUP)
+                   & (F.col("doc_id") % _DECON_MOD != 0))
+        .select("doc_id", "text", "lang", "source")
+    )
+    ev = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    non_eval = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    flagged = C.decontaminate(non_eval, ev, n=_DECON_N).select("doc_id")
+    clean = kept.join(flagged, "doc_id", "left_anti")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = clean.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    from ..operators.dedup import tokens as _toks
+    return (
+        dedup.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum(F.size(_toks("text"))).cast("bigint").alias("n_tokens"))
+        .orderBy("lang", "source")
+    )
