@@ -128,3 +128,41 @@ def test_salted_join_left_keeps_unmatched_big_rows(spark):
     out = S.salted_join(big, small, "k", n_salts=4, how="left")
     assert out.count() == 10
     assert out.filter(F.col("dim").isNull()).count() == 7
+
+
+def test_fill_cluster_rebalances_narrow_input(spark):
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert S.fill_cluster(narrow).rdd.getNumPartitions() == par
+
+
+def test_fill_cluster_is_noop_at_or_above_parallelism(spark):
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par)
+    out = S.fill_cluster(wide)
+    assert out is wide  # literally unchanged, no extra exchange
+
+
+def test_no_pushdown_keeps_filter_above_exchange(spark):
+    # An expensive derived signal filtered below would be conjunct-
+    # split and pushed into the scan; no_pushdown must pin it above
+    # the fill_cluster exchange.
+    df = spark.range(1000).coalesce(1).select(
+        "id", (F.col("id") * 2).alias("plain"))
+    sig = S.fill_cluster(df).select(
+        "id", S.no_pushdown(F.col("id") * 2).alias("guarded"))
+    plan = sig.filter(F.col("guarded") > 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    scan_part, seen_exchange = [], False
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            seen_exchange = True
+        if "Scan" in line and seen_exchange:
+            scan_part.append(line)
+    # The filter's multiplication must NOT appear as a scan DataFilter.
+    assert not any("* 2" in line for line in scan_part)
+    assert "Filter" in plan
+
+    # And the guarded value is still the plain value.
+    rows = sig.filter(F.col("guarded") > 10).select("id", "guarded").collect()
+    assert all(r.guarded == r.id * 2 for r in rows)
