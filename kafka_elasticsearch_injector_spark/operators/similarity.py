@@ -19,7 +19,7 @@ machinery — hyperplane signs bucket vectors, same equi-join shape.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
@@ -141,6 +141,37 @@ def ivf_train(emb: DataFrame, nlist: int, id_col: str = "vec_id",
                    featuresCol="_features", predictionCol=label_col,
                    ).fit(feats)
     return model.transform(feats).select(id_col, label_col)
+
+
+def ivf_persist(emb: DataFrame, assignments: DataFrame, path: str,
+                id_col: str = "vec_id", label_col: str = "label") -> None:
+    """Materialize the IVF index: corpus vectors joined to their cell
+    assignments, written as parquet PARTITIONED BY cell.
+
+    This is the storage layout every IVF deployment converges on: a
+    probe that quantizes to cells {c1..ck} reads exactly those
+    directories — Catalyst turns the cell predicate into
+    PartitionFilters, so a 4096-cell index serves an nprobe=8 query by
+    scanning ~0.2% of the corpus, no index structure beyond the
+    filesystem layout. Repartitioning by cell before the write gives
+    one file per (cell, shuffle-partition) instead of every task
+    appending to every cell directory (the small-files failure mode at
+    scale)."""
+    (emb.join(assignments.select(id_col, label_col), id_col)
+        .repartition(F.col(label_col))
+        .write.mode("overwrite").partitionBy(label_col).parquet(path))
+
+
+def ivf_read_cells(spark: SparkSession, path: str,
+                   cells: list[int] | None = None,
+                   label_col: str = "label") -> DataFrame:
+    """Read the persisted IVF index, pruned to `cells` (None → full
+    scan). The cell predicate resolves against the partition column, so
+    the scan lists only the matching directories."""
+    df = spark.read.parquet(path)
+    if cells is not None:
+        df = df.filter(F.col(label_col).isin(cells))
+    return df
 
 
 def hyperplane_signs(n_planes: int, dim: int,

@@ -115,3 +115,30 @@ def test_ivf_train_and_search_end_to_end(spark):
         by_probe.setdefault(r.probe_id, []).append(r.vec_id)
     # full cell coverage ⇒ exact, regardless of the trained partition
     assert by_probe == _brute_topk(rows, [0, 1, 2], 3)
+
+
+def test_ivf_persist_prunes_partitions(spark, tmp_path):
+    rows, emb = _corpus(spark)
+    assignments = emb.select("vec_id", "label")
+    path = str(tmp_path / "ivf_index")
+    S.ivf_persist(emb.drop("label"), assignments, path)
+
+    # Cell-pruned read: the cell predicate must become a partition
+    # filter (directory pruning), not a data filter over a full scan.
+    pruned = S.ivf_read_cells(spark, path, cells=[1, 2])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan
+    got = {r.label for r in pruned.select("label").distinct().collect()}
+    assert got == {1, 2}
+    assert pruned.count() == sum(1 for _, _, c in rows if c in (1, 2))
+
+    # The persisted index serves the same search results as the
+    # in-memory corpus (schema round-trips through the partition col).
+    back = S.ivf_read_cells(spark, path)
+    a = {(r.probe_id, r.vec_id, r.rn)
+         for r in S.ivf_topk(emb, [0, 1], k=3, nprobe=N_CELLS,
+                             dim=DIM).collect()}
+    b = {(r.probe_id, r.vec_id, r.rn)
+         for r in S.ivf_topk(back, [0, 1], k=3, nprobe=N_CELLS,
+                             dim=DIM).collect()}
+    assert a == b
