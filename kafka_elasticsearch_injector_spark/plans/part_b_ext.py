@@ -658,3 +658,70 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q6",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): the canonical "
+        "full-pushdown query — every predicate reaches the parquet "
+        "scan (date window + discount band + quantity cap), one "
+        "global decimal sum, no grouping. The plan is scan → partial "
+        "sum → single-row exchange; at 100 TB the only moving data "
+        "is one decimal per input split.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        as_double6(F.sum(dec("l_extendedprice") * dec("l_discount")))
+        .alias("revenue"))
+
+
+@register(
+    "q_tpch_q14",
+    """
+    SELECT ROUND(
+        100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        6) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 (promotion effect): date-pruned fact scan joined to "
+        "the part dimension (broadcast — parts is a dim table), one "
+        "conditional/unconditional decimal sum pair, ratio taken in "
+        "double on both engines after exact decimal accumulation.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp")))
+    part = table(spark, sf_dir, "part")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price) \
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum(disc_price).cast("double"), 6).alias("promo_revenue"))
+    )
