@@ -76,7 +76,7 @@ _PRIORITY = [
     # so a truncated pass re-checking them proves less than first
     # evidence for the new operators.)
     # (q_tpch_q3/q5 likewise ceded their slots to the round-new Q1/Q10.)
-    "q_tpch_q1", "q_tpch_q10", "q_tpch_q6", "q_tpch_q14",
+    "q_tpch_q1", "q_tpch_q10", "q_tpch_q6", "q_tpch_q14", "q_tpch_q18",
     "q_join_asof", "q_join_range",
     "q_window_tumble", "q_window_session_analog", "q_salted_distinct",
 ]
