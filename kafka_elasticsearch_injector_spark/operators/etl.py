@@ -78,3 +78,44 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, key_cols: list[str],
         F.lit(True).alias(current_col),
     )
     return closed.unionByName(fresh.select(*closed.columns))
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deequ-style column profile: one row per profiled column with
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value) —
+    min/max cast to string AFTER the typed aggregation so numeric
+    columns order numerically, and the output schema stays uniform.
+
+    Plan shape: ONE aggregation pass over the table computes every
+    metric (Catalyst expands the multi-column exact COUNT(DISTINCT)
+    into a single expand + two-phase aggregate — one shuffle whose
+    expand factor is the profiled column count, with the non-distinct
+    metrics riding the same pass); the per-column pivot then happens
+    on the single result row via array+explode, driver-free. At
+    100 TB profiling is one bounded-output scan, not a scan per
+    column."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).alias(f"_min_{c}"),
+            F.max(F.col(c)).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint")
+            .alias("n_nulls"),
+            F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"_min_{c}").cast("string").alias("min_value"),
+            F.col(f"_max_{c}").cast("string").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+    )

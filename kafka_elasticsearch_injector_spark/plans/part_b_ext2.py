@@ -673,3 +673,41 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return salted_distinct_count(
         table(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey")
+
+
+@register(
+    "q_profile_columns",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(event_id) AS nn_eid, COUNT(DISTINCT event_id) AS nd_eid,
+             CAST(MIN(event_id) AS VARCHAR) AS mn_eid,
+             CAST(MAX(event_id) AS VARCHAR) AS mx_eid,
+             COUNT(user_id) AS nn_uid, COUNT(DISTINCT user_id) AS nd_uid,
+             CAST(MIN(user_id) AS VARCHAR) AS mn_uid,
+             CAST(MAX(user_id) AS VARCHAR) AS mx_uid,
+             COUNT(event_type) AS nn_et, COUNT(DISTINCT event_type) AS nd_et,
+             MIN(event_type) AS mn_et, MAX(event_type) AS mx_et
+      FROM events
+    )
+    SELECT 'event_id' AS column, n AS n_rows, n - nn_eid AS n_nulls,
+           nd_eid AS n_distinct, mn_eid AS min_value, mx_eid AS max_value
+    FROM m
+    UNION ALL
+    SELECT 'user_id', n, n - nn_uid, nd_uid, mn_uid, mx_uid FROM m
+    UNION ALL
+    SELECT 'event_type', n, n - nn_et, nd_et, mn_et, mx_et FROM m
+    """,
+    doc="Deequ-style data profile (operators/etl.py profile): per-column "
+        "row/null/exact-distinct counts and typed min/max, all metrics "
+        "in ONE aggregation pass (multi-distinct expand, one shuffle); "
+        "the per-column pivot happens on the single result row. "
+        "Profiled columns are the cast-format-stable ones (bigint, "
+        "string) so the oracle hash is byte-identical; doubles and "
+        "timestamps go through the same operator in unit tests.",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import profile
+
+    return profile(table(spark, sf_dir, "events"),
+                   ["event_id", "user_id", "event_type"])

@@ -57,3 +57,30 @@ def test_scd2_no_broadcast_same_result(spark):
          scd2_apply(dim, changes, ["k"], "ts",
                     broadcast_changes=False).collect()}
     assert a == b
+
+
+def test_profile_metrics_hand_computed(spark):
+    from kafka_elasticsearch_injector_spark.operators.etl import profile
+
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "a", 1.5), (3, "a", None), (3, "b", 0.5)],
+        "k int, s string, v double")
+    out = {r.column: r for r in profile(df, ["k", "s", "v"]).collect()}
+    assert (out["k"].n_rows, out["k"].n_nulls, out["k"].n_distinct) == (4, 0, 3)
+    assert (out["k"].min_value, out["k"].max_value) == ("1", "3")
+    assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 2)
+    assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
+    # numeric (not lexicographic) ordering: min is 0.5, not "0.5" < "1.5" luck
+    assert (out["v"].n_nulls, out["v"].min_value, out["v"].max_value) == \
+        (1, "0.5", "2.5")
+
+
+def test_profile_is_single_aggregation_pass(spark):
+    from kafka_elasticsearch_injector_spark.operators.etl import profile
+
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    plan = profile(df, ["k", "s"])._jdf.queryExecution().executedPlan() \
+        .toString()
+    # One expand-based multi-distinct aggregate, not one scan per column.
+    assert plan.count("Expand") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
