@@ -69,7 +69,7 @@ _PRIORITY = [
     "q_token_freq", "q_tfidf_topterms", "q_pii_scrub",
     "q_doc_len_histogram", "q_sample_stratified", "q_dedup_minhash_cluster",
     "q_dedup_embcos_lsh", "q_pack_sequences", "q_mixture_sample",
-    "q_decontaminate", "q_curation_pipeline",
+    "q_decontaminate", "q_curation_pipeline", "q_profile_columns",
     # Part B — representative relational spread. (q_agg_hash, q_cube and
     # q_percentile yielded their prefix slots to the three curation
     # queries above: they already carry round-1 driver-green evidence,
