@@ -174,6 +174,42 @@ def ivf_read_cells(spark: SparkSession, path: str,
     return df
 
 
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = 127 / max|x|,
+    q_i = floor(x_i·scale + 0.5) clamped to [-127, 127] — the 4×
+    storage reduction step an embedding pipeline runs before
+    petabyte-scale ANN serving. Returns (id, scale, qvec
+    array<tinyint>); dequantize as q_i / scale.
+
+    floor(x + 0.5) spells out round-half-up explicitly so the engine
+    and any oracle agree at .5 boundaries regardless of their round()
+    dialect. The zero vector gets scale 0 and an all-zero qvec. One
+    narrow projection — no shuffle, no state; max|x| is computed once
+    per row into a column the quantize lambda references (inlining it
+    into the per-element lambda would recompute an O(dim) reduction
+    dim times, interpreted).
+    """
+    v = V.to_double(F.col(vec_col))
+    with_mx = emb.select(
+        F.col(id_col), v.alias("_v"),
+        F.array_max(F.transform(v, F.abs)).alias("_mx"))
+    scale = F.when(F.col("_mx") > 0,
+                   F.lit(127.0) / F.col("_mx")).otherwise(F.lit(0.0))
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127),
+                    F.floor(x * F.col("_scale") + F.lit(0.5)).cast("int")))
+        .cast("tinyint"))
+    return (
+        with_mx.withColumn("_scale", scale)
+        .select(F.col(id_col), F.round("_scale", 6).alias("scale"),
+                q.alias("qvec"))
+    )
+
+
 def hyperplane_signs(n_planes: int, dim: int,
                      table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random ±1 hyperplanes: sign(p, d) = +1 iff

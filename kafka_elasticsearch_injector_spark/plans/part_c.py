@@ -1219,3 +1219,41 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.size(_toks("text"))).cast("bigint").alias("n_tokens"))
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "q_embed_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc
+      FROM m
+    )
+    SELECT vec_id, ROUND(sc, 6) AS scale,
+           array_to_string(list_transform(embedding,
+             x -> CAST(GREATEST(-127, LEAST(127,
+                    FLOOR(CAST(x AS DOUBLE) * sc + 0.5))) AS BIGINT)),
+             ',') AS qvec_str
+    FROM s
+    """,
+    doc="Symmetric int8 embedding quantization "
+        "(operators/similarity.py quantize_int8): scale = 127/max|x|, "
+        "floor(x*scale + 0.5) clamped — round-half-up spelled out so "
+        "both engines agree at .5 boundaries. The declared query "
+        "joins the quantized lanes to a comma string for a "
+        "dialect-stable value hash; the operator returns the typed "
+        "array<tinyint>. One narrow projection, no shuffle.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_int8
+
+    q = quantize_int8(table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.array_join(F.transform("qvec", lambda x: x.cast("bigint")
+                                 .cast("string")), ",").alias("qvec_str"))

@@ -142,3 +142,35 @@ def test_ivf_persist_prunes_partitions(spark, tmp_path):
          for r in S.ivf_topk(back, [0, 1], k=3, nprobe=N_CELLS,
                              dim=DIM).collect()}
     assert a == b
+
+
+def test_quantize_int8_roundtrip_preserves_cosine(spark):
+    import numpy as np
+
+    rows, emb = _corpus(spark)
+    out = {r.vec_id: r for r in S.quantize_int8(emb).collect()}
+    for i, vec, _ in rows[:10]:
+        r = out[i]
+        assert r.scale > 0
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        deq = np.array(r.qvec, dtype=np.float64) / r.scale
+        orig = np.array(vec, dtype=np.float32).astype(np.float64)
+        cos = float(deq @ orig / (np.linalg.norm(deq) * np.linalg.norm(orig)))
+        assert cos > 0.999, (i, cos)  # int8 keeps cosine to ~3 decimals
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, -2.0])],
+        "vec_id int, embedding array<float>")
+    out = {r.vec_id: r for r in S.quantize_int8(df).collect()}
+    assert out[0].scale == 0.0 and list(out[0].qvec) == [0, 0]
+    assert list(out[1].qvec) == [64, -127]  # 127/2 scale: 63.5+0.5 -> 64
+
+
+def test_quantize_int8_plan_is_projection(spark):
+    df = spark.createDataFrame([(0, [0.5, 0.5])],
+                               "vec_id int, embedding array<float>")
+    plan = S.quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
