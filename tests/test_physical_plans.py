@@ -210,3 +210,54 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     # exploded n-grams is exactly what the operator exists to avoid.
     plan = _explain(spark, sf_dir, "q_decontaminate")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q6_full_pushdown_single_row(spark, sf_dir):
+    # Q6 is the canonical full-pushdown query: date window, discount
+    # band, and quantity cap ALL reach the parquet scan, and the only
+    # aggregation is partial -> final over one global group.
+    plan = _explain(spark, sf_dir, "q_tpch_q6")
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, plan
+    flat = pushed.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in flat, (col, flat)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tpch_q14_broadcasts_part_dim(spark, sf_dir):
+    plan = _explain(spark, sf_dir, "q_tpch_q14")
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[(.*?)\]", plan))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_tpch_q18_semi_join_before_fact_join(spark, sf_dir):
+    # The HAVING-derived order filter must run as a semi join feeding
+    # the 3-way join, not as a post-join filter.
+    plan = _explain(spark, sf_dir, "q_tpch_q18")
+    assert "LeftSemi" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_curation_pipeline_signals_stay_post_exchange(spark, sf_dir):
+    # The quality/repetition threshold filters must NOT be pushed into
+    # the parquet scan (no_pushdown guard) — the interpreted signal
+    # work belongs above the fill_cluster rebalance.
+    plan = _explain(spark, sf_dir, "q_curation_pipeline")
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        assert "least" not in m.group(1), m.group(1)
+
+
+def test_embed_quantize_is_projection(spark, sf_dir):
+    plan = _explain(spark, sf_dir, "q_embed_quantize")
+    assert "Exchange" not in plan, plan
+
+
+def test_profile_is_one_expand_aggregate(spark, sf_dir):
+    plan = _explain(spark, sf_dir, "q_profile_columns")
+    assert "Expand" in plan, plan   # multi-distinct in one pass
+    # ONE scan feeding the multi-distinct aggregation tree, not a scan
+    # per profiled column (formatted explain lists each node twice:
+    # once in the tree, once in the details section).
+    assert plan.count("Scan parquet") <= 2, plan
