@@ -612,11 +612,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN (IVF) + multimodal plumbing
 # ===================================================================
 
-
-@register(
-    "q_ann_ivf",
-    f"""
-    WITH dims AS (
+# Oracle fragments shared by q_ann_ivf and q_ann_recall: per-cell
+# exact-decimal centroids, probe→nearest-cell assignment (nprobe=1),
+# and the exact top-3 within the selected cell.
+_IVF_CTES = f"""dims AS (
       SELECT label, pos,
              CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(30,10)))
                   AS DOUBLE) / COUNT(*) AS mean
@@ -638,7 +637,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM probes CROSS JOIN cents
     ), nearest AS (
       SELECT probe_id, pv, label FROM pc WHERE rn_c = 1
-    )
+    )"""
+
+_IVF_TOPK_SELECT = f"""
     SELECT probe_id, label, vec_id, cos_sim, rn FROM (
       SELECT n.probe_id, n.label, e.vec_id,
              ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
@@ -652,8 +653,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                DESC, e.vec_id) AS rn
       FROM nearest n JOIN embeddings e ON n.label = e.label
       WHERE n.probe_id <> e.vec_id) t
-    WHERE rn <= 3
-    """,
+    WHERE rn <= 3"""
+
+
+@register(
+    "q_ann_ivf",
+    f"WITH {_IVF_CTES} {_IVF_TOPK_SELECT}",
     doc="IVF ANN: exact-decimal centroids per cell (label = coarse "
         "quantizer), nearest-cell probe (nprobe=1), exact top-3 within "
         "the cell — the corpus-pruning scale path for similarity search.",
@@ -662,6 +667,74 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2], k=3)
+
+
+@register(
+    "q_ann_recall",
+    f"""
+    WITH {_IVF_CTES},
+    ivf AS ({_IVF_TOPK_SELECT}),
+    bf AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                 list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                   i -> p.pv[i] * CAST(e.embedding[i] AS DOUBLE))),
+                   (acc, x) -> acc + x)
+                 / ({_DD_NORM.format(v='p.pv')}
+                    * {_DD_NORM.format(v='e.embedding')})
+                 DESC, e.vec_id) AS rn
+        FROM probes p JOIN embeddings e ON p.probe_id <> e.vec_id) t
+      WHERE rn <= 3)
+    SELECT bf.probe_id,
+           ROUND(CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE) / 3, 6)
+             AS recall_at_3
+    FROM bf LEFT JOIN ivf
+      ON bf.probe_id = ivf.probe_id AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.probe_id
+    """,
+    doc="ANN index evaluation: recall@3 of the IVF nprobe=1 search "
+        "against the exact brute-force top-3, per probe — the quality "
+        "dial every ANN deployment monitors when tuning nprobe/nlist. "
+        "Both sides reuse the declared-query plans (IVF cell search; "
+        "broadcast-probe exact scoring); the join is on (probe, "
+        "neighbor) over k·probes rows, so evaluation cost is the two "
+        "searches, not a new scan.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    ivf = (
+        S.ivf_topk(emb, probe_ids=[0, 1, 2], k=3)
+        .select("probe_id", "vec_id").withColumn("hit", F.lit(1))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("probe_id"),
+                V.to_double(F.col("embedding")).alias("probe_vec"))
+    )
+    corpus = fill_cluster(emb).select(
+        "vec_id", V.to_double(F.col("embedding")).alias("vec"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id"))
+    bf = (
+        F.broadcast(probes)
+        .join(corpus, F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id",
+                V.cosine(F.col("probe_vec"), F.col("vec")).alias("_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "vec_id")
+    )
+    return (
+        bf.join(ivf, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / 3,
+            6).alias("recall_at_3"))
+    )
 
 
 def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64,

@@ -64,6 +64,7 @@ _PRIORITY = [
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_simhash_pairs", "q_dedup_ngram", "q_dedup_cluster",
     "q_dedup_embcos", "q_cosine_topk", "q_ann_ivf", "q_ann_lsh",
+    "q_ann_recall",
     "q_embed_norm", "q_embed_quantize", "q_lang_id", "q_lang_dist",
     "q_quality_score",
     "q_quality_repetition", "q_token_count", "q_doc_fingerprint", "q_text_stats", "q_media_meta",
