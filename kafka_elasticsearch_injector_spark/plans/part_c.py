@@ -394,12 +394,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_SHINGLE_N = 2
 
-
-@register(
-    "q_dedup_minhash_cluster",
-    f"""
-    WITH RECURSIVE
-    pairs AS ({_minhash_pairs_sql(_MINHASH_THRESH, _CLUSTER_SHINGLE_N)}),
+# Oracle fragments shared by q_dedup_minhash_cluster and
+# q_dedup_cluster_sizes: LSH pair discovery (bigram shingles),
+# symmetric edges, recursive transitive closure, per-node min label.
+_MH_CLUSTER_CTES = f"""pairs AS (
+      {_minhash_pairs_sql(_MINHASH_THRESH, _CLUSTER_SHINGLE_N)}),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
@@ -409,11 +408,17 @@ _CLUSTER_SHINGLE_N = 2
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
-    )
+    )"""
+
+_MH_CLUSTER_SELECT = """
     SELECT node AS doc_id, MIN(label) AS cluster_id,
            (node = MIN(label)) AS is_canonical
-    FROM walk GROUP BY node
-    """,
+    FROM walk GROUP BY node"""
+
+
+@register(
+    "q_dedup_minhash_cluster",
+    f"WITH RECURSIVE {_MH_CLUSTER_CTES} {_MH_CLUSTER_SELECT}",
     doc="The 100 TB dedup pipeline END TO END: MinHash+LSH pair "
         "discovery (O(N) signatures, bucket equi-join — never all-pairs) "
         "→ connected components → canonical pick. q_dedup_cluster proves "
@@ -441,6 +446,35 @@ def q_dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_hint=parquet_row_count(sf_dir, "documents"),
     )
     return D.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
+    "q_dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_MH_CLUSTER_CTES},
+    clusters AS ({_MH_CLUSTER_SELECT})
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY cluster_id)
+    GROUP BY cluster_size
+    """,
+    doc="The dedup run's summary report: duplicate-cluster size "
+        "histogram (size 1 = unique docs) over the end-to-end "
+        "MinHash→LSH→connected-components clustering. Two tiny "
+        "aggregations over the (doc, cluster) labels — the output a "
+        "curation run logs to decide whether dedup thresholds are "
+        "tuned right; at 100 TB the histogram is KB-sized regardless "
+        "of corpus size.",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_minhash_cluster(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
 
 
 _DD_NORM = ("sqrt(list_reduce(list_prepend(0.0, list_transform({v}, "

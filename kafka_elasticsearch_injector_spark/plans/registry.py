@@ -70,6 +70,7 @@ _PRIORITY = [
     "q_quality_repetition", "q_token_count", "q_doc_fingerprint", "q_text_stats", "q_media_meta",
     "q_token_freq", "q_tfidf_topterms", "q_pii_scrub",
     "q_doc_len_histogram", "q_sample_stratified", "q_dedup_minhash_cluster",
+    "q_dedup_cluster_sizes",
     "q_dedup_embcos_lsh", "q_pack_sequences", "q_mixture_sample",
     "q_decontaminate", "q_curation_pipeline", "q_profile_columns",
     # Part B — representative relational spread. (q_agg_hash, q_cube and
