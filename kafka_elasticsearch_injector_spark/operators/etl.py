@@ -94,26 +94,31 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     on the single result row via array+explode, driver-free. At
     100 TB profiling is one bounded-output scan, not a scan per
     column."""
+    # Positional aliases (_nd_0, _nd_1, ...) rather than interpolated
+    # column names: duplicates in `cols` would collide and names with
+    # dots/backticks would be unresolvable as aliases. De-dup keeps
+    # first occurrence order.
+    cols = list(dict.fromkeys(cols))
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"_nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
-            F.min(F.col(c)).alias(f"_min_{c}"),
-            F.max(F.col(c)).alias(f"_max_{c}"),
+            F.count(F.col(c)).alias(f"_nn_{i}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{i}"),
+            F.min(F.col(c)).alias(f"_min_{i}"),
+            F.max(F.col(c)).alias(f"_max_{i}"),
         ]
     row = df.agg(*aggs)
     per_col = [
         F.struct(
             F.lit(c).alias("column"),
             F.col("_n").cast("bigint").alias("n_rows"),
-            (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint")
+            (F.col("_n") - F.col(f"_nn_{i}")).cast("bigint")
             .alias("n_nulls"),
-            F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
-            F.col(f"_min_{c}").cast("string").alias("min_value"),
-            F.col(f"_max_{c}").cast("string").alias("max_value"),
+            F.col(f"_nd_{i}").cast("bigint").alias("n_distinct"),
+            F.col(f"_min_{i}").cast("string").alias("min_value"),
+            F.col(f"_max_{i}").cast("string").alias("max_value"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return (
         row.select(F.explode(F.array(*per_col)).alias("p"))

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def fill_cluster(df: DataFrame, min_rows: int = 0) -> DataFrame:
+def fill_cluster(df: DataFrame) -> DataFrame:
     """Rebalance a narrow scan across the cluster before a compute-heavy
     kernel (n-gram shingling, minhash, vector math).
 
@@ -40,14 +40,30 @@ def fill_cluster(df: DataFrame, min_rows: int = 0) -> DataFrame:
     definition small (few splits), so the round-robin shuffle costs
     less than the idle cores it reclaims.
 
-    The partition probe converts the plan driver-side (no Spark job,
-    no data read).
+    The partition probe (`df.rdd.getNumPartitions()`) converts the plan
+    driver-side — no Spark job, no data read — but it DOES force full
+    physical planning of the pre-AQE plan, and when that plan already
+    contains an exchange it reports the static shuffle-partition count,
+    not parquet scan splits. Two consequences, both handled here:
+
+    - Nested operators (ivf_topk → label_centroids, curation stages)
+      route the same DataFrame through fill_cluster repeatedly; the
+      probe's planning cost would be paid each time. The returned
+      DataFrame is therefore MARKED, and a marked input is returned
+      untouched — one probe per lineage, not per call site.
+    - The probe reflects the pre-AQE plan: downstream of an exchange
+      the decision is "is the static shuffle width ≥ cores", which is
+      the right question for the CPU-kernel placement this guards, but
+      callers should know AQE may still coalesce those partitions at
+      runtime.
     """
+    if getattr(df, "_fill_cluster_done", False):
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    out._fill_cluster_done = True
+    return out
 
 
 def no_pushdown(col: Column) -> Column:

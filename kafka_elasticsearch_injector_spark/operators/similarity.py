@@ -156,8 +156,13 @@ def ivf_persist(emb: DataFrame, assignments: DataFrame, path: str,
     filesystem layout. Repartitioning by cell before the write gives
     one file per (cell, shuffle-partition) instead of every task
     appending to every cell directory (the small-files failure mode at
-    scale)."""
-    (emb.join(assignments.select(id_col, label_col), id_col)
+    scale).
+
+    `assignments` is authoritative for `label_col`: a column of the
+    same name already on `emb` (the project's own embeddings table
+    ships a `label`) is dropped first, so the join can't produce an
+    AMBIGUOUS_REFERENCE at the repartition/partitionBy below."""
+    (emb.drop(label_col).join(assignments.select(id_col, label_col), id_col)
         .repartition(F.col(label_col))
         .write.mode("overwrite").partitionBy(label_col).parquet(path))
 

@@ -59,7 +59,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
            ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6)
              AS avg_words,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
     doc="Text-analysis profile per language: doc counts, char/word averages.",
@@ -722,7 +722,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn <= 3)
     SELECT bf.probe_id,
            ROUND(CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL
-                          THEN 1 ELSE 0 END) AS DOUBLE) / 3, 6)
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
              AS recall_at_3
     FROM bf LEFT JOIN ivf
       ON bf.probe_id = ivf.probe_id AND bf.vec_id = ivf.vec_id
@@ -766,7 +766,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         bf.join(ivf, ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
         .agg(F.round(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / 3,
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
             6).alias("recall_at_3"))
     )
 

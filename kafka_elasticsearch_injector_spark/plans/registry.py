@@ -14,6 +14,10 @@ Determinism discipline (BASELINE.md):
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -44,51 +48,89 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def _load_all() -> None:
     # Import for side effects: each module registers its queries.
-    from . import part_a, part_b, part_b_ext, part_b_ext2, part_c  # noqa: F401
+    from . import (  # noqa: F401
+        part_a, part_b, part_b_ext, part_b_ext2, part_c, part_c2)
 
 
-# Consumers (correctness drivers, demo runs) may verify a PREFIX of the
-# inventory; order it so a truncated pass still covers every operator
-# family — all reference-semantics queries (Part A), the whole
-# LLM-pipeline layer (Part C), then a representative relational spread
-# (joins, aggs, windows, OLAP, ETL, variant), then the remaining
-# relational surface. Pure presentation order: names and definitions
-# are unchanged.
-_PRIORITY = [
-    # Part A — reference semantics (events table)
-    "q_scan_events", "q_null_filter", "q_json_decode", "q_corrupt_drop",
-    "q_timestamp_millis", "q_key_embed", "q_blacklist_project",
-    "q_field_cast", "q_doc_id", "q_doc_id_column", "q_index_day",
-    "q_index_hour", "q_index_column", "q_dedup_docid", "q_offset_lag",
-    # Part C — LLM-pipeline layer
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_simhash_pairs", "q_dedup_ngram", "q_dedup_cluster",
-    "q_dedup_embcos", "q_cosine_topk", "q_ann_ivf", "q_ann_lsh",
-    "q_ann_recall",
-    "q_embed_norm", "q_embed_quantize", "q_lang_id", "q_lang_dist",
-    "q_quality_score",
-    "q_quality_repetition", "q_token_count", "q_doc_fingerprint", "q_text_stats", "q_media_meta",
-    "q_token_freq", "q_tfidf_topterms", "q_pii_scrub",
-    "q_doc_len_histogram", "q_sample_stratified", "q_dedup_minhash_cluster",
-    "q_dedup_cluster_sizes",
-    "q_dedup_embcos_lsh", "q_pack_sequences", "q_mixture_sample",
-    "q_decontaminate", "q_curation_pipeline", "q_profile_columns",
-    # Part B — representative relational spread. (q_agg_hash, q_cube and
-    # q_percentile yielded their prefix slots to the three curation
-    # queries above: they already carry round-1 driver-green evidence,
-    # so a truncated pass re-checking them proves less than first
-    # evidence for the new operators.)
-    # (q_tpch_q3/q5 likewise ceded their slots to the round-new Q1/Q10.)
-    "q_tpch_q1", "q_tpch_q10", "q_tpch_q6", "q_tpch_q14", "q_tpch_q18",
-    "q_join_asof", "q_join_range",
-    "q_window_tumble", "q_window_session_analog", "q_salted_distinct",
-]
+# Consumers (correctness drivers, demo runs) verify a PREFIX of the
+# inventory (observed cap: 50 entries per round). Order it so a
+# truncated pass always buys the MOST new evidence: queries with no
+# green driver row ever come first (failed/errored before never-run,
+# both need re-proof), then greens stalest-first (a green from round 1
+# that hasn't been re-checked since proves less than one from the
+# latest round). The order is derived MECHANICALLY from the committed
+# CORRECTNESS_r*.json files at import time, so a new round's results
+# automatically rotate the prefix — no hand-maintained list to
+# silently drop a never-verified query below the cutoff (which is
+# exactly what the hand-written round-2 list did to the three round-1
+# error rows). Pure presentation order: names and definitions are
+# unchanged; ties break on registration order for stability.
+DRIVER_PREFIX_CAP = 50
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def _is_green(row: dict) -> bool:
+    """A driver row counts as green evidence iff it ran without error,
+    matched rows, and didn't fail any check the driver performed
+    (hash/schema are None for rows-only queries — that's the weaker
+    pass, still green for rotation purposes)."""
+    return (
+        isinstance(row, dict)
+        and row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    )
+
+
+def driver_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
+    """Parse every committed CORRECTNESS_r*.json → (last_green_round
+    per query, set of queries ever checked). Missing/corrupt files are
+    skipped: with no history at all the order degrades to registration
+    order, which is still a valid inventory."""
+    last_green: dict[str, int] = {}
+    checked: set[str] = set()
+    pattern = os.path.join(root or _repo_root(), "CORRECTNESS_r*.json")
+    for path in sorted(glob.glob(pattern)):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            checked.add(name)
+            if _is_green(row):
+                last_green[name] = max(last_green.get(name, rnd), rnd)
+    return last_green, checked
+
+
+def priority_order(names: list[str], root: str | None = None) -> list[str]:
+    """Mechanical verification order: never-green first (previously
+    checked-and-failed before never-checked), then greens ascending by
+    the round of their last green row (stalest first)."""
+    last_green, checked = driver_history(root)
+    reg_idx = {n: i for i, n in enumerate(names)}
+
+    def key(n: str):
+        if n not in last_green:
+            return (-1, 0 if n in checked else 1, reg_idx[n])
+        return (last_green[n], 0, reg_idx[n])
+
+    return sorted(names, key=key)
 
 
 def _ordered() -> dict[str, QueryDef]:
-    out = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
-    out.update((n, qd) for n, qd in QUERIES.items() if n not in out)
-    return out
+    return {n: QUERIES[n] for n in priority_order(list(QUERIES))}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -185,3 +185,28 @@ def test_simhash64_uses_full_width(spark):
     df = _planted_corpus(spark)
     fps = [r.simhash for r in D.simhash64(df).collect()]
     assert any(fp < 0 or fp >= (1 << 32) for fp in fps)
+
+
+def test_connected_components_converges_on_path_graph(spark):
+    # A 12-node path is the anti-clique worst case: min-label needs
+    # O(log diameter) doubling-free iterations to reach the far end.
+    nodes = spark.range(12).select(F.col("id").cast("int").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a int, doc_b int")
+    labels = {r.node: r.label
+              for r in D.connected_components(nodes, edges).collect()}
+    assert labels == {i: 0 for i in range(12)}
+
+
+def test_connected_components_max_iter_bounds_the_loop(spark):
+    # With the iteration cap forced to 1 the loop must TERMINATE and
+    # return labels (possibly unconverged — the documented escape for
+    # pathological chain graphs); isolated nodes still self-label.
+    nodes = spark.range(8).select(F.col("id").cast("int").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a int, doc_b int")
+    out = D.connected_components(nodes, edges, max_iter=1).collect()
+    assert len(out) == 8
+    got = {r.node: r.label for r in out}
+    assert got[7] == 7  # isolated node labels itself
+    assert all(lbl <= n for n, lbl in got.items())

@@ -84,3 +84,15 @@ def test_profile_is_single_aggregation_pass(spark):
     # One expand-based multi-distinct aggregate, not one scan per column.
     assert plan.count("Expand") >= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_handles_duplicate_and_dotted_columns(spark):
+    from kafka_elasticsearch_injector_spark.operators.etl import profile
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "k int, s string") \
+        .withColumnRenamed("s", "s.dotted")
+    out = profile(df, ["k", "k", "`s.dotted`"]).collect()
+    by_col = {r.column: r for r in out}
+    assert len(out) == 2  # duplicates collapsed, aliases can't collide
+    assert by_col["k"].n_distinct == 2
+    assert by_col["`s.dotted`"].n_nulls == 1

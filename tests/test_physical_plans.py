@@ -261,3 +261,39 @@ def test_profile_is_one_expand_aggregate(spark, sf_dir):
     # per profiled column (formatted explain lists each node twice:
     # once in the tree, once in the details section).
     assert plan.count("Scan parquet") <= 2, plan
+
+def test_offset_gaps_reuses_one_exchange(spark, sf_dir):
+    # The lag window and the aggregation share the event_type key: the
+    # plan must contain exactly ONE hashpartitioning exchange on it.
+    plan = _explain(spark, sf_dir, "q_offset_gaps")
+    n_exchanges = plan.count("hashpartitioning(")
+    assert n_exchanges == 1, plan
+    assert "partial_count" in plan or "partial_max" in plan, plan
+
+
+def test_embed_outliers_broadcasts_centroids(spark, sf_dir):
+    # nlist centroid rows join a corpus-sized table: the centroid side
+    # must broadcast; losing it means shuffling the corpus by label.
+    plan = _explain(spark, sf_dir, "q_embed_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_normalized_shuffles_digest_not_text(spark, sf_dir):
+    # Same discipline as q_dedup_exact: the window partition key is the
+    # md5 digest of the normalized text, never the text itself.
+    plan = _explain(spark, sf_dir, "q_dedup_normalized")
+    m = re.search(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert m, plan
+    assert m.group(1).startswith("_w"), plan
+
+
+def test_quality_buckets_single_shuffle_on_lang(spark, sf_dir):
+    # NTILE partitions by lang and the tier profile groups by
+    # (lang, bucket): the window exchange must be the only shuffle
+    # below the final aggregate (partial agg rides the window's
+    # partitioning only if keys align — here they don't fully, so we
+    # assert the window shuffle exists and aggregation partials do).
+    plan = _explain(spark, sf_dir, "q_quality_buckets")
+    assert "ntile" in plan.lower(), plan
+    assert "partial_count" in plan, plan

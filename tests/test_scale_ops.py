@@ -166,3 +166,15 @@ def test_no_pushdown_keeps_filter_above_exchange(spark):
     # And the guarded value is still the plain value.
     rows = sig.filter(F.col("guarded") > 10).select("id", "guarded").collect()
     assert all(r.guarded == r.id * 2 for r in rows)
+
+
+def test_fill_cluster_memoizes_nested_calls(spark):
+    # Operators nest (ivf_topk -> label_centroids both rebalance); the
+    # physical-planning probe must run once per lineage: a DataFrame
+    # that already went through fill_cluster is returned as-is.
+    narrow = spark.range(1000).coalesce(1)
+    once = S.fill_cluster(narrow)
+    assert S.fill_cluster(once) is once
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism)
+    assert S.fill_cluster(S.fill_cluster(wide)) is wide

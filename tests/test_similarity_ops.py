@@ -11,6 +11,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from kafka_elasticsearch_injector_spark.operators import similarity as S
 
 DIM = 4
@@ -174,3 +176,17 @@ def test_quantize_int8_plan_is_projection(spark):
     plan = S.quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_persist_tolerates_preexisting_label_column(spark, tmp_path):
+    # The embeddings table itself carries `label`; persisting with
+    # assignments must not trip AMBIGUOUS_REFERENCE — the assignment
+    # side is authoritative.
+    rows, emb = _corpus(spark)
+    assignments = emb.select(
+        "vec_id", (F.col("label") + 1).alias("label"))
+    path = str(tmp_path / "ivf_index_relabel")
+    S.ivf_persist(emb, assignments, path)
+    back = S.ivf_read_cells(spark, path)
+    got = {(r.vec_id, r.label) for r in back.select("vec_id", "label").collect()}
+    assert got == {(r[0], r[2] + 1) for r in rows}
