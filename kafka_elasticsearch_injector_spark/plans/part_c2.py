@@ -163,6 +163,70 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_source_stats",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    doc="Dedup-rate audit per source: how duplicated is each ingest "
+        "feed, BEFORE committing to a full dedup run — the triage "
+        "number that decides where near-dup compute goes. Exact "
+        "distinct over the md5 digest (32-byte shuffle key, never the "
+        "text); Catalyst expands to the standard two-phase "
+        "count-distinct. Output is one row per source at any scale.",
+)
+def q_dedup_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.count(F.lit(1))
+    nd = F.countDistinct(F.md5(F.col("text")))
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(n.cast("bigint").alias("n_docs"),
+             nd.cast("bigint").alias("n_unique"),
+             F.round(F.lit(1.0) - nd.cast("double") / n, 6).alias("dup_rate"))
+    )
+
+
+@register(
+    "q_train_order",
+    """
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 8 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+             AS pos
+    FROM documents
+    """,
+    doc="Deterministic training-order shuffle: md5-of-id assigns each "
+        "document a shard and a pseudo-random position within it — the "
+        "reproducible global shuffle a training pipeline runs before "
+        "sequence packing, with no RNG state (re-running any partition "
+        "or changing parallelism yields byte-identical order). One "
+        "shuffle on the shard key; each shard orders independently, so "
+        "at 100 TB the sort is per-shard (corpus/n_shards rows), never "
+        "global.",
+)
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                   F.lit(8)).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", h.alias("_h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@register(
     "q_quality_buckets",
     """
     SELECT lang, bucket,

@@ -297,3 +297,20 @@ def test_quality_buckets_single_shuffle_on_lang(spark, sf_dir):
     plan = _explain(spark, sf_dir, "q_quality_buckets")
     assert "ntile" in plan.lower(), plan
     assert "partial_count" in plan, plan
+
+
+def test_dedup_source_stats_is_two_phase_distinct(spark, sf_dir):
+    # COUNT(DISTINCT md5(text)) must expand to the standard partial
+    # aggregation pair — the digest is the shuffle key, never raw text.
+    plan = _explain(spark, sf_dir, "q_dedup_source_stats")
+    assert "partial_count" in plan, plan
+    assert re.search(r"hashpartitioning\((?!text)", plan), plan
+
+
+def test_train_order_sorts_per_shard_not_globally(spark, sf_dir):
+    # The position window partitions by shard: the plan must show a
+    # PARTITIONED sort under the window, not a global (singleton) sort.
+    plan = _explain(spark, sf_dir, "q_train_order")
+    assert "Window" in plan, plan
+    assert re.search(r"hashpartitioning\(shard", plan), plan
+    assert "SinglePartition" not in plan, plan
