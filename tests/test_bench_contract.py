@@ -1,0 +1,37 @@
+"""The bench stdout contract: ONE compact JSON line a tail-truncating
+capture (~2 KB, truncating from the front) can always parse. The full
+per-query dict broke this two rounds running — gate it permanently.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    return {f"q_generated_name_{i:04d}": round(0.1 + i * 0.01, 4)
+            for i in range(n)}
+
+
+def test_summary_is_one_parseable_compact_line():
+    timings = _fake_timings(500)  # far beyond any real inventory size
+    line = bench.build_summary(timings, 0.1)
+    assert "\n" not in line
+    assert len(line.encode()) <= bench.MAX_SUMMARY_BYTES, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "declared_inventory_wall_clock"
+    assert parsed["unit"] == "sec"
+    assert parsed["n_queries"] == 500
+    assert parsed["value"] == round(sum(timings.values()), 4)
+    # per-query detail must NOT ride the stdout line
+    assert len(parsed.get("queries", {})) <= len(bench.HEADLINE)
+
+
+def test_summary_carries_headline_timings():
+    timings = _fake_timings(10)
+    timings.update({q: 1.5 for q in bench.HEADLINE})
+    parsed = json.loads(bench.build_summary(timings, 0.01))
+    assert parsed["queries"] == {q: 1.5 for q in bench.HEADLINE}
+    assert parsed["sf"] == 0.01
