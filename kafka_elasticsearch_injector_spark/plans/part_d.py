@@ -1,0 +1,323 @@
+"""Part D — round-3 additions: the remaining TPC-H shapes expressible on
+the generated schema (Q4 EXISTS, Q12 CASE-aggregation over a fact join,
+Q19 OR-of-ANDs with a broadcast dimension), a skew-salted shuffle join,
+and three training-data-pipeline ops (corpus top-k n-grams, fixed-window
+document chunking, single-scan filter funnel).
+
+The reference has none of these (SURVEY.md §2.2); they extend the
+relational surface and the LLM-curation toolkit. Scale notes inline per
+query; shared determinism discipline (decimal money sums, unique
+tie-breaks, round-to-6) from plans/_util.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ._util import as_double6, dec
+from .registry import register
+
+# ------------------------------------------------- TPC-H completions
+
+
+@register(
+    "q_tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 (order priority checking), adapted to the generated "
+        "schema (no commit/receipt dates; the EXISTS probe is an "
+        "oversized-line test instead). Plan: date window pushed to the "
+        "orders scan, EXISTS as a LEFT SEMI join against the "
+        "quantity-filtered lineitem sliver, then a 5-group count. At "
+        "100 TB the semi join ships only orderkeys of qualifying "
+        "lines, never payloads.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp")))
+    probe = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(probe, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 (shipping modes / priority), adapted: the generated "
+        "lineitem has no l_shipmode, so the grouping key is "
+        "l_returnflag and the ship-window predicate replaces the "
+        "commit/receipt lateness test. Shape preserved: fact-side date "
+        "prune -> fact-to-fact equi join -> CASE-conditional counts. "
+        "The year window prunes ~85%% of lineitem before the shuffle; "
+        "the CASE sums are map-side partial. Oracle SUMs are CAST to "
+        "BIGINT (DuckDB types naked integer SUM as int128).",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE), 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 (discounted revenue, OR-of-ANDs), adapted to the "
+        "available part columns (brand+size stand in for "
+        "brand+container). The per-side unions of the disjuncts are "
+        "pre-applied manually — part to the three brand/size combos, "
+        "lineitem to the quantity hull [1,30] — because Catalyst does "
+        "not split a cross-table OR; the residual compound predicate "
+        "then runs on the joined sliver. part is KB-sized -> broadcast; "
+        "lineitem never shuffles.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    disj = [
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11),
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20),
+        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30),
+    ]
+    part = table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)))
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30))
+    joined = li.join(F.broadcast(part),
+                     li.l_partkey == part.p_partkey).filter(
+        disj[0] | disj[1] | disj[2])
+    return joined.agg(
+        as_double6(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))))
+        .alias("revenue"))
+
+
+# ------------------------------------------------- skew-mitigated join
+
+
+@register(
+    "q_skew_salted_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Skew-salted shuffle join: the fact side derives a salt from "
+        "xxhash64(event_id) mod 8, the dimension side is replicated "
+        "8x (explode of a literal sequence), and the join key becomes "
+        "(user_id, salt) — so a hot user_id spreads over 8 shuffle "
+        "partitions instead of one straggler. The SHUFFLE_HASH hint "
+        "pins the shuffle-join path the pattern targets (a broadcast "
+        "would hide the skew problem this query demonstrates; at "
+        "100 TB the 'dimension' side of a skewed join is often too "
+        "big to broadcast). Semantics are salt-invariant — the oracle "
+        "is the plain join. AQE skew-join is the zero-code "
+        "alternative; this is the portable explicit form.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    fact = table(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int"))
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0),
+                                                  F.lit(n_salt - 1))))
+    )
+    joined = fact.hint("shuffle_hash").join(
+        dim,
+        (fact.user_id == dim.c_custkey) & (fact._salt == dim._salt))
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        as_double6(F.sum(F.col("value").cast("decimal(28,6)")))
+        .alias("sum_value"),
+    )
+
+
+# ------------------------------------------------- LLM-pipeline ops
+
+
+@register(
+    "q_ngram_topk",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM toks,
+           UNNEST(CASE WHEN len(w) >= 3 THEN range(1, len(w) - 1)
+                       ELSE [] END) AS t(i)
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+    doc="Corpus-wide top-k word trigrams — the n-gram census a "
+        "curation pipeline runs to spot boilerplate and contamination "
+        "candidates. Tokenize (lower, split on non-alphanumeric), "
+        "slide a 3-window via transform(sequence(...)) — no Python, "
+        "no UDF — explode, count, TakeOrdered(20) with the gram "
+        "string as tie-break. Counting is map-side partial, so the "
+        "shuffle carries one row per DISTINCT gram per task, not one "
+        "per occurrence; at 100 TB add a frequency floor before the "
+        "final ordering if the gram vocabulary itself explodes.",
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                 lambda x: x != "").alias("w"))
+    grams = toks.select(
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 3 THEN "
+            "  transform(sequence(0, size(w) - 3), "
+            "            i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+            "ELSE array() END")).alias("gram"))
+    return (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "q_doc_chunks",
+    """
+    WITH sized AS (
+      SELECT doc_id, text,
+             GREATEST(LENGTH(text) - 128, 0) AS extra
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             i AS chunk_id,
+             SUBSTRING(text, CAST(1 + 96 * i AS INT), 128) AS chunk
+      FROM sized, UNNEST(range(0, 1 + (extra + 95) // 96)) AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(LENGTH(chunk) AS BIGINT) AS chunk_chars,
+           MD5(chunk) AS chunk_md5
+    FROM chunks
+    """,
+    doc="Fixed-window document chunking (window 128 chars, stride 96, "
+        "33%% overlap) — the segmentation step before tokenize/embed "
+        "in a training pipeline. Chunk count is 1 + ceil(max(len-128,"
+        "0)/96) so the tail is always covered; starts at 1+96*i. Pure "
+        "narrow projection + explode: no shuffle, no Python — each "
+        "input split emits its chunks in place, so at 100 TB this is "
+        "embarrassingly parallel and the md5 fingerprint (not the "
+        "chunk text) is what downstream dedup ships.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_chunks = 1 + F.floor(
+        (F.greatest(F.length("text") - 128, F.lit(0)) + 95) / 96)
+    chunks = (
+        docs.select(
+            "doc_id", "text",
+            F.posexplode(F.sequence(F.lit(0),
+                                    (n_chunks - 1).cast("int")))
+            .alias("chunk_id", "_i"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.substring(F.col("text"),
+                        (F.lit(1) + 96 * F.col("_i")).cast("int"), 128)
+            .alias("chunk"))
+    )
+    return chunks.select(
+        "doc_id", "chunk_id",
+        F.length("chunk").cast("bigint").alias("chunk_chars"),
+        F.md5("chunk").alias("chunk_md5"))
+
+
+@register(
+    "q_filter_funnel",
+    """
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_len,
+           CAST(SUM(CASE WHEN n_chars >= 150
+                          AND lang IN ('en', 'de', 'fr')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(SUM(CASE WHEN n_chars >= 150
+                          AND lang IN ('en', 'de', 'fr')
+                          AND NOT CONTAINS(text, 'slow slow')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM documents GROUP BY source
+    """,
+    doc="Single-scan filter funnel: per-source survival counts through "
+        "the curation stages (length floor -> language allowlist -> "
+        "boilerplate screen) as nested conditional sums — ONE pass "
+        "over the corpus instead of one count() job per stage, which "
+        "is how pipelines burn 4x the IO on observability. All sums "
+        "are map-side partial; the shuffle carries one row per "
+        "source. Oracle SUMs CAST to BIGINT (DuckDB int128 rule).",
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    s1 = F.col("n_chars") >= 150
+    s2 = s1 & F.col("lang").isin("en", "de", "fr")
+    s3 = s2 & ~F.col("text").contains("slow slow")
+    flag = (lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        flag(s1).alias("n_len"),
+        flag(s2).alias("n_lang"),
+        flag(s3).alias("n_clean"),
+    )

@@ -314,3 +314,75 @@ def test_train_order_sorts_per_shard_not_globally(spark, sf_dir):
     assert "Window" in plan, plan
     assert re.search(r"hashpartitioning\(shard", plan), plan
     assert "SinglePartition" not in plan, plan
+
+
+# ------------------------------------------------- part D (round 3)
+
+
+def test_q19_broadcasts_part_and_never_shuffles_lineitem(spark, sf_dir):
+    # OR-of-ANDs join: part (KB) must build a broadcast; the lineitem
+    # side must flow scan -> join -> partial agg with no Exchange below
+    # the join (the pre-applied quantity hull keeps the probe narrow).
+    plan = _explain(spark, sf_dir, "q_tpch_q19")
+    tree = plan.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree, tree
+    shuffles = re.findall(r"\bExchange \(", tree)
+    assert len(shuffles) == 1, tree  # only the single-row final agg
+
+
+def test_salted_join_takes_the_shuffle_path(spark, sf_dir):
+    # The whole point of the salt demo is a shuffle join: a broadcast
+    # would collapse the skew problem the salt solves. The hint must
+    # survive optimization.
+    plan = _explain(spark, sf_dir, "q_skew_salted_join")
+    tree = plan.split("\n\n", 1)[0]
+    assert "ShuffledHashJoin" in tree or "SortMergeJoin" in tree, tree
+    assert "BroadcastHashJoin" not in tree, tree
+
+
+def test_doc_chunks_is_shuffle_free_codegen(spark, sf_dir):
+    # Chunking is a narrow per-row explode: any Exchange in this plan
+    # means a regression added a repartition/agg that 100 TB cannot pay.
+    plan = _explain(spark, sf_dir, "q_doc_chunks")
+    tree = plan.split("\n\n", 1)[0]
+    assert "Exchange" not in tree, tree
+    assert "Generate" in tree, tree
+    assert "codegen id" in plan or "* Generate" in plan, plan
+
+
+def test_ngram_topk_partial_aggregates_before_shuffle(spark, sf_dir):
+    # The gram census must combine map-side: the Exchange carries one
+    # row per distinct gram per task, not one per occurrence; top-k is
+    # TakeOrdered, never a global sort of the whole vocabulary.
+    plan = _explain(spark, sf_dir, "q_ngram_topk")
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"\n\s*\+?- Sort ", plan), plan
+
+
+def test_q4_exists_is_a_semi_join(spark, sf_dir):
+    # EXISTS must compile to LeftSemi (ships keys, never payloads) with
+    # the date window pushed to the orders scan.
+    plan = _explain(spark, sf_dir, "q_tpch_q4")
+    assert "LeftSemi" in plan, plan
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), plan
+
+
+def test_q12_prunes_shipdate_at_scan(spark, sf_dir):
+    # The year window is the 85% row-killer; it must reach the parquet
+    # scan, and the CASE counts must partial-aggregate before the final
+    # exchange.
+    plan = _explain(spark, sf_dir, "q_tpch_q12")
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    assert any("l_shipdate" in p for p in pushed), plan
+    assert "partial_sum" in plan, plan
+
+
+def test_filter_funnel_is_single_scan(spark, sf_dir):
+    # One pass over documents: exactly one parquet scan in the plan, all
+    # stage counters as conditional partial sums.
+    plan = _explain(spark, sf_dir, "q_filter_funnel")
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "partial_sum" in plan, plan
