@@ -386,3 +386,57 @@ def test_filter_funnel_is_single_scan(spark, sf_dir):
     tree = plan.split("\n\n", 1)[0]
     assert tree.count("Scan parquet") == 1, tree
     assert "partial_sum" in plan, plan
+
+
+# ------------------------------------------------- part D2 (round 3)
+
+
+def test_q7_q8_q9_broadcast_all_dimensions(spark, sf_dir):
+    # The multi-join TPC-H shapes must broadcast every dimension side;
+    # the only shuffle joins allowed are fact-to-fact (orders⋈lineitem).
+    for q, min_bcast in (("q_tpch_q7", 4), ("q_tpch_q8", 5),
+                         ("q_tpch_q9", 3)):
+        plan = _explain(spark, sf_dir, q)
+        tree = plan.split("\n\n", 1)[0]
+        n_bcast = tree.count("BroadcastHashJoin")
+        assert n_bcast >= min_bcast, (q, tree)
+        assert "CartesianProduct" not in tree, (q, tree)
+
+
+def test_q13_left_join_preserves_every_customer(spark, sf_dir):
+    # The left join must keep zero-order customers: the distribution's
+    # total mass equals the customer count exactly (an inner join would
+    # silently drop the c_count = 0 bucket).
+    import pyspark.sql.functions as F
+    from kafka_elasticsearch_injector_spark import plans
+    from kafka_elasticsearch_injector_spark.io import table
+    df = plans.queries()["q_tpch_q13"](spark, sf_dir)
+    total = df.agg(F.sum("custdist").alias("t")).collect()[0].t
+    assert total == table(spark, sf_dir, "customer").count()
+
+
+def test_q22_not_exists_is_anti_join(spark, sf_dir):
+    plan = _explain(spark, sf_dir, "q_tpch_q22")
+    assert "LeftAnti" in plan, plan
+
+
+def test_q17_decorrelated_avg_broadcasts_the_sliver(spark, sf_dir):
+    # Both the per-part average and the final probe must be broadcast
+    # joins — lineitem never shuffles in this plan.
+    plan = _explain(spark, sf_dir, "q_tpch_q17")
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+    # Allowed exchanges: the per-part agg over the broadcast-pruned
+    # sliver (keyed on l_partkey) and the final single-row agg — never
+    # a full-lineitem repartition.
+    import re as _re
+    assert len(_re.findall(r"\bExchange \(", tree)) <= 2, tree
+    assert _re.search(r"hashpartitioning\(l_partkey", plan), plan
+
+
+def test_dup_spans_shuffles_digests_not_text(spark, sf_dir):
+    # The census groups by the md5 digest: the exchange key is gram_md5
+    # and the distinct-doc count expands BEFORE the shuffle (partial).
+    plan = _explain(spark, sf_dir, "q_dup_spans")
+    assert "partial_count" in plan, plan
+    assert re.search(r"hashpartitioning\(gram_md5", plan), plan

@@ -1,5 +1,5 @@
 """Sketch aggregates have no cross-engine oracle; bound them against the
-exact answer instead (q_approx_distinct's rsd=0.01 → assert ≤5%)."""
+exact answer instead (q_approx_distinct's rsd=0.02 → assert ≤5%)."""
 
 from __future__ import annotations
 
