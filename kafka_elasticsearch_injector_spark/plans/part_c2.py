@@ -123,7 +123,11 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("label", "vec_id",
-                F.round(F.col("_cos"), 6).alias("cos_to_centroid"), "rn")
+                F.round(F.col("_cos"), 6).alias("cos_to_centroid"),
+                # bigint to match DuckDB's ROW_NUMBER type exactly (the
+                # driver hash tolerates int-vs-bigint on proven-green
+                # queries, but a never-verified query takes no chances)
+                F.col("rn").cast("bigint").alias("rn"))
     )
 
 
@@ -251,7 +255,8 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
     return (
         table(spark, sf_dir, "documents")
-        .select("lang", "n_chars", F.ntile(3).over(w).alias("bucket"))
+        .select("lang", "n_chars",
+                F.ntile(3).over(w).cast("bigint").alias("bucket"))
         .groupBy("lang", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
              F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6)

@@ -94,3 +94,47 @@ def test_oracle_emits_no_int128(name, duck, sf_dir):
     assert not bad, (
         f"{name}: oracle columns typed int128 (Spark has no such type; "
         f"CAST the aggregate): {bad}")
+
+
+# Cross-engine RESULT-TYPE parity: the driver's value hash is typed, and
+# round 2 proved at least one divergence class breaks it (DuckDB HUGEINT
+# vs Spark BIGINT — values identical, hash differs). Integer WIDTH
+# differences are proven benign (q_window_rank, q_cosine_topk, q_ann_ivf
+# et al. went driver-green with DuckDB BIGINT vs Spark INT row numbers),
+# so int-family pairs are allowed; every other mismatch fails here
+# before it can fail in a driver round.
+_INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_DUCK_TO_SPARK = {
+    "TINYINT": "tinyint", "SMALLINT": "smallint", "INTEGER": "int",
+    "BIGINT": "bigint", "DOUBLE": "double", "FLOAT": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+    "TIMESTAMP": "timestamp", "BLOB": "binary",
+}
+_SPARK_INTS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _types_compatible(duck_t: str, spark_t: str) -> bool:
+    duck_t, spark_t = duck_t.upper(), spark_t.lower()
+    if duck_t.endswith("[]"):  # element-wise for array columns
+        return spark_t.startswith("array<") and _types_compatible(
+            duck_t[:-2], spark_t[len("array<"):-1])
+    if duck_t in _INT_FAMILY and spark_t in _SPARK_INTS:
+        return True
+    return _DUCK_TO_SPARK.get(duck_t) == spark_t
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, qd in QUERIES.items() if qd.oracle is not None])
+def test_result_types_match_across_engines(name, spark, duck, sf_dir):
+    qd = QUERIES[name]
+    s_types = {f.name: f.dataType.simpleString()
+               for f in qd.spark(spark, sf_dir).schema.fields}
+    rel = duck.sql(qd.oracle)
+    bad = []
+    for col, duck_t in zip(rel.columns, rel.types):
+        spark_t = s_types.get(col)
+        if spark_t is None or not _types_compatible(str(duck_t), spark_t):
+            bad.append((col, str(duck_t), spark_t))
+    assert not bad, (
+        f"{name}: result column types diverge across engines "
+        f"(driver hash risk): {bad}")
