@@ -1,0 +1,288 @@
+"""Part D3 — time-series and product-analytics operators over the
+event stream (gap-filled resampling, OHLC candles, sequential
+conversion funnel) plus two similarity-layer completions (kNN label
+classification, Levenshtein-verified fuzzy dedup).
+
+Cross-engine determinism notes specific to this file:
+- arg_min/arg_max composite tie-breaks are sortable STRINGS
+  (zero-padded micros + zero-padded id): DuckDB's arg_min has no
+  struct-key overload, and a numeric ts*K+id key overflows BIGINT.
+- Calendar sequences come from sequence()/generate_series() with both
+  endpoints day-truncated, so the bucket sets are identical by
+  construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ._util import as_double6
+from .registry import register
+
+# ------------------------------------------------- time-series resample
+
+
+@register(
+    "q_gapfill_daily",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             DATE_TRUNC('day', MIN(ts)) AS d0,
+             DATE_TRUNC('day', MAX(ts)) AS d1
+      FROM events GROUP BY user_id
+    ), calendar AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    ), daily AS (
+      SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+    )
+    SELECT c.user_id, c.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM calendar c LEFT JOIN daily d
+      ON c.user_id = d.user_id AND c.day = d.day
+    """,
+    doc="Gap-filled daily resample: every user gets a dense calendar "
+        "row for every day between their first and last event, with "
+        "zero-filled counts — the regularization step before any "
+        "window/forecast model consumes event data. The calendar "
+        "explodes from per-user (min, max) spans (one agg row per "
+        "user, NOT a global calendar cross join), and the fill join "
+        "is per-user equi-keyed. At 100 TB the span agg and the "
+        "daily agg reuse the same user_id partitioning — two "
+        "aggregations, one join, all on the same key.",
+)
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"))
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY")))
+        .alias("day"))
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day",
+                F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+                .alias("n_events"))
+    )
+
+
+# A sortable composite tie-break: microsecond timestamp then unique
+# event id, both zero-padded so string order == (ts, id) order.
+_ORD_KEY_SQL = ("strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || "
+                "lpad(CAST(event_id AS VARCHAR), 12, '0')")
+
+
+def _ord_key() -> F.Column:
+    return F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+
+
+@register(
+    "q_resample_ohlc",
+    f"""
+    SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           ROUND(arg_min(value, {_ORD_KEY_SQL}), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(arg_max(value, {_ORD_KEY_SQL}), 6) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, DATE_TRUNC('day', ts)
+    """,
+    doc="OHLC candle resample per (user, day): open/close are the "
+        "first/last value by event time via arg_min/arg_max over a "
+        "sortable (micros, id) string key — a unique tie-break, since "
+        "argument aggregates with non-unique keys are nondeterministic "
+        "in both engines. Entirely partial-aggregable: one shuffle of "
+        "one candle per (user, day) per task. The streaming twin is a "
+        "tumbling-window aggregate with the same five aggregates.",
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("_k", _ord_key())
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.round(F.min_by("value", "_k"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "_k"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_conversion_funnel",
+    """
+    WITH stage1 AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), stage2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN stage1 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t_view
+      GROUP BY e.user_id
+    ), stage3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN stage2 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT COUNT(*) FROM stage1) AS n_view,
+      (SELECT COUNT(*) FROM stage2) AS n_click_after_view,
+      (SELECT COUNT(*) FROM stage3) AS n_purchase_after_click
+    """,
+    doc="Sequential conversion funnel (view -> click-after-view -> "
+        "purchase-after-click): each stage is the MIN event time of "
+        "the stage type STRICTLY AFTER the user's previous-stage time "
+        "— order matters, which is what separates a funnel from three "
+        "counts. Every stage reuses the user_id partitioning of the "
+        "one before (join + agg on the same key, no new shuffle "
+        "shape); stage outputs are one row per surviving user, so "
+        "each successive stage's input shrinks. The batch analog of "
+        "the sessionized funnels product-analytics stores compute.",
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .filter(F.col("ts") > F.col("t_view"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .filter(F.col("ts") > F.col("t_click"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return n1.crossJoin(n2).crossJoin(n3)
+
+
+# ------------------------------------------------- similarity completions
+
+
+@register(
+    "q_knn_classify",
+    """
+    WITH probes AS (
+      SELECT vec_id AS probe_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT p.probe_id, e.label,
+             ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> p.pv[i] * CAST(e.embedding[i] AS DOUBLE))),
+                 (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(p.pv, x -> x * x)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (acc, x) -> acc + x)))
+               DESC, e.vec_id) AS rn
+      FROM probes p JOIN embeddings e ON e.vec_id >= 5
+    )
+    SELECT probe_id, label AS predicted_label, votes FROM (
+      SELECT probe_id, label, COUNT(*) AS votes,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY COUNT(*) DESC, label) AS vr
+      FROM scored WHERE rn <= 3
+      GROUP BY probe_id, label) v
+    WHERE vr = 1
+    """,
+    doc="kNN classification over the embedding column: majority label "
+        "of the 3 nearest cosine neighbors per probe (ties break to "
+        "the smallest label — spelled identically in both engines). "
+        "Composes the declared brute-force search with a per-probe "
+        "vote; at scale the neighbor stage swaps for the IVF/LSH "
+        "plans unchanged, because the vote only sees (probe, label) "
+        "pairs. Probes broadcast; the corpus is scanned once.",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+    from ..operators.scale import fill_cluster
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("probe_id"),
+                V.to_double(F.col("embedding")).alias("pv"))
+    )
+    corpus = fill_cluster(emb.filter(F.col("vec_id") >= 5)).select(
+        "vec_id", "label", V.to_double(F.col("embedding")).alias("vec"))
+    w_nn = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id"))
+    neigh = (
+        F.broadcast(probes).join(corpus)
+        .select("probe_id", "vec_id", "label",
+                V.cosine(F.col("pv"), F.col("vec")).alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") <= 3)
+    )
+    w_vote = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), F.col("label"))
+    return (
+        neigh.groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("probe_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+@register(
+    "q_fuzzy_levenshtein",
+    """
+    WITH blocked AS (
+      SELECT doc_id, lang, n_chars // 32 AS len_band,
+             SUBSTRING(text, 1, 64) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_distance
+    FROM blocked a JOIN blocked b
+      ON a.lang = b.lang AND a.len_band = b.len_band
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    """,
+    doc="Levenshtein-verified fuzzy dedup: candidate pairs are blocked "
+        "on (lang, length band) — never all-pairs — and verified by "
+        "edit distance over the 64-char head (the classic cheap proxy: "
+        "near-dup documents rarely diverge in their opening bytes; "
+        "full-text verify is the quadratic-DP step you only run on "
+        "survivors). The equi-join on the blocking key is the same "
+        "LSH-bucket shape as the minhash path, with edit distance as "
+        "the in-bucket metric instead of Jaccard.",
+)
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocked = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 32).alias("len_band"),
+        F.substring("text", 1, 64).alias("head"))
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_band",
+        F.col("head").alias("head_a"))
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"), F.col("len_band").alias("band_b"),
+        F.col("head").alias("head_b"))
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, (a.lang == b.lang_b) & (a.len_band == b.band_b)
+               & (a.doc_a < b.doc_b))
+        .filter(dist <= 12)
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_distance"))
+    )

@@ -440,3 +440,41 @@ def test_dup_spans_shuffles_digests_not_text(spark, sf_dir):
     plan = _explain(spark, sf_dir, "q_dup_spans")
     assert "partial_count" in plan, plan
     assert re.search(r"hashpartitioning\(gram_md5", plan), plan
+
+
+# ------------------------------------------------- part D3 (round 3)
+
+
+def test_gapfill_join_is_user_keyed(spark, sf_dir):
+    # The calendar fill must join on (user_id, day) — a global calendar
+    # cross join would explode at scale.
+    plan = _explain(spark, sf_dir, "q_gapfill_daily")
+    tree = plan.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree and "NestedLoop" not in tree, tree
+    assert re.search(r"hashpartitioning\(user_id", plan), plan
+
+
+def test_ohlc_partially_aggregates(spark, sf_dir):
+    # One shuffle of one candle per (user, day) per task: partial
+    # min_by/max_by must appear before the exchange.
+    plan = _explain(spark, sf_dir, "q_resample_ohlc")
+    assert "partial_min_by" in plan and "partial_max_by" in plan, plan
+
+
+def test_knn_vote_sees_only_probe_label_pairs(spark, sf_dir):
+    # The vote aggregates (probe, label) — its exchange must be keyed on
+    # probe_id, never on vectors; probes broadcast into the scoring join.
+    plan = _explain(spark, sf_dir, "q_knn_classify")
+    tree = plan.split("\n\n", 1)[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+    assert re.search(r"hashpartitioning\(probe_id", plan), plan
+
+
+def test_fuzzy_levenshtein_blocks_before_verifying(spark, sf_dir):
+    # The candidate join must be an equi-join on the blocking key —
+    # all-pairs edit distance is the failure mode this op exists to
+    # avoid.
+    plan = _explain(spark, sf_dir, "q_fuzzy_levenshtein")
+    tree = plan.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree, tree
+    assert re.search(r"hashpartitioning\(lang|BroadcastHashJoin", tree), tree
