@@ -286,3 +286,85 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 12)
         .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_distance"))
     )
+
+
+# ------------------------------------------------- retrieval scoring
+
+
+_BM25_TERMS = ("data", "table", "spark")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "q_bm25",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok IN ('data', 'table', 'spark')
+      GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ((s.n - tf.tf_df + 0.5) / (tf.tf_df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)),
+               6) AS DECIMAL(18,6)) AS term_score
+      FROM (SELECT tf.*, d.df AS tf_df
+            FROM tf JOIN (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok) d
+              ON tf.tok = d.tok) tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 retrieval scoring of a fixed 3-term query over the corpus "
+        "— the lexical-retrieval ranker a data pipeline runs for "
+        "contamination lookup and dedup triage. Determinism adaptation: "
+        "the idf is the RATIONAL (N-df+0.5)/(df+0.5) without ln() "
+        "(libm last-ulp differs across engines; monotone per term), "
+        "and per-term scores are rounded to 6 then summed as EXACT "
+        "decimals, so the cross-term accumulation is order-independent "
+        "— the standard float-sum nondeterminism cannot arise. Plan: "
+        "the term filter prunes the exploded stream BEFORE the tf "
+        "aggregation, doc length is a narrow projection, corpus stats "
+        "enter as a broadcast scalar; top-10 is TakeOrdered.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("dl").cast("bigint")).cast("double")
+         / F.count(F.lit(1))).alias("avgdl"))
+    idf = (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf") + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    term_score = F.round(idf * tf_part, 6).cast("decimal(18,6)")
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(as_double6(F.sum("term_score")).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

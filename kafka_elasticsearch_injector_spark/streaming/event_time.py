@@ -130,6 +130,44 @@ def join_streams(left: DataFrame, right: DataFrame, key: str,
     return joined.select(*left_cols, *right_cols)
 
 
+def tumbling_ohlc(events: DataFrame, ts_col: str = "ts",
+                  key_col: str = "user_id", value_col: str = "value",
+                  id_col: str = "event_id",
+                  window: str = "1 day",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window OHLC candles per key — the streaming
+    twin of the declared batch query q_resample_ohlc (plans/part_d3.py).
+
+    open/close are the first/last value by event time within the
+    window, picked by min_by/max_by over the same sortable
+    (zero-padded micros ‖ id) string key as the batch twin, so a
+    replayed window produces byte-identical candles. All five
+    aggregates are partial-aggregable, which is what makes them legal
+    (and efficient) under a streaming aggregation: per-micro-batch
+    partials merge into window state, one candle per (key, window) in
+    the store.
+    """
+    ord_key = F.concat(
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"))
+    return (
+        events.withColumn("_k", ord_key)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                 F.col(key_col))
+        .agg(
+            F.round(F.min_by(value_col, "_k"), 6).alias("open"),
+            F.round(F.max(value_col), 6).alias("high"),
+            F.round(F.min(value_col), 6).alias("low"),
+            F.round(F.max_by(value_col, "_k"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), key_col,
+                "open", "high", "low", "close", "n_events")
+    )
+
+
 def streaming_dedup(events: DataFrame, key_col: str,
                     payload_cols: list[str],
                     ttl_minutes: int | None = None) -> DataFrame:

@@ -237,3 +237,42 @@ def test_join_streams_rejects_unknown_how(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="inner|left"):
         join_streams(df, df, "user_id", how="full")
+
+
+def test_tumbling_ohlc_matches_batch_candles(spark, tmp_path):
+    from kafka_elasticsearch_injector_spark.streaming.event_time import (
+        tumbling_ohlc,
+    )
+
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE, event_id LONG"
+    # Two users across two hourly windows, with a value tie inside
+    # user 1's first window (ids 2 vs 3) so the unique ordering key is
+    # what decides open/close.
+    batches = [
+        [(_m(1), 1, 10.0, 1), (_m(2), 1, 5.0, 2), (_m(2), 1, 7.0, 3),
+         (_m(50), 1, 20.0, 4), (_m(10), 2, 3.0, 5)],
+        # advance the watermark far enough to close both 10:00 windows
+        [(_m(200), 1, 1.0, 6)],
+        [(_m(400), 1, 2.0, 7)],
+    ]
+    out = _run_batches(
+        spark, str(tmp_path), schema,
+        lambda df: tumbling_ohlc(df, "ts", "user_id", "value", "event_id",
+                                 "1 hour", "30 minutes"),
+        batches)
+    rows = {(r.user_id, r.win_start): (r.open, r.high, r.low, r.close,
+                                       r.n_events)
+            for r in out.collect()}
+    assert rows[(1, _m(0))] == (10.0, 20.0, 5.0, 20.0, 4)
+    assert rows[(2, _m(0))] == (3.0, 3.0, 3.0, 3.0, 1)
+    # streaming candles == batch candles over the same rows (twin check)
+    import itertools
+    all_rows = list(itertools.chain.from_iterable(batches))
+    batch_df = tumbling_ohlc(
+        spark.createDataFrame(all_rows, schema),
+        "ts", "user_id", "value", "event_id", "1 hour", "30 minutes")
+    batch = {(r.user_id, r.win_start): (r.open, r.high, r.low, r.close,
+                                        r.n_events)
+             for r in batch_df.collect()}
+    for k, v in rows.items():
+        assert batch[k] == v, k

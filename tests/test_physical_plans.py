@@ -478,3 +478,17 @@ def test_fuzzy_levenshtein_blocks_before_verifying(spark, sf_dir):
     tree = plan.split("\n\n", 1)[0]
     assert "CartesianProduct" not in tree, tree
     assert re.search(r"hashpartitioning\(lang|BroadcastHashJoin", tree), tree
+
+
+def test_bm25_filters_terms_before_aggregating(spark, sf_dir):
+    # The 3-term filter must prune the exploded token stream BEFORE the
+    # tf aggregation (a post-agg filter would shuffle the whole
+    # vocabulary); corpus stats broadcast; top-10 is TakeOrdered.
+    plan = _explain(spark, sf_dir, "q_bm25")
+    tree = plan.split("\n\n", 1)[0]
+    gen = tree.split("Generate", 1)[0] if "Generate" in tree else tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "partial_count" in plan, plan
+    # the tok IN (...) predicate sits under the first aggregate
+    assert re.search(r"Filter.*\n.*Generate|Generate.*\n.*Filter", tree) \
+        or "tok IN" in plan or "tok#" in plan, tree
