@@ -368,3 +368,148 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------- cohorts & anomalies
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP)
+               AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
+               AS active_day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(DATE_DIFF('day', f.cohort_day, a.active_day) AS INT)
+             AS day_offset,
+           COUNT(*) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, DATE_DIFF('day', f.cohort_day, a.active_day)
+    """,
+    doc="Retention cohort matrix: users grouped by first-seen day, "
+        "counted on each subsequent active day (offset 0 = cohort "
+        "size). The classic product-analytics triangle. Three "
+        "aggregations, all keyed on user_id then the KB-sized "
+        "(cohort, offset) grid — the first-seen agg, the distinct "
+        "active-day dedup, and the matrix count reuse one shuffle "
+        "key; output is bounded by days², independent of corpus "
+        "size.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts"))
+                  .alias("active_day"))
+        .distinct()
+    )
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_day",
+                 F.datediff("active_day", "cohort_day")
+                 .cast("int").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "q_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+    ), stats AS (
+      SELECT user_id,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n,
+             COUNT(*) AS n_days,
+             CAST(SUM(n * n) AS DOUBLE) AS sum_sq
+      FROM daily GROUP BY user_id
+    )
+    SELECT d.user_id, d.day, d.n AS n_events,
+           ROUND((d.n - s.mean_n)
+                 / sqrt((s.sum_sq - s.n_days * s.mean_n * s.mean_n)
+                        / (s.n_days - 1)), 6) AS zscore
+    FROM daily d JOIN stats s ON d.user_id = s.user_id
+    WHERE s.n_days > 1
+      AND (s.sum_sq - s.n_days * s.mean_n * s.mean_n) > 0
+      AND (d.n - s.mean_n)
+          / sqrt((s.sum_sq - s.n_days * s.mean_n * s.mean_n)
+                 / (s.n_days - 1)) > 2.0
+    """,
+    doc="Per-user activity anomaly screen: days whose event count sits "
+        "more than 2 sample standard deviations above that user's own "
+        "mean. The variance is spelled from INTEGER power sums "
+        "(sum, sum of squares, count) — exact at any accumulation "
+        "order below 2^53, unlike stddev_samp over doubles whose "
+        "merge order is engine-dependent; sqrt is IEEE-correctly- "
+        "rounded everywhere. Two same-key aggregations and a "
+        "broadcastable per-user stats join.",
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("user_id").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("sum_sq"))
+    var = (F.col("sum_sq") - F.col("n_days") * F.col("mean_n")
+           * F.col("mean_n")) / (F.col("n_days") - 1)
+    z = (F.col("n") - F.col("mean_n")) / F.sqrt(var)
+    return (
+        daily.join(stats, "user_id")
+        .filter((F.col("n_days") > 1)
+                & ((F.col("sum_sq") - F.col("n_days") * F.col("mean_n")
+                    * F.col("mean_n")) > 0)
+                & (z > 2.0))
+        .select("user_id", "day", F.col("n").alias("n_events"),
+                F.round(z, 6).alias("zscore"))
+    )
+
+
+@register(
+    "q_cumulative_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP)
+               AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS total_users
+    FROM per_day
+    """,
+    doc="Cumulative distinct users by day via the O(N) first-seen "
+        "formulation: distinct-per-prefix is a quadratic trap "
+        "(re-counting every prefix); instead each user contributes "
+        "once at their first-seen day, and a running sum over the "
+        "KB-sized per-day series yields the cumulative curve exactly. "
+        "The only full-data shuffle is the per-user min; the window "
+        "runs over one row per day — a SinglePartition sort of a "
+        "year-sized series is free.",
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"))
+    per_day = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("total_users"))

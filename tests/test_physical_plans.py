@@ -492,3 +492,23 @@ def test_bm25_filters_terms_before_aggregating(spark, sf_dir):
     # the tok IN (...) predicate sits under the first aggregate
     assert re.search(r"Filter.*\n.*Generate|Generate.*\n.*Filter", tree) \
         or "tok IN" in plan or "tok#" in plan, tree
+
+
+def test_cumulative_users_windows_only_the_daily_series(spark, sf_dir):
+    # The running sum must run AFTER the per-day collapse: the window's
+    # input is one row per day (SinglePartition over a KB series is the
+    # documented trade), never the raw event stream.
+    plan = _explain(spark, sf_dir, "q_cumulative_users")
+    assert "Window" in plan, plan
+    # both aggregations appear below the window
+    head = plan.split("Window", 1)[1]
+    assert "HashAggregate" in head, plan
+
+
+def test_anomaly_stats_join_after_same_key_aggs(spark, sf_dir):
+    # daily and stats group on the same leading key: the per-user stats
+    # join must not introduce a cartesian or nested-loop path.
+    plan = _explain(spark, sf_dir, "q_anomaly_days")
+    tree = plan.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "NestedLoop" not in tree, tree
