@@ -513,3 +513,119 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("total_users"))
+
+
+# ------------------------------------------------- containment & lang eval
+
+
+_CONTAIN_THRESH = 0.3
+
+
+@register(
+    "q_containment_pairs",
+    f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1])) AS g
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(a.g), 6) AS containment
+    FROM grams a JOIN grams b ON a.doc_id <> b.doc_id
+    WHERE len(a.g) > 0
+      AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+          >= {_CONTAIN_THRESH}
+    """,
+    doc="Asymmetric containment pairs (|A∩B| / |A| ≥ 0.3): catches "
+        "quotation/subset duplication that symmetric Jaccard misses "
+        "(a short doc fully contained in a long one scores low "
+        "Jaccard but containment 1.0). Spark side is the INVERTED- "
+        "INDEX formulation — explode distinct 2-grams, self-join on "
+        "the gram (the posting list), count shared grams per ordered "
+        "pair, divide by |A| — never the O(N²) pair space: only "
+        "pairs sharing ≥1 gram materialize, and the join key is a "
+        "gram string. At 100 TB add a df-ceiling filter to drop "
+        "stop-grams from the posting lists (the classic positional- "
+        "index optimization); the oracle is the quadratic "
+        "list_intersect spelled directly.",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1), "
+            "i -> concat_ws(' ', split(text, ' ')[i-1], "
+            "split(text, ' ')[i]))")).alias("g"))
+    sizes = grams.select(
+        "doc_id", F.size("g").alias("n_g")).filter(F.col("n_g") > 0)
+    posting = grams.select(
+        "doc_id", F.explode("g").alias("gram"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")),
+                    "doc_a")
+        .select("doc_a", "doc_b",
+                (F.col("inter").cast("double") / F.col("n_g"))
+                .alias("containment"))
+        .filter(F.col("containment") >= _CONTAIN_THRESH)
+        .select("doc_a", "doc_b", F.round("containment", 6)
+                .alias("containment"))
+    )
+
+
+@register(
+    "q_lang_confusion",
+    """
+    WITH markers(cand_lang, marker) AS (
+      VALUES ('en', 'the'), ('de', 'der'), ('es', 'el'),
+             ('fr', 'le'), ('zh', '的')
+    ), counts AS (
+      SELECT doc_id, cand_lang,
+             len(list_filter(string_split(text, ' '), t -> t = marker))
+               AS cnt
+      FROM documents CROSS JOIN markers
+    ), ranked AS (
+      SELECT doc_id, cand_lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, cand_lang) AS rn
+      FROM counts
+    ), preds AS (
+      SELECT doc_id,
+             CASE WHEN cnt > 0 THEN cand_lang ELSE 'und' END AS pred_lang
+      FROM ranked WHERE rn = 1
+    )
+    SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+    FROM documents d JOIN preds p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.pred_lang
+    """,
+    doc="Language-ID confusion matrix: the declared heuristic "
+        "classifier (q_lang_id) evaluated against the labeled lang "
+        "column — the quality gate you run before trusting any "
+        "language filter in a curation pipeline. Reuses the "
+        "classifier plan unchanged; the matrix aggregation is over "
+        "(true, pred) pairs, output bounded by langs², corpus-size "
+        "independent.",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    preds = T.predict_language(spark, docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

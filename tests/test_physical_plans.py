@@ -512,3 +512,14 @@ def test_anomaly_stats_join_after_same_key_aggs(spark, sf_dir):
     tree = plan.split("\n\n", 1)[0]
     assert "CartesianProduct" not in tree, tree
     assert "NestedLoop" not in tree, tree
+
+
+def test_containment_join_is_gram_keyed(spark, sf_dir):
+    # The posting-list self-join must key on the gram — an O(N²)
+    # pair-space join (cartesian / doc-keyed nested loop) is the
+    # failure mode the inverted index exists to avoid.
+    plan = _explain(spark, sf_dir, "q_containment_pairs")
+    tree = plan.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree and "NestedLoop" not in tree, tree
+    assert re.search(r"hashpartitioning\(gram|BroadcastHashJoin", tree), tree
+    assert "partial_count" in plan, plan
