@@ -629,3 +629,81 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ------------------------------------------------- multi-topic & robust stats
+
+
+@register(
+    "q_multi_topic_merge",
+    """
+    WITH merged AS (
+      SELECT event_type AS topic,
+             event_type || ':' || CAST(event_id AS VARCHAR) AS doc_id
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT topic, COUNT(*) AS n_records,
+           COUNT(DISTINCT doc_id) AS n_unique_ids
+    FROM merged GROUP BY topic
+    """,
+    doc="Multi-topic ingestion merge — the reference consumes a TOPIC "
+        "LIST into one pipeline (KAFKA_CONSUMER_TOPICS, reference "
+        "src/injector/injector.go:12-14, src/kafka/consumer.go:36-47) "
+        "and derives collision-safe document ids from the source "
+        "coordinates (codec.go doc_id = partition:offset, SURVEY.md "
+        "§2.1 op 13). Batch analog: union the per-topic sub-streams "
+        "(event_type plays the topic, as across Part A), qualify ids "
+        "with the topic, and audit per-topic volume vs distinct ids "
+        "(equal iff routing is collision-free). In Spark the union of "
+        "same-source filters collapses into ONE scan with an IN "
+        "filter; n distinct is the standard two-phase expand.",
+)
+def q_multi_topic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    topics = [
+        ev.filter(F.col("event_type") == t).select(
+            F.col("event_type").alias("topic"),
+            F.concat_ws(":", "event_type",
+                        F.col("event_id").cast("string")).alias("doc_id"))
+        for t in ("click", "view")
+    ]
+    merged = topics[0].unionByName(topics[1])
+    return merged.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct(F.col("doc_id")).alias("n_unique_ids"))
+
+
+@register(
+    "q_robust_stats",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(m.med, 6) AS median_value,
+           ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med
+    """,
+    doc="Robust dispersion per key: median + median absolute deviation "
+        "(MAD), the outlier-resistant stddev replacement monitoring "
+        "pipelines prefer for heavy-tailed metrics. Two passes by "
+        "definition (the second percentile needs the first's result); "
+        "both reuse the event_type partitioning, and the median join "
+        "broadcasts one row per key. Interpolation arithmetic is "
+        "identical across engines (proved by the declared "
+        "q_percentile); at 100 TB swap both for approx_percentile's "
+        "t-digest and keep the same two-pass shape.",
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("_mad"))
+        .select("event_type", F.round("med", 6).alias("median_value"),
+                F.round("_mad", 6).alias("mad"))
+    )

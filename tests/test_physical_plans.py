@@ -523,3 +523,15 @@ def test_containment_join_is_gram_keyed(spark, sf_dir):
     assert "CartesianProduct" not in tree and "NestedLoop" not in tree, tree
     assert re.search(r"hashpartitioning\(gram|BroadcastHashJoin", tree), tree
     assert "partial_count" in plan, plan
+
+
+def test_multi_topic_union_collapses_to_one_scan(spark, sf_dir):
+    # The per-topic filters union over the SAME source: Catalyst must
+    # merge them into a single scan (an IN/OR filter), not scan the
+    # table once per topic.
+    plan = _explain(spark, sf_dir, "q_multi_topic_merge")
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") <= 2, tree  # union may keep 2 legs
+    # the real gate: pushed filter on event_type on every leg
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed and all("event_type" in p for p in pushed), plan
