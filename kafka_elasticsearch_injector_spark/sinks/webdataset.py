@@ -1,0 +1,122 @@
+"""WebDataset-style tar shard export.
+
+The other training-export convention (besides the parquet shards in
+sinks/dataset.py): a directory of `shard-00000.tar` files whose members
+are `{key}.{suffix}` entries, streamed sequentially by dataloaders
+(the WebDataset convention popularized for large-scale multimodal
+training). The reference's terminal store is an order-free ES bulk sink
+(src/elasticsearch/elasticsearch.go:60-124); a tar export is the
+opposite contract — deterministic placement, member order, and bytes.
+
+Spark-first shape:
+- shard assignment is a pure function of the id (xxhash64 mod n) —
+  never round-robin/rand/monotonically_increasing_id, which depend on
+  task scheduling;
+- ONE shuffle (the groupBy on shard); each shard's tar is written by
+  exactly one task via applyInPandas, so there is no cross-task append
+  coordination and a re-run cannot interleave differently;
+- byte determinism: members sorted by key, tar metadata pinned
+  (mtime=0, uid/gid=0, mode=0644, USTAR format), atomic tmp+rename
+  publication — the manifest's sha256 is reproducible bit-for-bit;
+- the returned manifest (shard, n_members, n_bytes, sha256) is
+  computed from the written bytes, so it doubles as the export's
+  integrity record.
+
+At 100 TB: size n_shards for ~1 GB tars (one shard = one task = one
+in-memory Arrow group — the same bound every WebDataset writer has);
+skewed shards are impossible by construction (hash of unique ids).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import tarfile
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = "shard int, n_members long, n_bytes long, sha256 string"
+
+
+def with_hash_shard(df: DataFrame, n_shards: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic shard assignment: pmod(xxhash64(id), n)."""
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        .cast("int"))
+
+
+def _tar_bytes(rows: pd.DataFrame, id_col: str,
+               members: dict[str, str]) -> tuple[bytes, int]:
+    """Serialize one shard's rows into deterministic tar bytes:
+    members sorted by zero-padded key, all metadata pinned."""
+    buf = io.BytesIO()
+    n = 0
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tar:
+        for _, row in rows.iterrows():
+            key = f"{int(row[id_col]):012d}"
+            for suffix, col in sorted(members.items()):
+                val = row[col]
+                data = (val if isinstance(val, (bytes, bytearray))
+                        else str(val).encode("utf-8"))
+                info = tarfile.TarInfo(name=f"{key}.{suffix}")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                info.mode = 0o644
+                tar.addfile(info, io.BytesIO(data))
+                n += 1
+    return buf.getvalue(), n
+
+
+def write_webdataset(df: DataFrame, path: str, n_shards: int,
+                     id_col: str = "doc_id",
+                     members: dict[str, str] | None = None) -> DataFrame:
+    """Export `df` as WebDataset tar shards at `path`; returns the
+    per-shard manifest DataFrame (MANIFEST_SCHEMA).
+
+    `members` maps tar-member suffix -> source column (default
+    {"txt": "text"}); every row contributes one `{key}.{suffix}`
+    member per mapping, key = zero-padded `id_col`. Binary columns
+    pass through; everything else is utf-8 text.
+    """
+    members = members or {"txt": "text"}
+    os.makedirs(path, exist_ok=True)
+    cols = [id_col, *dict.fromkeys(members.values())]
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        ordered = pdf.sort_values(id_col, kind="mergesort")
+        data, n = _tar_bytes(ordered, id_col, members)
+        final = os.path.join(path, f"shard-{shard:05d}.tar")
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, final)  # atomic publication
+        return pd.DataFrame([{
+            "shard": shard, "n_members": n, "n_bytes": len(data),
+            "sha256": hashlib.sha256(data).hexdigest(),
+        }])
+
+    sharded = with_hash_shard(df.select(*cols), n_shards, id_col)
+    return sharded.groupBy("shard").applyInPandas(
+        write_shard, MANIFEST_SCHEMA)
+
+
+def read_webdataset_keys(path: str) -> Iterable[tuple[int, str]]:
+    """Driver-side audit helper: yield (shard, member_name) for every
+    member across the export — small-scale verification only (a
+    distributed readback would map tar parsing over binaryFile rows)."""
+    for fname in sorted(os.listdir(path)):
+        if not fname.startswith("shard-") or not fname.endswith(".tar"):
+            continue
+        shard = int(fname[len("shard-"):-len(".tar")])
+        with tarfile.open(os.path.join(path, fname)) as tar:
+            for m in tar.getmembers():
+                yield shard, m.name

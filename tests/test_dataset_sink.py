@@ -87,3 +87,66 @@ def test_skewed_shard_splits_files(spark, tmp_path):
                              max_records_per_file=20)
     files = glob.glob(os.path.join(out, "shard=0", "*.parquet"))
     assert len(files) >= 2
+
+
+# ------------------------------------------------- webdataset tar export
+
+
+def test_webdataset_roundtrip_and_byte_stability(spark, sf_dir, tmp_path):
+    import tarfile
+
+    from kafka_elasticsearch_injector_spark.io import table
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset_keys,
+        write_webdataset,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out1 = str(tmp_path / "wds1")
+    m1 = {r.shard: (r.n_members, r.sha256)
+          for r in write_webdataset(
+              docs, out1, 4, members={"txt": "text", "lang": "lang"})
+          .collect()}
+
+    n_docs = docs.count()
+    # every row contributes one member per mapping
+    assert sum(n for n, _ in m1.values()) == 2 * n_docs
+    # members are present, keyed and suffixed as the convention demands
+    names = list(read_webdataset_keys(out1))
+    assert len(names) == 2 * n_docs
+    some_doc = docs.limit(1).collect()[0]
+    key = f"{some_doc.doc_id:012d}"
+    member_names = {n for _, n in names}
+    assert f"{key}.txt" in member_names and f"{key}.lang" in member_names
+    # member CONTENT round-trips
+    shard_of_key = next(s for s, n in names if n == f"{key}.txt")
+    with tarfile.open(str(tmp_path / "wds1" / f"shard-{shard_of_key:05d}.tar")) as tar:
+        got = tar.extractfile(f"{key}.txt").read().decode()
+    assert got == some_doc.text
+
+    # byte stability: a re-run of the same input produces identical
+    # sha256 per shard (sorted members, pinned tar metadata)
+    out2 = str(tmp_path / "wds2")
+    m2 = {r.shard: (r.n_members, r.sha256)
+          for r in write_webdataset(
+              docs, out2, 4, members={"txt": "text", "lang": "lang"})
+          .collect()}
+    assert m1 == m2
+
+
+def test_webdataset_shard_assignment_is_id_pure(spark, sf_dir, tmp_path):
+    # Shuffling input order / partitioning must not move any member to
+    # a different shard: assignment depends on the id alone.
+    from kafka_elasticsearch_injector_spark.io import table
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset_keys,
+        write_webdataset,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_webdataset(docs, a, 3).collect()
+    write_webdataset(docs.repartition(7).sortWithinPartitions(
+        F.col("text")), b, 3).collect()
+    assert sorted(read_webdataset_keys(a)) == sorted(read_webdataset_keys(b))
