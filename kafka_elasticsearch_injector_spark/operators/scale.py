@@ -21,8 +21,15 @@ deployment reaches for when the defaults stop being enough:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# fill_cluster memo: DataFrame objects already probed (or produced by a
+# probe). A WeakSet so the memo never extends object lifetimes and never
+# mutates caller-owned objects.
+_FILL_CLUSTER_SEEN: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
 
 
 def fill_cluster(df: DataFrame) -> DataFrame:
@@ -49,20 +56,25 @@ def fill_cluster(df: DataFrame) -> DataFrame:
     - Nested operators (ivf_topk → label_centroids, curation stages)
       route the same DataFrame through fill_cluster repeatedly; the
       probe's planning cost would be paid each time. The returned
-      DataFrame is therefore MARKED, and a marked input is returned
-      untouched — one probe per lineage, not per call site.
+      DataFrame OBJECT is therefore MARKED, and a marked input is
+      returned untouched. The memo is per Python object, not per
+      lineage: any intervening transformation (.select, .filter)
+      returns a fresh unmarked object and the next call re-probes —
+      acceptable, because the probe is driver-side planning only, but
+      operators that nest should pass the SAME object through when
+      they want the memo to hit.
     - The probe reflects the pre-AQE plan: downstream of an exchange
       the decision is "is the static shuffle width ≥ cores", which is
       the right question for the CPU-kernel placement this guards, but
       callers should know AQE may still coalesce those partitions at
       runtime.
     """
-    if getattr(df, "_fill_cluster_done", False):
+    if df in _FILL_CLUSTER_SEEN:
         return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
-    out._fill_cluster_done = True
+    _FILL_CLUSTER_SEEN.add(out)
     return out
 
 

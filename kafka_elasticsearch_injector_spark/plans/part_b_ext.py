@@ -546,7 +546,7 @@ def q_udf_grouped_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct counts — constant memory per group vs the exact "
         "expand+two-phase plan q_agg_distinct pays. rsd=0.02: the "
         "sketch is ~16x smaller than rsd=0.01 for an error budget "
-        "that still clears the 5%% test bound — measured 0.42 s vs "
+        "that still clears the 5% test bound — measured 0.42 s vs "
         "0.14 s steady-state at sf0.1.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,7 +75,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag and the ship-window predicate replaces the "
         "commit/receipt lateness test. Shape preserved: fact-side date "
         "prune -> fact-to-fact equi join -> CASE-conditional counts. "
-        "The year window prunes ~85%% of lineitem before the shuffle; "
+        "The year window prunes ~85% of lineitem before the shuffle; "
         "the CASE sums are map-side partial. Oracle SUMs are CAST to "
         "BIGINT (DuckDB types naked integer SUM as int128).",
 )
@@ -254,7 +254,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM chunks
     """,
     doc="Fixed-window document chunking (window 128 chars, stride 96, "
-        "33%% overlap) — the segmentation step before tokenize/embed "
+        "33% overlap) — the segmentation step before tokenize/embed "
         "in a training pipeline. Chunk count is 1 + ceil(max(len-128,"
         "0)/96) so the tail is always covered; starts at 1+96*i. Pure "
         "narrow projection + explode: no shuffle, no Python — each "

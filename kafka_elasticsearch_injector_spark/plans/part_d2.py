@@ -183,7 +183,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     """,
     doc="TPC-H Q9 (product-type profit) adapted: the generated schema "
-        "has no partsupp, so supply cost is modeled as 10%% of "
+        "has no partsupp, so supply cost is modeled as 10% of "
         "p_retailprice x quantity — the join topology (part filter -> "
         "5-way join -> nation/year rollup) is what the benchmark "
         "exercises and is preserved. part/supplier/nation broadcast; "

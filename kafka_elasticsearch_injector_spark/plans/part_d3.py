@@ -554,13 +554,15 @@ _CONTAIN_THRESH = 0.3
         "list_intersect spelled directly.",
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens, word_ngrams
+
     docs = table(spark, sf_dir, "documents")
+    # word_ngrams guards the short-doc case (sequence(1, 0) DESCENDS in
+    # Spark and would index w[-1]); a 1-token doc gets [] on both
+    # engines instead of a runtime INVALID_ARRAY_INDEX.
     grams = docs.select(
         "doc_id",
-        F.array_distinct(F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1), "
-            "i -> concat_ws(' ', split(text, ' ')[i-1], "
-            "split(text, ' ')[i]))")).alias("g"))
+        F.array_distinct(word_ngrams(tokens("text"), 2)).alias("g"))
     sizes = grams.select(
         "doc_id", F.size("g").alias("n_g")).filter(F.col("n_g") > 0)
     posting = grams.select(

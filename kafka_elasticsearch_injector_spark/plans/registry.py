@@ -88,13 +88,15 @@ def _is_green(row: dict) -> bool:
     )
 
 
-def driver_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
-    """Parse every committed CORRECTNESS_r*.json → (last_green_round
-    per query, set of queries ever checked). Missing/corrupt files are
-    skipped: with no history at all the order degrades to registration
-    order, which is still a valid inventory."""
+def _scan_history(root: str | None) -> tuple[
+        dict[str, int], set[str], dict[str, tuple[int, bool]]]:
+    """Parse every committed CORRECTNESS_r*.json → (last_green_round per
+    query, set of queries ever checked, latest (round, was_green) per
+    query). Missing/corrupt files are skipped: with no history at all
+    the order degrades to registration order, which is still a valid
+    inventory."""
     last_green: dict[str, int] = {}
-    checked: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
     pattern = os.path.join(root or _repo_root(), "CORRECTNESS_r*.json")
     for path in sorted(glob.glob(pattern)):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -109,23 +111,37 @@ def driver_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            checked.add(name)
-            if _is_green(row):
+            green = _is_green(row)
+            if green:
                 last_green[name] = max(last_green.get(name, rnd), rnd)
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, green)
+    return last_green, set(latest), latest
+
+
+def driver_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
+    """(last_green_round per query, set of queries ever checked)."""
+    last_green, checked, _ = _scan_history(root)
     return last_green, checked
 
 
 def priority_order(names: list[str], root: str | None = None) -> list[str]:
-    """Mechanical verification order: never-green first (previously
-    checked-and-failed before never-checked), then greens ascending by
-    the round of their last green row (stalest first)."""
-    last_green, checked = driver_history(root)
+    """Mechanical verification order: queries whose MOST RECENT driver
+    row is a failure come first (a red row is the strongest signal,
+    even for a query that was green in some earlier round — treating
+    it as a stale green would sort it behind every never-checked query
+    and out of the verified prefix), then never-checked queries, then
+    greens ascending by the round of their last green row (stalest
+    first)."""
+    last_green, checked, latest = _scan_history(root)
     reg_idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
+        if n in latest and not latest[n][1]:
+            return (-2, 0, reg_idx[n])          # latest evidence: failure
         if n not in last_green:
-            return (-1, 0 if n in checked else 1, reg_idx[n])
-        return (last_green[n], 0, reg_idx[n])
+            return (-1, 0, reg_idx[n])          # never checked
+        return (last_green[n], 0, reg_idx[n])   # green, stalest first
 
     return sorted(names, key=key)
 

@@ -88,7 +88,14 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     """
     members = members or {"txt": "text"}
     os.makedirs(path, exist_ok=True)
-    cols = [id_col, *dict.fromkeys(members.values())]
+    # Stale shards from a prior export (e.g. a larger n_shards) must not
+    # survive a re-export: the manifest is the directory's integrity
+    # record, so the directory is cleared of shard files up front.
+    for fname in os.listdir(path):
+        if fname.startswith("shard-") and fname.endswith(".tar"):
+            os.remove(os.path.join(path, fname))
+    # de-dup against id_col too: members may legitimately export the key
+    cols = list(dict.fromkeys([id_col, *members.values()]))
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])

@@ -150,3 +150,23 @@ def test_webdataset_shard_assignment_is_id_pure(spark, sf_dir, tmp_path):
     write_webdataset(docs.repartition(7).sortWithinPartitions(
         F.col("text")), b, 3).collect()
     assert sorted(read_webdataset_keys(a)) == sorted(read_webdataset_keys(b))
+
+
+def test_webdataset_id_member_and_stale_shard_cleanup(spark, sf_dir, tmp_path):
+    # A members mapping may export the key column itself, and a
+    # re-export with fewer shards must not leave stale tars behind.
+    from kafka_elasticsearch_injector_spark.io import table
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset_keys,
+        write_webdataset,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, 8,
+                     members={"txt": "text", "id": "doc_id"}).collect()
+    shards_8 = {s for s, _ in read_webdataset_keys(out)}
+    assert max(shards_8) >= 4  # 8-way spread
+    write_webdataset(docs, out, 2).collect()
+    shards_2 = {s for s, _ in read_webdataset_keys(out)}
+    assert shards_2 <= {0, 1}, "stale shard tars survived the re-export"

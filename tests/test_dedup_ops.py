@@ -210,3 +210,21 @@ def test_connected_components_max_iter_bounds_the_loop(spark):
     got = {r.node: r.label for r in out}
     assert got[7] == 7  # isolated node labels itself
     assert all(lbl <= n for n, lbl in got.items())
+
+
+def test_word_ngrams_guard_on_short_docs(spark):
+    # sequence(1, 0) DESCENDS in Spark: without the guard a 1-token doc
+    # crashes bigram construction (INVALID_ARRAY_INDEX) or fabricates
+    # grams an oracle never produces. Short docs must yield [].
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        tokens,
+        word_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "a b c")], "id long, text string")
+    out = {r.id: r.g for r in df.select(
+        "id", word_ngrams(tokens("text"), 2).alias("g")).collect()}
+    assert out[1] == []
+    assert out[3] == ["a b", "b c"]

@@ -138,3 +138,17 @@ def test_result_types_match_across_engines(name, spark, duck, sf_dir):
     assert not bad, (
         f"{name}: result column types diverge across engines "
         f"(driver hash risk): {bad}")
+
+
+def test_regression_after_green_outranks_everything(tmp_path):
+    # A query green in r1 but FAILED in r2 must come first — ahead of
+    # never-checked queries — not be demoted to a stale green outside
+    # the verified prefix.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        '{"e": {"rows_match": true, "schema_match": true,'
+        ' "hash_match": true, "err": null}}')
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        '{"e": {"rows_match": true, "schema_match": true,'
+        ' "hash_match": false, "err": null}}')
+    order = priority_order(["a", "e"], root=str(tmp_path))
+    assert order == ["e", "a"]
