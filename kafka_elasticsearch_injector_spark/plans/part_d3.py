@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
-from ._util import as_double6
+from ._util import as_double6, dec
 from .registry import register
 
 # ------------------------------------------------- time-series resample
@@ -708,4 +708,107 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("percentile(abs(value - med), 0.5)").alias("_mad"))
         .select("event_type", F.round("med", 6).alias("median_value"),
                 F.round("_mad", 6).alias("mad"))
+    )
+
+
+# ------------------------------------------------- chunk dedup & concentration
+
+
+@register(
+    "q_chunk_dup_rate",
+    """
+    WITH sized AS (
+      SELECT doc_id, text, GREATEST(LENGTH(text) - 128, 0) AS extra
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             MD5(SUBSTRING(text, CAST(1 + 96 * i AS INT), 128)) AS chunk_md5
+      FROM sized, UNNEST(range(0, 1 + (extra + 95) // 96)) AS t(i)
+    ), counted AS (
+      SELECT doc_id, chunk_md5,
+             COUNT(*) OVER (PARTITION BY chunk_md5) AS n_occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM counted GROUP BY doc_id
+    """,
+    doc="Chunk-level duplication rate per document: chunk with the "
+        "declared 128/96 window (same formula as q_doc_chunks), count "
+        "corpus-wide occurrences of each chunk fingerprint, and roll "
+        "the duplicated-chunk fraction back up per doc — the signal "
+        "RefinedWeb/Dolma-style pipelines threshold to drop documents "
+        "that are MOSTLY duplicated content even when no full-text "
+        "match exists. Two shuffles, both on 16-byte digests (the "
+        "occurrence window keys on chunk_md5, the rollup on doc_id); "
+        "chunk text never leaves its input split.",
+)
+def q_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_chunks = 1 + F.floor(
+        (F.greatest(F.length("text") - 128, F.lit(0)) + 95) / 96)
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+            .alias("_i"), "text")
+        .select("doc_id", F.md5(F.substring(
+            F.col("text"), (F.lit(1) + 96 * F.col("_i")).cast("int"), 128))
+            .alias("chunk_md5"))
+    )
+    w = Window.partitionBy("chunk_md5")
+    counted = chunks.withColumn("n_occ", F.count(F.lit(1)).over(w))
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    return (
+        counted.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             dup.cast("bigint").alias("n_dup_chunks"),
+             F.round(dup.cast("double") / F.count(F.lit(1)), 6)
+             .alias("dup_fraction"))
+    )
+
+
+@register(
+    "q_hhi_concentration",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT SUM(r) AS t FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POWER(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 2)), 6)
+             AS hhi
+    FROM rev CROSS JOIN tot
+    """,
+    doc="Supplier revenue concentration (Herfindahl-Hirschman index): "
+        "sum of squared revenue shares — the market-concentration "
+        "audit, also the skew diagnostic for partition-key choice (an "
+        "HHI near 1/n means a uniform key; near 1 means one hot key). "
+        "Shares divide exact decimal sums as doubles; the squared-"
+        "share sum accumulates ~n_suppliers doubles whose error stays "
+        "far below the 6-decimal rounding at any group count that "
+        "fits an aggregation. Per-supplier agg + scalar total cross "
+        "join — two shuffles, second over one row per supplier.",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+             .alias("r"))
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+             F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"))
     )
