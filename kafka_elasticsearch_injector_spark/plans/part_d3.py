@@ -812,3 +812,73 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
              F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"))
     )
+
+
+# ------------------------------------------------- time-series similarity
+
+
+@register(
+    "q_ts_similarity",
+    """
+    WITH days AS (
+      SELECT UNNEST(range(0, 30)) AS d
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), daily AS (
+      SELECT user_id,
+             DATE_DIFF('day', TIMESTAMP '2024-01-01 00:00:00',
+                       DATE_TRUNC('day', ts)) AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+    ), dense AS (
+      SELECT u.user_id, days.d,
+             COALESCE(daily.n, 0) AS n
+      FROM users u CROSS JOIN days
+      LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = days.d
+    ), probe AS (
+      SELECT d, n AS pn FROM dense WHERE user_id = 0
+    )
+    SELECT user_id,
+           CAST(SUM((dense.n - probe.pn) * (dense.n - probe.pn)) AS BIGINT)
+             AS dist_sq
+    FROM dense JOIN probe ON dense.d = probe.d
+    WHERE user_id <> 0
+    GROUP BY user_id
+    ORDER BY dist_sq, user_id LIMIT 5
+    """,
+    doc="Time-series similarity search (cf. 'Time Series Similarity "
+        "Search for Streaming Data in Distributed Systems', EDBT "
+        "2019): each user's 30-day activity profile is densified to a "
+        "fixed calendar vector (zero-filled), and the 5 users closest "
+        "to user 0's profile by squared Euclidean distance surface. "
+        "Distances are INTEGER arithmetic end to end (counts), so the "
+        "result is exact — no float accumulation anywhere. The dense "
+        "grid is |users|x30 rows (KB-scale at any event volume since "
+        "it post-aggregates); probe vector broadcasts; top-5 is "
+        "TakeOrdered with the user id tie-break.",
+)
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.date_trunc("day", F.col("ts")), base).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    users = ev.select("user_id").distinct()
+    dense = (
+        users.select("user_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(29))).alias("d"))
+        .join(daily, ["user_id", "d"], "left")
+        .select("user_id", "d", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    probe = dense.filter(F.col("user_id") == 0).select(
+        "d", F.col("n").alias("pn"))
+    diff = F.col("n") - F.col("pn")
+    return (
+        dense.filter(F.col("user_id") != 0)
+        .join(F.broadcast(probe), "d")
+        .groupBy("user_id")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dist_sq"))
+        .orderBy("dist_sq", "user_id")
+        .limit(5)
+    )
