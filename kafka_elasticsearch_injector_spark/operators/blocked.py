@@ -262,3 +262,98 @@ def nearest_neighbor_blocked(
         (-F.col("w.neg_id")).alias("nn_id"),
         F.round(F.col("w.cos"), 6).alias("cos_sim"),
     )
+
+
+def containment_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "g",
+    threshold: float = 0.3,
+    n_blocks: int | None = None,
+    size_hint: int | None = None,
+) -> DataFrame:
+    """Exact set-containment |A∩B| / |A| for every ORDERED pair
+    (doc_a ≠ doc_b, containment ≥ threshold) — the asymmetric variant
+    of jaccard_pairs_blocked, same tile topology and determinism
+    contract (sgemm intersections are exact integers; the division is
+    the same IEEE op the oracle runs).
+
+    Directed emission: an off-diagonal tile emits BOTH directions
+    (A-in-B and B-in-A) from one intersection matrix; the diagonal
+    tile masks only the identity. Empty sets emit nothing (their
+    containment is undefined).
+
+    Why a tile kernel and not an inverted-index join: the posting-list
+    self-join costs Σ_g df(g)² — great when the vocabulary is large
+    and flat (real text + a stop-gram df-ceiling), degenerate when the
+    vocabulary is tiny and every gram is common (this repo's synthetic
+    corpus: 931 grams, median df 285 ⇒ 73M join rows at sf0.1,
+    measured 58 s). The tile kernel's cost is N²/B² per task
+    regardless of vocabulary shape — robust to gram skew.
+    """
+    base = df.select(F.col(id_col), F.col(set_col))
+    if n_blocks is None:
+        n_blocks = choose_blocks(
+            size_hint if size_hint is not None else base.count(),
+            df.sparkSession.sparkContext.defaultParallelism)
+    rep = replicate_block_pairs(base, id_col, n_blocks)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "containment": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "containment": "float64"})
+        lpdf, rpdf, diag = _split_tile(pdf, id_col, n_blocks)
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+
+        def encode(col):
+            sets = list(col)
+            lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+            return sets, lens
+
+        lsets, llens = encode(lpdf[set_col])
+        rsets, rlens = (lsets, llens) if diag else encode(rpdf[set_col])
+        flat_parts = lsets + ([] if diag else rsets)
+        flat = (np.concatenate(flat_parts)
+                if any(len(s) for s in flat_parts) else np.array([]))
+        codes, uniq = pd.factorize(flat)
+        v = len(uniq)
+        n_l, n_r = len(lsets), len(rsets)
+
+        def dense(n, lens, offset_codes):
+            m = np.zeros((n, v), np.float32)
+            m[np.repeat(np.arange(n), lens), offset_codes] = 1.0
+            return m
+
+        l_codes = codes[: llens.sum()]
+        ml = dense(n_l, llens, l_codes)
+        mr = ml if diag else dense(n_r, rlens, codes[llens.sum():])
+        inter = (ml @ mr.T).astype(np.float64)
+        lid = lpdf[id_col].to_numpy()
+        rid = lid if diag else rpdf[id_col].to_numpy()
+
+        frames = []
+
+        def emit(inter_ab, a_lens, a_ids, b_ids, mask_extra=None):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cont = inter_ab / a_lens[:, None].astype(np.float64)
+            mask = (a_lens[:, None] > 0) & (cont >= threshold)
+            if mask_extra is not None:
+                mask &= mask_extra
+            ii, jj = np.nonzero(mask)
+            frames.append(pd.DataFrame({
+                "doc_a": a_ids[ii], "doc_b": b_ids[jj],
+                "containment": _round6(cont[ii, jj])}))
+
+        if diag:
+            emit(inter, llens, lid, rid,
+                 mask_extra=lid[:, None] != rid[None, :])
+        else:
+            emit(inter, llens, lid, rid)          # left-in-right
+            emit(inter.T, rlens, rid, lid)        # right-in-left
+        out = pd.concat(frames, ignore_index=True) if frames else empty
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "containment": "float64"})
+
+    return rep.groupBy("_k1", "_k2").applyInPandas(
+        kernel, "doc_a bigint, doc_b bigint, containment double")

@@ -228,3 +228,26 @@ def test_word_ngrams_guard_on_short_docs(spark):
         "id", word_ngrams(tokens("text"), 2).alias("g")).collect()}
     assert out[1] == []
     assert out[3] == ["a b", "b c"]
+
+
+def test_containment_kernel_is_directional(spark):
+    # A short doc fully inside a long one: containment(A in B) = 1.0
+    # while containment(B in A) reflects only the shared fraction —
+    # the asymmetry is the operator's whole point.
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_injector_spark.operators.blocked import (
+        containment_pairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a b", "b c"]),                     # A: 2 grams, all in B
+         (2, ["a b", "b c", "c d", "d e"]),       # B: 4 grams
+         (3, ["x y"])],                           # unrelated
+        "doc_id long, g array<string>")
+    rows = {(r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs_blocked(
+                df, threshold=0.3, n_blocks=2).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert rows[(2, 1)] == 0.5
+    assert (3, 1) not in rows and (1, 3) not in rows

@@ -130,7 +130,7 @@ def test_relational_surface_stays_jvm_side(spark, sf_dir):
     # and the Part C Arrow kernels.
     allowed_python = {
         "q_udf_grouped_range", "q_dedup_ngram", "q_dedup_embcos",
-        "q_dedup_cluster", "q_media_meta",
+        "q_dedup_cluster", "q_media_meta", "q_containment_pairs",
     }
     for name, fn in plans.queries().items():
         if name in allowed_python:
@@ -514,15 +514,16 @@ def test_anomaly_stats_join_after_same_key_aggs(spark, sf_dir):
     assert "NestedLoop" not in tree, tree
 
 
-def test_containment_join_is_gram_keyed(spark, sf_dir):
-    # The posting-list self-join must key on the gram — an O(N²)
-    # pair-space join (cartesian / doc-keyed nested loop) is the
-    # failure mode the inverted index exists to avoid.
+def test_containment_uses_the_tile_kernel(spark, sf_dir):
+    # Containment runs the blocked tile topology (one sgemm tile per
+    # (_k1,_k2) group): the replicate join must broadcast the block-id
+    # range (never a cartesian over data), and the kernel is the one
+    # sanctioned Arrow group-map.
     plan = _explain(spark, sf_dir, "q_containment_pairs")
     tree = plan.split("\n\n", 1)[0]
-    assert "CartesianProduct" not in tree and "NestedLoop" not in tree, tree
-    assert re.search(r"hashpartitioning\(gram|BroadcastHashJoin", tree), tree
-    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in tree, tree
+    assert "FlatMapGroupsInPandas" in tree, tree
+    assert re.search(r"hashpartitioning\(_k1", plan), plan
 
 
 def test_multi_topic_union_collapses_to_one_scan(spark, sf_dir):
