@@ -871,3 +871,41 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_sq", "user_id")
         .limit(5)
     )
+
+
+# ------------------------------------------------- UDTF extension point
+
+
+@register(
+    "q_udtf_expand",
+    """
+    SELECT doc_id, i AS pos, w[i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         UNNEST(range(1, LEAST(len(w), 5) + 1)) AS t(i)
+    """,
+    doc="Python UDTF extension point (Spark 4 @udtf): a table function "
+        "expanding each document into its first 5 (pos, token) rows — "
+        "completing the user-code extension triple next to the scalar "
+        "pandas_udf and the grouped-agg/grouped-map kernels. UDTFs "
+        "run row-at-a-time Python (EvalPython node, no Arrow batch "
+        "path), so the declared guidance stands: built-in "
+        "explode/posexplode expresses THIS query natively and is what "
+        "production should use — the UDTF exists to prove the "
+        "extension point works and stays oracle-checkable. Lateral "
+        "per-row expansion parallelizes embarrassingly; no shuffle.",
+)
+def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class FirstTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")[:5], start=1):
+                yield i, tok
+
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("first_tokens", FirstTokens)
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok "
+        "FROM _udtf_docs, LATERAL first_tokens(text) t")

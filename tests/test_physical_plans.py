@@ -131,6 +131,7 @@ def test_relational_surface_stays_jvm_side(spark, sf_dir):
     allowed_python = {
         "q_udf_grouped_range", "q_dedup_ngram", "q_dedup_embcos",
         "q_dedup_cluster", "q_media_meta", "q_containment_pairs",
+        "q_udtf_expand",
     }
     for name, fn in plans.queries().items():
         if name in allowed_python:
