@@ -909,3 +909,130 @@ def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.pos, t.tok "
         "FROM _udtf_docs, LATERAL first_tokens(text) t")
+
+
+# ------------------------------------------------- tokenizer & incremental
+
+
+@register(
+    "q_bpe_first_merges",
+    """
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), pairs AS (
+      SELECT SUBSTRING(w, CAST(i AS INT), 2) AS pair
+      FROM words, UNNEST(range(1, LENGTH(w))) AS t(i)
+      WHERE LENGTH(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="Tokenizer induction, step one: the top-20 adjacent character "
+        "pairs across the corpus — exactly the candidate set the first "
+        "BPE merge picks from (Sennrich et al.; iterating = re-running "
+        "this count over re-segmented text). Explode is in-row, the "
+        "pair count partial-aggregates (shuffle = one row per distinct "
+        "pair per task over a character-set-bounded vocabulary), "
+        "top-20 is TakeOrdered with the pair tie-break. At 100 TB "
+        "this is the canonical map-side-combine word-count shape.",
+)
+def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> substring(w, i, 2))")).alias("pair"))
+    return (
+        pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "q_incremental_dedup",
+    """
+    WITH existing AS (
+      SELECT DISTINCT MD5(text) AS digest FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN existing e ON MD5(d.text) = e.digest
+    WHERE d.source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
+      AND e.digest IS NULL
+    """,
+    doc="Incremental-ingest dedup: documents of the NEW snapshot "
+        "(sources src5+) that do not duplicate anything in the "
+        "EXISTING corpus (src0-4) — the anti-join every periodic "
+        "crawl runs before appending, so dedup cost is new x existing "
+        "digests rather than a full-corpus re-cluster. The join ships "
+        "16-byte digests, never text; at 100 TB the existing side is "
+        "a persisted digest table bucketed on the digest so the "
+        "anti-join is co-located with no new shuffle of the "
+        "accumulated corpus.",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    docs = table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("source").isin(old_srcs))
+        .select(F.md5("text").alias("digest")).distinct()
+    )
+    return (
+        docs.filter(~F.col("source").isin(old_srcs))
+        .withColumn("digest", F.md5("text"))
+        .join(existing, "digest", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "q_embed_dim_stats",
+    """
+    WITH flat AS (
+      SELECT i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE), 7)
+                  AS DECIMAL(12,7)) AS x
+      FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean,
+           ROUND(SQRT((CAST(SUM(x * x) AS DOUBLE)
+                       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                         / COUNT(*)) / (COUNT(*) - 1)), 6) AS std
+    FROM flat GROUP BY dim
+    """,
+    doc="Per-dimension embedding normalization stats (mean/std over "
+        "the corpus for each of the 64 lanes) — what a feature "
+        "pipeline computes before whitening or asymmetric "
+        "quantization. Inputs quantize to DECIMAL(12,7) (ROUND to 7 "
+        "is tie-free for binary floats, so both engines agree "
+        "exactly) — narrow enough that the SQUARE stays an exact "
+        "decimal (25,14) inside both engines' 38-digit ceiling; a "
+        "wider input decimal overflows the product and each engine "
+        "sheds precision differently (measured: the 6th decimal of "
+        "std flipping). Both power sums are then exact and order-"
+        "independent under shuffle; sqrt is IEEE-exact, so the hash "
+        "is stable. The posexplode shuffles "
+        "64 rows per vector with full partial aggregation; the "
+        "no-explode 64-column variant (label_centroids style) is the "
+        "100 TB path — this spelling keeps the oracle 1:1.",
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select((F.col("pos") + 1).cast("int").alias("dim"),
+             F.round(F.col("v").cast("double"), 7)
+             .cast("decimal(12,7)").alias("x"))
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    return (
+        flat.groupBy("dim")
+        .agg(F.round(sx / n, 6).alias("mean"),
+             F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std"))
+    )
