@@ -1036,3 +1036,154 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(sx / n, 6).alias("mean"),
              F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std"))
     )
+
+
+# ------------------------------------------------- sketch calibration & drift
+
+
+def _minhash_calibration_sql() -> str:
+    from .part_c import _DD_BANDS, _DD_SIGS
+
+    est = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(8))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_DD_SIGS} FROM toks
+    ), banded AS (
+{_DD_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST({est} AS DOUBLE) / 8, 6) AS est_jac,
+           ROUND(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                 / (len(ta.sh) + len(tb.sh)
+                    - len(list_intersect(ta.sh, tb.sh))), 6) AS exact_jac
+    FROM cand
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b
+      JOIN toks ta ON ta.doc_id = doc_a
+      JOIN toks tb ON tb.doc_id = doc_b
+    """
+
+
+@register(
+    "q_minhash_calibration",
+    _minhash_calibration_sql(),
+    doc="MinHash sketch calibration: for every LSH candidate pair, the "
+        "signature-agreement estimate (matching lanes / k) next to the "
+        "exact Jaccard — the per-deployment check that the k=8 sketch's "
+        "error is acceptable before trusting it at a scale where exact "
+        "verification is unaffordable (the dedup analog of "
+        "q_ann_recall). Candidates come from the same banded equi-join "
+        "as the production path; the two signature joins are on doc "
+        "ids against the KB-per-doc signature table.",
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        lsh_band_hashes,
+        minhash_signature,
+        tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("sh"))
+    sigs = toks.select(
+        "doc_id", "sh", *minhash_signature(F.col("sh"), 8))
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*lsh_band_hashes(8, 2))).alias("band", "bh"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bh") == F.col("b.bh"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh").alias("sh_a"),
+                     *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(8)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh").alias("sh_b"),
+                     *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(8)])
+    est = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(8))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(est.cast("double") / 8, 6).alias("est_jac"),
+                F.round(inter.cast("double") / union, 6).alias("exact_jac"))
+    )
+
+
+@register(
+    "q_drift_ks",
+    """
+    WITH tagged AS (
+      SELECT n_chars AS v,
+             CASE WHEN CAST(SUBSTRING(source, 4) AS INT) < 10
+                  THEN 1 ELSE 2 END AS grp
+      FROM documents
+    ), counts AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM tagged GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v) AS k1,
+             SUM(c2) OVER (ORDER BY v) AS k2,
+             (SELECT SUM(c1) FROM counts) AS t1,
+             (SELECT SUM(c2) FROM counts) AS t2
+      FROM counts
+    )
+    SELECT ROUND(MAX(ABS(CAST(k1 AS DOUBLE) / t1
+                         - CAST(k2 AS DOUBLE) / t2)), 6) AS ks_d
+    FROM cum
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the length "
+        "distributions of two source cohorts (src0-9 vs src10-19) — "
+        "the distribution-drift gate a pipeline runs between crawl "
+        "snapshots before mixing them. Exact: integer cumulative "
+        "counts divide as doubles only at the compare. One shuffle to "
+        "the per-value counts; the CDF window runs over the DISTINCT "
+        "value grid (KB for integer-ish features — at 100 TB bucket "
+        "continuous features first, which bounds the grid and is the "
+        "standard ECDF-on-histogram approximation).",
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grp = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, 1).otherwise(2)
+    counts = (
+        docs.select(F.col("n_chars").alias("v"), grp.alias("grp"))
+        .groupBy("v")
+        .agg(F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+             .cast("bigint").alias("c1"),
+             F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+             .cast("bigint").alias("c2"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    tot = counts.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    cum = (
+        counts.select("v", F.sum("c1").over(w).alias("k1"),
+                      F.sum("c2").over(w).alias("k2"))
+        .crossJoin(F.broadcast(tot))
+    )
+    d = F.abs(F.col("k1").cast("double") / F.col("t1")
+              - F.col("k2").cast("double") / F.col("t2"))
+    return cum.agg(F.round(F.max(d), 6).alias("ks_d"))
