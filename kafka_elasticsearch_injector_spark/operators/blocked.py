@@ -108,6 +108,37 @@ def _split_tile(pdf: pd.DataFrame, id_col: str, n_blocks: int):
     return pdf[side_left], pdf[~side_left], False
 
 
+def _tile_matrices(lpdf: pd.DataFrame, rpdf: pd.DataFrame, diag: bool,
+                   id_col: str, set_col: str):
+    """Shared tile encoding for the set kernels: dictionary-encode the
+    tile-local vocabulary and build the dense 0/1 float32 matrices.
+    Returns (ml, mr, llens, rlens, lid, rid). float32 keeps sgemm
+    intersection counts exact below 2^24 set elements per row."""
+    def encode(col):
+        sets = list(col)
+        lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+        return sets, lens
+
+    lsets, llens = encode(lpdf[set_col])
+    rsets, rlens = (lsets, llens) if diag else encode(rpdf[set_col])
+    flat_parts = lsets + ([] if diag else rsets)
+    flat = (np.concatenate(flat_parts)
+            if any(len(s) for s in flat_parts) else np.array([]))
+    codes, uniq = pd.factorize(flat)
+    v = len(uniq)
+
+    def dense(n, lens, offset_codes):
+        m = np.zeros((n, v), np.float32)
+        m[np.repeat(np.arange(n), lens), offset_codes] = 1.0
+        return m
+
+    ml = dense(len(lsets), llens, codes[: llens.sum()])
+    mr = ml if diag else dense(len(rsets), rlens, codes[llens.sum():])
+    lid = lpdf[id_col].to_numpy()
+    rid = lid if diag else rpdf[id_col].to_numpy()
+    return ml, mr, llens, rlens, lid, rid
+
+
 def jaccard_pairs_blocked(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -142,33 +173,11 @@ def jaccard_pairs_blocked(
             return pd.DataFrame({"doc_a": [], "doc_b": [], "jac": []}).astype(
                 {"doc_a": "int64", "doc_b": "int64", "jac": "float64"})
 
-        def encode(col):
-            sets = list(col)
-            lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
-            return sets, lens
-
-        lsets, llens = encode(lpdf[set_col])
-        rsets, rlens = (lsets, llens) if diag else encode(rpdf[set_col])
-        flat = np.concatenate(
-            lsets + ([] if diag else rsets)) if (lsets or rsets) else np.array([])
-        codes, uniq = pd.factorize(flat)
-        v = len(uniq)
-        n_l, n_r = len(lsets), len(rsets)
-
-        def dense(n, lens, offset_codes):
-            m = np.zeros((n, v), np.float32)
-            m[np.repeat(np.arange(n), lens), offset_codes] = 1.0
-            return m
-
-        l_codes = codes[: llens.sum()]
-        ml = dense(n_l, llens, l_codes)
-        mr = ml if diag else dense(n_r, rlens, codes[llens.sum():])
+        ml, mr, llens, rlens, lid, rid = _tile_matrices(
+            lpdf, rpdf, diag, id_col, set_col)
         inter = ml @ mr.T  # exact integer counts (float32 < 2^24)
         union = (llens[:, None] + rlens[None, :]).astype(np.float64) - inter
         jac = inter.astype(np.float64) / union
-
-        lid = lpdf[id_col].to_numpy()
-        rid = lid if diag else rpdf[id_col].to_numpy()
         mask = jac >= threshold
         if diag:
             mask &= lid[:, None] < rid[None, :]
@@ -288,8 +297,15 @@ def containment_pairs_blocked(
     and flat (real text + a stop-gram df-ceiling), degenerate when the
     vocabulary is tiny and every gram is common (this repo's synthetic
     corpus: 931 grams, median df 285 ⇒ 73M join rows at sf0.1,
-    measured 58 s). The tile kernel's cost is N²/B² per task
-    regardless of vocabulary shape — robust to gram skew.
+    measured 58 s). The tile kernel's per-task cost is
+    (N/B)² · v_tile sgemm work and (N/B) · v_tile · 4 B memory for the
+    dense matrices, where v_tile is the TILE-LOCAL distinct-gram
+    count — insensitive to gram frequency SKEW, but not to vocabulary
+    SIZE: large flat vocabularies (real text, ~hundreds of grams per
+    doc) blow the dense tile past memory, and there the posting join
+    + stop-gram df-ceiling (or sparse-matrix tiles) is the right
+    path. Pick by corpus: small/shared vocabulary → this kernel;
+    large flat vocabulary → posting join.
     """
     base = df.select(F.col(id_col), F.col(set_col))
     if n_blocks is None:
@@ -306,31 +322,9 @@ def containment_pairs_blocked(
         if len(lpdf) == 0 or len(rpdf) == 0:
             return empty
 
-        def encode(col):
-            sets = list(col)
-            lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
-            return sets, lens
-
-        lsets, llens = encode(lpdf[set_col])
-        rsets, rlens = (lsets, llens) if diag else encode(rpdf[set_col])
-        flat_parts = lsets + ([] if diag else rsets)
-        flat = (np.concatenate(flat_parts)
-                if any(len(s) for s in flat_parts) else np.array([]))
-        codes, uniq = pd.factorize(flat)
-        v = len(uniq)
-        n_l, n_r = len(lsets), len(rsets)
-
-        def dense(n, lens, offset_codes):
-            m = np.zeros((n, v), np.float32)
-            m[np.repeat(np.arange(n), lens), offset_codes] = 1.0
-            return m
-
-        l_codes = codes[: llens.sum()]
-        ml = dense(n_l, llens, l_codes)
-        mr = ml if diag else dense(n_r, rlens, codes[llens.sum():])
+        ml, mr, llens, rlens, lid, rid = _tile_matrices(
+            lpdf, rpdf, diag, id_col, set_col)
         inter = (ml @ mr.T).astype(np.float64)
-        lid = lpdf[id_col].to_numpy()
-        rid = lid if diag else rpdf[id_col].to_numpy()
 
         frames = []
 

@@ -62,9 +62,16 @@ def compact(spark: SparkSession, path: str,
     - `sort_cols` optionally re-sorts within output files (restores
       min/max-statistics pruning that interleaved micro-batch writes
       destroy).
-    - Publication is atomic: write to a sibling tmp dir, then swap
-      directories. A reader mid-swap sees the old or the new listing,
-      never a mix.
+    - Publication: write to a HIDDEN sibling tmp dir (leading "." —
+      Hadoop's PathFilter ignores it, so a concurrent reader of the
+      parent table never trips partition discovery on it), then two
+      renames (path -> hidden old, tmp -> path) and an rmtree. The
+      swap is NOT atomic: a reader in the instant between the renames
+      sees a missing path, and a crash there leaves the data under
+      the hidden "._old-*" name (recover by renaming it back). POSIX
+      offers no portable two-directory atomic exchange; run
+      compaction in the table's maintenance window or behind a
+      catalog pointer swap when readers cannot tolerate the gap.
     """
     target, total, n_files = plan_compaction(path, target_file_bytes)
     if n_files <= target:
@@ -74,9 +81,13 @@ def compact(spark: SparkSession, path: str,
     out = df.repartition(target)
     if sort_cols:
         out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
-    tmp = f"{path.rstrip('/')}._compact-{uuid.uuid4().hex[:8]}"
+    # Hidden basenames (leading "."): Hadoop path filters skip them, so
+    # a reader listing the PARENT table during the rewrite sees neither
+    # the tmp nor the old directory.
+    parent, base = os.path.split(path.rstrip("/"))
+    tmp = os.path.join(parent, f"._compact-{uuid.uuid4().hex[:8]}-{base}")
     out.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    old = f"{path.rstrip('/')}._old-{uuid.uuid4().hex[:8]}"
+    old = os.path.join(parent, f"._old-{uuid.uuid4().hex[:8]}-{base}")
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -860,8 +860,15 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, ["user_id", "d"], "left")
         .select("user_id", "d", F.coalesce("n", F.lit(0)).alias("n"))
     )
-    probe = dense.filter(F.col("user_id") == 0).select(
-        "d", F.col("n").alias("pn"))
+    # Probe vector straight from the per-user aggregate (30 rows via
+    # its own zero-filled sequence) — filtering `dense` instead would
+    # re-execute the full events lineage a second time.
+    days = spark.range(30).select(F.col("id").cast("int").alias("d"))
+    probe = (
+        days.join(daily.filter(F.col("user_id") == 0).select("d", "n"),
+                  "d", "left")
+        .select("d", F.coalesce("n", F.lit(0)).alias("pn"))
+    )
     diff = F.col("n") - F.col("pn")
     return (
         dense.filter(F.col("user_id") != 0)
@@ -1086,46 +1093,41 @@ def _minhash_calibration_sql() -> str:
         "ids against the KB-per-doc signature table.",
 )
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import parquet_row_count, small_vocab_probe
     from ..operators.dedup import (
-        lsh_band_hashes,
+        minhash_lsh_pairs,
         minhash_signature,
         tokens,
     )
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("sh"))
-    sigs = toks.select(
-        "doc_id", "sh", *minhash_signature(F.col("sh"), 8))
-    banded = sigs.select(
+    # Candidates + exact Jaccard come from the PRODUCTION path at
+    # threshold 0 (first-matching-band emission = the oracle's DISTINCT
+    # candidate set; bitmask verify when the vocabulary fits 64 bits).
+    # A hand-rolled candidate join + array_intersect verify re-paid the
+    # costs that path exists to kill — measured 13-15 s at sf0.1 vs
+    # ~2 s this way.
+    pairs = minhash_lsh_pairs(
+        docs, k=8, rows_per_band=2, shingle_n=1, threshold=0.0,
+        size_hint=parquet_row_count(sf_dir, "documents"),
+        vocab_hint=small_vocab_probe(sf_dir, "documents"),
+    ).withColumnRenamed("jac", "exact_jac")
+    sigs = docs.select(
         "doc_id",
-        F.posexplode(F.array(*lsh_band_hashes(8, 2))).alias("band", "bh"))
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.bh") == F.col("b.bh"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        *minhash_signature(F.array_distinct(tokens("text")), 8))
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("sh").alias("sh_a"),
                      *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(8)])
     sb = sigs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("sh").alias("sh_b"),
                      *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(8)])
     est = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
         for i in range(8))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b",
                 F.round(est.cast("double") / 8, 6).alias("est_jac"),
-                F.round(inter.cast("double") / union, 6).alias("exact_jac"))
+                "exact_jac")
     )
 
 
