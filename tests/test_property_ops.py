@@ -1,0 +1,97 @@
+"""Property-based invariants for the core dedup/similarity operators:
+randomized inputs, brute-force Python oracles. Few examples per test
+(each example runs Spark jobs); the value is the randomized shapes —
+degenerate sets, singleton components, adversarial fingerprints — not
+example count.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_injector_spark.operators import dedup as D
+from kafka_elasticsearch_injector_spark.operators.blocked import (
+    containment_pairs_blocked,
+)
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    edges = draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+        max_size=15))
+    return n, [(a, b) for a, b in edges if a != b]
+
+
+def _brute_components(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: min(j for j in range(n) if find(j) == find(i))
+            for i in range(n)}
+
+
+@settings(**_SETTINGS)
+@given(edge_lists())
+def test_connected_components_matches_union_find(spark, case):
+    n, edges = case
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long")
+    if not edges:
+        pairs = pairs.filter(F.col("doc_a") != F.col("doc_b"))
+    got = {r.node: r.label
+           for r in D.connected_components(nodes, pairs).collect()}
+    assert got == _brute_components(n, edges)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 2 ** 16 - 1), min_size=2, max_size=14,
+                unique=True))
+def test_hamming_segment_pairs_equal_brute_force(spark, fps):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fps)], "doc_id long, simhash long")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in D.hamming_segment_pairs(df, bits=16,
+                                            max_hamming=3).collect()}
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(fps), 2):
+        h = bin(a ^ b).count("1")
+        if h <= 3:
+            want[(min(i, j), max(i, j))] = h
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.sets(st.sampled_from(["a", "b", "c", "d", "e", "f"]), max_size=6),
+    min_size=2, max_size=8))
+def test_containment_kernel_equals_set_arithmetic(spark, sets):
+    rows = [(i, sorted(s)) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "doc_id long, g array<string>")
+    got = {(r.doc_a, r.doc_b): r.containment
+           for r in containment_pairs_blocked(
+               df, threshold=0.0, n_blocks=2).collect()}
+    want = {}
+    for (i, a), (j, b) in itertools.permutations(enumerate(sets), 2):
+        if not a:
+            continue
+        c = len(a & b) / len(a)
+        want[(i, j)] = round(c, 6)
+    assert got == want
