@@ -1189,3 +1189,72 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.abs(F.col("k1").cast("double") / F.col("t1")
               - F.col("k2").cast("double") / F.col("t2"))
     return cum.agg(F.round(F.max(d), 6).alias("ks_d"))
+
+
+# ------------------------------------------------- operational audits
+
+
+@register(
+    "q_index_rollover_audit",
+    """
+    SELECT 'pfx-events-' || strftime(ts, '%Y-%m-%d') AS index_name,
+           COUNT(*) AS n_docs,
+           CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_bulks
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    doc="Index-rollover audit: documents and bulk-request count per "
+        "daily index — the sizing view behind the reference's "
+        "time-suffixed routing (op 15, src/models/record.go:18-24) "
+        "and 100-record bulks (KAFKA_CONSUMER_BATCH_SIZE, "
+        "src/injector/injector.go:20-24): oversized daily indices are "
+        "THE operational failure of time-routed ES clusters, and this "
+        "is the one-aggregation detector. Map-side partial count, one "
+        "row per day.",
+)
+def q_index_rollover_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.concat(F.lit("pfx-events-"),
+                            F.date_format("ts", "yyyy-MM-dd"))
+                   .alias("index_name"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.ceil(F.count(F.lit(1)) / 100.0).cast("bigint")
+             .alias("n_bulks"))
+    )
+
+
+@register(
+    "q_partition_balance",
+    """
+    WITH per_part AS (
+      SELECT user_id % 32 AS part, COUNT(*) AS n
+      FROM events GROUP BY user_id % 32
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           CAST(MIN(n) AS BIGINT) AS min_n,
+           ROUND(CAST(MAX(n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+    FROM per_part
+    """,
+    doc="Partition-balance audit: per-partition row counts (user_id "
+        "mod 32 as the partitioner, mirroring a keyed Kafka topic's "
+        "partition assignment — reference consumer parallelism is "
+        "per-partition, src/kafka/consumer.go:73-135) and the "
+        "max/mean skew ratio — the number that predicts straggler "
+        "tasks before a shuffle hits them. Two KB-sized aggregations; "
+        "the ratio divides exact integer counts as doubles.",
+)
+def q_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy((F.col("user_id") % 32).alias("part")).agg(
+        F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.min("n").cast("bigint").alias("min_n"),
+        F.round(F.max("n").cast("double")
+                / (F.sum("n").cast("double") / F.count(F.lit(1))), 6)
+        .alias("skew_ratio"),
+    )
