@@ -159,8 +159,9 @@ def resize_stub(df_media: DataFrame, width: int, height: int) -> DataFrame:
 AUDIO_SCHEMA = ("doc_id bigint, audio binary, media_type string, "
                 "sample_rate int, n_samples int, content_md5 string")
 
-AUDIO_FEATURE_SCHEMA = ("doc_id bigint, n_frames int, rms_mean double, "
-                        "zcr_mean double")
+AUDIO_FEATURE_SCHEMA = ("doc_id bigint, n_samples int, n_frames int, "
+                        "sample_sum bigint, energy bigint, "
+                        "rms_mean double, zcr_mean double")
 
 
 def attach_audio(df: DataFrame, text_col: str = "text",
@@ -186,28 +187,38 @@ def attach_audio(df: DataFrame, text_col: str = "text",
 
 def audio_features(df_audio: DataFrame, frame: int = 64) -> DataFrame:
     """Windowed audio features over raw PCM: per-frame RMS and
-    zero-crossing rate, averaged per clip. UNLIKE the image kernels this
-    is NOT a stub — int16 reinterpretation and the signal math are pure
+    zero-crossing rate, averaged per clip, plus integer-exact framing
+    invariants (n_samples, framed sample_sum and energy = Σs², both
+    exact in int64 since |s| < 2¹⁵). UNLIKE the image kernels this is
+    NOT a stub — int16 reinterpretation and the signal math are pure
     numpy over the binary buffer, the same mapInPandas shape a real
     fbank/MFCC stage uses (only compressed-codec decode would need
-    external libs)."""
+    external libs). The integer columns are cross-engine checkable
+    (any SQL engine can re-derive them by two's-complement-decoding
+    the PCM bytes); the float columns are exact-verified against a
+    pure-numpy recomputation in tests/test_multimodal.py."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            out = {"doc_id": [], "n_frames": [], "rms_mean": [],
-                   "zcr_mean": []}
+            out = {"doc_id": [], "n_samples": [], "n_frames": [],
+                   "sample_sum": [], "energy": [],
+                   "rms_mean": [], "zcr_mean": []}
             for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
-                pcm = np.frombuffer(bytes(buf), dtype="<i2").astype(np.float64)
-                n_frames = len(pcm) // frame
+                ints = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                n_frames = len(ints) // frame
+                framed_i = ints[: n_frames * frame]
                 out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(ints))
                 out["n_frames"].append(n_frames)
+                out["sample_sum"].append(int(framed_i.sum()))
+                out["energy"].append(int((framed_i * framed_i).sum()))
                 if n_frames == 0:
                     out["rms_mean"].append(0.0)
                     out["zcr_mean"].append(0.0)
                     continue
-                frames = pcm[: n_frames * frame].reshape(n_frames, frame)
+                frames = framed_i.astype(np.float64).reshape(n_frames, frame)
                 rms = np.sqrt((frames * frames).mean(axis=1))
                 zc = (np.diff(np.signbit(frames), axis=1) != 0).sum(axis=1)
                 out["rms_mean"].append(round(float(rms.mean()), 6))

@@ -540,21 +540,37 @@ def q_udf_grouped_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    None,  # HLL sketches are engine-specific — no cross-engine oracle;
-           # tests/test_sketches.py bounds the error against the exact count.
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_uniq_cust,
+           TRUE AS within_bounds
+    FROM orders GROUP BY o_orderpriority
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
         "distinct counts — constant memory per group vs the exact "
         "expand+two-phase plan q_agg_distinct pays. rsd=0.02: the "
         "sketch is ~16x smaller than rsd=0.01 for an error budget "
         "that still clears the 5% test bound — measured 0.42 s vs "
-        "0.14 s steady-state at sf0.1.",
+        "0.14 s steady-state at sf0.1. Oracle contract: sketches are "
+        "engine-specific, so the checked output is the EXACT count "
+        "plus a Spark-computed within_bounds flag (|approx−exact| ≤ "
+        "5·rsd·exact, a ≥5σ envelope); the oracle re-derives the "
+        "exact count and literal TRUE — a green row certifies the "
+        "sketch's error bound, not merely that rows came back.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = F.countDistinct("o_custkey").cast("bigint")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02)
-             .alias("approx_uniq_cust"))
+        .agg(exact.alias("exact_uniq_cust"),
+             approx.alias("_approx"))
+        .select(
+            "o_orderpriority", "exact_uniq_cust",
+            (F.abs(F.col("_approx") - F.col("exact_uniq_cust"))
+             <= 5 * 0.02 * F.col("exact_uniq_cust")).alias("within_bounds"),
+        )
     )
 
 

@@ -241,18 +241,23 @@ def q_window_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stats_agg",
     """
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
            ROUND(stddev_samp(l_quantity), 6) AS qty_sd,
            ROUND(var_pop(l_discount), 6) AS disc_var,
-           ROUND(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov
+           ROUND(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_cov
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Statistical moment aggregates: corr, stddev, variance, "
         "covariance. Both engines use single-pass co-moment updates "
         "(Welford/Chan merge), so results agree far inside the 1e-6 "
         "rounding at these magnitudes (quantity ≤ 50, rates ≤ 0.1; "
-        "corr is scale-free). Partial-aggregable: each partition "
-        "ships one (n, mean, M2, co-moment) tuple per group.",
+        "corr is scale-free). The sign-capable moments (corr, covar) "
+        "carry the oracle-side `+ 0.0` IEEE normalization: a tiny "
+        "negative covariance ROUNDs to -0.0 in DuckDB (IEEE sign "
+        "preserved) but +0.0 in Spark (BigDecimal has no signed "
+        "zero), and the driver's typed hash distinguishes them — the "
+        "round-3 q_stats_agg red row. Partial-aggregable: each "
+        "partition ships one (n, mean, M2, co-moment) tuple per group.",
 )
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -308,14 +313,19 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                        'brand')[1] AS brand,
            CAST(cardinality(map(['brand','type'], [p_brand, p_type]))
                 AS INTEGER) AS n_keys,
-           map_keys(map(['brand','type'], [p_brand, p_type])) AS ks
+           array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])),
+                           ',') AS ks
     FROM part
     """,
     doc="Map scalar surface: construction, key extraction, cardinality, "
         "key listing. DuckDB's map_extract returns a list (unwrapped "
         "with [1]); Spark's element_at returns the scalar directly. "
         "Construction order is preserved by both engines, so map_keys "
-        "compares deterministically.",
+        "compares deterministically. The key list is serialized with "
+        "array_join/array_to_string on BOTH sides: the driver's value "
+        "hasher cannot factorize array-typed cells (round-3 "
+        "`unhashable type: 'list'` crash), so no declared query may "
+        "emit an Array/Map column (lint: test_registry_priority.py).",
 )
 def q_map_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.create_map(F.lit("brand"), F.col("p_brand"),
@@ -324,7 +334,7 @@ def q_map_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.element_at(m, "brand").alias("brand"),
         F.size(m).cast("int").alias("n_keys"),
-        F.map_keys(m).alias("ks"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
     )
 
 
@@ -636,21 +646,46 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_percentile",
-    None,  # t-digest sketches are engine-specific — no cross-engine
-           # oracle; tests/test_sketches.py bounds the rank error.
-    doc="approx_percentile (t-digest-style quantile sketch): the "
-        "100 TB path for quantiles — fixed-size sketch per group, "
-        "partial-aggregable, vs the full per-group sort the exact "
-        "percentile pays. accuracy=10000 ≈ 1e-4 rank error.",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_within, TRUE AS p90_within, TRUE AS p99_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_percentile (GK quantile-summary sketch): the 100 TB "
+        "path for quantiles — fixed-size sketch per group, partial-"
+        "aggregable, vs the full per-group sort the exact percentile "
+        "pays. accuracy=10000 ≈ 1e-4 rank error. Oracle contract: "
+        "quantile sketches are engine-specific, so the checked output "
+        "is the group count plus Spark-computed rank-envelope flags — "
+        "each approx quantile must lie inside the EXACT [q−0.01, "
+        "q+0.01] percentile interval (100× the sketch's guaranteed "
+        "rank error); the oracle re-derives the count and literal "
+        "TRUE. A green row certifies the sketch's rank bound against "
+        "the exact percentiles, not merely that rows came back. "
+        "(Scalar flags, not the percentile array: array outputs crash "
+        "the driver's hasher — see q_map_scalars.)",
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    qs = [0.5, 0.9, 0.99]
+    approx = F.percentile_approx("l_extendedprice", qs, 10000)
+    # Exact rank envelope around each target quantile: the sketch's
+    # rank error (1e-4) is far inside the ±0.01 slack.
+    lo = F.percentile("l_extendedprice", F.lit([q - 0.01 for q in qs]))
+    hi = F.percentile("l_extendedprice", F.lit([q + 0.01 for q in qs]))
+    df = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-            .alias("price_q"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             approx.alias("_a"), lo.alias("_lo"), hi.alias("_hi"))
+    )
+    def within(i: int):
+        a = F.element_at("_a", i)
+        return (a >= F.element_at("_lo", i)) & (a <= F.element_at("_hi", i))
+    return df.select(
+        "l_returnflag", "n",
+        within(1).alias("p50_within"),
+        within(2).alias("p90_within"),
+        within(3).alias("p99_within"),
     )
 
 

@@ -131,7 +131,8 @@ _DD_DOT = ("list_reduce(list_prepend(0.0, "
       SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
              ROUND({_DD_DOT}
                    / (SQRT({_DD_SQNORM.format(v='a.embedding')})
-                      * SQRT({_DD_SQNORM.format(v='b.embedding')})), 6) AS cos_sim,
+                      * SQRT({_DD_SQNORM.format(v='b.embedding')})), 6) + 0.0
+               AS cos_sim,
              ROW_NUMBER() OVER (
                PARTITION BY a.vec_id
                ORDER BY {_DD_DOT}
@@ -490,7 +491,7 @@ _DD_PAIR_DOT = ("list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
     SELECT vec_id_a, nn_id, cos_sim FROM (
       SELECT a.vec_id AS vec_id_a, b.vec_id AS nn_id,
              ROUND({_DD_PAIR_DOT} / ({_DD_NORM.format(v='a.embedding')}
-                   * {_DD_NORM.format(v='b.embedding')}), 6) AS cos_sim,
+                   * {_DD_NORM.format(v='b.embedding')}), 6) + 0.0 AS cos_sim,
              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
                {_DD_PAIR_DOT} / ({_DD_NORM.format(v='a.embedding')}
                  * {_DD_NORM.format(v='b.embedding')}) DESC, b.vec_id) AS rn
@@ -679,7 +680,7 @@ _IVF_TOPK_SELECT = f"""
              ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                  i -> n.pv[i] * CAST(e.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
                / ({_DD_NORM.format(v='n.pv')} * {_DD_NORM.format(v='e.embedding')}), 6)
-               AS cos_sim,
+               + 0.0 AS cos_sim,
              ROW_NUMBER() OVER (PARTITION BY n.probe_id ORDER BY
                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                  i -> n.pv[i] * CAST(e.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
@@ -863,7 +864,7 @@ def _lsh_pairs_oracle_sql(threshold: float, n_tables: int,
     WITH bucketed AS (
       SELECT vec_id, embedding, {', '.join(bucket_exprs)} FROM embeddings
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cos_sim
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) + 0.0 AS cos_sim
     FROM bucketed a JOIN bucketed b
       ON a.vec_id < b.vec_id AND ({collide})
     WHERE {cos} >= {threshold}
@@ -1088,19 +1089,44 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_audio_features",
-    None,  # int16 PCM reinterpretation isn't DuckDB-expressible →
-           # rows-only check; the kernel is exact-verified against a
-           # pure-numpy recomputation in tests/test_multimodal.py.
-    doc="Audio modality: deterministic PCM16 column + windowed RMS / "
-        "zero-crossing features in an Arrow mapInPandas kernel — real "
-        "signal math (not a stub); only compressed-codec decode would "
-        "need external libs.",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) // 2 AS INT) AS n_samples,
+             CAST((length(text) // 2) // 64 AS INT) AS n_frames,
+             list_transform(
+               range(1, CAST(((length(text) // 2) // 64) * 64 AS INT) + 1),
+               k -> CASE WHEN ord(substr(text, CAST(2*k AS INT), 1)) >= 128
+                    THEN ord(substr(text, CAST(2*k-1 AS INT), 1))
+                         + 256 * ord(substr(text, CAST(2*k AS INT), 1)) - 65536
+                    ELSE ord(substr(text, CAST(2*k-1 AS INT), 1))
+                         + 256 * ord(substr(text, CAST(2*k AS INT), 1)) END
+             ) AS pcm
+      FROM documents
+    )
+    SELECT doc_id, n_samples, n_frames,
+           CAST(COALESCE(list_sum(pcm), 0) AS BIGINT) AS sample_sum,
+           CAST(COALESCE(list_sum(list_transform(pcm,
+                v -> CAST(v AS BIGINT) * v)), 0) AS BIGINT) AS energy
+    FROM s
+    """,
+    doc="Audio modality: deterministic PCM16 column + windowed features "
+        "in an Arrow mapInPandas kernel — real signal math (not a "
+        "stub). The driver-checked projection is the INTEGER-EXACT "
+        "subset (n_samples, n_frames, framed sample_sum / energy=Σs²), "
+        "which the oracle re-derives by two's-complement-decoding the "
+        "same PCM16 bytes char-by-char (the corpus is pure ASCII, so "
+        "varchar positions == byte positions; the decode CASE still "
+        "carries the >=128 sign branch for arbitrary bytes). The float "
+        "RMS/ZCR path runs in the same kernel and is exact-verified "
+        "against a pure-numpy recomputation in tests/test_multimodal.py.",
 )
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as M
 
     docs = table(spark, sf_dir, "documents")
-    return M.audio_features(M.attach_audio(docs))
+    return M.audio_features(M.attach_audio(docs)).select(
+        "doc_id", "n_samples", "n_frames", "sample_sum", "energy")
 
 
 # ===================================================================

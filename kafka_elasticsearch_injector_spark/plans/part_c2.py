@@ -91,7 +91,8 @@ _CENT_CTES = """dims AS (
                  i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])),
                  (acc, x) -> acc + x)
                / ({_DD_NORM.format(v='e.embedding')}
-                  * {_DD_NORM.format(v='c.centroid')}), 6) AS cos_to_centroid,
+                  * {_DD_NORM.format(v='c.centroid')}), 6) + 0.0
+               AS cos_to_centroid,
              ROW_NUMBER() OVER (PARTITION BY e.label ORDER BY
                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                  i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])),

@@ -90,10 +90,10 @@ def _ord_key() -> F.Column:
     "q_resample_ohlc",
     f"""
     SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
-           ROUND(arg_min(value, {_ORD_KEY_SQL}), 6) AS open,
-           ROUND(MAX(value), 6) AS high,
-           ROUND(MIN(value), 6) AS low,
-           ROUND(arg_max(value, {_ORD_KEY_SQL}), 6) AS close,
+           ROUND(arg_min(value, {_ORD_KEY_SQL}), 6) + 0.0 AS open,
+           ROUND(MAX(value), 6) + 0.0 AS high,
+           ROUND(MIN(value), 6) + 0.0 AS low,
+           ROUND(arg_max(value, {_ORD_KEY_SQL}), 6) + 0.0 AS close,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id, DATE_TRUNC('day', ts)
@@ -329,7 +329,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN stats s
     )
-    SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS bm25
+    SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) + 0.0 AS bm25
     FROM scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
@@ -672,7 +672,7 @@ def q_multi_topic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           ROUND(m.med, 6) AS median_value,
+           ROUND(m.med, 6) + 0.0 AS median_value,
            ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad
     FROM events e JOIN med m ON e.event_type = m.event_type
     GROUP BY e.event_type, m.med
@@ -1006,7 +1006,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, UNNEST(range(1, 65)) AS t(i)
     )
     SELECT CAST(dim AS INT) AS dim,
-           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean,
            ROUND(SQRT((CAST(SUM(x * x) AS DOUBLE)
                        - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
                          / COUNT(*)) / (COUNT(*) - 1)), 6) AS std

@@ -29,7 +29,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # repr distinguishes IEEE -0.0 from +0.0 — the driver's typed
+        # hash does too (round-3 q_stats_agg escaped the pre-repr
+        # replica: DuckDB's ROUND preserves the sign of a tiny negative
+        # covariance, Spark's BigDecimal round has no signed zero).
+        # Sign-capable oracle ROUNDs normalize with `+ 0.0`; this makes
+        # the replica catch any site the sweep missed.
+        return repr(round(v, 6))
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):

@@ -113,6 +113,10 @@ def test_audio_attach_and_features(spark, sf_dir):
     n_frames = len(pcm) // 64
     got = feats[ref.doc_id]
     assert got.n_frames == n_frames
+    assert got.n_samples == len(pcm)
+    framed = pcm[: n_frames * 64].astype(np.int64)
+    assert got.sample_sum == int(framed.sum())
+    assert got.energy == int((framed * framed).sum())
     if n_frames:
         frames = pcm[: n_frames * 64].reshape(n_frames, 64)
         rms = float(np.sqrt((frames * frames).mean(axis=1)).mean())

@@ -140,6 +140,38 @@ def test_result_types_match_across_engines(name, spark, duck, sf_dir):
         f"(driver hash risk): {bad}")
 
 
+# The driver's value hasher canonicalizes results through pandas
+# factorize/sort, which CRASHES on list-valued cells (round-3
+# q_map_scalars / q_approx_percentile: "unhashable type: 'list'"). So
+# no declared query may emit an Array or Map output column — serialize
+# arrays (array_join) or split fixed-size vectors into scalar columns.
+# DATE columns are proven benign (q_interval_arith emits three and went
+# driver-green in round 3), so only container types are banned.
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_no_hasher_killer_output_types(name, spark, sf_dir):
+    df = QUERIES[name].spark(spark, sf_dir)
+    bad = [
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        if f.dataType.simpleString().startswith(("array<", "map<"))
+    ]
+    assert not bad, (
+        f"{name}: output columns typed Array/Map crash the driver's "
+        f"value hasher — serialize or split them: {bad}")
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_no_hasher_killer_oracle_types(name, duck, sf_dir):
+    rel = duck.sql(QUERIES[name].oracle)
+    bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+           if str(t).upper().endswith("[]")
+           or str(t).upper().startswith(("MAP", "STRUCT"))]
+    assert not bad, (
+        f"{name}: oracle columns typed LIST/MAP/STRUCT crash the "
+        f"driver's value hasher: {bad}")
+
+
 def test_regression_after_green_outranks_everything(tmp_path):
     # A query green in r1 but FAILED in r2 must come first — ahead of
     # never-checked queries — not be demoted to a stale green outside
