@@ -43,6 +43,18 @@ HEADLINE = [
 MAX_SUMMARY_BYTES = 1024
 
 
+def spread_flags(runs: dict[str, list[float]],
+                 ratio: float = 3.0, slack: float = 0.5) -> list[str]:
+    """Queries whose slowest run exceeds ratio×fastest + slack seconds —
+    the one-off Janino-codegen / GC-stall signature that inflated
+    q_scalar_math 10× in round 2. min-of-runs already keeps the stall
+    out of the headline number; this records WHERE stalls happened so a
+    rerun investigates the machine, not the operator."""
+    return sorted(
+        name for name, ts in runs.items()
+        if len(ts) > 1 and max(ts) > ratio * min(ts) + slack)
+
+
 def build_summary(timings: dict[str, float], sf_val: float | str) -> str:
     """The single stdout line: compact JSON, total + headline timings
     only, guaranteed under MAX_SUMMARY_BYTES."""
@@ -100,14 +112,16 @@ def main() -> None:
     # 64-lane decimal centroid aggregate pays ~5 s of whole-stage
     # codegen compile on first execution, then runs in under a second).
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in sorted(inventory.items()):
         df = fn(spark, SF_DIR)
-        best = float("inf")
+        ts: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            ts.append(round(time.perf_counter() - t0, 4))
+        runs[name] = ts
+        timings[name] = min(ts)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
@@ -119,6 +133,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "spread_flagged": spread_flags(runs),
         "sf": sf_val,
     }
     detail_path = os.path.join(

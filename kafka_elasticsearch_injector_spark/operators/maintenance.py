@@ -14,6 +14,13 @@ and publication is write-to-tmp + atomic directory swap so readers
 never observe a half-compacted table. At 100 TB, compaction runs per
 table-partition (e.g. per day), not globally — pass the partition
 directory as `path`.
+
+FILESYSTEM CONTRACT: the planning walk (os.walk) and the publication
+renames (os.rename/rmtree) are driver-local POSIX operations, so
+`path` must be on a filesystem the driver can see directly (local
+disk, NFS, FUSE mount). For object-store tables, swap these for the
+Hadoop FileSystem API (or run compaction behind a catalog/manifest
+pointer, where publication is a metadata swap anyway).
 """
 
 from __future__ import annotations
@@ -26,29 +33,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def dataset_bytes(path: str) -> tuple[int, int]:
-    """(total_bytes, n_files) of a parquet file or directory — a
-    driver-side os.walk, no Spark job."""
+def dataset_bytes(path: str) -> tuple[int, int, int]:
+    """(total_bytes, n_files, max_file_bytes) of a parquet file or
+    directory — a driver-side os.walk, no Spark job."""
     if os.path.isfile(path):
-        return os.path.getsize(path), 1
-    total = n = 0
+        size = os.path.getsize(path)
+        return size, 1, size
+    total = n = biggest = 0
     for root, _, files in os.walk(path):
         for f in files:
             if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+                size = os.path.getsize(os.path.join(root, f))
+                total += size
+                biggest = max(biggest, size)
                 n += 1
-    return total, n
+    return total, n, biggest
 
 
 def plan_compaction(path: str, target_file_bytes: int = 256 * 2**20
-                    ) -> tuple[int, int, int]:
-    """(target_n_files, total_bytes, current_n_files): how many output
-    files a compaction should produce for ~target_file_bytes each.
-    Always ≥ 1; returns current_n_files so callers can skip a no-op
-    rewrite (already at or below the target)."""
-    total, n_files = dataset_bytes(path)
+                    ) -> tuple[int, int, int, int]:
+    """(target_n_files, total_bytes, current_n_files, max_file_bytes):
+    how many output files a compaction should produce for
+    ~target_file_bytes each. Always ≥ 1; returns the current file
+    count and largest file so callers can decide between a merge
+    (too many small files) and a split (one oversized file)."""
+    total, n_files, biggest = dataset_bytes(path)
     target = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-    return int(target), total, n_files
+    return int(target), total, n_files, biggest
 
 
 def compact(spark: SparkSession, path: str,
@@ -57,8 +68,13 @@ def compact(spark: SparkSession, path: str,
     """Compact the parquet dataset at `path` in place; returns a report
     {files_before, files_after, bytes, target_files, skipped}.
 
-    - No-op (skipped=True) when the file count is already ≤ target —
-      re-writing a healthy table is pure cost.
+    - No-op (skipped=True) only when the layout is HEALTHY in both
+      directions: file count already ≤ target (nothing to merge) AND
+      the largest file ≤ 2×target_file_bytes (nothing to split). A
+      single 10 GB file against a 256 MB target is rewritten into ~40
+      files — oversized files serialize scan tasks and break row-group
+      parallelism just as badly as small-file litter breaks task
+      scheduling. Re-writing a healthy table is pure cost.
     - `sort_cols` optionally re-sorts within output files (restores
       min/max-statistics pruning that interleaved micro-batch writes
       destroy).
@@ -73,8 +89,8 @@ def compact(spark: SparkSession, path: str,
       compaction in the table's maintenance window or behind a
       catalog pointer swap when readers cannot tolerate the gap.
     """
-    target, total, n_files = plan_compaction(path, target_file_bytes)
-    if n_files <= target:
+    target, total, n_files, biggest = plan_compaction(path, target_file_bytes)
+    if n_files <= target and biggest <= 2 * target_file_bytes:
         return {"files_before": n_files, "files_after": n_files,
                 "bytes": total, "target_files": target, "skipped": True}
     df: DataFrame = spark.read.parquet(path)
@@ -91,6 +107,6 @@ def compact(spark: SparkSession, path: str,
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    _, after = dataset_bytes(path)
+    _, after, _ = dataset_bytes(path)
     return {"files_before": n_files, "files_after": after,
             "bytes": total, "target_files": target, "skipped": False}

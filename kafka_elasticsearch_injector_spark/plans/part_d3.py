@@ -862,11 +862,18 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Probe vector straight from the per-user aggregate (30 rows via
     # its own zero-filled sequence) — filtering `dense` instead would
-    # re-execute the full events lineage a second time.
+    # re-execute the full events lineage a second time. Guarded the
+    # same way the oracle's probe CTE is: if user 0 has no events at
+    # all, the probe is EMPTY (zero result rows), not a synthesized
+    # 30-day zero vector — the cross join against the 0-or-1-row
+    # existence aggregate mirrors `dense WHERE user_id = 0`.
+    u0 = daily.filter(F.col("user_id") == 0).select("d", "n")
+    u0_exists = (u0.agg(F.count(F.lit(1)).alias("_c"))
+                 .filter(F.col("_c") > 0).select(F.lit(1).alias("_one")))
     days = spark.range(30).select(F.col("id").cast("int").alias("d"))
     probe = (
-        days.join(daily.filter(F.col("user_id") == 0).select("d", "n"),
-                  "d", "left")
+        days.crossJoin(F.broadcast(u0_exists))
+        .join(u0, "d", "left")
         .select("d", F.coalesce("n", F.lit(0)).alias("pn"))
     )
     diff = F.col("n") - F.col("pn")

@@ -20,7 +20,19 @@ Spark-first shape:
   publication — the manifest's sha256 is reproducible bit-for-bit;
 - the returned manifest (shard, n_members, n_bytes, sha256) is
   computed from the written bytes, so it doubles as the export's
-  integrity record.
+  integrity record;
+- write_webdataset EXECUTES the export before returning: shards are
+  staged into a hidden tmp dir and the previous export is replaced
+  only after the job succeeds, so a failed or never-run job leaves
+  the prior export intact (the returned manifest DataFrame is already
+  materialized — collecting it does not re-run the export).
+
+FILESYSTEM CONTRACT: shard tasks write tars with plain local file IO
+on the executors, so `path` must be a filesystem shared between the
+driver and every executor (local mode, NFS, or a FUSE-mounted object
+store). On a cluster without a shared mount, point `path` at such a
+mount or swap the open()/os.replace calls for an fsspec/Hadoop-FS
+abstraction so the path scheme decides placement.
 
 At 100 TB: size n_shards for ~1 GB tars (one shard = one task = one
 in-memory Arrow group — the same bound every WebDataset writer has);
@@ -85,15 +97,26 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     {"txt": "text"}); every row contributes one `{key}.{suffix}`
     member per mapping, key = zero-padded `id_col`. Binary columns
     pass through; everything else is utf-8 text.
+
+    The export runs INSIDE this call: shard tasks write into a hidden
+    staging dir under `path`, the manifest is collected (triggering
+    the job), and only then are the previous export's shard files
+    replaced — so a crash or job failure at any point leaves the old
+    export untouched. Requires a driver/executor-shared filesystem
+    (see module docstring).
     """
+    import shutil
+    import uuid
+
     members = members or {"txt": "text"}
     os.makedirs(path, exist_ok=True)
-    # Stale shards from a prior export (e.g. a larger n_shards) must not
-    # survive a re-export: the manifest is the directory's integrity
-    # record, so the directory is cleared of shard files up front.
-    for fname in os.listdir(path):
-        if fname.startswith("shard-") and fname.endswith(".tar"):
-            os.remove(os.path.join(path, fname))
+    # Hidden staging dir (leading "."): invisible to readers iterating
+    # shard-*.tar, removed on failure. Stale shards from a prior export
+    # (e.g. a larger n_shards) are removed only AFTER the new export
+    # succeeds — the previous round eagerly cleared them at plan-build
+    # time, destroying the old export even if the job never ran.
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging)
     # de-dup against id_col too: members may legitimately export the key
     cols = list(dict.fromkeys([id_col, *members.values()]))
 
@@ -101,19 +124,35 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
         shard = int(pdf["shard"].iloc[0])
         ordered = pdf.sort_values(id_col, kind="mergesort")
         data, n = _tar_bytes(ordered, id_col, members)
-        final = os.path.join(path, f"shard-{shard:05d}.tar")
+        final = os.path.join(staging, f"shard-{shard:05d}.tar")
         tmp = final + f".tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(data)
-        os.replace(tmp, final)  # atomic publication
+        os.replace(tmp, final)  # atomic publication within staging
         return pd.DataFrame([{
             "shard": shard, "n_members": n, "n_bytes": len(data),
             "sha256": hashlib.sha256(data).hexdigest(),
         }])
 
     sharded = with_hash_shard(df.select(*cols), n_shards, id_col)
-    return sharded.groupBy("shard").applyInPandas(
+    plan = sharded.groupBy("shard").applyInPandas(
         write_shard, MANIFEST_SCHEMA)
+    try:
+        rows = plan.collect()  # executes the export
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # Success: swap the staged shards in. The window between removing a
+    # stale tar and publishing its replacement is not atomic (POSIX has
+    # no multi-file exchange) — but it now exists only AFTER a fully
+    # successful export, and each individual tar appears atomically.
+    for fname in os.listdir(path):
+        if fname.startswith("shard-") and fname.endswith(".tar"):
+            os.remove(os.path.join(path, fname))
+    for fname in sorted(os.listdir(staging)):
+        os.replace(os.path.join(staging, fname), os.path.join(path, fname))
+    os.rmdir(staging)
+    return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)
 
 
 def read_webdataset_keys(path: str) -> Iterable[tuple[int, str]]:

@@ -35,3 +35,13 @@ def test_summary_carries_headline_timings():
     parsed = json.loads(bench.build_summary(timings, 0.01))
     assert parsed["queries"] == {q: 1.5 for q in bench.HEADLINE}
     assert parsed["sf"] == 0.01
+
+
+def test_spread_flags_catch_one_off_stalls():
+    runs = {
+        "q_steady": [0.5, 0.52],          # normal jitter
+        "q_stalled": [0.8, 7.9],          # the round-2 GC-stall shape
+        "q_fast_both": [0.05, 0.12],      # small absolute spread — fine
+        "q_single": [1.0],                # one run → nothing to compare
+    }
+    assert bench.spread_flags(runs) == ["q_stalled"]

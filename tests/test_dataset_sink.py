@@ -170,3 +170,47 @@ def test_webdataset_id_member_and_stale_shard_cleanup(spark, sf_dir, tmp_path):
     write_webdataset(docs, out, 2).collect()
     shards_2 = {s for s, _ in read_webdataset_keys(out)}
     assert shards_2 <= {0, 1}, "stale shard tars survived the re-export"
+
+
+def test_webdataset_failed_export_preserves_previous(spark, sf_dir, tmp_path):
+    # The export must be transactional at the directory level: a job
+    # that fails mid-export (here: non-numeric id column crashes the
+    # shard task) leaves the previous export's tars byte-intact and no
+    # staging litter behind.
+    import pytest
+
+    from kafka_elasticsearch_injector_spark.io import table
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset_keys,
+        write_webdataset,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, 3).collect()
+    before = sorted(read_webdataset_keys(out))
+    assert before
+
+    with pytest.raises(Exception):
+        write_webdataset(docs, out, 3, id_col="text")  # int(text) raises
+
+    assert sorted(read_webdataset_keys(out)) == before
+    assert not [f for f in os.listdir(out) if f.startswith(".staging-")]
+
+
+def test_webdataset_export_runs_without_collect(spark, sf_dir, tmp_path):
+    # write_webdataset materializes the export itself — a caller that
+    # drops the returned manifest still gets the tars on disk.
+    from kafka_elasticsearch_injector_spark.io import table
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset_keys,
+        write_webdataset,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(docs, out, 2)  # never .collect()ed below
+    names = list(read_webdataset_keys(out))
+    assert len(names) == docs.count()
+    # the returned manifest is already materialized and agrees
+    assert sum(r.n_members for r in manifest.collect()) == len(names)

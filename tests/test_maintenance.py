@@ -65,3 +65,21 @@ def test_compact_sort_restores_pruning_stats(spark, sf_dir, tmp_path):
               for g in range(md.num_row_groups)]
     for (lo, hi), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi <= lo2, ranges
+
+
+def test_compact_splits_oversized_file(spark, sf_dir, tmp_path):
+    # The guard is two-directional: a single file far above the target
+    # size is rewritten into ~total/target files (the split direction),
+    # not skipped because n_files <= target.
+    path = str(tmp_path / "oversized")
+    table(spark, sf_dir, "events").coalesce(1).write.parquet(path)
+    total, n_files, biggest = M.dataset_bytes(path)
+    assert n_files == 1
+    target_bytes = max(1, biggest // 8)  # force ~8-way split
+    report = M.compact(spark, path, target_file_bytes=target_bytes)
+    assert report["skipped"] is False
+    assert report["files_after"] > 1
+    _, after_n, after_max = M.dataset_bytes(path)
+    assert after_n == report["files_after"]
+    assert spark.read.parquet(path).count() == \
+        table(spark, sf_dir, "events").count()

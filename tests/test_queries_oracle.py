@@ -29,3 +29,25 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         return
     problems = compare(df, duck, qd.oracle, name)
     assert not problems, "\n".join(problems)
+
+
+def test_ts_similarity_absent_probe_user_yields_no_rows(spark, sf_dir, tmp_path):
+    # Oracle parity at the edge: when user_id 0 has no events, the
+    # oracle's probe CTE is empty and it returns ZERO rows — the Spark
+    # plan must not synthesize a 30-day zero-vector probe instead.
+    import duckdb
+
+    from kafka_elasticsearch_injector_spark.io import table
+
+    no_u0 = str(tmp_path)
+    (table(spark, sf_dir, "events").filter("user_id <> 0")
+     .coalesce(1).write.parquet(str(tmp_path / "events.parquet")))
+
+    assert QUERIES["q_ts_similarity"].spark(spark, no_u0).count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{no_u0}/events.parquet/*.parquet')")
+    assert len(con.execute(QUERIES["q_ts_similarity"].oracle).fetchall()) == 0
+    con.close()
