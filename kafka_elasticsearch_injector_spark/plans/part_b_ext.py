@@ -559,13 +559,24 @@ def q_udf_grouped_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sketch's error bound, not merely that rows came back.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = F.countDistinct("o_custkey").cast("bigint")
-    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
-    return (
+    # Certification plan: distinct (group, key) pairs first — partial-
+    # aggregable, ONE scan — then count pairs per group (the exact
+    # answer) and sketch the deduped keys in the same aggregate. HLL is
+    # duplicate-insensitive, so sketching after dedup estimates the
+    # same cardinality while avoiding the Expand-doubled plan that
+    # mixing countDistinct with a non-distinct aggregate forces
+    # (measured 2.8 s → this shape at sf0.1). Production uses the
+    # sketch alone (no distinct pre-pass) — this query exists to
+    # certify its bound, which requires the exact count anyway.
+    pairs = (
         table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(exact.alias("exact_uniq_cust"),
-             approx.alias("_approx"))
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_uniq_cust"),
+             F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"))
         .select(
             "o_orderpriority", "exact_uniq_cust",
             (F.abs(F.col("_approx") - F.col("exact_uniq_cust"))
