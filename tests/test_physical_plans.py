@@ -537,3 +537,23 @@ def test_multi_topic_union_collapses_to_one_scan(spark, sf_dir):
     # the real gate: pushed filter on event_type on every leg
     pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
     assert pushed and all("event_type" in p for p in pushed), plan
+
+
+def test_approx_distinct_has_no_expand(spark, sf_dir):
+    # The certification plan computes exact + HLL over pre-deduped
+    # (group, key) pairs; mixing countDistinct with a non-distinct
+    # aggregate instead forces an Expand that doubles every input row
+    # (measured 4x at sf0.1). Lock the Expand out.
+    plan = _explain(spark, sf_dir, "q_approx_distinct")
+    assert "Expand" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_approx_percentile_certifies_by_rank_counts(spark, sf_dir):
+    # Rank-count certification must stay O(N)-parallel: the sketch
+    # result broadcasts back over the fact scan, and no exact
+    # percentile sort (per-group value buffer) appears anywhere.
+    plan = _explain(spark, sf_dir, "q_approx_percentile")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "percentile(" not in plan, plan          # only approx_percentile
+    assert "Sort" not in plan.split("\n\n", 1)[0], plan
