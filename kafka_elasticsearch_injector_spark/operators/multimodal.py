@@ -206,7 +206,12 @@ def audio_features(df_audio: DataFrame, frame: int = 64) -> DataFrame:
                    "sample_sum": [], "energy": [],
                    "rms_mean": [], "zcr_mean": []}
             for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
-                ints = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                raw = bytes(buf)
+                # Total over arbitrary blobs: a trailing odd byte is not
+                # a sample (attach_audio pre-truncates; foreign inputs
+                # may not).
+                raw = raw[: len(raw) // 2 * 2]
+                ints = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 n_frames = len(ints) // frame
                 framed_i = ints[: n_frames * frame]
                 out["doc_id"].append(doc_id)

@@ -124,3 +124,50 @@ def test_audio_attach_and_features(spark, sf_dir):
                     .sum(axis=1).mean() / 64)
         assert got.rms_mean == round(rms, 6)
         assert got.zcr_mean == round(zcr, 6)
+
+
+def test_audio_features_signed_samples_property(spark):
+    # The document corpus is pure ASCII, so every fabricated PCM sample
+    # is non-negative and the sign/zero-crossing branch never fires
+    # there. Exercise it with synthetic SIGNED waveforms: random bytes
+    # (high bytes >= 0x80 → negative int16 samples) verified cell-by-
+    # cell against a pure-numpy recomputation, including the oracle's
+    # two's-complement decode formula.
+    import random
+
+    import numpy as np
+
+    rng = random.Random(20260814)
+    rows = []
+    for doc_id in range(8):
+        n = rng.choice([0, 1, 63, 64, 65, 128, 401, 1024])
+        rows.append((doc_id, bytes(rng.randrange(256) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    got = {r.doc_id: r for r in M.audio_features(df, frame=64).collect()}
+
+    for doc_id, buf in rows:
+        buf = buf[: len(buf) // 2 * 2]
+        pcm = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+        # oracle decode formula parity: lo + 256*hi - 65536*(hi>=128)
+        lo = np.frombuffer(buf, dtype=np.uint8)[0::2].astype(np.int64)
+        hi = np.frombuffer(buf, dtype=np.uint8)[1::2].astype(np.int64)
+        assert np.array_equal(pcm, lo + 256 * hi - 65536 * (hi >= 128))
+
+        n_frames = len(pcm) // 64
+        framed = pcm[: n_frames * 64]
+        r = got[doc_id]
+        assert r.n_samples == len(pcm)
+        assert r.n_frames == n_frames
+        assert r.sample_sum == int(framed.sum())
+        assert r.energy == int((framed * framed).sum())
+        if n_frames:
+            assert any(framed < 0), "synthetic PCM must exercise signs"
+            frames = framed.astype(np.float64).reshape(n_frames, 64)
+            rms = float(np.sqrt((frames * frames).mean(axis=1)).mean())
+            zcr = float((np.diff(np.signbit(frames), axis=1) != 0)
+                        .sum(axis=1).mean() / 64)
+            assert r.rms_mean == round(rms, 6)
+            assert r.zcr_mean == round(zcr, 6)
+            assert r.zcr_mean > 0, "signed noise must cross zero"
+        else:
+            assert (r.rms_mean, r.zcr_mean) == (0.0, 0.0)
