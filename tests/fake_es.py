@@ -1,0 +1,117 @@
+"""In-process fake Elasticsearch over stdlib http.server.
+
+The closest a no-services sandbox gets to the reference's
+docker-compose e2e (docker-compose.yml:3-53, consumer_test.go:106-147):
+a LIVE HTTP endpoint with real _bulk create-only semantics — 201 on
+first insert, 409 on duplicate _id, 400 on malformed JSON payloads,
+injectable 429 throttling for retry-path coverage — plus the ping and
+_template endpoints HttpTransport uses. Tests drive the production
+HttpTransport/ElasticBulkWriter/foreachPartition path against it over
+a real socket, so the NDJSON framing, headers, and triage logic are
+exercised end-to-end rather than through the FileTransport stand-in.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class FakeES:
+    """Stateful fake ES node; one instance per test.
+
+    `docs` maps (index, _id) -> parsed payload. `throttle_bulks` makes
+    the next N _bulk requests answer every item with 429 (create-only
+    retry path); it decrements per request, so a writer with retries
+    eventually succeeds.
+    """
+
+    def __init__(self):
+        self.docs: dict[tuple[str, str], dict] = {}
+        self.templates: dict[str, dict] = {}
+        self.bulk_requests = 0
+        self.throttle_bulks = 0
+        self._lock = threading.Lock()
+        self._server: ThreadingHTTPServer | None = None
+
+    # ------------------------------------------------------------ server
+
+    def start(self) -> str:
+        fake = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _reply(self, code: int, body: bytes = b""):
+                self.send_response(code)
+                self.send_header("Content-Length", str(len(body)))
+                if body:
+                    self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 — ping
+                self._reply(200, b'{"tagline":"fake"}')
+
+            def do_HEAD(self):  # noqa: N802 — template_exists
+                name = self.path.removeprefix("/_template/")
+                self._reply(200 if name in fake.templates else 404)
+
+            def do_PUT(self):  # noqa: N802 — put_template
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                name = self.path.removeprefix("/_template/")
+                with fake._lock:
+                    fake.templates[name] = json.loads(body)
+                self._reply(200)
+
+            def do_POST(self):  # noqa: N802 — _bulk
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                if self.path != "/_bulk":
+                    self._reply(404)
+                    return
+                self._reply(200, fake._bulk(body))
+
+            def log_message(self, *args):
+                pass
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=self._server.serve_forever,
+                         daemon=True).start()
+        return f"http://127.0.0.1:{self._server.server_address[1]}"
+
+    def stop(self):
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    # ------------------------------------------------------- bulk engine
+
+    def _bulk(self, body: bytes) -> bytes:
+        lines = body.decode().splitlines()
+        with self._lock:
+            self.bulk_requests += 1
+            throttled = self.throttle_bulks > 0
+            if throttled:
+                self.throttle_bulks -= 1
+            items = []
+            for i in range(0, len(lines) - 1, 2):
+                action = json.loads(lines[i])["create"]
+                key = (action["_index"], action["_id"])
+                if throttled:
+                    items.append(429)
+                    continue
+                try:
+                    payload = json.loads(lines[i + 1])
+                except (json.JSONDecodeError, ValueError):
+                    items.append(400)
+                    continue
+                if key in self.docs:
+                    items.append(409)
+                else:
+                    self.docs[key] = payload
+                    items.append(201)
+        return json.dumps({
+            "errors": any(c not in (200, 201) for c in items),
+            "items": [{"create": {"status": c}} for c in items],
+        }).encode()

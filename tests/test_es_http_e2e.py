@@ -1,0 +1,144 @@
+"""End-to-end tests over a LIVE fake-ES HTTP server (tests/fake_es.py):
+the production HttpTransport + ElasticBulkWriter + foreachPartition
+sink path, exercised over a real socket — the sandbox analog of the
+reference's docker-compose e2e (consumer_test.go:106-147: produce →
+consume → assert doc at expected index/id; elasticsearch_test.go
+duplicate-id create-only semantics; store.go:33-46 retry loop).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+
+import pytest
+
+from kafka_elasticsearch_injector_spark.config import InjectorConfig
+from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+    ElasticBulkWriter, HttpTransport,
+)
+from kafka_elasticsearch_injector_spark.streaming.pipeline import start_pipeline
+
+from .fake_es import FakeES
+
+TS = dt.datetime(2018, 3, 10, 14, 30, 0)
+SCHEMA = "id STRING, value INT"
+
+
+@pytest.fixture()
+def fake_es():
+    es = FakeES()
+    url = es.start()
+    try:
+        yield es, url
+    finally:
+        es.stop()
+
+
+def test_http_bulk_triage_live(fake_es):
+    """Mixed batch through the real NDJSON wire format: 201 / 409 / 400
+    triage plus a throttled first request that the writer retries."""
+    es, url = fake_es
+    es.docs[("idx", "dup")] = {"id": "pre"}
+    es.throttle_bulks = 1  # first _bulk answers all-429
+
+    w = ElasticBulkWriter(HttpTransport(url), batch_size=10,
+                          backoff_s=0.01, max_retries=5)
+    stats = w.write([
+        ("idx", "new1", json.dumps({"id": "a"})),
+        ("idx", "dup", json.dumps({"id": "b"})),
+        ("idx", "bad", '{"broken'),
+        ("idx", "new2", json.dumps({"id": "c"})),
+    ])
+    assert stats.created == 2
+    assert stats.already_exists == 1
+    assert stats.bad_request == 1
+    assert stats.retried == 4          # whole chunk throttled once
+    assert es.docs[("idx", "new1")] == {"id": "a"}
+    assert es.docs[("idx", "dup")] == {"id": "pre"}  # create-only: kept
+    assert ("idx", "bad") not in es.docs
+    assert es.bulk_requests == 2       # throttled + successful retry
+
+
+def test_http_bulk_batch_chunking(fake_es):
+    """batch_size splits one logical write into multiple _bulk posts."""
+    es, url = fake_es
+    w = ElasticBulkWriter(HttpTransport(url), batch_size=2,
+                          backoff_s=0.01, max_retries=2)
+    stats = w.write([("idx", str(i), json.dumps({"v": i}))
+                     for i in range(5)])
+    assert stats.created == 5
+    assert es.bulk_requests == 3       # ceil(5/2)
+
+
+def _write_source(spark, path, rows):
+    spark.createDataFrame(
+        rows, "key STRING, value STRING, topic STRING, partition INT, "
+              "offset LONG, timestamp TIMESTAMP"
+    ).write.mode("overwrite").parquet(path)
+
+
+def _run_pipeline(spark, src_dir, ckpt, url):
+    cfg = InjectorConfig(record_type="json", topics=("my-topic",),
+                         bulk_backoff_s=0.01, max_retries=5)
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir)
+    )
+    q = start_pipeline(
+        spark, cfg, SCHEMA,
+        transport_factory=lambda u=url: HttpTransport(u),
+        checkpoint_dir=ckpt, source_df=source, available_now=True)
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_streaming_pipeline_over_http(spark, tmp_path, fake_es):
+    """Full pipeline: file stream → injector transform → foreachBatch →
+    executor-side HTTP bulk writes into the live fake — then an
+    at-least-once REPLAY of the same offsets lands only 409s and the
+    store is unchanged (the reference's create-only idempotency)."""
+    es, url = fake_es
+    src_dir = str(tmp_path / "src")
+
+    rows = [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+        ("k2", json.dumps({"id": "b", "value": 2}), "my-topic", 1, 3, TS),
+        ("k3", None, "my-topic", 0, 8, TS),        # nil → dropped
+        ("k4", '{"broken', "my-topic", 0, 9, TS),  # corrupt → dropped
+    ]
+    _write_source(spark, src_dir, rows)
+    _run_pipeline(spark, src_dir, str(tmp_path / "ckpt1"), url)
+
+    assert set(es.docs) == {("my-topic-2018-03-10", "0:7"),
+                            ("my-topic-2018-03-10", "1:3")}
+    doc = es.docs[("my-topic-2018-03-10", "0:7")]
+    assert doc["id"] == "a" and doc["value"] == 1
+    assert doc["@timestamp"] == int(TS.timestamp() * 1000)
+
+    # Replay from a fresh checkpoint: same offsets re-delivered. The
+    # sink must converge (no error, no mutation) — duplicates triage
+    # as already_exists, never as updates.
+    before = {k: dict(v) for k, v in es.docs.items()}
+    _run_pipeline(spark, src_dir, str(tmp_path / "ckpt2"), url)
+    assert es.docs == before
+
+
+def test_streaming_pipeline_http_throttled(spark, tmp_path, fake_es):
+    """429 on the first bulk of each partition: the executor-side
+    writer retries through and every record still lands exactly once."""
+    es, url = fake_es
+    es.throttle_bulks = 2
+    src_dir = str(tmp_path / "src")
+    _write_source(spark, src_dir, [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 1, TS),
+        ("k2", json.dumps({"id": "b", "value": 2}), "my-topic", 0, 2, TS),
+    ])
+    _run_pipeline(spark, src_dir, str(tmp_path / "ckpt"), url)
+    assert set(es.docs) == {("my-topic-2018-03-10", "0:1"),
+                            ("my-topic-2018-03-10", "0:2")}
+    assert es.bulk_requests >= 2       # at least one throttled + retry
