@@ -172,9 +172,8 @@ def attach_audio(df: DataFrame, text_col: str = "text",
     typed columns — predicates on duration prune without touching the
     waveform bytes."""
     raw = F.encode(F.col(text_col), "UTF-8")
-    even = F.expr(
-        "substring(encode(text, 'UTF-8'), 1, "
-        "int(floor(octet_length(encode(text, 'UTF-8')) / 2) * 2))")
+    even = F.substring(
+        raw, 1, (F.floor(F.octet_length(raw) / 2) * 2).cast("int"))
     return df.select(
         "doc_id",
         even.alias("audio"),

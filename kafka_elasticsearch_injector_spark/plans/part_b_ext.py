@@ -575,7 +575,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_uniq_cust"),
+        # count(col), not count(*): a NULL key survives distinct() as
+        # its own pair row, but COUNT(DISTINCT) and the HLL sketch
+        # both ignore NULLs — count(*) would run one high on any
+        # group containing a NULL o_custkey.
+        .agg(F.count("o_custkey").cast("bigint").alias("exact_uniq_cust"),
              F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"))
         .select(
             "o_orderpriority", "exact_uniq_cust",

@@ -865,15 +865,16 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-execute the full events lineage a second time. Guarded the
     # same way the oracle's probe CTE is: if user 0 has no events at
     # all, the probe is EMPTY (zero result rows), not a synthesized
-    # 30-day zero vector — the cross join against the 0-or-1-row
-    # existence aggregate mirrors `dense WHERE user_id = 0`.
+    # 30-day zero vector. The existence check is a window count of
+    # user-0 matches over the 30-row probe itself — the one u0
+    # execution the left join already pays — not a separate aggregate
+    # of the events lineage (which would scan the fact table twice).
     u0 = daily.filter(F.col("user_id") == 0).select("d", "n")
-    u0_exists = (u0.agg(F.count(F.lit(1)).alias("_c"))
-                 .filter(F.col("_c") > 0).select(F.lit(1).alias("_one")))
     days = spark.range(30).select(F.col("id").cast("int").alias("d"))
     probe = (
-        days.crossJoin(F.broadcast(u0_exists))
-        .join(u0, "d", "left")
+        days.join(u0, "d", "left")
+        .withColumn("_u0_rows", F.count("n").over(Window.partitionBy()))
+        .filter(F.col("_u0_rows") > 0)
         .select("d", F.coalesce("n", F.lit(0)).alias("pn"))
     )
     diff = F.col("n") - F.col("pn")

@@ -149,9 +149,15 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     for fname in os.listdir(path):
         if fname.startswith("shard-") and fname.endswith(".tar"):
             os.remove(os.path.join(path, fname))
+    # Publish only finished tars: a task that died between its tmp write
+    # and os.replace (then succeeded on retry) leaves an orphaned
+    # shard-NNNNN.tar.tmp-<pid> in staging, which must not escape into
+    # the export — later cleanups only match *.tar, so the litter would
+    # be permanent and the directory would stop matching the manifest.
     for fname in sorted(os.listdir(staging)):
-        os.replace(os.path.join(staging, fname), os.path.join(path, fname))
-    os.rmdir(staging)
+        if fname.endswith(".tar"):
+            os.replace(os.path.join(staging, fname), os.path.join(path, fname))
+    shutil.rmtree(staging)
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)
 
 

@@ -94,6 +94,7 @@ class HttpTransport:
         return urllib.request.urlopen(req, **kwargs)
 
     def bulk_create(self, actions: list[tuple[str, str, str]]) -> list[BulkItemResult]:
+        import urllib.error
         import urllib.request
 
         lines = []
@@ -104,8 +105,24 @@ class HttpTransport:
         body = ("\n".join(lines) + "\n").encode()
         req = urllib.request.Request(
             f"{self.es_host}/_bulk", data=body, headers=self._headers())
-        with self._open(req) as resp:
-            out = json.loads(resp.read())
+        # Real ES can refuse the WHOLE request, not just items: HTTP 429
+        # when the bulk queue is full, 5xx during node restarts, and
+        # connection-level failures during rolling upgrades. Those are
+        # transient — surface them as a uniform item status so the
+        # writer's triage loop retries with backoff (the reference
+        # retries the whole bulk on any store error, store.go:33-46)
+        # instead of the exception killing the foreachPartition task and
+        # failing the micro-batch. Other 4xx (auth, bad endpoint) are
+        # config bugs: retrying can't fix them, so they propagate.
+        try:
+            with self._open(req) as resp:
+                out = json.loads(resp.read())
+        except urllib.error.HTTPError as ex:
+            if ex.code == 429 or ex.code >= 500:
+                return [BulkItemResult(status=ex.code)] * len(actions)
+            raise
+        except (urllib.error.URLError, TimeoutError, ConnectionError):
+            return [BulkItemResult(status=503)] * len(actions)
         return [BulkItemResult(status=item["create"]["status"])
                 for item in out["items"]]
 

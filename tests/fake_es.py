@@ -18,13 +18,24 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def start_http_server(handler_cls) -> tuple[ThreadingHTTPServer, str]:
+    """Shared scaffolding for in-process HTTP fakes: bind an ephemeral
+    127.0.0.1 port, serve on a daemon thread, return (server, url).
+    Callers stop with server.shutdown(); server.server_close()."""
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"
+
+
 class FakeES:
     """Stateful fake ES node; one instance per test.
 
     `docs` maps (index, _id) -> parsed payload. `throttle_bulks` makes
     the next N _bulk requests answer every item with 429 (create-only
-    retry path); it decrements per request, so a writer with retries
-    eventually succeeds.
+    retry path); `reject_bulks` makes the next N _bulk requests fail at
+    the REQUEST level with HTTP `reject_status` (the bulk-queue-full /
+    node-restart shape — no items array at all). Both decrement per
+    request, so a writer with retries eventually succeeds.
     """
 
     def __init__(self):
@@ -32,6 +43,8 @@ class FakeES:
         self.templates: dict[str, dict] = {}
         self.bulk_requests = 0
         self.throttle_bulks = 0
+        self.reject_bulks = 0
+        self.reject_status = 429
         self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
 
@@ -69,15 +82,22 @@ class FakeES:
                 if self.path != "/_bulk":
                     self._reply(404)
                     return
+                with fake._lock:
+                    rejected = fake.reject_bulks > 0
+                    if rejected:
+                        fake.reject_bulks -= 1
+                        fake.bulk_requests += 1
+                        status = fake.reject_status
+                if rejected:
+                    self._reply(status, b'{"error":"rejected"}')
+                    return
                 self._reply(200, fake._bulk(body))
 
             def log_message(self, *args):
                 pass
 
-        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        threading.Thread(target=self._server.serve_forever,
-                         daemon=True).start()
-        return f"http://127.0.0.1:{self._server.server_address[1]}"
+        self._server, url = start_http_server(Handler)
+        return url
 
     def stop(self):
         if self._server is not None:

@@ -62,6 +62,62 @@ def test_http_bulk_triage_live(fake_es):
     assert es.bulk_requests == 2       # throttled + successful retry
 
 
+def test_http_bulk_request_level_429_retries(fake_es):
+    """Real ES under load refuses the WHOLE _bulk request (HTTP 429, no
+    items array). The transport maps that to a uniform retryable item
+    status instead of letting HTTPError kill the partition task."""
+    es, url = fake_es
+    es.reject_bulks = 2                 # two full-request rejections
+    w = ElasticBulkWriter(HttpTransport(url), batch_size=10,
+                          backoff_s=0.01, max_retries=5)
+    stats = w.write([("idx", "a", json.dumps({"v": 1})),
+                     ("idx", "b", json.dumps({"v": 2}))])
+    assert stats.created == 2
+    assert stats.retried == 4           # 2 records × 2 rejected rounds
+    assert es.bulk_requests == 3
+    assert set(es.docs) == {("idx", "a"), ("idx", "b")}
+
+
+def test_http_bulk_request_level_503_retries(fake_es):
+    es, url = fake_es
+    es.reject_bulks, es.reject_status = 1, 503
+    w = ElasticBulkWriter(HttpTransport(url), batch_size=10,
+                          backoff_s=0.01, max_retries=3)
+    stats = w.write([("idx", "a", json.dumps({"v": 1}))])
+    assert stats.created == 1 and stats.retried == 1
+
+
+def test_http_bulk_auth_error_propagates(fake_es):
+    """Non-retryable request-level 4xx (bad auth/endpoint config) must
+    surface, not spin in the retry loop."""
+    import urllib.error
+
+    es, url = fake_es
+    es.reject_bulks, es.reject_status = 1, 401
+    w = ElasticBulkWriter(HttpTransport(url), batch_size=10,
+                          backoff_s=0.01, max_retries=3)
+    with pytest.raises(urllib.error.HTTPError):
+        w.write([("idx", "a", json.dumps({"v": 1}))])
+    assert es.docs == {}
+
+
+def test_http_bulk_connection_refused_bounded_retry():
+    """Connection-level failure (node down, no listener) triages as
+    retryable 503 and exhausts the bounded retry budget with a clear
+    error instead of an executor-killing socket exception."""
+    import socket
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))         # reserved but never listening
+    port = sock.getsockname()[1]
+    sock.close()
+    w = ElasticBulkWriter(HttpTransport(f"http://127.0.0.1:{port}",
+                                        timeout_s=0.2),
+                          batch_size=10, backoff_s=0.01, max_retries=2)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        w.write([("idx", "a", json.dumps({"v": 1}))])
+
+
 def test_http_bulk_batch_chunking(fake_es):
     """batch_size splits one logical write into multiple _bulk posts."""
     es, url = fake_es

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
 
 import pytest
 
@@ -23,6 +23,8 @@ from kafka_elasticsearch_injector_spark.sources import (
 from kafka_elasticsearch_injector_spark.sources.schema_registry import (
     SchemaRegistryClient,
 )
+
+from .fake_es import start_http_server
 
 FIXTURE_SCHEMA = json.dumps({
     "type": "record", "name": "fixture_record",
@@ -67,10 +69,8 @@ class FakeRegistry:
             def log_message(self, *args):
                 pass
 
-        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        threading.Thread(target=self._server.serve_forever,
-                         daemon=True).start()
-        return f"http://127.0.0.1:{self._server.server_address[1]}"
+        self._server, url = start_http_server(Handler)
+        return url
 
     def stop(self):
         if self._server is not None:
