@@ -778,12 +778,17 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
     """,
-    doc="TPC-H Q18 (large-volume customers): the aggregate-derived "
-        "semi-join — per-order quantity sums filter to the ~1% "
-        "oversized orders BEFORE the customer/orders join, so the "
-        "3-way join runs over the filtered sliver, not the fact "
-        "table. HAVING computes on exact decimals; top-100 via "
-        "TakeOrdered with the unique orderkey tie-break.",
+    doc="TPC-H Q18 (large-volume customers): SINGLE-scan formulation — "
+        "the textbook plan aggregates lineitem for the HAVING filter "
+        "and then scans+joins+re-aggregates the fact table a second "
+        "time for the output sum, but o_orderkey is unique per order, "
+        "so the per-order sum the filter already computed IS the "
+        "output column. One fact scan, one partial-aggregable shuffle, "
+        "then the ~1% oversized sliver joins orders/customer (AQE "
+        "broadcasts the sliver at runtime — its size is data-dependent, "
+        "so the plan leaves the strategy to the optimizer instead of "
+        "pinning a broadcast that a 100 TB run could not hold). "
+        "Top-100 via TakeOrdered with the unique orderkey tie-break.",
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -791,18 +796,14 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("_q"))
         .filter(F.col("_q") > 250)
-        .select("l_orderkey")
     )
-    orders = table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "o_orderkey"),
-        "o_orderkey", "left_semi")
+    orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(as_double6(F.sum(dec("l_quantity"))).alias("sum_qty"))
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", as_double6(F.col("_q")).alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )

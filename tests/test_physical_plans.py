@@ -233,12 +233,14 @@ def test_tpch_q14_broadcasts_part_dim(spark, sf_dir):
     assert "l_shipdate" in pushed, pushed
 
 
-def test_tpch_q18_semi_join_before_fact_join(spark, sf_dir):
-    # The HAVING-derived order filter must run as a semi join feeding
-    # the 3-way join, not as a post-join filter.
+def test_tpch_q18_single_fact_scan(spark, sf_dir):
+    # Single-scan formulation: the per-order HAVING aggregate IS the
+    # output sum (o_orderkey is unique per order), so lineitem must be
+    # scanned exactly once and there is no second aggregation after
+    # the joins.
     plan = _explain(spark, sf_dir, "q_tpch_q18")
-    assert "LeftSemi" in plan, plan
-    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_curation_pipeline_signals_stay_post_exchange(spark, sf_dir):
