@@ -55,17 +55,21 @@ from .registry import register
         "aggregations, one join, all on the same key.",
 )
 def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single fact scan: per-user spans derive from the per-(user, day)
+    # aggregate (min/max over truncated days == truncated min/max ts),
+    # not from a second pass over events — the KB-scale rollup carries
+    # everything the calendar grid needs, and the spans shuffle plus
+    # the grid join both reuse its user_id hash partitioning.
     ev = table(spark, sf_dir, "events")
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"))
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
     calendar = spans.select(
         "user_id",
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY")))
         .alias("day"))
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
     return (
         calendar.join(daily, ["user_id", "day"], "left")
         .select("user_id", "day",
@@ -407,14 +411,19 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size.",
 )
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single fact scan: the cohort day is the min of the user's
+    # DISTINCT active days (trunc commutes with min), so it derives
+    # from the deduped activity set — no second events scan, and the
+    # firsts aggregate + the cohort join both reuse activity's
+    # user_id hash partitioning.
     ev = table(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
     activity = (
         ev.select("user_id", F.date_trunc("day", F.col("ts"))
                   .alias("active_day"))
         .distinct()
     )
+    firsts = activity.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day"))
     return (
         firsts.join(activity, "user_id")
         .groupBy("cohort_day",
@@ -853,7 +862,10 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.datediff(F.date_trunc("day", F.col("ts")), base).alias("d")
     ).agg(F.count(F.lit(1)).alias("n"))
-    users = ev.select("user_id").distinct()
+    # Distinct users come from the KB-scale daily aggregate (its group
+    # keys are exactly the users with events), not a second full scan
+    # and shuffle of the fact table.
+    users = daily.select("user_id").distinct()
     dense = (
         users.select("user_id",
                      F.explode(F.sequence(F.lit(0), F.lit(29))).alias("d"))
