@@ -875,18 +875,20 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Probe vector straight from the per-user aggregate (30 rows via
     # its own zero-filled sequence) — filtering `dense` instead would
     # re-execute the full events lineage a second time. Guarded the
-    # same way the oracle's probe CTE is: if user 0 has no events at
-    # all, the probe is EMPTY (zero result rows), not a synthesized
-    # 30-day zero vector. The existence check is a window count of
-    # user-0 matches over the 30-row probe itself — the one u0
-    # execution the left join already pays — not a separate aggregate
-    # of the events lineage (which would scan the fact table twice).
+    # same way the oracle's probe CTE is: the probe is EMPTY exactly
+    # when user 0 has no events AT ALL (the oracle's users CTE has no
+    # day-range filter, so a user-0 event on ANY day yields a 30-row
+    # zero-filled probe). The existence check is a window count over a
+    # FULL outer join with the day grid — u0 days outside 0..29 still
+    # prove existence (a left join would drop them and wrongly empty
+    # the probe), then the range filter keeps the 30 grid rows. One u0
+    # execution, no second scan of the events lineage.
     u0 = daily.filter(F.col("user_id") == 0).select("d", "n")
     days = spark.range(30).select(F.col("id").cast("int").alias("d"))
     probe = (
-        days.join(u0, "d", "left")
+        days.join(u0, "d", "full")
         .withColumn("_u0_rows", F.count("n").over(Window.partitionBy()))
-        .filter(F.col("_u0_rows") > 0)
+        .filter((F.col("_u0_rows") > 0) & F.col("d").between(0, 29))
         .select("d", F.coalesce("n", F.lit(0)).alias("pn"))
     )
     diff = F.col("n") - F.col("pn")

@@ -31,7 +31,12 @@ from dataclasses import dataclass, field
 
 @dataclass
 class BulkItemResult:
+    """One bulk action's outcome. `reason` carries the transport-level
+    failure detail for request/connection errors (empty for normal
+    item-level statuses) so a retries-exhausted error names the actual
+    cause instead of just a count."""
     status: int  # HTTP-style: 201 created, 409 conflict, 400 bad, 429 busy
+    reason: str = ""
 
 
 @dataclass
@@ -108,21 +113,33 @@ class HttpTransport:
         # Real ES can refuse the WHOLE request, not just items: HTTP 429
         # when the bulk queue is full, 5xx during node restarts, and
         # connection-level failures during rolling upgrades. Those are
-        # transient — surface them as a uniform item status so the
-        # writer's triage loop retries with backoff (the reference
-        # retries the whole bulk on any store error, store.go:33-46)
-        # instead of the exception killing the foreachPartition task and
-        # failing the micro-batch. Other 4xx (auth, bad endpoint) are
-        # config bugs: retrying can't fix them, so they propagate.
+        # transient — surface them as a uniform item status (with the
+        # failure detail in `reason`) so the writer's triage loop
+        # retries with backoff (the reference retries the whole bulk on
+        # any store error, store.go:33-46) instead of the exception
+        # killing the foreachPartition task and failing the micro-batch.
+        # Permanent config errors — other 4xx (auth, bad endpoint) and
+        # DNS resolution failures (a typo'd es_host can never succeed) —
+        # propagate: retrying cannot fix them.
         try:
             with self._open(req) as resp:
                 out = json.loads(resp.read())
         except urllib.error.HTTPError as ex:
             if ex.code == 429 or ex.code >= 500:
-                return [BulkItemResult(status=ex.code)] * len(actions)
+                return [BulkItemResult(status=ex.code,
+                                       reason=f"bulk HTTP {ex.code}")
+                        ] * len(actions)
             raise
-        except (urllib.error.URLError, TimeoutError, ConnectionError):
-            return [BulkItemResult(status=503)] * len(actions)
+        except urllib.error.URLError as ex:
+            import socket
+
+            if isinstance(ex.reason, socket.gaierror):
+                raise
+            return [BulkItemResult(status=503, reason=repr(ex))
+                    ] * len(actions)
+        except (TimeoutError, ConnectionError) as ex:
+            return [BulkItemResult(status=503, reason=repr(ex))
+                    ] * len(actions)
         return [BulkItemResult(status=item["create"]["status"])
                 for item in out["items"]]
 
@@ -283,6 +300,7 @@ class ElasticBulkWriter:
     def _write_chunk(self, chunk: list[tuple[str, str, str]]) -> None:
         attempts = 0
         pending = chunk
+        last_reason = ""
         while pending:
             results = self.transport.bulk_create(pending)
             retry = []
@@ -295,13 +313,17 @@ class ElasticBulkWriter:
                     self.stats.bad_request += 1      # dropped
                 else:                                # 429 / 5xx
                     retry.append(action)
+                    if res.reason:
+                        last_reason = res.reason
             if not retry:
                 return
             attempts += 1
             if self.max_retries is not None and attempts > self.max_retries:
                 raise RuntimeError(
                     f"bulk write failed after {attempts} attempts for "
-                    f"{len(retry)} records")
+                    f"{len(retry)} records"
+                    + (f"; last failure: {last_reason}" if last_reason
+                       else ""))
             self.stats.retried += len(retry)
             time.sleep(self.backoff_s)
             pending = retry

@@ -103,8 +103,9 @@ def test_http_bulk_auth_error_propagates(fake_es):
 
 def test_http_bulk_connection_refused_bounded_retry():
     """Connection-level failure (node down, no listener) triages as
-    retryable 503 and exhausts the bounded retry budget with a clear
-    error instead of an executor-killing socket exception."""
+    retryable 503 and exhausts the bounded retry budget with an error
+    that names the underlying cause, instead of an executor-killing
+    socket exception."""
     import socket
 
     sock = socket.socket()
@@ -114,7 +115,21 @@ def test_http_bulk_connection_refused_bounded_retry():
     w = ElasticBulkWriter(HttpTransport(f"http://127.0.0.1:{port}",
                                         timeout_s=0.2),
                           batch_size=10, backoff_s=0.01, max_retries=2)
-    with pytest.raises(RuntimeError, match="after 3 attempts"):
+    with pytest.raises(RuntimeError,
+                       match=r"after 3 attempts.*last failure"):
+        w.write([("idx", "a", json.dumps({"v": 1}))])
+
+
+def test_http_bulk_dns_failure_is_not_retried():
+    """A typo'd es_host (DNS resolution failure) is a permanent config
+    error: it must propagate immediately, not spin the backoff loop
+    masquerading as a transient 503."""
+    import urllib.error
+
+    w = ElasticBulkWriter(
+        HttpTransport("http://no-such-host.invalid:9200", timeout_s=0.5),
+        batch_size=10, backoff_s=0.01, max_retries=5)
+    with pytest.raises(urllib.error.URLError):
         w.write([("idx", "a", json.dumps({"v": 1}))])
 
 

@@ -51,3 +51,38 @@ def test_ts_similarity_absent_probe_user_yields_no_rows(spark, sf_dir, tmp_path)
         f"read_parquet('{no_u0}/events.parquet/*.parquet')")
     assert len(con.execute(QUERIES["q_ts_similarity"].oracle).fetchall()) == 0
     con.close()
+
+
+def test_ts_similarity_out_of_window_probe_user_matches_oracle(
+        spark, sf_dir, tmp_path):
+    # Oracle parity at the other edge: user 0 EXISTS but every one of
+    # its events falls outside days 0..29 (shifted +60 days). The
+    # oracle's users CTE has no day-range filter, so it still builds a
+    # 30-row zero-filled probe and returns the top-5; an existence
+    # guard that only sees in-window user-0 days would wrongly return
+    # zero rows here.
+    import duckdb
+
+    from kafka_elasticsearch_injector_spark.io import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    shifted = ev.withColumn(
+        "ts", F.when(F.col("user_id") == 0,
+                     F.col("ts") + F.expr("INTERVAL 60 DAYS"))
+        .otherwise(F.col("ts")))
+    root = str(tmp_path)
+    shifted.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    sdf = QUERIES["q_ts_similarity"].spark(spark, root)
+    s_rows = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{root}/events.parquet/*.parquet')")
+    d_rows = sorted(tuple(r) for r in
+                    con.execute(QUERIES["q_ts_similarity"].oracle).fetchall())
+    con.close()
+    assert len(s_rows) == 5
+    assert s_rows == d_rows

@@ -44,7 +44,7 @@ class FakeRegistry:
         self.schemas = schemas
         self.hits: list[int] = []
         self._lock = threading.Lock()
-        self._server: ThreadingHTTPServer | None = None
+        self._server = None
 
     def start(self) -> str:
         fake = self
