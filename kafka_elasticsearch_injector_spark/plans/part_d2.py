@@ -551,12 +551,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partsupp, so a part's held value for one nation's suppliers "
         "is the exact decimal sum of that nation's line revenue per "
         "part, and the scalar-subquery threshold is 0.1% of the same "
-        "filtered total. Both the per-part sums and the global total "
-        "come from ONE nation-filtered scan: Spark aggregates the "
-        "per-part decimals, then takes the 1-row grand total from a "
-        "second-stage re-aggregation of those per-part sums (KB-sized, "
-        "no second fact scan) and broadcasts it into the HAVING "
-        "filter. The threshold compare is double > double*0.001 — "
+        "filtered total. The grand total re-aggregates the same "
+        "per-part sums the output uses, so at runtime AQE stage reuse "
+        "dedupes the shared shuffle and the FINAL plan reads lineitem "
+        "exactly once (CI asserts this on the executed plan); the "
+        "1-row total then broadcasts into the HAVING filter. The "
+        "threshold compare is double > double*0.001 — "
         "IEEE-identical across engines because the decimal sums "
         "beneath are exact.",
 )
