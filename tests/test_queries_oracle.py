@@ -86,3 +86,22 @@ def test_ts_similarity_out_of_window_probe_user_matches_oracle(
     con.close()
     assert len(s_rows) == 5
     assert s_rows == d_rows
+
+
+@pytest.mark.parametrize("name", ["q_tpch_q2", "q_tpch_q21"])
+def test_limited_topk_is_partition_invariant(name, spark, sf_dir):
+    # The two new LIMIT-carrying TPC-H completions claim total-order
+    # tie-break chains; prove the limited SET does not depend on the
+    # physical partitioning (a dropped tie-break key would pass the
+    # oracle compare by luck on one layout and fail on another).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(tuple(r) for r in
+                   QUERIES[name].spark(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = sorted(tuple(r) for r in
+                   QUERIES[name].spark(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
