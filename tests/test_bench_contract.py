@@ -45,3 +45,16 @@ def test_spread_flags_catch_one_off_stalls():
         "q_single": [1.0],                # one run → nothing to compare
     }
     assert bench.spread_flags(runs) == ["q_stalled"]
+
+def test_session_pins_throughput_gc():
+    # -XX:+UseParallelGC on driver AND executors: under the JVM-default
+    # G1 the full inventory benches ~18% slower and HOF-heavy plans
+    # intermittently spike 2-4x from mixed collections (measured r4,
+    # Java 17, sf0.1). The live session proves the flag survived
+    # whatever builder refactor happened since.
+    from kafka_elasticsearch_injector_spark.session import get_spark
+
+    conf = get_spark("gc-contract").sparkContext.getConf()
+    for key in ("spark.driver.extraJavaOptions",
+                "spark.executor.extraJavaOptions"):
+        assert "-XX:+UseParallelGC" in (conf.get(key, "") or ""), key
