@@ -252,6 +252,19 @@ def test_curation_pipeline_signals_stay_post_exchange(spark, sf_dir):
         assert "least" not in m.group(1), m.group(1)
 
 
+def test_curation_pipeline_dedup_is_hash_agg_without_text(spark, sf_dir):
+    # Exact dedup inside the pipeline is a min_by HASH aggregate on the
+    # md5 digest — a row_number sort-window (and the sort it forces)
+    # must not reappear, and no exchange may repartition on document
+    # text: the digest/token-count are projected in the signal pass so
+    # only narrow rows shuffle.
+    plan = _explain(spark, sf_dir, "q_curation_pipeline")
+    assert "Window" not in plan, plan
+    assert "min_by" in plan, plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(r"\btext#", m.group(1)), m.group(0)
+
+
 def test_embed_quantize_is_projection(spark, sf_dir):
     plan = _explain(spark, sf_dir, "q_embed_quantize")
     assert "Exchange" not in plan, plan
