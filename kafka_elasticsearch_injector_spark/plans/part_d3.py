@@ -1112,7 +1112,11 @@ def _minhash_calibration_sql() -> str:
         "verification is unaffordable (the dedup analog of "
         "q_ann_recall). Candidates come from the same banded equi-join "
         "as the production path; the two signature joins are on doc "
-        "ids against the KB-per-doc signature table.",
+        "ids against the KB-per-doc signature table. At 100 TB the "
+        "calibration runs on a hash-sampled candidate subset "
+        "(pmod(xxhash64(doc_a, doc_b), K) = 0) — error estimates "
+        "converge at thousands of pairs, so emitting every candidate "
+        "is a verify-scale luxury, not the production shape.",
 )
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import parquet_row_count, small_vocab_probe
