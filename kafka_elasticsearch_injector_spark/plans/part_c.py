@@ -34,18 +34,25 @@ from .registry import register
       FROM documents) t
     WHERE rn = 1
     """,
-    doc="Exact dedup: hash-groupBy on sha2(text), first doc_id wins. "
-        "At 100 TB we shuffle the 32-byte digest, never the document text; "
-        "oracle partitions by text (equivalent modulo sha collisions).",
+    doc="Exact dedup: hash-groupBy on the binary sha2(text) digest, "
+        "min-doc_id representative via a min_by HASH aggregate — the "
+        "same shape as the curation pipeline's internal dedup (no "
+        "row_number sort-window, so no per-partition sort and partial "
+        "aggregation combines map-side). At 100 TB we shuffle the "
+        "32-byte digest, never the document text; oracle partitions by "
+        "text (equivalent modulo sha collisions).",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    return (
-        docs.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    rep = (
+        docs.select(F.unhex(F.sha2(F.col("text"), 256)).alias("h"),
+                    "doc_id", "lang", "source")
+        .groupBy("h")
+        .agg(F.min_by(F.struct("doc_id", "lang", "source"), "doc_id").alias("s"))
     )
+    return rep.select(F.col("s.doc_id").alias("doc_id"),
+                      F.col("s.lang").alias("lang"),
+                      F.col("s.source").alias("source"))
 
 
 # ------------------------------------------------------------ text analysis
@@ -1349,7 +1356,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("dup") <= _CUR_DUP)
                    & (F.col("doc_id") % _DECON_MOD != 0))
         .select("doc_id", "lang", "source",
-                F.md5("text").alias("h"),
+                F.unhex(F.md5("text")).alias("h"),
                 F.size(_toks("text")).alias("n_toks"))
     )
     ev = docs.filter(F.col("doc_id") % _DECON_MOD == 0)

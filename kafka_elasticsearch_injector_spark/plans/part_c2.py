@@ -147,24 +147,28 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Normalized exact dedup: case-folded, whitespace-collapsed text "
         "— catches the reformatting duplicates exact-hash misses before "
-        "the near-dup tiers run. Keep-first per normalized key with the "
-        "surviving row carrying its duplicate-group size. At 100 TB the "
-        "shuffle key is md5 of the normalized text (32 bytes), not the "
-        "text; the oracle partitions by the normalized string itself "
-        "(equivalent modulo md5 collisions).",
+        "the near-dup tiers run. Min-doc_id representative per "
+        "normalized key via a min_by HASH aggregate (the curation "
+        "pipeline's dedup shape — no sort-window, partial aggregation "
+        "combines map-side), with the surviving row carrying its "
+        "duplicate-group size from the same aggregate. At 100 TB the "
+        "shuffle key is the 16-byte binary md5 of the normalized text, "
+        "not the text; the oracle partitions by the normalized string "
+        "itself (equivalent modulo md5 collisions).",
 )
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    key = F.md5(norm)
-    w = Window.partitionBy(key)
-    return (
+    rep = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "source",
-                F.row_number().over(w.orderBy("doc_id")).alias("rn"),
-                F.count(F.lit(1)).over(w).cast("bigint").alias("dup_count"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select(F.unhex(F.md5(norm)).alias("h"), "doc_id", "lang", "source")
+        .groupBy("h")
+        .agg(F.min_by(F.struct("doc_id", "lang", "source"), "doc_id").alias("s"),
+             F.count(F.lit(1)).cast("bigint").alias("dup_count"))
     )
+    return rep.select(F.col("s.doc_id").alias("doc_id"),
+                      F.col("s.lang").alias("lang"),
+                      F.col("s.source").alias("source"),
+                      "dup_count")
 
 
 @register(

@@ -7,6 +7,7 @@ blocking pushdown, a lost broadcast hint) fails CI, not a 100 TB run.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -259,6 +260,20 @@ def test_curation_pipeline_dedup_is_hash_agg_without_text(spark, sf_dir):
     # text: the digest/token-count are projected in the signal pass so
     # only narrow rows shuffle.
     plan = _explain(spark, sf_dir, "q_curation_pipeline")
+    assert "Window" not in plan, plan
+    assert "min_by" in plan, plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(r"\btext#", m.group(1)), m.group(0)
+
+
+@pytest.mark.parametrize("name", ["q_dedup_exact", "q_dedup_normalized"])
+def test_standalone_dedup_is_hash_agg_without_text(spark, sf_dir, name):
+    # Same contract as the curation pipeline's internal dedup: keep-min
+    # representative is a min_by HASH aggregate on the binary digest —
+    # no row_number sort-window (and the full per-partition sort it
+    # forces), and no exchange repartitioning on document text (only
+    # the 16/32-byte digest plus the narrow payload may shuffle).
+    plan = _explain(spark, sf_dir, name)
     assert "Window" not in plan, plan
     assert "min_by" in plan, plan
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
@@ -620,10 +635,16 @@ def test_q11_grand_total_scans_lineitem_once(spark, sf_dir):
     # shuffle, so the FINAL executed plan reads lineitem exactly once
     # (the static plan prints both branches — only the executed plan
     # proves the reuse).
+    # Pinned to sf0.01 (not the sf_dir fixture): at sf0.001 the HAVING
+    # threshold leaves zero rows, AQE's empty-relation propagation
+    # eliminates the scan entirely, and a scan-count bound passes
+    # vacuously without proving the stage reuse this test documents.
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):  # pragma: no cover
+        pytest.skip("sf0.01 testdata not present")
     df = plans.queries()["q_tpch_q11"](spark, sf_dir)
-    df.collect()
+    rows = df.collect()
+    assert rows, "q_tpch_q11 empty at sf0.01 — scan-count check is vacuous"
     final = (df._jdf.queryExecution().executedPlan().toString()
              .split("== Initial Plan ==")[0])
-    # == 1 when the nation sliver is non-empty; 0 at tiny SFs where
-    # AQE propagates EmptyRelation through the whole plan.
-    assert final.count("lineitem.parquet") <= 1, final
+    assert final.count("lineitem.parquet") == 1, final
