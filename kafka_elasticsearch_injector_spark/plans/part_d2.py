@@ -459,7 +459,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2
     )
     SELECT s_acctbal, s_name, n_name, p_partkey,
-           ROUND(ps_supplycost, 6) AS supplycost
+           ps_supplycost AS supplycost
     FROM part
     JOIN supply   ON p_partkey = ps_partkey
     JOIN supplier ON s_suppkey = ps_suppkey
@@ -484,7 +484,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "correlated subquery is decorrelated the classic way: one "
         "regional-min aggregate per part, equi-joined back (Catalyst "
         "cannot unnest an arbitrary correlated scalar subquery over a "
-        "CTE, so the plan states the decorrelation directly). supplier/"
+        "CTE, so the plan states the decorrelation directly). The "
+        "output supply cost is that same bit-exact double, emitted "
+        "UNROUNDED: both engines hold the identical IEEE value, while "
+        "a ROUND(..., 6) would re-introduce a hazard (Spark's "
+        "BigDecimal HALF_UP vs DuckDB's binary round can disagree on "
+        "quotients that straddle a half-way boundary — the repo's "
+        "round-to-6 discipline is for aggregates that accumulate "
+        "differently, not needed for bit-equal values). supplier/"
         "nation/region broadcast everywhere; the only shuffles are the "
         "two part-keyed aggregates of the derived supply table. "
         "Ordering carries the full tie-break chain (acctbal DESC, "
@@ -522,7 +529,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(min_cost, (F.col("ps_partkey") == F.col("mc_partkey"))
               & (F.col("ps_supplycost") == F.col("min_cost")))
         .select("s_acctbal", "s_name", "n_name", "p_partkey",
-                F.round("ps_supplycost", 6).alias("supplycost"))
+                F.col("ps_supplycost").alias("supplycost"))
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
