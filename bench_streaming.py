@@ -50,7 +50,9 @@ def main() -> None:
         start_pipeline,
     )
 
-    spark = get_spark("bench-streaming")
+    # mode="streaming": no ParallelGC pin — micro-batch latency wants
+    # the JVM-default G1's pause-time goals, not throughput GC.
+    spark = get_spark("bench-streaming", mode="streaming")
     spark.sparkContext.setLogLevel("ERROR")
     cpus = spark.sparkContext.defaultParallelism
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import bench
 
 
@@ -58,3 +60,17 @@ def test_session_pins_throughput_gc():
     for key in ("spark.driver.extraJavaOptions",
                 "spark.executor.extraJavaOptions"):
         assert "-XX:+UseParallelGC" in (conf.get(key, "") or ""), key
+
+
+def test_gc_is_gated_on_workload_mode():
+    # The throughput-GC pin is a BATCH choice; a streaming session must
+    # not inherit it (ParallelGC full collections land as multi-second
+    # micro-batch latency spikes on 8g+ heaps). Tested at the helper
+    # level: getOrCreate() reuses the live JVM, so only the builder
+    # inputs are observable per-mode.
+    from kafka_elasticsearch_injector_spark.session import gc_java_options
+
+    assert gc_java_options("batch") == "-XX:+UseParallelGC"
+    assert gc_java_options("streaming") == ""
+    with pytest.raises(ValueError):
+        gc_java_options("interactive")
