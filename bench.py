@@ -104,6 +104,19 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(
         _warm_kernel, "id long").write.format("noop").mode("overwrite").save()
 
+    # Warm the window-exec codegen path too: round 4's only
+    # spread-flagged query (q_dedup_normalized, runs [1.13 s, 0.14 s])
+    # was the first window plan to execute — an 8x first-touch
+    # codegen/JIT stall that min-of-2 absorbed but shouldn't recur.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    _w = Window.partitionBy(F.col("id") % 8).orderBy("id")
+    (spark.range(1024)
+     .select("id", F.row_number().over(_w).alias("rn"),
+             F.count(F.lit(1)).over(Window.partitionBy(F.col("id") % 8))
+             .alias("cnt"))
+     .write.format("noop").mode("overwrite").save())
+
     # Build each plan ONCE, execute twice, report the min execution
     # time. Driver-side plan construction (py4j expression building +
     # Catalyst analysis) is a per-query constant amortized to nothing
