@@ -309,7 +309,13 @@ _SIMHASH_MAX_HAMMING = 3
         "full-segment collision), equi-join per bucket, bit_count(xor) "
         "verify on candidates only — never O(N²), never bit-flip "
         "expansion. Completes the simhash path from fingerprints to the "
-        "same pair output shape as the minhash path.",
+        "same pair output shape as the minhash path. Bench floor note "
+        "(r4, sf0.1): ~2.2-2.7 s of which the dominant cost is OUTPUT "
+        "materialization — the 16-bit declared fingerprint emits ~7.1M "
+        "qualifying pairs at sf0.1, so wall-clock tracks result volume, "
+        "not candidate discovery; run-to-run variance in this range is "
+        "sink/GC noise, not plan regression. The production 64-bit path "
+        "(operators/dedup.py) emits sparse pairs and has no such floor.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
