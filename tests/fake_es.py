@@ -36,6 +36,11 @@ class FakeES:
     the REQUEST level with HTTP `reject_status` (the bulk-queue-full /
     node-restart shape — no items array at all). Both decrement per
     request, so a writer with retries eventually succeeds.
+    `reject_from` instead rejects every request ONCE `bulk_requests`
+    has reached it (the node-dies-mid-stream shape: the first bulks
+    land, then everything fails until the knob is cleared to None) —
+    the crash-recovery e2e uses it to kill a query after a partial
+    write.
     """
 
     def __init__(self):
@@ -44,6 +49,7 @@ class FakeES:
         self.bulk_requests = 0
         self.throttle_bulks = 0
         self.reject_bulks = 0
+        self.reject_from: int | None = None
         self.reject_status = 429
         self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
@@ -83,9 +89,11 @@ class FakeES:
                     self._reply(404)
                     return
                 with fake._lock:
-                    rejected = fake.reject_bulks > 0
+                    rejected = (fake.reject_bulks > 0
+                                or (fake.reject_from is not None
+                                    and fake.bulk_requests >= fake.reject_from))
                     if rejected:
-                        fake.reject_bulks -= 1
+                        fake.reject_bulks = max(0, fake.reject_bulks - 1)
                         fake.bulk_requests += 1
                         status = fake.reject_status
                 if rejected:

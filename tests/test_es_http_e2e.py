@@ -213,3 +213,69 @@ def test_streaming_pipeline_http_throttled(spark, tmp_path, fake_es):
     assert set(es.docs) == {("my-topic-2018-03-10", "0:1"),
                             ("my-topic-2018-03-10", "0:2")}
     assert es.bulk_requests >= 2       # at least one throttled + retry
+
+
+def test_streaming_pipeline_crash_recovery_over_shared_checkpoint(
+        spark, tmp_path, fake_es):
+    """Crash-recovery e2e, composing the shared-checkpoint replay of
+    test_event_time._run_batches with the live fake's failure
+    injection: the query dies MID-BATCH after a partial bulk (first
+    record lands, then the node starts failing hard), and a restart
+    over the SAME checkpoint replays the uncommitted batch — the
+    already-written doc triages as 409 and is NOT overwritten, the
+    unwritten doc lands. This is the reference's recovery story
+    end-to-end: offsets commit only after the sink returns
+    (consumer.go:163-173), so at-least-once redelivery + create-only
+    writes (elasticsearch.go:120-124) converge to effectively-once."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    es, url = fake_es
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # ONE parquet file → one source partition → one writer posting in
+    # row order; batch_size=1 makes each record its own _bulk request.
+    spark.createDataFrame(
+        [("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 1, TS),
+         ("k2", json.dumps({"id": "b", "value": 2}), "my-topic", 0, 2, TS)],
+        "key STRING, value STRING, topic STRING, partition INT, "
+        "offset LONG, timestamp TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    cfg = InjectorConfig(record_type="json", topics=("my-topic",),
+                         batch_size=1, bulk_backoff_s=0.01, max_retries=3)
+
+    def run():
+        source = (
+            spark.readStream.schema(
+                "key STRING, value STRING, topic STRING, partition INT, "
+                "offset LONG, timestamp TIMESTAMP")
+            .parquet(src_dir))
+        q = start_pipeline(
+            spark, cfg, SCHEMA,
+            transport_factory=lambda u=url: HttpTransport(u),
+            checkpoint_dir=ckpt, source_df=source, available_now=True)
+        try:
+            assert q.awaitTermination(120), "stream pass timed out"
+        finally:
+            q.stop()
+
+    # Bulk #0 (record 0:1) succeeds; every later bulk dies with 401 —
+    # non-retryable, so the partition task and the query crash with the
+    # batch UNCOMMITTED in the checkpoint.
+    es.reject_from, es.reject_status = 1, 401
+    with pytest.raises(StreamingQueryException):
+        run()
+    assert set(es.docs) == {("my-topic-2018-03-10", "0:1")}  # partial write
+
+    # Prove the replay is create-only (409 keeps the stored doc), not
+    # an idempotent overwrite: poison the landed doc with a sentinel —
+    # if recovery re-wrote it, the sentinel would vanish.
+    es.docs[("my-topic-2018-03-10", "0:1")] = {"id": "sentinel"}
+    es.reject_from = None                      # node healthy again
+
+    run()                                      # same checkpoint → replay
+    assert set(es.docs) == {("my-topic-2018-03-10", "0:1"),
+                            ("my-topic-2018-03-10", "0:2")}
+    assert es.docs[("my-topic-2018-03-10", "0:1")] == {"id": "sentinel"}
+    doc = es.docs[("my-topic-2018-03-10", "0:2")]
+    assert doc["id"] == "b" and doc["value"] == 2
