@@ -79,15 +79,6 @@ def test_minhash_join_has_no_pair_shuffle(spark, sf_dir):
     assert "Exchange" not in above_join, tree
 
 
-def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
-    # q_dedup_exact partitions by sha2(text): the window exchange key must
-    # be the 64-hex digest, not raw document text.
-    plan = _explain(spark, sf_dir, "q_dedup_exact")
-    m = re.search(r"Arguments: hashpartitioning\((\w+)", plan)
-    assert m, plan
-    assert m.group(1).startswith("_w"), plan   # derived expr, not `text`
-
-
 def test_exists_rewrites_to_semi_join(spark, sf_dir):
     # Correlated EXISTS must become a semi join carrying the non-key
     # conjunct as the join condition — not a per-row subquery.
@@ -308,15 +299,6 @@ def test_embed_outliers_broadcasts_centroids(spark, sf_dir):
     plan = _explain(spark, sf_dir, "q_embed_outliers")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
-
-
-def test_dedup_normalized_shuffles_digest_not_text(spark, sf_dir):
-    # Same discipline as q_dedup_exact: the window partition key is the
-    # md5 digest of the normalized text, never the text itself.
-    plan = _explain(spark, sf_dir, "q_dedup_normalized")
-    m = re.search(r"Arguments: hashpartitioning\((\w+)", plan)
-    assert m, plan
-    assert m.group(1).startswith("_w"), plan
 
 
 def test_quality_buckets_single_shuffle_on_lang(spark, sf_dir):
