@@ -6,9 +6,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], executing each plan to completion through the
 `noop` sink (full engine execution, no driver collect overhead).
 
-Each query runs TWICE and reports the min: the steady-state number,
-free of one-off Janino codegen / GC stalls (round 2 recorded a phantom
-10× on a pure-projection query that re-measures at 0.8 s).
+Each query is executed once UNMEASURED (Janino compiles each distinct
+plan's generated code on its first execution — ~0.7-0.9 s on heavy
+expression trees, plan-specific so no generic warmup can absorb it),
+then timed TWICE with the min reported: a steady-state number, and a
+run-to-run spread that flags real machine anomalies (the round-2
+phantom 10× GC stall) instead of routine first-compile.
 
 Output contract: the final stdout line is ONE COMPACT JSON summary —
 {"metric", "value", "unit", "sf", "n_queries", "queries"} where
@@ -117,17 +120,20 @@ def main() -> None:
              .alias("cnt"))
      .write.format("noop").mode("overwrite").save())
 
-    # Build each plan ONCE, execute twice, report the min execution
-    # time. Driver-side plan construction (py4j expression building +
+    # Build each plan ONCE, execute once unmeasured (per-plan codegen
+    # compile — the 64-lane decimal centroid aggregate pays ~5 s of
+    # whole-stage codegen on first execution, then runs in under a
+    # second), then time two steady-state runs and report the min.
+    # Driver-side plan construction (py4j expression building +
     # Catalyst analysis) is a per-query constant amortized to nothing
-    # at scale, and the min-of-2 drops one-off Janino codegen / GC
-    # stalls — both previously inflated heavy-expression plans (the
-    # 64-lane decimal centroid aggregate pays ~5 s of whole-stage
-    # codegen compile on first execution, then runs in under a second).
+    # at scale.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name, fn in sorted(inventory.items()):
         df = fn(spark, SF_DIR)
+        # Unmeasured first execution: pays the per-plan Janino compile
+        # so both timed runs are steady-state (see module docstring).
+        df.write.format("noop").mode("overwrite").save()
         ts: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
