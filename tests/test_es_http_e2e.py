@@ -239,7 +239,7 @@ def test_streaming_pipeline_crash_recovery_over_shared_checkpoint(
          ("k2", json.dumps({"id": "b", "value": 2}), "my-topic", 0, 2, TS)],
         "key STRING, value STRING, topic STRING, partition INT, "
         "offset LONG, timestamp TIMESTAMP",
-    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    ).repartition(1).write.mode("overwrite").parquet(src_dir)
 
     cfg = InjectorConfig(record_type="json", topics=("my-topic",),
                          batch_size=1, bulk_backoff_s=0.01, max_retries=3)

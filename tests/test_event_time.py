@@ -32,6 +32,28 @@ def _m(minutes: float) -> dt.datetime:
     return BASE + dt.timedelta(minutes=minutes)
 
 
+class _few_state_partitions:
+    """Stateful streaming stages spawn one state-store task per
+    spark.sql.shuffle.partitions PER MICRO-BATCH; at the session
+    default (32) each toy availableNow pass pays ~30 no-op state tasks,
+    which dominated this module's wall-clock. The partition count is
+    baked into the checkpoint at first start, so 4 here only affects
+    these tests' own checkpoints — production keeps the session
+    default + AQE."""
+
+    N = 4
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.N))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _run_batches(spark, root, schema, transform, batches):
     """Deterministic micro-batch boundaries: add one file, run an
     availableNow pass to completion, repeat. Watermark/state live in the
@@ -42,19 +64,20 @@ def _run_batches(spark, root, schema, transform, batches):
     out_dir = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src_dir, exist_ok=True)
-    for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
-            os.path.join(src_dir, f"batch_{i}.parquet"))
-        src = spark.readStream.schema(schema).parquet(
-            os.path.join(src_dir, "*.parquet"))
-        q = (
-            transform(src).writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True).start()
-        )
-        assert q.awaitTermination(120), "stream pass timed out"
+    with _few_state_partitions(spark):
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+                os.path.join(src_dir, f"batch_{i}.parquet"))
+            src = spark.readStream.schema(schema).parquet(
+                os.path.join(src_dir, "*.parquet"))
+            q = (
+                transform(src).writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True).start()
+            )
+            assert q.awaitTermination(120), "stream pass timed out"
     return spark.read.parquet(out_dir)
 
 
@@ -158,23 +181,24 @@ def _run_two_stream_batches(spark, root, lschema, rschema, transform,
     out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
     os.makedirs(ldir, exist_ok=True)
     os.makedirs(rdir, exist_ok=True)
-    for i, (lrows, rrows) in enumerate(batches):
-        spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(
-            os.path.join(ldir, f"batch_{i}.parquet"))
-        spark.createDataFrame(rrows, rschema).coalesce(1).write.parquet(
-            os.path.join(rdir, f"batch_{i}.parquet"))
-        left = spark.readStream.schema(lschema).parquet(
-            os.path.join(ldir, "*.parquet"))
-        right = spark.readStream.schema(rschema).parquet(
-            os.path.join(rdir, "*.parquet"))
-        q = (
-            transform(left, right).writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True).start()
-        )
-        assert q.awaitTermination(120), "stream pass timed out"
+    with _few_state_partitions(spark):
+        for i, (lrows, rrows) in enumerate(batches):
+            spark.createDataFrame(lrows, lschema).repartition(1).write.parquet(
+                os.path.join(ldir, f"batch_{i}.parquet"))
+            spark.createDataFrame(rrows, rschema).repartition(1).write.parquet(
+                os.path.join(rdir, f"batch_{i}.parquet"))
+            left = spark.readStream.schema(lschema).parquet(
+                os.path.join(ldir, "*.parquet"))
+            right = spark.readStream.schema(rschema).parquet(
+                os.path.join(rdir, "*.parquet"))
+            q = (
+                transform(left, right).writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True).start()
+            )
+            assert q.awaitTermination(120), "stream pass timed out"
     return spark.read.parquet(out_dir)
 
 

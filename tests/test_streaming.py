@@ -65,14 +65,18 @@ def test_streaming_end_to_end(spark, tmp_path):
         transport_factory=lambda root=es_root: FileTransport(root),
         checkpoint_dir=ckpt, source_df=source)
     try:
-        assert q.awaitTermination(60) or not q.isActive or q.lastProgress is not None
-        # availableNow isn't used (processingTime trigger); wait for batch 0.
+        # processingTime trigger: the query never self-terminates, so
+        # DON'T block in awaitTermination (it would sleep its full
+        # timeout) — poll for batch 0's sink output instead.
         import time
         deadline = time.time() + 60
         while time.time() < deadline:
             if len(_read_docs(es_root)) >= 2:
                 break
-            time.sleep(0.5)
+            if not q.isActive:          # died early — surface the cause
+                q.awaitTermination(1)
+                break
+            time.sleep(0.2)
     finally:
         q.stop()
 
