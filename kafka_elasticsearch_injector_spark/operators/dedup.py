@@ -9,7 +9,7 @@ scale/recall trade-off:
             LSH band buckets → equi-join on (band, hash) → exact-Jaccard
             verify on the *candidates only*. This is the 100 TB path: the
             O(N²) pair space collapses to per-bucket joins; the shuffle
-            key is the 32-char band hash.
+            key is the 16-byte binary band hash.
 - simhash:  16-lane ±1 vote fingerprint; near-dups share fingerprints
             (or differ in few bits) — O(N) to fingerprint, bucket or
             hamming-ball join to pair.
@@ -89,8 +89,12 @@ def lsh_band_hashes(k: int, rows_per_band: int) -> list[Column]:
     bands = []
     for b in range(k // rows_per_band):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias(f"band_{b}"))
+        # 16-byte BINARY band key: the hash is only ever equality-joined
+        # and equality-compared (first-matching-band emission), so the
+        # unhex halves every band column crossing the candidate-join
+        # exchange vs the 32-char hex string.
+        bands.append(F.unhex(
+            F.md5(F.concat_ws("|", F.lit(str(b)), *cols))).alias(f"band_{b}"))
     return bands
 
 

@@ -184,13 +184,13 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Dedup-rate audit per source: how duplicated is each ingest "
         "feed, BEFORE committing to a full dedup run — the triage "
         "number that decides where near-dup compute goes. Exact "
-        "distinct over the md5 digest (32-byte shuffle key, never the "
-        "text); Catalyst expands to the standard two-phase "
-        "count-distinct. Output is one row per source at any scale.",
+        "distinct over the 16-byte binary md5 digest (never the text); "
+        "Catalyst expands to the standard two-phase count-distinct. "
+        "Output is one row per source at any scale.",
 )
 def q_dedup_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
-    nd = F.countDistinct(F.md5(F.col("text")))
+    nd = F.countDistinct(F.unhex(F.md5(F.col("text"))))
     return (
         table(spark, sf_dir, "documents")
         .groupBy("source")

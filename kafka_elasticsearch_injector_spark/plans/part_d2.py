@@ -430,13 +430,16 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.lit(1) + 16 * F.col("_i")).cast("int"), 32)
             .alias("span"))
         .filter(F.length("span") == 32)
-        .select("doc_id", F.md5("span").alias("gram_md5"))
+        # Shuffle the 16-byte BINARY digest; re-hex only for the
+        # declared hex output column after aggregation.
+        .select("doc_id", F.unhex(F.md5("span")).alias("g"))
     )
     return (
-        grams.groupBy("gram_md5")
+        grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_occ"),
              F.count_distinct(F.col("doc_id")).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
+        .select(F.lower(F.hex("g")).alias("gram_md5"), "n_occ", "n_docs")
     )
 
 

@@ -754,8 +754,8 @@ def q_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
             .alias("_i"), "text")
-        .select("doc_id", F.md5(F.substring(
-            F.col("text"), (F.lit(1) + 96 * F.col("_i")).cast("int"), 128))
+        .select("doc_id", F.unhex(F.md5(F.substring(
+            F.col("text"), (F.lit(1) + 96 * F.col("_i")).cast("int"), 128)))
             .alias("chunk_md5"))
     )
     w = Window.partitionBy("chunk_md5")
@@ -1008,11 +1008,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     existing = (
         docs.filter(F.col("source").isin(old_srcs))
-        .select(F.md5("text").alias("digest")).distinct()
+        .select(F.unhex(F.md5("text")).alias("digest")).distinct()
     )
     return (
         docs.filter(~F.col("source").isin(old_srcs))
-        .withColumn("digest", F.md5("text"))
+        .withColumn("digest", F.unhex(F.md5("text")))
         .join(existing, "digest", "left_anti")
         .select("doc_id", "source")
     )
