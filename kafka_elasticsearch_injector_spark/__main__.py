@@ -1,0 +1,95 @@
+"""Runnable service entrypoint: ``python -m kafka_elasticsearch_injector_spark``.
+
+The reference deploys as a container configured purely by environment
+variables (reference README.md env table; src/injector/injector.go);
+this module is the same operational contract on Spark: read
+``InjectorConfig.from_env()``, build a streaming-mode session, start
+the Kafka → decode/enrich/route → Elasticsearch pipeline with the
+production ``HttpTransport``, serve the health probes and Prometheus
+metrics the reference exposes, and block until termination.
+
+Spark-side additions beyond the reference's env surface (concerns the
+Go binary didn't have):
+
+- ``CHECKPOINT_DIR`` (required): streaming checkpoint location — this
+  is the offset store (the reference kept offsets in Kafka's consumer
+  group; Structured Streaming owns them in the checkpoint).
+- ``PAYLOAD_SCHEMA_DDL`` (required for ``KAFKA_CONSUMER_RECORD_TYPE=
+  json``): DDL schema of the JSON payload, e.g. ``"id STRING, value
+  INT"`` — Spark needs a plan-time schema where the Go service decoded
+  dynamically.
+- ``AVRO_READER_SCHEMA_ID`` / ``AVRO_KEY_READER_SCHEMA_ID``
+  (optional): pin plan-time reader schemas instead of resolving from
+  the first record's writer id.
+- ``DEAD_LETTER_DIR`` (optional): quarantine parquet directory for
+  undeliverable records (nil/corrupt payloads) — the reference only
+  logs-and-skips (consumer.go:154-159).
+- ``TRIGGER_SECONDS`` (optional, default 1.0): micro-batch trigger.
+
+Deployment: the Kafka connector must be on the classpath —
+``spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:
+<spark-version> -m ...`` or the cluster image's jars dir.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .config import InjectorConfig
+from .session import get_spark
+from .sources.schema_registry import SchemaRegistryClient
+from .streaming.es_sink import HttpTransport
+from .streaming.metrics import InjectorMetrics
+from .streaming.pipeline import start_pipeline
+from .streaming.probes import start_probes
+
+
+def main(env: dict[str, str] | None = None, source_df=None):
+    """Wire config → session → pipeline → probes; returns the running
+    StreamingQuery (tests inject `env`/`source_df`; the CLI blocks on
+    awaitTermination)."""
+    e = dict(os.environ) if env is None else env
+    cfg = InjectorConfig.from_env(e)
+    if not cfg.topics and source_df is None:
+        raise SystemExit("KAFKA_TOPICS must name at least one topic")
+    checkpoint_dir = e.get("CHECKPOINT_DIR")
+    if not checkpoint_dir:
+        raise SystemExit("CHECKPOINT_DIR is required (offset store)")
+    payload_schema = e.get("PAYLOAD_SCHEMA_DDL")
+    if cfg.record_type == "json" and not payload_schema:
+        raise SystemExit("PAYLOAD_SCHEMA_DDL is required for json records")
+
+    spark = get_spark("kafka-elasticsearch-injector", mode="streaming")
+    registry = (SchemaRegistryClient(cfg.schema_registry_url)
+                if cfg.schema_registry_url else None)
+    metrics = InjectorMetrics(spark)
+    query = start_pipeline(
+        spark, cfg, payload_schema,
+        # Constructed ON each executor (from_config pickles cfg scalars).
+        transport_factory=lambda c=cfg: HttpTransport.from_config(c),
+        checkpoint_dir=checkpoint_dir,
+        source_df=source_df,
+        trigger_seconds=float(e.get("TRIGGER_SECONDS", "1.0")),
+        registry=registry,
+        reader_schema_id=(int(e["AVRO_READER_SCHEMA_ID"])
+                          if "AVRO_READER_SCHEMA_ID" in e else None),
+        key_reader_schema_id=(int(e["AVRO_KEY_READER_SCHEMA_ID"])
+                              if "AVRO_KEY_READER_SCHEMA_ID" in e else None),
+        metrics=metrics,
+        dead_letter_dir=e.get("DEAD_LETTER_DIR"),
+    )
+    probes = (start_probes(cfg.probes_port,
+                           ready_fn=lambda: query.isActive,
+                           metrics_fn=metrics.prometheus_text)
+              if cfg.probes_port is not None else None)
+    return query, probes
+
+
+if __name__ == "__main__":  # pragma: no cover - CLI shell
+    q, _probes = main()
+    try:
+        q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+        sys.exit(130)

@@ -279,3 +279,73 @@ def test_streaming_pipeline_crash_recovery_over_shared_checkpoint(
     assert es.docs[("my-topic-2018-03-10", "0:1")] == {"id": "sentinel"}
     doc = es.docs[("my-topic-2018-03-10", "0:2")]
     assert doc["id"] == "b" and doc["value"] == 2
+
+
+def test_service_entrypoint_end_to_end(spark, tmp_path, fake_es):
+    """The `python -m kafka_elasticsearch_injector_spark` service path:
+    env-var config (the reference's container contract), production
+    HttpTransport to a live fake-ES node, health/readiness/metrics
+    probes on an ephemeral port — everything the Go binary exposed,
+    driven through the real main() with an injected file source."""
+    import urllib.request
+
+    from kafka_elasticsearch_injector_spark.__main__ import main
+
+    es, url = fake_es
+    src_dir = str(tmp_path / "src")
+    _write_source(spark, src_dir, [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+        ("k2", json.dumps({"id": "b", "value": 2}), "my-topic", 0, 8, TS),
+    ])
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir))
+
+    env = {
+        "KAFKA_TOPICS": "my-topic",
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "ELASTICSEARCH_HOST": url,
+        "ES_BULK_BACKOFF": "10ms",
+        "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        "PAYLOAD_SCHEMA_DDL": SCHEMA,
+        "PROBES_PORT": "0",
+        "TRIGGER_SECONDS": "0.2",
+    }
+    q, probes = main(env=env, source_df=source)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(es.docs) < 2:
+            if not q.isActive:
+                q.awaitTermination(1)
+                break
+            time.sleep(0.2)
+        assert set(es.docs) == {("my-topic-2018-03-10", "0:7"),
+                                ("my-topic-2018-03-10", "0:8")}
+        base = f"http://127.0.0.1:{probes.port}"
+        assert urllib.request.urlopen(f"{base}/healthz").status == 200
+        assert urllib.request.urlopen(f"{base}/readiness").status == 200
+        body = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert "kafka" in body or "es_" in body or body  # prometheus text
+    finally:
+        q.stop()
+        if probes is not None:
+            probes.stop()
+
+
+def test_service_entrypoint_fails_fast_on_missing_config():
+    from kafka_elasticsearch_injector_spark.__main__ import main
+
+    reg = {"SCHEMA_REGISTRY_URL": "http://registry:8081"}
+    # avro without a registry is already a config-level ValueError
+    with pytest.raises(ValueError, match="SCHEMA_REGISTRY_URL"):
+        main(env={})
+    with pytest.raises(SystemExit, match="KAFKA_TOPICS"):
+        main(env=reg)
+    with pytest.raises(SystemExit, match="CHECKPOINT_DIR"):
+        main(env={**reg, "KAFKA_TOPICS": "t"})
+    with pytest.raises(SystemExit, match="PAYLOAD_SCHEMA_DDL"):
+        main(env={"KAFKA_TOPICS": "t",
+                  "KAFKA_CONSUMER_RECORD_TYPE": "json",
+                  "CHECKPOINT_DIR": "/tmp/x"})
