@@ -277,8 +277,10 @@ _DD_SIMHASH_LANES = " + ".join(
     SELECT doc_id, CAST({_DD_SIMHASH_LANES} AS BIGINT) AS simhash
     FROM toks
     """,
-    doc="16-lane SimHash fingerprint from md5 nibbles — O(N), no shuffle; "
-        "near-dups collide or differ in few bits.",
+    doc="16-lane SimHash fingerprint from md5 nibbles — O(N); the only "
+        "shuffle is the partial-aggregated groupBy(id) vote sum moving "
+        "16 small ints per token (operators/dedup.py simhash16). "
+        "Near-dups collide or differ in few bits.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
@@ -613,7 +615,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Gopher/MassiveText repetition filters: duplicate-token "
         "fraction and most-common-bigram mass, computed inside the row "
-        "(no groupBy, no shuffle — a pure projection at any scale).",
+        "— no groupBy; a pure projection at any scale (the one "
+        "exchange a FEW-SPLIT input sees is the deliberate "
+        "fill_cluster round-robin rebalance, absent once the scan has "
+        "more splits than cores).",
 )
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as T

@@ -276,6 +276,20 @@ def test_embed_quantize_is_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+@pytest.mark.parametrize("name", [
+    "q_unpivot", "q_interval_arith", "q_pii_scrub", "q_mixture_sample",
+    "q_doc_chunks", "q_udtf_expand", "q_token_count", "q_lang_id",
+    "q_embed_norm",
+])
+def test_projection_only_queries_have_no_exchange(spark, sf_dir, name):
+    # Every query whose docstring promises a pure projection must stay
+    # exchange-free — a regression (lost pushdown, an accidental
+    # repartition, a HOF rewritten through an aggregate) fails here,
+    # not in a 100 TB run.
+    plan = _explain(spark, sf_dir, name)
+    assert "Exchange" not in plan, plan
+
+
 def test_profile_is_one_expand_aggregate(spark, sf_dir):
     plan = _explain(spark, sf_dir, "q_profile_columns")
     assert "Expand" in plan, plan   # multi-distinct in one pass
