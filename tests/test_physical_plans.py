@@ -462,11 +462,15 @@ def test_q17_decorrelated_avg_broadcasts_the_sliver(spark, sf_dir):
 
 
 def test_dup_spans_shuffles_digests_not_text(spark, sf_dir):
-    # The census groups by the md5 digest: the exchange key is gram_md5
-    # and the distinct-doc count expands BEFORE the shuffle (partial).
+    # The census groups by the 16-byte BINARY md5 digest (`g`,
+    # re-hexed only in the output projection): the exchange key is the
+    # digest and the distinct-doc count expands BEFORE the shuffle
+    # (partial). No exchange may carry span/text.
     plan = _explain(spark, sf_dir, "q_dup_spans")
     assert "partial_count" in plan, plan
-    assert re.search(r"hashpartitioning\(gram_md5", plan), plan
+    assert re.search(r"hashpartitioning\(g#", plan), plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(r"\b(span|text)#", m.group(1)), m.group(0)
 
 
 # ------------------------------------------------- part D3 (round 3)
