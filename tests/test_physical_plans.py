@@ -15,11 +15,23 @@ import pytest
 from kafka_elasticsearch_injector_spark import plans
 
 
+_EXPLAIN_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _explain(spark, sf_dir, name: str) -> str:
-    df = plans.queries()[name](spark, sf_dir)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"))
+    # Memoized per (sf_dir, query): several gates inspect the same
+    # query's plan, and the formatted explain pays full physical
+    # planning each call — the cache cuts the module's wall-clock
+    # without weakening any assertion (plans are deterministic for a
+    # fixed session config; tests that mutate session conf must bypass
+    # this by building the DataFrame directly).
+    key = (sf_dir, name)
+    if key not in _EXPLAIN_CACHE:
+        df = plans.queries()[name](spark, sf_dir)
+        _EXPLAIN_CACHE[key] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+    return _EXPLAIN_CACHE[key]
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
