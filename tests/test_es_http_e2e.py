@@ -349,3 +349,66 @@ def test_service_entrypoint_fails_fast_on_missing_config():
         main(env={"KAFKA_TOPICS": "t",
                   "KAFKA_CONSUMER_RECORD_TYPE": "json",
                   "CHECKPOINT_DIR": "/tmp/x"})
+
+
+def test_service_entrypoint_avro_full_stack(spark, tmp_path, fake_es):
+    """The complete reference stack over real sockets, through the
+    service entrypoint: Confluent-framed Avro records, writer schema
+    fetched from a LIVE registry fake via the real HTTP client (driver
+    plan-time and executor decode-time), decode → enrich → route, and
+    create-only bulks into the live ES fake — the closest this sandbox
+    gets to the reference's docker-compose e2e (consumer_test.go:
+    106-147), with zero stand-in transports."""
+    import datetime as dt
+
+    from kafka_elasticsearch_injector_spark.__main__ import main
+    from kafka_elasticsearch_injector_spark.sources import Codec, wire_encode
+
+    from .test_registry_http import FIXTURE_SCHEMA, FakeRegistry
+
+    es, url = fake_es
+    reg = FakeRegistry({1: FIXTURE_SCHEMA})
+    reg_url = reg.start()
+    ts = dt.datetime(2018, 3, 10, 14, 30, 0)
+    codec = Codec(FIXTURE_SCHEMA)
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(b"k1", wire_encode(1, codec.encode({"id": 1})), "t", 0, 7, ts),
+         (b"k2", wire_encode(1, codec.encode({"id": 2})), "t", 0, 8, ts),
+         (b"k3", b"\x00\x00\x00\x00\x01\xff", "t", 0, 9, ts)],  # malformed
+        "key BINARY, value BINARY, topic STRING, partition INT, "
+        "offset LONG, timestamp TIMESTAMP",
+    ).repartition(1).write.mode("overwrite").parquet(src_dir)
+    source = (
+        spark.readStream.schema(
+            "key BINARY, value BINARY, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir))
+
+    env = {
+        "KAFKA_TOPICS": "t",
+        "KAFKA_CONSUMER_RECORD_TYPE": "avro",
+        "SCHEMA_REGISTRY_URL": reg_url,
+        "AVRO_READER_SCHEMA_ID": "1",
+        "ELASTICSEARCH_HOST": url,
+        "ES_BULK_BACKOFF": "10ms",
+        "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        "TRIGGER_SECONDS": "0.2",
+    }
+    q, probes = main(env=env, source_df=source)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(es.docs) < 2:
+            if not q.isActive:
+                q.awaitTermination(1)
+                break
+            time.sleep(0.2)
+        assert set(es.docs) == {("t-2018-03-10", "0:7"),
+                                ("t-2018-03-10", "0:8")}
+        assert es.docs[("t-2018-03-10", "0:7")]["id"] == 1
+        assert reg.hits, "writer schema was never fetched over HTTP"
+    finally:
+        q.stop()
+        if probes is not None:
+            probes.stop()
+        reg.stop()
