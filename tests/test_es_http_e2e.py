@@ -412,3 +412,50 @@ def test_service_entrypoint_avro_full_stack(spark, tmp_path, fake_es):
         if probes is not None:
             probes.stop()
         reg.stop()
+
+
+def test_service_entrypoint_dead_letter_quarantine(spark, tmp_path, fake_es):
+    """DEAD_LETTER_DIR through the entrypoint: undeliverable records
+    land in the quarantine parquet with the raw envelope + reason while
+    clean records still reach ES — the env-surface twin of
+    test_streaming.test_dead_letter_quarantine."""
+    from kafka_elasticsearch_injector_spark.__main__ import main
+
+    es, url = fake_es
+    src_dir = str(tmp_path / "src")
+    dlq = str(tmp_path / "dlq")
+    _write_source(spark, src_dir, [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+        ("k3", None, "my-topic", 0, 8, TS),             # nil payload
+        ("k4", '{"broken', "my-topic", 0, 9, TS),       # corrupt JSON
+    ])
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir))
+    env = {
+        "KAFKA_TOPICS": "my-topic",
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "ELASTICSEARCH_HOST": url,
+        "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        "PAYLOAD_SCHEMA_DDL": SCHEMA,
+        "DEAD_LETTER_DIR": dlq,
+        "TRIGGER_SECONDS": "0.2",
+    }
+    q, probes = main(env=env, source_df=source)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(es.docs) < 1:
+            if not q.isActive:
+                q.awaitTermination(1)
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        if probes is not None:
+            probes.stop()
+    assert set(es.docs) == {("my-topic-2018-03-10", "0:7")}
+    dropped = {(r.offset, r._drop_reason)
+               for r in spark.read.parquet(dlq).collect()}
+    assert dropped == {(8, "null_payload"), (9, "corrupt_payload")}
