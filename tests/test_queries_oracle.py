@@ -105,3 +105,22 @@ def test_limited_topk_is_partition_invariant(name, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_compare_detects_each_mismatch_class(spark, duck):
+    """Meta-test of the replica itself: compare() must FLAG each
+    mismatch class it exists to catch — a silently-lenient comparator
+    would green-light the whole inventory. Classes mirror the driver's
+    recorded escapes: value, row-count, column-name, and IEEE signed
+    zero (the round-3 q_stats_agg escape)."""
+    df = spark.createDataFrame([(1, "a")], "id LONG, s STRING")
+    assert compare(df, duck, "SELECT CAST(1 AS BIGINT) AS id, 'a' AS s") == []
+    assert compare(df, duck, "SELECT CAST(2 AS BIGINT) AS id, 'a' AS s")
+    assert compare(df, duck,
+                   "SELECT CAST(1 AS BIGINT) AS id, 'a' AS s UNION ALL "
+                   "SELECT CAST(1 AS BIGINT), 'b'")
+    assert compare(df, duck, "SELECT CAST(1 AS BIGINT) AS id, 'a' AS other")
+    zdf = spark.createDataFrame([(0.0,)], "x DOUBLE")
+    assert compare(zdf, duck, "SELECT 0.0::DOUBLE AS x") == []
+    assert compare(zdf, duck, "SELECT -0.0::DOUBLE AS x"), \
+        "signed zero must mismatch (+0.0 vs -0.0)"
