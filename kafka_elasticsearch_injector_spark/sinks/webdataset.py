@@ -172,3 +172,61 @@ def read_webdataset_keys(path: str) -> Iterable[tuple[int, str]]:
         with tarfile.open(os.path.join(path, fname)) as tar:
             for m in tar.getmembers():
                 yield shard, m.name
+
+
+def read_webdataset(spark, path: str,
+                    members: dict[str, str] | None = None) -> DataFrame:
+    """Distributed WebDataset reader — the inverse of write_webdataset,
+    and the interop path for externally-produced tar-shard corpora.
+
+    `members` maps tar-member suffix -> output column (default
+    {"txt": "text"}, mirroring the writer); returns one row per SAMPLE:
+    (shard STRING, key STRING, <col> BINARY per requested suffix).
+    Payloads come back as raw bytes — utf-8/image/audio decode belongs
+    downstream, where the consumer knows the modality. Members whose
+    suffix isn't requested are skipped without being materialized.
+
+    Scale shape: `binaryFile` yields one row per tar, so one task
+    parses one whole shard — the same ~1 GB in-memory bound the writer
+    sizes n_shards for, and parallelism = shard count (thousands of
+    shards at 100 TB). Column pruning/predicate pushdown cannot reach
+    inside a tar; that is WebDataset's known trade vs parquet — use
+    sinks/dataset.py for analytics, this format for sequential
+    dataloaders.
+    """
+    members = members or {"txt": "text"}
+    ordered = sorted(members.items())           # deterministic columns
+    out_cols = ["shard", "key", *[col for _, col in ordered]]
+    schema = ("shard string, key string, "
+              + ", ".join(f"`{col}` binary" for _, col in ordered))
+    suffix_to_col = dict(ordered)
+
+    def parse(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                samples: dict[str, dict[str, bytes]] = {}
+                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, _, suffix = m.name.partition(".")
+                        col = suffix_to_col.get(suffix)
+                        if col is None:
+                            continue
+                        samples.setdefault(key, {})[col] = (
+                            tar.extractfile(m).read())
+                shard = os.path.basename(row["path"])
+                rows = [
+                    {"shard": shard, "key": k,
+                     **{col: d.get(col) for _, col in ordered}}
+                    for k, d in sorted(samples.items())
+                ]
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar").load(path)
+        .select("path", "content")
+        .mapInPandas(parse, schema)
+    )

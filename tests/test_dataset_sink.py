@@ -214,3 +214,37 @@ def test_webdataset_export_runs_without_collect(spark, sf_dir, tmp_path):
     assert len(names) == docs.count()
     # the returned manifest is already materialized and agrees
     assert sum(r.n_members for r in manifest.collect()) == len(names)
+
+
+def test_webdataset_distributed_reader_roundtrips(spark, sf_dir, tmp_path):
+    """read_webdataset (the distributed inverse): write shards, read
+    them back through binaryFile + mapInPandas, and the sample set —
+    keys, per-member payload bytes, shard assignment — must round-trip
+    exactly. Unrequested member suffixes are skipped."""
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, 4, members={"txt": "text", "lang": "lang"})
+
+    back = read_webdataset(spark, out,
+                           members={"txt": "text", "lang": "lang"})
+    rows = {r.key: (bytes(r.text), bytes(r.lang), r.shard)
+            for r in back.collect()}
+    src = docs.collect()
+    assert len(rows) == len(src)
+    for s in src:
+        key = f"{s.doc_id:012d}"
+        text_b, lang_b, shard = rows[key]
+        assert text_b == s.text.encode() and lang_b == s.lang.encode()
+        assert shard.startswith("shard-") and shard.endswith(".tar")
+    # one shard file per task; all four shards represented
+    assert len({v[2] for v in rows.values()}) == 4
+
+    # requesting a subset of members skips the rest without error
+    only_txt = read_webdataset(spark, out, members={"txt": "text"})
+    assert only_txt.columns == ["shard", "key", "text"]
+    assert only_txt.count() == len(src)
