@@ -66,6 +66,7 @@ SLOW_TEST_PREFIXES = (
     "test_audio_features_signed_samples_property",
     "test_repetition_signals_hand_computed",
     "test_mixture_sample_monotone_in_rate",
+    "test_corpus_to_training_export_end_to_end",
     "test_shard_filter_is_partition_pruned",
     "test_profile_metrics_hand_computed",
     "test_profile_handles_duplicate_and_dotted_columns",
