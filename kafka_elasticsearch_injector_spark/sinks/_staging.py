@@ -1,0 +1,56 @@
+"""Atomic staged publication for shard-file exports.
+
+Shared by the WebDataset tar and JSONL.gz writers: shard tasks write
+into a hidden staging dir under the export path, and the previous
+export's shard files are replaced only after the whole job succeeds —
+a crashed or never-run export leaves the prior one intact. Each
+individual file appears atomically (tmp + rename); the multi-file swap
+itself is not atomic (POSIX has no multi-file exchange), but the
+window exists only after a fully successful export.
+
+FILESYSTEM CONTRACT: tasks use plain local file IO on the executors,
+so the export path must be a filesystem shared between driver and
+executors (local mode, NFS, FUSE-mounted object store).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+
+def staged_publish(path: str, ext: str, run: Callable[[str], list]) -> list:
+    """Run `run(staging_dir)` (a Spark job whose tasks write
+    `shard-*{ext}` files into staging_dir, returning manifest rows),
+    then swap the staged files in: stale `shard-*{ext}` from a prior
+    export are removed only AFTER success, and only finished files are
+    published (a task that died between its tmp write and rename
+    leaves `*.tmp-*` litter in staging, which must not escape)."""
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging)
+    try:
+        rows = run(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    for fname in os.listdir(path):
+        if fname.startswith("shard-") and fname.endswith(ext):
+            os.remove(os.path.join(path, fname))
+    for fname in sorted(os.listdir(staging)):
+        if fname.endswith(ext):
+            os.replace(os.path.join(staging, fname),
+                       os.path.join(path, fname))
+    shutil.rmtree(staging)
+    return rows
+
+
+def write_shard_file(staging: str, name: str, data: bytes) -> None:
+    """Atomic within-staging publication of one shard file."""
+    final = os.path.join(staging, name)
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, final)

@@ -51,6 +51,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._staging import staged_publish, write_shard_file
+
 MANIFEST_SCHEMA = "shard int, n_members long, n_bytes long, sha256 string"
 
 
@@ -105,59 +107,27 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     export untouched. Requires a driver/executor-shared filesystem
     (see module docstring).
     """
-    import shutil
-    import uuid
-
     members = members or {"txt": "text"}
-    os.makedirs(path, exist_ok=True)
-    # Hidden staging dir (leading "."): invisible to readers iterating
-    # shard-*.tar, removed on failure. Stale shards from a prior export
-    # (e.g. a larger n_shards) are removed only AFTER the new export
-    # succeeds — the previous round eagerly cleared them at plan-build
-    # time, destroying the old export even if the job never ran.
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
-    os.makedirs(staging)
     # de-dup against id_col too: members may legitimately export the key
     cols = list(dict.fromkeys([id_col, *members.values()]))
 
-    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(pdf["shard"].iloc[0])
-        ordered = pdf.sort_values(id_col, kind="mergesort")
-        data, n = _tar_bytes(ordered, id_col, members)
-        final = os.path.join(staging, f"shard-{shard:05d}.tar")
-        tmp = final + f".tmp-{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, final)  # atomic publication within staging
-        return pd.DataFrame([{
-            "shard": shard, "n_members": n, "n_bytes": len(data),
-            "sha256": hashlib.sha256(data).hexdigest(),
-        }])
+    def run(staging: str) -> list:
+        def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            ordered = pdf.sort_values(id_col, kind="mergesort")
+            data, n = _tar_bytes(ordered, id_col, members)
+            write_shard_file(staging, f"shard-{shard:05d}.tar", data)
+            return pd.DataFrame([{
+                "shard": shard, "n_members": n, "n_bytes": len(data),
+                "sha256": hashlib.sha256(data).hexdigest(),
+            }])
 
-    sharded = with_hash_shard(df.select(*cols), n_shards, id_col)
-    plan = sharded.groupBy("shard").applyInPandas(
-        write_shard, MANIFEST_SCHEMA)
-    try:
-        rows = plan.collect()  # executes the export
-    except BaseException:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    # Success: swap the staged shards in. The window between removing a
-    # stale tar and publishing its replacement is not atomic (POSIX has
-    # no multi-file exchange) — but it now exists only AFTER a fully
-    # successful export, and each individual tar appears atomically.
-    for fname in os.listdir(path):
-        if fname.startswith("shard-") and fname.endswith(".tar"):
-            os.remove(os.path.join(path, fname))
-    # Publish only finished tars: a task that died between its tmp write
-    # and os.replace (then succeeded on retry) leaves an orphaned
-    # shard-NNNNN.tar.tmp-<pid> in staging, which must not escape into
-    # the export — later cleanups only match *.tar, so the litter would
-    # be permanent and the directory would stop matching the manifest.
-    for fname in sorted(os.listdir(staging)):
-        if fname.endswith(".tar"):
-            os.replace(os.path.join(staging, fname), os.path.join(path, fname))
-    shutil.rmtree(staging)
+        sharded = with_hash_shard(df.select(*cols), n_shards, id_col)
+        return (sharded.groupBy("shard")
+                .applyInPandas(write_shard, MANIFEST_SCHEMA)
+                .collect())                     # executes the export
+
+    rows = staged_publish(path, ".tar", run)
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)
 
 

@@ -49,6 +49,7 @@ SLOW_TEST_PREFIXES = (
     "test_mixture_sample_rate_edges_and_determinism",
     # file-IO round-trips and sketch certifications: integration work
     "test_webdataset_",
+    "test_jsonl_shards",
     "test_export_layout",
     "test_manifest_totals",
     "test_include_key_avro",
