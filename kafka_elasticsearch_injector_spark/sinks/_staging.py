@@ -21,13 +21,20 @@ import uuid
 from collections.abc import Callable
 
 
-def staged_publish(path: str, ext: str, run: Callable[[str], list]) -> list:
+def staged_publish(path: str, ext: str, run: Callable[[str], list],
+                   allow_empty: bool = False) -> list:
     """Run `run(staging_dir)` (a Spark job whose tasks write
     `shard-*{ext}` files into staging_dir, returning manifest rows),
     then swap the staged files in: stale `shard-*{ext}` from a prior
     export are removed only AFTER success, and only finished files are
     published (a task that died between its tmp write and rename
-    leaves `*.tmp-*` litter in staging, which must not escape)."""
+    leaves `*.tmp-*` litter in staging, which must not escape).
+
+    If the job produced ZERO staged shard files while prior shard
+    files exist at `path`, the swap is REFUSED (the prior export is
+    kept and ValueError raised) unless `allow_empty=True`: an
+    accidentally empty re-run — empty input, over-filtered pipeline —
+    must not silently destroy a previous export."""
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
     os.makedirs(staging)
@@ -36,6 +43,15 @@ def staged_publish(path: str, ext: str, run: Callable[[str], list]) -> list:
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
+    staged = [f for f in os.listdir(staging) if f.endswith(ext)]
+    prior = [f for f in os.listdir(path)
+             if f.startswith("shard-") and f.endswith(ext)]
+    if not staged and prior and not allow_empty:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"refusing to replace {len(prior)} existing shard file(s) at "
+            f"{path} with an EMPTY export; pass allow_empty=True to "
+            f"publish an intentionally empty result")
     for fname in os.listdir(path):
         if fname.startswith("shard-") and fname.endswith(ext):
             os.remove(os.path.join(path, fname))

@@ -61,9 +61,16 @@ def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str]) -> bytes:
     # mtime=0: gzip's header timestamp is the one nondeterminism source
     # for identical payloads.
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-        for _, row in rows.iterrows():
-            obj = {c: (None if pd.isna(row[c]) else row[c])
-                   for c in columns}
+        # Per-column access: iterrows() materializes each row as a
+        # Series coerced to ONE common dtype, so an all-numeric frame
+        # with any float column turns integer ids into np.float64 and
+        # serializes doc_id=5 as 5.0 — silent corruption for a typed
+        # read-back. Series.tolist() keeps every value its own
+        # column's native Python type.
+        col_values = [rows[c].tolist() for c in columns]
+        for vals in zip(*col_values):
+            obj = {c: (None if pd.isna(v) else v)
+                   for c, v in zip(columns, vals)}
             gz.write(json.dumps(obj, sort_keys=True, ensure_ascii=False,
                                 separators=(",", ":"),
                                 default=_json_default).encode("utf-8"))
@@ -73,7 +80,8 @@ def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str]) -> bytes:
 
 def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
                        id_col: str = "doc_id",
-                       columns: list[str] | None = None) -> DataFrame:
+                       columns: list[str] | None = None,
+                       allow_empty: bool = False) -> DataFrame:
     """Export `df` as gzip JSONL shards at `path`; returns the
     per-shard manifest DataFrame (MANIFEST_SCHEMA).
 
@@ -107,5 +115,5 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
                 .applyInPandas(write_shard, MANIFEST_SCHEMA)
                 .collect())                     # executes the export
 
-    rows = staged_publish(path, ".jsonl.gz", run)
+    rows = staged_publish(path, ".jsonl.gz", run, allow_empty=allow_empty)
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)

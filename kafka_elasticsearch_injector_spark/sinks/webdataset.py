@@ -91,7 +91,8 @@ def _tar_bytes(rows: pd.DataFrame, id_col: str,
 
 def write_webdataset(df: DataFrame, path: str, n_shards: int,
                      id_col: str = "doc_id",
-                     members: dict[str, str] | None = None) -> DataFrame:
+                     members: dict[str, str] | None = None,
+                     allow_empty: bool = False) -> DataFrame:
     """Export `df` as WebDataset tar shards at `path`; returns the
     per-shard manifest DataFrame (MANIFEST_SCHEMA).
 
@@ -127,7 +128,7 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
                 .applyInPandas(write_shard, MANIFEST_SCHEMA)
                 .collect())                     # executes the export
 
-    rows = staged_publish(path, ".tar", run)
+    rows = staged_publish(path, ".tar", run, allow_empty=allow_empty)
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)
 
 

@@ -89,11 +89,16 @@ class FakeES:
                     self._reply(404)
                     return
                 with fake._lock:
-                    rejected = (fake.reject_bulks > 0
+                    count_triggered = fake.reject_bulks > 0
+                    rejected = (count_triggered
                                 or (fake.reject_from is not None
                                     and fake.bulk_requests >= fake.reject_from))
                     if rejected:
-                        fake.reject_bulks = max(0, fake.reject_bulks - 1)
+                        # only the count-based knob consumes its budget:
+                        # a reject_from-triggered rejection must not eat
+                        # reject_bulks charges it never caused.
+                        if count_triggered:
+                            fake.reject_bulks -= 1
                         fake.bulk_requests += 1
                         status = fake.reject_status
                 if rejected:

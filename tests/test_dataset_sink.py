@@ -294,3 +294,64 @@ def test_jsonl_shards_byte_deterministic_rerun(spark, sf_dir, tmp_path):
     m2 = {r.shard: r.sha256 for r in write_jsonl_shards(
         docs, str(tmp_path / "b"), 3).collect()}
     assert m1 == m2 and len(m1) == 3
+
+
+def test_jsonl_shards_all_numeric_preserves_int_dtype(spark, tmp_path):
+    """Regression (round-5 ADVICE): an all-numeric frame with any float
+    column must NOT coerce integer ids to float — iterrows() did, so
+    doc_id=5 serialized as 5.0 and a LONG-schema read-back nulled it."""
+    import gzip as _gz
+
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 0.5), (6, 1.25), (7, None)],
+        "doc_id long, score double")
+    out = str(tmp_path / "num")
+    write_jsonl_shards(df, out, 2)
+
+    # raw bytes: integer ids serialize as JSON integers, nulls as null
+    lines = []
+    for name in sorted(os.listdir(out)):
+        if name.endswith(".jsonl.gz"):
+            with _gz.open(os.path.join(out, name), "rt") as f:
+                lines += [ln.strip() for ln in f if ln.strip()]
+    assert any('"doc_id":5,' in ln for ln in lines)
+    assert not any("5.0" in ln.split('"score"')[0] for ln in lines)
+    assert any('"score":null' in ln for ln in lines)
+
+    # typed native read-back: no nulled-out ids
+    back = spark.read.schema("doc_id long, score double").json(out)
+    got = {r.doc_id: r.score for r in back.collect()}
+    assert got == {5: 0.5, 6: 1.25, 7: None}
+
+
+def test_staged_publish_refuses_empty_over_prior_export(spark, tmp_path):
+    """Regression (round-5 ADVICE): an export that produces ZERO shard
+    files must not silently destroy a prior export — it refuses unless
+    allow_empty=True."""
+    import pytest as _pt
+
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+
+    out = str(tmp_path / "exp")
+    full = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, t string")
+    write_jsonl_shards(full, out, 2)
+    prior = sorted(f for f in os.listdir(out) if f.endswith(".jsonl.gz"))
+    assert prior
+
+    empty = full.where("doc_id < 0")
+    with _pt.raises(ValueError, match="EMPTY export"):
+        write_jsonl_shards(empty, out, 2)
+    # the prior export is intact, no staging litter left behind
+    assert sorted(f for f in os.listdir(out)
+                  if f.endswith(".jsonl.gz")) == prior
+    assert not [f for f in os.listdir(out) if f.startswith(".staging-")]
+
+    # explicit opt-in publishes the empty result (prior files removed)
+    write_jsonl_shards(empty, out, 2, allow_empty=True)
+    assert not [f for f in os.listdir(out) if f.endswith(".jsonl.gz")]

@@ -651,9 +651,13 @@ def test_q11_grand_total_scans_lineitem_once(spark, sf_dir):
     # threshold leaves zero rows, AQE's empty-relation propagation
     # eliminates the scan entirely, and a scan-count bound passes
     # vacuously without proving the stage reuse this test documents.
-    sf_dir = "/root/testdata/sf0.01"
+    # Derived as the sf0.01 sibling of the configured testdata root so
+    # SPARK_GRAFT_TEST_SF_DIR relocation keeps this gate running.
+    sf_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if not os.path.isdir(sf_dir):  # pragma: no cover
-        pytest.skip("sf0.01 testdata not present")
+        pytest.fail(f"sf0.01 testdata not found at {sf_dir} — the q11 "
+                    "scan-reuse gate needs the sf0.01 sibling of "
+                    "SPARK_GRAFT_TEST_SF_DIR")
     df = plans.queries()["q_tpch_q11"](spark, sf_dir)
     rows = df.collect()
     assert rows, "q_tpch_q11 empty at sf0.01 — scan-count check is vacuous"
