@@ -54,11 +54,6 @@ def choose_blocks(n_rows: int, parallelism: int,
     return max(min(max(by_size, floor), 256), 1)
 
 
-def _round6(x: np.ndarray) -> np.ndarray:
-    """ROUND(x, 6) half-away-from-zero for non-negative doubles."""
-    return np.floor(x * 1e6 + 0.5) / 1e6
-
-
 _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
@@ -184,8 +179,10 @@ def jaccard_pairs_blocked(
         ii, jj = np.nonzero(mask)
         a, b = lid[ii], rid[jj]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # unrounded: exact-integer-operand division, bit-identical to
+        # the oracle's list_intersect ratio (round-6 audit, round 6)
         return pd.DataFrame(
-            {"doc_a": lo, "doc_b": hi, "jac": _round6(jac[ii, jj])})
+            {"doc_a": lo, "doc_b": hi, "jac": jac[ii, jj]})
 
     return rep.groupBy("_k1", "_k2").applyInPandas(
         kernel, "doc_a bigint, doc_b bigint, jac double")
@@ -269,7 +266,10 @@ def nearest_neighbor_blocked(
     return won.select(
         "vec_id_a",
         (-F.col("w.neg_id")).alias("nn_id"),
-        F.round(F.col("w.cos"), 6).alias("cos_sim"),
+        # unrounded: seq_dots/seq_norms replicate the oracle fold's
+        # IEEE order exactly, so the cosine is bit-identical — the
+        # round was the only divergence-capable step (round-6 audit)
+        F.col("w.cos").alias("cos_sim"),
     )
 
 
@@ -337,7 +337,7 @@ def containment_pairs_blocked(
             ii, jj = np.nonzero(mask)
             frames.append(pd.DataFrame({
                 "doc_a": a_ids[ii], "doc_b": b_ids[jj],
-                "containment": _round6(cont[ii, jj])}))
+                "containment": cont[ii, jj]}))
 
         if diag:
             emit(inter, llens, lid, rid,

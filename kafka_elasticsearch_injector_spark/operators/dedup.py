@@ -225,16 +225,25 @@ def minhash_lsh_pairs(
     for cond in first_match:
         joined = joined.filter(cond)
 
+    # jac is emitted UNROUNDED: an integer-count ratio is one IEEE
+    # division on exactly-representable operands, so Spark and any
+    # oracle engine produce the bit-identical double — rounding it
+    # (Spark BigDecimal HALF_UP vs an engine's binary-double round)
+    # is the only step that can diverge on .5 boundaries (round-6
+    # audit, round 6). The threshold filter compares the unrounded
+    # value in BOTH branches for the same reason (the second branch
+    # previously filtered the rounded value, which could admit a
+    # boundary pair the exact-jaccard oracle rejects).
     if masked is not None:
         inter = F.bit_count(F.col("a_mask").bitwiseAND(F.col("b_mask")))
         jac = inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - inter)
         return (
             joined.filter(jac >= threshold)
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+            .select("doc_a", "doc_b", jac.alias("jac"))
         )
     jac = jaccard(F.col("a_shingles"), F.col("b_shingles"))
     return (
-        joined.select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        joined.select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= threshold)
     )
 

@@ -15,6 +15,13 @@ Two tiers (SURVEY.md north star):
 
 LSH sign-bucket sketch (alternative ANN path) is in dedup.py's banding
 machinery — hyperplane signs bucket vectors, same equi-join shape.
+
+Determinism (round-6 audit, round 6): every cosine/scale here is
+emitted UNROUNDED — functions/vectors.py folds walk the oracle's exact
+IEEE sequence, so the doubles are bit-identical across engines and the
+only divergence-capable step was the final ROUND itself (Spark
+BigDecimal HALF_UP vs DuckDB's binary-double round on .5 boundaries).
+See ROUNDING.md.
 """
 
 from __future__ import annotations
@@ -105,7 +112,7 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
         .withColumn("rn", F.row_number().over(w_k))
         .filter(F.col("rn") <= k)
         .select("probe_id", label_col, id_col,
-                F.round(F.col("_cos"), 6).alias("cos_sim"), "rn")
+                F.col("_cos").alias("cos_sim"), "rn")
     )
 
 
@@ -210,7 +217,7 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
         .cast("tinyint"))
     return (
         with_mx.withColumn("_scale", scale)
-        .select(F.col(id_col), F.round("_scale", 6).alias("scale"),
+        .select(F.col(id_col), F.col("_scale").alias("scale"),
                 q.alias("qvec"))
     )
 
@@ -315,7 +322,7 @@ def lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("probe_id", "bucket", id_col,
-                F.round(F.col("_cos"), 6).alias("cos_sim"), "rn")
+                F.col("_cos").alias("cos_sim"), "rn")
     )
 
 
@@ -326,7 +333,7 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
     """Embedding-cosine near-dup PAIRS at corpus scale: multi-table
     sign-LSH candidate generation (corpus × corpus bucket equi-join,
     never all-pairs) + exact-cosine verify ≥ threshold. Returns
-    (vec_a < vec_b, cos_sim rounded 6).
+    (vec_a < vec_b, unrounded exact cos_sim).
 
     This is the discovery path the blocked O(N²) kernel
     (nearest_neighbor_pairs) verifies against: per (table, bucket)
@@ -364,7 +371,7 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
     return (
         joined.select("vec_a", "vec_b", cos.alias("_cos"))
         .filter(F.col("_cos") >= threshold)
-        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos_sim"))
+        .select("vec_a", "vec_b", F.col("_cos").alias("cos_sim"))
     )
 
 

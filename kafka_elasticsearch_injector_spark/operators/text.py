@@ -74,16 +74,22 @@ def predict_language(spark: SparkSession, df: DataFrame,
 
 
 def quality_score_col(text_col: Column | str) -> Column:
-    """Composite quality score as a reusable Column expression (rounded
-    to 6 decimals — thresholds compare the rounded value on both the
-    engine and oracle sides)."""
+    """Composite quality score as a reusable Column expression.
+
+    Emitted UNROUNDED (round-6 audit, round 6): every step is a
+    deterministic IEEE op evaluated in the same order by Spark and the
+    DuckDB oracle (integer-ratio divisions, least, scale-by-0.5, one
+    add — no libm, no reassociation), so the double is bit-identical
+    across engines and downstream thresholds compare the identical
+    value on both sides. Rounding was the only divergence-capable step
+    (Spark BigDecimal HALF_UP vs binary-double round on .5
+    boundaries)."""
     toks = tokens(text_col)
     n_words = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     stop_ratio = stop_hits.cast("double") / n_words
-    return F.round(
-        F.least(F.lit(1.0), n_words.cast("double") / 50) * 0.5
-        + F.least(F.lit(1.0), stop_ratio * 5) * 0.5, 6)
+    return (F.least(F.lit(1.0), n_words.cast("double") / 50) * 0.5
+            + F.least(F.lit(1.0), stop_ratio * 5) * 0.5)
 
 
 def quality_features(df: DataFrame, id_col: str = "doc_id",
@@ -103,8 +109,10 @@ def quality_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(
         F.col(id_col),
         n_words.cast("int").alias("n_words"),
-        F.round(avg_word_len, 6).alias("avg_word_len"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
+        # unrounded: integer-count ratios are one IEEE division on
+        # exact operands — bit-identical across engines (round-6 audit)
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
         quality_score_col(text_col).alias("quality_score"),
     )
 
@@ -144,19 +152,22 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
 
 
 def dup_token_frac_col(text_col: Column | str) -> Column:
-    """Duplicate-token fraction (rounded 6) as a reusable Column."""
+    """Duplicate-token fraction as a reusable Column — unrounded:
+    1.0 − (int/int) is a division + subtraction on exact operands,
+    bit-identical across engines (round-6 audit)."""
     toks = tokens(text_col)
     n_toks = F.size(toks)
-    return F.round(F.when(
+    return F.when(
         n_toks > 0,
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_toks,
-    ).otherwise(F.lit(0.0)), 6)
+    ).otherwise(F.lit(0.0))
 
 
 def top_bigram_frac_col(text_col: Column | str) -> Column:
-    """Most-common-bigram mass fraction (rounded 6) as a reusable
-    Column: longest equal-run in the SORTED gram array == max bigram
-    frequency — one native array_sort plus one O(G) fold."""
+    """Most-common-bigram mass fraction (unrounded — exact integer
+    ratio) as a reusable Column: longest equal-run in the SORTED gram
+    array == max bigram frequency — one native array_sort plus one
+    O(G) fold."""
     grams = word_ngrams(tokens(text_col), 2)
     n_grams = F.size(grams)
 
@@ -174,8 +185,9 @@ def top_bigram_frac_col(text_col: Column | str) -> Column:
         _step,
         lambda acc: acc.getField("best"),
     )
-    return F.round(F.when(
-        n_grams > 0, top_cnt.cast("double") / n_grams).otherwise(F.lit(0.0)), 6)
+    # unrounded integer-count ratio — bit-identical across engines
+    return F.when(
+        n_grams > 0, top_cnt.cast("double") / n_grams).otherwise(F.lit(0.0))
 
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space.

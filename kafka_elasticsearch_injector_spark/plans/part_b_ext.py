@@ -414,8 +414,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_cume",
     """
     SELECT o_orderkey, o_orderpriority,
-           ROUND(cume_dist() OVER w, 6) AS cd,
-           ROUND(percent_rank() OVER w, 6) AS pr
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice, o_orderkey)
@@ -429,8 +429,8 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority",
-                F.round(F.cume_dist().over(w), 6).alias("cd"),
-                F.round(F.percent_rank().over(w), 6).alias("pr"))
+                F.cume_dist().over(w).alias("cd"),
+                F.percent_rank().over(w).alias("pr"))
     )
 
 
@@ -604,12 +604,12 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
                           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6)
              AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -636,11 +636,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double6(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
             as_double6(F.sum(disc_price)).alias("sum_disc_price"),
             as_double6(F.sum(charge)).alias("sum_charge"),
-            F.round(F.sum(dec("l_quantity")).cast("double") / cnt, 6)
+            (F.sum(dec("l_quantity")).cast("double") / cnt)
             .alias("avg_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double") / cnt, 6)
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt)
             .alias("avg_price"),
-            F.round(F.sum(dec("l_discount")).cast("double") / cnt, 6)
+            (F.sum(dec("l_discount")).cast("double") / cnt)
             .alias("avg_disc"),
             cnt.alias("count_order"),
         )
@@ -727,14 +727,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q14",
     """
-    SELECT ROUND(
-        100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT 100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
           THEN CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2)))
           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-        6) AS promo_revenue
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS promo_revenue
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
@@ -755,9 +754,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("decimal(18,2)"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(F.round(
-            F.lit(100.0) * F.sum(promo).cast("double")
-            / F.sum(disc_price).cast("double"), 6).alias("promo_revenue"))
+        .agg((F.lit(100.0) * F.sum(promo).cast("double")
+              / F.sum(disc_price).cast("double")).alias("promo_revenue"))
     )
 
 

@@ -401,7 +401,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_try_arith",
     """
     SELECT o_orderkey,
-           ROUND(o_totalprice / (day(CAST(o_orderdate AS DATE)) - 15), 6)
+           o_totalprice / (day(CAST(o_orderdate AS DATE)) - 15)
              AS per_day_off,
            try_cast(o_orderpriority AS INTEGER) AS prio_bad,
            try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
@@ -427,9 +427,9 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     maybe_int = F.col("o_orderpriority").rlike(r"^\s*[+-]?\d+\s*$")
     return table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.try_divide(
+        F.try_divide(
             F.col("o_totalprice"),
-            F.dayofmonth(F.col("o_orderdate").cast("date")) - 15), 6)
+            F.dayofmonth(F.col("o_orderdate").cast("date")) - 15)
         .alias("per_day_off"),
         F.when(maybe_int, F.col("o_orderpriority").try_cast("int"))
         .alias("prio_bad"),

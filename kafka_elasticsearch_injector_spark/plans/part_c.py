@@ -63,8 +63,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
-           ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6)
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
              AS avg_words,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
@@ -77,8 +77,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.size(F.split(F.col("text"), " ", -1))
     return docs.groupBy("lang").agg(
         n.alias("n_docs"),
-        F.round(F.sum("n_chars").cast("double") / n, 6).alias("avg_chars"),
-        F.round(F.sum(words.cast("bigint")).cast("double") / n, 6).alias("avg_words"),
+        (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+        (F.sum(words.cast("bigint")).cast("double") / n).alias("avg_words"),
         F.sum("n_chars").alias("total_chars"),
     )
 
@@ -112,7 +112,7 @@ _DD_SQNORM = ("list_reduce(list_prepend(0.0, "
     "q_embed_norm",
     f"""
     SELECT vec_id, label,
-           ROUND(SQRT({_DD_SQNORM.format(v='embedding')}), 6) AS l2_norm
+           SQRT({_DD_SQNORM.format(v='embedding')}) AS l2_norm
     FROM embeddings
     """,
     doc="L2 norm over array<float> via higher-order fns (JVM-side, no UDF).",
@@ -121,7 +121,7 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id", "label",
-        F.round(V.l2_norm(V.to_double(F.col("embedding"))), 6).alias("l2_norm"),
+        V.l2_norm(V.to_double(F.col("embedding"))).alias("l2_norm"),
     )
 
 
@@ -136,9 +136,9 @@ _DD_DOT = ("list_reduce(list_prepend(0.0, "
     f"""
     SELECT probe_id, vec_id, cos_sim, rn FROM (
       SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
-             ROUND({_DD_DOT}
-                   / (SQRT({_DD_SQNORM.format(v='a.embedding')})
-                      * SQRT({_DD_SQNORM.format(v='b.embedding')})), 6) + 0.0
+             {_DD_DOT}
+               / (SQRT({_DD_SQNORM.format(v='a.embedding')})
+                  * SQRT({_DD_SQNORM.format(v='b.embedding')}))
                AS cos_sim,
              ROW_NUMBER() OVER (
                PARTITION BY a.vec_id
@@ -172,7 +172,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id", cos.alias("_cos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("probe_id", "vec_id", F.round(F.col("_cos"), 6).alias("cos_sim"), "rn")
+        .select("probe_id", "vec_id", F.col("_cos").alias("cos_sim"), "rn")
     )
 
 
@@ -221,9 +221,9 @@ def _minhash_pairs_sql(threshold: float, shingle_n: int = 1) -> str:
       WHERE a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-                 / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))),
-                 6) AS jac
+           CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))
+             AS jac
     FROM cand
       JOIN toks ta ON ta.doc_id = doc_a
       JOIN toks tb ON tb.doc_id = doc_b
@@ -345,8 +345,8 @@ def _ngram_pairs_sql(threshold: float) -> str:
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jac
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
     FROM grams a JOIN grams b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
           / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= {threshold}
@@ -505,8 +505,8 @@ _DD_PAIR_DOT = ("list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
     f"""
     SELECT vec_id_a, nn_id, cos_sim FROM (
       SELECT a.vec_id AS vec_id_a, b.vec_id AS nn_id,
-             ROUND({_DD_PAIR_DOT} / ({_DD_NORM.format(v='a.embedding')}
-                   * {_DD_NORM.format(v='b.embedding')}), 6) + 0.0 AS cos_sim,
+             {_DD_PAIR_DOT} / ({_DD_NORM.format(v='a.embedding')}
+               * {_DD_NORM.format(v='b.embedding')}) AS cos_sim,
              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
                {_DD_PAIR_DOT} / ({_DD_NORM.format(v='a.embedding')}
                  * {_DD_NORM.format(v='b.embedding')}) DESC, b.vec_id) AS rn
@@ -574,10 +574,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_words AS INTEGER) AS n_words,
-           ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
-           ROUND(CAST(stop_hits AS DOUBLE) / n_words, 6) AS stop_ratio,
-           ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 50) * 0.5
-                 + LEAST(1.0, CAST(stop_hits AS DOUBLE) / n_words * 5) * 0.5, 6)
+           CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+           CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio,
+           LEAST(1.0, CAST(n_words AS DOUBLE) / 50) * 0.5
+             + LEAST(1.0, CAST(stop_hits AS DOUBLE) / n_words * 5) * 0.5
              AS quality_score
     FROM f
     """,
@@ -603,14 +603,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT doc_id,
-           ROUND(CASE WHEN len(t) > 0
+           CASE WHEN len(t) > 0
              THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
-             ELSE 0.0 END, 6) AS dup_token_frac,
-           ROUND(CASE WHEN len(bg) > 0
+             ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN len(bg) > 0
              THEN CAST(list_max(list_transform(list_distinct(bg),
                     x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
                   / len(bg)
-             ELSE 0.0 END, 6) AS top_bigram_frac
+             ELSE 0.0 END AS top_bigram_frac
     FROM g
     """,
     doc="Gopher/MassiveText repetition filters: duplicate-token "
@@ -695,10 +695,10 @@ _IVF_CTES = f"""dims AS (
 _IVF_TOPK_SELECT = f"""
     SELECT probe_id, label, vec_id, cos_sim, rn FROM (
       SELECT n.probe_id, n.label, e.vec_id,
-             ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                  i -> n.pv[i] * CAST(e.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
-               / ({_DD_NORM.format(v='n.pv')} * {_DD_NORM.format(v='e.embedding')}), 6)
-               + 0.0 AS cos_sim,
+               / ({_DD_NORM.format(v='n.pv')} * {_DD_NORM.format(v='e.embedding')})
+               AS cos_sim,
              ROW_NUMBER() OVER (PARTITION BY n.probe_id ORDER BY
                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                  i -> n.pv[i] * CAST(e.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
@@ -740,8 +740,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM probes p JOIN embeddings e ON p.probe_id <> e.vec_id) t
       WHERE rn <= 3)
     SELECT bf.probe_id,
-           ROUND(CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL
-                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
              AS recall_at_3
     FROM bf LEFT JOIN ivf
       ON bf.probe_id = ivf.probe_id AND bf.vec_id = ivf.vec_id
@@ -784,10 +784,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bf.join(ivf, ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
-        .agg(F.round(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-            / F.count(F.lit(1)),
-            6).alias("recall_at_3"))
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+              / F.count(F.lit(1))).alias("recall_at_3"))
     )
 
 
@@ -821,9 +819,9 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64,
     )
     SELECT probe_id, bucket, vec_id, cos_sim, rn FROM (
       SELECT p.probe_id, p.bucket, c.vec_id,
-             ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+             list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
                  i -> p.pv[i] * CAST(c.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
-               / ({_DD_NORM.format(v='p.pv')} * {_DD_NORM.format(v='c.embedding')}), 6)
+               / ({_DD_NORM.format(v='p.pv')} * {_DD_NORM.format(v='c.embedding')})
                AS cos_sim,
              ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
                list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
@@ -882,7 +880,7 @@ def _lsh_pairs_oracle_sql(threshold: float, n_tables: int,
     WITH bucketed AS (
       SELECT vec_id, embedding, {', '.join(bucket_exprs)} FROM embeddings
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) + 0.0 AS cos_sim
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
     FROM bucketed a JOIN bucketed b
       ON a.vec_id < b.vec_id AND ({collide})
     WHERE {cos} >= {threshold}
@@ -1278,17 +1276,17 @@ _CUR_Q, _CUR_TB, _CUR_DUP = 0.5, 0.1, 0.7
       FROM d
     ), sig AS (
       SELECT doc_id, text, lang, source, t,
-        ROUND(LEAST(1.0, CAST(len(t) AS DOUBLE) / 50) * 0.5
-              + LEAST(1.0, CAST(len(list_filter(t,
-                  x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-                / len(t) * 5) * 0.5, 6) AS q,
-        ROUND(CASE WHEN len(bg) > 0
+        LEAST(1.0, CAST(len(t) AS DOUBLE) / 50) * 0.5
+          + LEAST(1.0, CAST(len(list_filter(t,
+              x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+            / len(t) * 5) * 0.5 AS q,
+        CASE WHEN len(bg) > 0
           THEN CAST(list_max(list_transform(list_distinct(bg),
                  x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
-          ELSE 0.0 END, 6) AS tb,
-        ROUND(CASE WHEN len(t) > 0
+          ELSE 0.0 END AS tb,
+        CASE WHEN len(t) > 0
           THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
-          ELSE 0.0 END, 6) AS dup
+          ELSE 0.0 END AS dup
       FROM g
     ), kept AS (
       SELECT doc_id, text, lang, source, t FROM sig
@@ -1401,7 +1399,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc
       FROM m
     )
-    SELECT vec_id, ROUND(sc, 6) AS scale,
+    SELECT vec_id, sc AS scale,
            array_to_string(list_transform(embedding,
              x -> CAST(GREATEST(-127, LEAST(127,
                     FLOOR(CAST(x AS DOUBLE) * sc + 0.5))) AS BIGINT)),

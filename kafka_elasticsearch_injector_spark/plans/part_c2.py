@@ -87,11 +87,11 @@ _CENT_CTES = """dims AS (
     WITH {_CENT_CTES}
     SELECT label, vec_id, cos_to_centroid, rn FROM (
       SELECT e.label, e.vec_id,
-             ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                  i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])),
                  (acc, x) -> acc + x)
                / ({_DD_NORM.format(v='e.embedding')}
-                  * {_DD_NORM.format(v='c.centroid')}), 6) + 0.0
+                  * {_DD_NORM.format(v='c.centroid')})
                AS cos_to_centroid,
              ROW_NUMBER() OVER (PARTITION BY e.label ORDER BY
                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
@@ -124,7 +124,7 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("label", "vec_id",
-                F.round(F.col("_cos"), 6).alias("cos_to_centroid"),
+                F.col("_cos").alias("cos_to_centroid"),
                 # bigint to match DuckDB's ROW_NUMBER type exactly (the
                 # driver hash tolerates int-vs-bigint on proven-green
                 # queries, but a never-verified query takes no chances)
@@ -177,7 +177,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
-           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+           1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
              AS dup_rate
     FROM documents GROUP BY source
     """,
@@ -196,7 +196,7 @@ def q_dedup_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(n.cast("bigint").alias("n_docs"),
              nd.cast("bigint").alias("n_unique"),
-             F.round(F.lit(1.0) - nd.cast("double") / n, 6).alias("dup_rate"))
+             (F.lit(1.0) - nd.cast("double") / n).alias("dup_rate"))
     )
 
 
@@ -240,7 +240,7 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM (
       SELECT lang, n_chars,
              NTILE(3) OVER (PARTITION BY lang
@@ -264,6 +264,6 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.ntile(3).over(w).cast("bigint").alias("bucket"))
         .groupBy("lang", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-             F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6)
+             (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
              .alias("avg_chars"))
     )

@@ -97,9 +97,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8",
     """
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
-                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+           CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
              CAST(l_extendedprice AS DECIMAL(18,2))
@@ -158,9 +158,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(
-            F.sum(nat2_vol).cast("double") / F.sum("volume").cast("double"),
-            6).alias("mkt_share"))
+        .agg((F.sum(nat2_vol).cast("double")
+              / F.sum("volume").cast("double")).alias("mkt_share"))
     )
 
 

@@ -547,8 +547,8 @@ _CONTAIN_THRESH = 0.3
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                 / len(a.g), 6) AS containment
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(a.g) AS containment
     FROM grams a JOIN grams b ON a.doc_id <> b.doc_id
     WHERE len(a.g) > 0
       AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
@@ -731,8 +731,8 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_chunks,
            CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dup_chunks,
-           ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS dup_fraction
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_fraction
     FROM counted GROUP BY doc_id
     """,
     doc="Chunk-level duplication rate per document: chunk with the "
@@ -765,7 +765,7 @@ def q_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_chunks"),
              dup.cast("bigint").alias("n_dup_chunks"),
-             F.round(dup.cast("double") / F.count(F.lit(1)), 6)
+             (dup.cast("double") / F.count(F.lit(1)))
              .alias("dup_fraction"))
     )
 
@@ -1090,10 +1090,10 @@ def _minhash_calibration_sql() -> str:
       WHERE a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST({est} AS DOUBLE) / 8, 6) AS est_jac,
-           ROUND(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-                 / (len(ta.sh) + len(tb.sh)
-                    - len(list_intersect(ta.sh, tb.sh))), 6) AS exact_jac
+           CAST({est} AS DOUBLE) / 8 AS est_jac,
+           CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / (len(ta.sh) + len(tb.sh)
+                - len(list_intersect(ta.sh, tb.sh))) AS exact_jac
     FROM cand
       JOIN sigs sa ON sa.doc_id = doc_a
       JOIN sigs sb ON sb.doc_id = doc_b
@@ -1152,7 +1152,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b",
-                F.round(est.cast("double") / 8, 6).alias("est_jac"),
+                (est.cast("double") / 8).alias("est_jac"),
                 "exact_jac")
     )
 
@@ -1178,8 +1178,8 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT SUM(c2) FROM counts) AS t2
       FROM counts
     )
-    SELECT ROUND(MAX(ABS(CAST(k1 AS DOUBLE) / t1
-                         - CAST(k2 AS DOUBLE) / t2)), 6) AS ks_d
+    SELECT MAX(ABS(CAST(k1 AS DOUBLE) / t1
+               - CAST(k2 AS DOUBLE) / t2)) AS ks_d
     FROM cum
     """,
     doc="Two-sample Kolmogorov-Smirnov statistic between the length "
@@ -1214,7 +1214,7 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.abs(F.col("k1").cast("double") / F.col("t1")
               - F.col("k2").cast("double") / F.col("t2"))
-    return cum.agg(F.round(F.max(d), 6).alias("ks_d"))
+    return cum.agg(F.max(d).alias("ks_d"))
 
 
 # ------------------------------------------------- operational audits
@@ -1260,8 +1260,8 @@ def q_index_rollover_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
            CAST(MAX(n) AS BIGINT) AS max_n,
            CAST(MIN(n) AS BIGINT) AS min_n,
-           ROUND(CAST(MAX(n) AS DOUBLE)
-                 / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+           CAST(MAX(n) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS skew_ratio
     FROM per_part
     """,
     doc="Partition-balance audit: per-partition row counts (user_id "
@@ -1280,7 +1280,7 @@ def q_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
         F.max("n").cast("bigint").alias("max_n"),
         F.min("n").cast("bigint").alias("min_n"),
-        F.round(F.max("n").cast("double")
-                / (F.sum("n").cast("double") / F.count(F.lit(1))), 6)
+        (F.max("n").cast("double")
+         / (F.sum("n").cast("double") / F.count(F.lit(1))))
         .alias("skew_ratio"),
     )

@@ -120,9 +120,9 @@ def test_repetition_signals_hand_computed(spark):
     ])
     out = {r.doc_id: r for r in T.repetition_signals(docs).collect()}
     assert out[0].dup_token_frac == 0.5
-    assert out[0].top_bigram_frac == round(2 / 3, 6)
+    assert out[0].top_bigram_frac == 2 / 3  # unrounded (round-6 audit)
     assert out[1].dup_token_frac == 0.0
-    assert out[1].top_bigram_frac == round(1 / 3, 6)
+    assert out[1].top_bigram_frac == 1 / 3
     assert out[2].top_bigram_frac == 0.0
     assert out[3].dup_token_frac == 0.8
     assert out[3].top_bigram_frac == 1.0

@@ -92,6 +92,7 @@ def test_containment_kernel_equals_set_arithmetic(spark, sets):
     for (i, a), (j, b) in itertools.permutations(enumerate(sets), 2):
         if not a:
             continue
-        c = len(a & b) / len(a)
-        want[(i, j)] = round(c, 6)
+        # unrounded since the round-6 audit: the kernel's division on
+        # exact integer counts is bit-identical to this one
+        want[(i, j)] = len(a & b) / len(a)
     assert got == want
