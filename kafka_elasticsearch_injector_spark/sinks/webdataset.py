@@ -157,6 +157,16 @@ def read_webdataset(spark, path: str,
     downstream, where the consumer knows the modality. Members whose
     suffix isn't requested are skipped without being materialized.
 
+    Suffix semantics follow the WebDataset convention: a member name
+    splits at the FIRST dot after the last `/` — key = directories +
+    dot-free stem, suffix = everything after that dot. So grouped
+    multi-member samples (`000123.jpg` + `000123.cls` + `000123.json`)
+    share key `000123`, and a dotted suffix like `key.aug.txt` has
+    suffix `aug.txt`, which must be requested VERBATIM in `members`
+    (requesting `txt` does NOT match `aug.txt`). Directories may
+    contain dots (`v1.0/doc.txt` → key `v1.0/doc`, suffix `txt`).
+    Extensionless members have no suffix and are skipped.
+
     Scale shape: `binaryFile` yields one row per tar, so one task
     parses one whole shard — the same ~1 GB in-memory bound the writer
     sizes n_shards for, and parallelism = shard count (thousands of
@@ -180,7 +190,13 @@ def read_webdataset(spark, path: str,
                     for m in tar.getmembers():
                         if not m.isfile():
                             continue
-                        key, _, suffix = m.name.partition(".")
+                        # WebDataset split: first dot AFTER the last
+                        # slash — dotted directories stay in the key.
+                        dirname, _, base = m.name.rpartition("/")
+                        stem, dot, suffix = base.partition(".")
+                        if not dot:
+                            continue        # extensionless: no suffix
+                        key = f"{dirname}/{stem}" if dirname else stem
                         col = suffix_to_col.get(suffix)
                         if col is None:
                             continue

@@ -250,6 +250,55 @@ def test_webdataset_distributed_reader_roundtrips(spark, sf_dir, tmp_path):
     assert only_txt.count() == len(src)
 
 
+def test_read_webdataset_foreign_tar_layout(spark, tmp_path):
+    """Interop: a hand-built tar in the layout REAL WebDataset corpora
+    ship — multi-member samples (jpg+cls+json per key), directory
+    prefixes (with dots), dotted suffixes (`key.aug.txt` → suffix
+    `aug.txt`, requested verbatim), and extensionless members."""
+    import io
+    import tarfile as _tf
+
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset,
+    )
+
+    out = tmp_path / "foreign"
+    out.mkdir()
+
+    def add(tar, name, data: bytes):
+        info = _tf.TarInfo(name)
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+
+    with _tf.open(out / "shard-00000.tar", "w") as tar:
+        # grouped multi-member sample under a dotted directory
+        add(tar, "v1.0/000123.jpg", b"\xff\xd8jpegbytes")
+        add(tar, "v1.0/000123.cls", b"7")
+        add(tar, "v1.0/000123.json", b'{"a":1}')
+        # second sample, same dir; missing .cls -> null column
+        add(tar, "v1.0/000124.jpg", b"\xff\xd8other")
+        # dotted suffix: key 000124, suffix aug.txt
+        add(tar, "v1.0/000124.aug.txt", b"augmented")
+        # extensionless member: skipped (no suffix)
+        add(tar, "v1.0/README", b"ignore me")
+
+    back = read_webdataset(
+        spark, str(out),
+        members={"jpg": "image", "cls": "label", "aug.txt": "aug"})
+    rows = {r.key: r for r in back.collect()}
+    assert set(rows) == {"v1.0/000123", "v1.0/000124"}
+    r1, r2 = rows["v1.0/000123"], rows["v1.0/000124"]
+    assert bytes(r1.image) == b"\xff\xd8jpegbytes"
+    assert bytes(r1.label) == b"7"
+    assert r1.aug is None
+    assert bytes(r2.image) == b"\xff\xd8other"
+    assert r2.label is None
+    assert bytes(r2.aug) == b"augmented"
+    # a plain-"txt" request must NOT match the aug.txt member
+    none_txt = read_webdataset(spark, str(out), members={"txt": "text"})
+    assert none_txt.count() == 0
+
+
 def test_jsonl_shards_roundtrip_native_read(spark, sf_dir, tmp_path):
     """JSONL.gz export: rows round-trip through Spark's NATIVE json
     reader (no custom read code — the point of the format), shard
