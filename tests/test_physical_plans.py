@@ -58,12 +58,21 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, f"{q} lost its broadcast:\n{plan}"
 
 
-def test_no_cartesian_products_anywhere(spark, sf_dir):
+@pytest.fixture(scope="module")
+def all_executed_plans(spark, sf_dir):
+    # One physical-planning pass over the whole declared inventory,
+    # shared by every whole-inventory gate below — each executedPlan()
+    # costs full analysis+optimization, so planning 168 queries once
+    # instead of once per gate cuts ~half a minute off the module.
+    return {name: fn(spark, sf_dir)._jdf.queryExecution()
+            .executedPlan().toString()
+            for name, fn in plans.queries().items()}
+
+
+def test_no_cartesian_products_anywhere(all_executed_plans):
     # A CartesianProduct in any declared plan means an equi-key was lost
     # (broadcast nested loop is fine for tiny probe/marker tables).
-    for name, fn in plans.queries().items():
-        df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, plan in all_executed_plans.items():
         assert "CartesianProduct" not in plan, name
 
 
@@ -128,7 +137,7 @@ def test_minmax_by_partially_aggregates(spark, sf_dir):
     assert "partial_max_by" in plan and "partial_min_by" in plan, plan
 
 
-def test_relational_surface_stays_jvm_side(spark, sf_dir):
+def test_relational_surface_stays_jvm_side(all_executed_plans):
     # No Python evaluation nodes anywhere in the declared relational
     # surface — the only sanctioned Python is the UDAF extension point
     # and the Part C Arrow kernels.
@@ -137,10 +146,9 @@ def test_relational_surface_stays_jvm_side(spark, sf_dir):
         "q_dedup_cluster", "q_media_meta", "q_containment_pairs",
         "q_udtf_expand",
     }
-    for name, fn in plans.queries().items():
+    for name, plan in all_executed_plans.items():
         if name in allowed_python:
             continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, name
 
 
