@@ -87,11 +87,11 @@ _CENT_CTES = """dims AS (
     WITH {_CENT_CTES}
     SELECT label, vec_id, cos_to_centroid, rn FROM (
       SELECT e.label, e.vec_id,
-             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                  i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])),
                  (acc, x) -> acc + x)
                / ({_DD_NORM.format(v='e.embedding')}
-                  * {_DD_NORM.format(v='c.centroid')})
+                  * {_DD_NORM.format(v='c.centroid')}), 6) + 0.0
                AS cos_to_centroid,
              ROW_NUMBER() OVER (PARTITION BY e.label ORDER BY
                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
@@ -123,8 +123,15 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", cos.alias("_cos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
+        # ROUND RETAINED (ROUNDING.md): the centroid lanes come from a
+        # double->DECIMAL(30,10) cast of arbitrary float32-derived
+        # doubles, which Spark converts via the SHORTEST repr and
+        # DuckDB via the exact binary expansion — a digit-11 boundary
+        # element makes the centroids differ by ~1e-10 (observed on
+        # label 7 at sf0.01 under the full-precision replica), so the
+        # cosine is NOT bit-identical and the round-6 is load-bearing.
         .select("label", "vec_id",
-                F.col("_cos").alias("cos_to_centroid"),
+                F.round(F.col("_cos"), 6).alias("cos_to_centroid"),
                 # bigint to match DuckDB's ROW_NUMBER type exactly (the
                 # driver hash tolerates int-vs-bigint on proven-green
                 # queries, but a never-verified query takes no chances)

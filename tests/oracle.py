@@ -1,7 +1,15 @@
 """Local replica of the driver's t2 oracle check: run each declared query
 in Spark AND its oracle SQL in DuckDB on the same parquet tables, then
-compare row count, column names, and an order-insensitive value multiset
-(floats rounded to 6 before compare, mirroring BASELINE.md discipline).
+compare row count, column names, and an order-insensitive value multiset.
+
+Floats compare at FULL precision (`repr` of the exact double, no
+rounding) since the round-6 audit: unrounded-emission queries
+(ROUNDING.md) claim bit-identical IEEE values across engines, and a
+tolerance here would hide exactly the ulp divergences that claim
+forbids; rounded-emission queries are unaffected (two rounds that agree
+decimally produce the identical nearest double). This is at least as
+strict as any driver hash behavior — full-precision green implies green
+under both a full-value hash and a rounded hash.
 """
 
 from __future__ import annotations
@@ -29,13 +37,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # repr distinguishes IEEE -0.0 from +0.0 — the driver's typed
-        # hash does too (round-3 q_stats_agg escaped the pre-repr
-        # replica: DuckDB's ROUND preserves the sign of a tiny negative
-        # covariance, Spark's BigDecimal round has no signed zero).
-        # Sign-capable oracle ROUNDs normalize with `+ 0.0`; this makes
-        # the replica catch any site the sweep missed.
-        return repr(round(v, 6))
+        # Full-precision repr: distinguishes IEEE -0.0 from +0.0 (the
+        # driver's typed hash does too — round-3 q_stats_agg escape)
+        # AND any last-ulp divergence an unrounded emission would leak
+        # (round-6 audit: bit-identity is the claim, so the replica
+        # must be able to falsify it).
+        return repr(v)
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
