@@ -70,12 +70,19 @@ def _tar_bytes(rows: pd.DataFrame, id_col: str,
     members sorted by zero-padded key, all metadata pinned."""
     buf = io.BytesIO()
     n = 0
+    # Per-column access (same fix as the JSONL writer): iterrows()
+    # coerces each row to one common dtype, so an all-numeric frame
+    # with any float column would stringify integer members as "7.0".
+    # Series.tolist() keeps every value its own column's native type.
+    member_cols = sorted(members.items())
+    ids = rows[id_col].tolist()
+    col_values = [rows[col].tolist() for _, col in member_cols]
     with tarfile.open(fileobj=buf, mode="w",
                       format=tarfile.USTAR_FORMAT) as tar:
-        for _, row in rows.iterrows():
-            key = f"{int(row[id_col]):012d}"
-            for suffix, col in sorted(members.items()):
-                val = row[col]
+        for i, rid in enumerate(ids):
+            key = f"{int(rid):012d}"
+            for (suffix, col), vals in zip(member_cols, col_values):
+                val = vals[i]
                 data = (val if isinstance(val, (bytes, bytearray))
                         else str(val).encode("utf-8"))
                 info = tarfile.TarInfo(name=f"{key}.{suffix}")

@@ -377,6 +377,26 @@ def test_jsonl_shards_all_numeric_preserves_int_dtype(spark, tmp_path):
     assert got == {5: 0.5, 6: 1.25, 7: None}
 
 
+def test_webdataset_all_numeric_members_preserve_int_dtype(spark, tmp_path):
+    """Regression (same class as the JSONL iterrows bug): an all-numeric
+    frame must not stringify integer tar members as '7.0'."""
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 7, 0.5), (6, 8, 1.25)], "doc_id long, label int, score double")
+    out = str(tmp_path / "numtar")
+    write_webdataset(df, out, 1, members={"cls": "label", "scr": "score"})
+    back = {r.key: (bytes(r.label), bytes(r.score))
+            for r in read_webdataset(
+                spark, out, members={"cls": "label", "scr": "score"})
+            .collect()}
+    assert back[f"{5:012d}"] == (b"7", b"0.5")
+    assert back[f"{6:012d}"] == (b"8", b"1.25")
+
+
 def test_staged_publish_refuses_empty_over_prior_export(spark, tmp_path):
     """Regression (round-5 ADVICE): an export that produces ZERO shard
     files must not silently destroy a prior export — it refuses unless
