@@ -304,8 +304,11 @@ def containment_pairs_blocked(
     SIZE: large flat vocabularies (real text, ~hundreds of grams per
     doc) blow the dense tile past memory, and there the posting join
     + stop-gram df-ceiling (or sparse-matrix tiles) is the right
-    path. Pick by corpus: small/shared vocabulary → this kernel;
-    large flat vocabulary → posting join.
+    path — implemented as operators/posting.py
+    containment_pairs_posting / jaccard_pairs_posting, same output
+    contract, equivalence-tested against this kernel. Pick by corpus:
+    small/shared vocabulary → this kernel; large flat vocabulary →
+    posting join.
     """
     base = df.select(F.col(id_col), F.col(set_col))
     if n_blocks is None:

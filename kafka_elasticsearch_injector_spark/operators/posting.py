@@ -1,0 +1,140 @@
+"""Inverted-index (posting-list) pair discovery for set similarity.
+
+The complement of operators/blocked.py's dense tile kernels, covering
+the OTHER corpus regime (the trade both docstrings describe):
+
+- **tile kernel** (blocked.py): per-task cost is insensitive to gram
+  frequency SKEW but scales with tile-local vocabulary SIZE — right
+  when the vocabulary is small/shared (this repo's synthetic corpus).
+- **posting join** (this module): cost is Σ_g df(g)² join rows —
+  degenerate when every gram is common, but the standard shape for
+  REAL text, where vocabularies are huge and flat and each doc touches
+  a few hundred grams. With a stop-gram df-ceiling the quadratic head
+  of the df distribution is cut entirely.
+
+Spark-first shape: explode to a (gram, doc) posting table, self
+equi-join on the gram (never a cartesian), count shared grams per pair
+with a map-side-combinable aggregation, then one join back to the
+per-doc set sizes for the exact ratio. Text never shuffles — postings
+carry (gram, id), the pair aggregation carries (id, id, count).
+
+At 100 TB: bucket the posting table by gram so the self-join is
+co-located; the df-ceiling bounds any single gram's join fan-out to
+ceiling², so AQE skew handling is a belt, not the plan.
+
+Exactness contract: with ``df_ceiling=None`` results are EXACT —
+bit-identical jaccard/containment to the tile kernels (same
+integer-count IEEE division, ROUNDING.md). With a ceiling, grams whose
+document frequency exceeds it are dropped from CANDIDATE DISCOVERY
+only; surviving pairs are re-verified on their full gram sets, so
+emitted values are still exact — but a pair sharing ONLY ultra-common
+grams is never discovered (the standard stop-gram recall trade; pick
+the ceiling so threshold · |smallest interesting set| sub-ceiling
+grams remain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import jaccard
+
+
+def _postings(df: DataFrame, id_col: str, set_col: str,
+              df_ceiling: int | None) -> DataFrame:
+    posts = df.select(F.col(id_col).alias("_id"),
+                      F.explode(set_col).alias("_g"))
+    if df_ceiling is not None:
+        # Window COUNT over _g would sort; a self-broadcast-join on the
+        # (tiny: one row per SURVIVING gram after the head is cut)
+        # frequency table keeps it hash-only. The frequency agg is
+        # map-side combinable.
+        keep = (posts.groupBy("_g")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= df_ceiling)
+                .select("_g"))
+        posts = posts.join(F.broadcast(keep), "_g")
+    return posts
+
+
+def _candidate_counts(posts: DataFrame) -> DataFrame:
+    """(doc_a < doc_b, shared) — shared = number of co-occurring grams
+    that survived the ceiling. One shuffle on the gram, one partial-agg
+    shuffle on the pair."""
+    a = posts.select(F.col("_id").alias("doc_a"), "_g")
+    b = posts.select(F.col("_id").alias("doc_b"), "_g")
+    return (
+        a.join(b, "_g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+
+
+def jaccard_pairs_posting(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "g",
+    threshold: float = 0.08,
+    df_ceiling: int | None = None,
+) -> DataFrame:
+    """Exact set-Jaccard pairs (doc_a < doc_b, jac ≥ threshold) via the
+    inverted index. `set_col` must hold distinct-element arrays.
+
+    Same output contract as blocked.jaccard_pairs_blocked (unrounded
+    exact-integer-ratio `jac`); choose by corpus regime (module
+    docstring). With `df_ceiling`, candidate discovery ignores grams
+    above the ceiling but the emitted jaccard is computed on the FULL
+    sets of each surviving pair.
+    """
+    sizes = df.select(F.col(id_col), F.size(set_col).alias("_sz"),
+                      F.col(set_col).alias("_set"))
+    cand = _candidate_counts(_postings(df, id_col, set_col, df_ceiling))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("_sz").alias("_sza"), F.col("_set").alias("_seta"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("_sz").alias("_szb"), F.col("_set").alias("_setb"))
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    if df_ceiling is None:
+        # _shared IS the exact intersection — no re-verify needed.
+        jac: Column = (F.col("_shared").cast("double")
+                       / (F.col("_sza") + F.col("_szb") - F.col("_shared")))
+    else:
+        jac = jaccard(F.col("_seta"), F.col("_setb"))
+    return (joined.select("doc_a", "doc_b", jac.alias("jac"))
+            .filter(F.col("jac") >= threshold))
+
+
+def containment_pairs_posting(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "g",
+    threshold: float = 0.3,
+    df_ceiling: int | None = None,
+) -> DataFrame:
+    """Exact set-containment |A∩B| / |A| for every ORDERED pair
+    (doc_a ≠ doc_b, containment ≥ threshold) via the inverted index —
+    the posting-join counterpart of blocked.containment_pairs_blocked,
+    same output contract (unrounded exact ratio, both directions
+    emitted). Empty sets emit nothing (containment undefined)."""
+    sizes = df.select(F.col(id_col), F.size(set_col).alias("_sz"),
+                      F.col(set_col).alias("_set"))
+    cand = _candidate_counts(_postings(df, id_col, set_col, df_ceiling))
+    # Each unordered candidate expands to both directions before the
+    # size join, so one aggregation serves both A-in-B and B-in-A.
+    both = cand.unionByName(
+        cand.select(F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"), "_shared"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("_sz").alias("_sza"), F.col("_set").alias("_seta"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("_set").alias("_setb"))
+    joined = both.join(sa, "doc_a").join(sb, "doc_b") \
+        .filter(F.col("_sza") > 0)
+    if df_ceiling is None:
+        cont: Column = (F.col("_shared").cast("double") / F.col("_sza"))
+    else:
+        inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
+        cont = inter.cast("double") / F.col("_sza")
+    return (joined.select("doc_a", "doc_b", cont.alias("containment"))
+            .filter(F.col("containment") >= threshold))

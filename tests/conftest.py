@@ -27,6 +27,7 @@ SLOW_MODULES = frozenset({
     "test_registry_http",
     "test_avro_ocf",
     "test_avro_source",
+    "test_posting_ops",
 })
 
 # Individually heavy tests inside otherwise-fast unit modules (>2 s

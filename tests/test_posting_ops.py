@@ -1,0 +1,102 @@
+"""Inverted-index pair discovery (operators/posting.py): exact-mode
+equivalence with the dense tile kernels — same pairs, bit-identical
+ratios — plus the df-ceiling recall trade and the plan shape."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_injector_spark.io import table
+from kafka_elasticsearch_injector_spark.operators.blocked import (
+    containment_pairs_blocked,
+    jaccard_pairs_blocked,
+)
+from kafka_elasticsearch_injector_spark.operators.dedup import (
+    tokens,
+    word_ngrams,
+)
+from kafka_elasticsearch_injector_spark.operators.posting import (
+    containment_pairs_posting,
+    jaccard_pairs_posting,
+)
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                          "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def grams(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.array_distinct(word_ngrams(tokens("text"), 2)).alias("g"))
+    )
+
+
+def _pairs(df, val):
+    return {(r.doc_a, r.doc_b): getattr(r, val) for r in df.collect()}
+
+
+def test_jaccard_posting_equals_blocked_bitwise(spark, grams):
+    post = _pairs(jaccard_pairs_posting(grams, threshold=0.08), "jac")
+    tile = _pairs(jaccard_pairs_blocked(grams, threshold=0.08), "jac")
+    # same pair set AND bit-identical unrounded ratios (both are one
+    # IEEE division on exact integer counts — ROUNDING.md)
+    assert post == tile
+    assert post
+
+
+def test_containment_posting_equals_blocked_bitwise(spark, grams):
+    post = _pairs(containment_pairs_posting(grams, threshold=0.3),
+                  "containment")
+    tile = _pairs(containment_pairs_blocked(grams, threshold=0.3),
+                  "containment")
+    assert post == tile
+    assert post
+
+
+def test_df_ceiling_subset_with_exact_values(spark, grams):
+    # A ceiling drops candidates discovered only via ultra-common
+    # grams, but every SURVIVING pair's jaccard is still the exact
+    # full-set value.
+    exact = _pairs(jaccard_pairs_posting(grams, threshold=0.08), "jac")
+    capped = _pairs(jaccard_pairs_posting(grams, threshold=0.08,
+                                          df_ceiling=20), "jac")
+    assert set(capped) <= set(exact)
+    for pair, jac in capped.items():
+        assert jac == exact[pair]
+
+
+def test_df_ceiling_cuts_candidate_volume(spark, grams):
+    # The quadratic head of the df distribution dominates candidate
+    # generation; a ceiling must shrink the discovered-pair superset
+    # on this deliberately-common-vocabulary corpus.
+    exact_n = jaccard_pairs_posting(grams, threshold=0.0).count()
+    capped_n = jaccard_pairs_posting(grams, threshold=0.0,
+                                     df_ceiling=20).count()
+    assert capped_n < exact_n
+
+
+def test_posting_plan_is_equi_join_with_partial_agg(spark, grams):
+    plan = (jaccard_pairs_posting(grams, threshold=0.08)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    # pair counting must combine map-side before the pair shuffle
+    assert "partial_count" in plan, plan
+
+
+def test_containment_directed_both_ways(spark):
+    # a ⊂ b: containment(a→b)=1.0, containment(b→a)=2/3 — both
+    # directions from ONE candidate aggregation.
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["x", "y", "z"])],
+        "doc_id long, g array<string>")
+    got = _pairs(containment_pairs_posting(df, threshold=0.0),
+                 "containment")
+    assert got == {(1, 2): 1.0, (2, 1): 2 / 3}
