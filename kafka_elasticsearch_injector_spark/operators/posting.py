@@ -31,6 +31,11 @@ emitted values are still exact — but a pair sharing ONLY ultra-common
 grams is never discovered (the standard stop-gram recall trade; pick
 the ceiling so threshold · |smallest interesting set| sub-ceiling
 grams remain).
+
+One contract difference from the tile kernels: an inverted index can
+only discover pairs sharing ≥1 gram, so at ``threshold=0.0`` the
+zero-intersection pairs the dense kernels would emit (ratio 0.0) never
+appear here. Any positive threshold gives strict parity.
 """
 
 from __future__ import annotations
