@@ -41,6 +41,7 @@ SLOW_TEST_PREFIXES = (
     "test_ivf_",
     "test_lsh_multi_table_recall",
     "test_containment_kernel_equals_set_arithmetic",
+    "test_posting_paths_equal_set_arithmetic",
     "test_hamming_segment_pairs_equal_brute_force",
     # per-declared-query engine lints: oracle-tier work in a unit module
     "test_no_hasher_killer_output_types",
