@@ -50,15 +50,17 @@ def _postings(df: DataFrame, id_col: str, set_col: str,
     posts = df.select(F.col(id_col).alias("_id"),
                       F.explode(set_col).alias("_g"))
     if df_ceiling is not None:
-        # Window COUNT over _g would sort; a self-broadcast-join on the
-        # (tiny: one row per SURVIVING gram after the head is cut)
-        # frequency table keeps it hash-only. The frequency agg is
-        # map-side combinable.
-        keep = (posts.groupBy("_g")
+        # Broadcast the DROPPED grams, not the survivors: at real-text
+        # scale the surviving vocabulary is ~the whole vocabulary
+        # (only the head is cut) — far past broadcast size — while the
+        # over-ceiling head is by construction tiny (≤ corpus_size /
+        # ceiling distinct grams). The frequency agg is map-side
+        # combinable; the anti-join stays hash-only, no sort.
+        drop = (posts.groupBy("_g")
                 .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= df_ceiling)
+                .filter(F.col("_df") > df_ceiling)
                 .select("_g"))
-        posts = posts.join(F.broadcast(keep), "_g")
+        posts = posts.join(F.broadcast(drop), "_g", "left_anti")
     return posts
 
 
