@@ -28,6 +28,7 @@ SLOW_MODULES = frozenset({
     "test_avro_ocf",
     "test_avro_source",
     "test_posting_ops",
+    "test_bitwise_parity",
 })
 
 # Individually heavy tests inside otherwise-fast unit modules (>2 s
