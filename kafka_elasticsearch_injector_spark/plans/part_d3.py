@@ -1037,9 +1037,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-dimension embedding normalization stats (mean/std over "
         "the corpus for each of the 64 lanes) — what a feature "
         "pipeline computes before whitening or asymmetric "
-        "quantization. Inputs quantize to DECIMAL(12,7) (ROUND to 7 "
-        "is tie-free for binary floats, so both engines agree "
-        "exactly) — narrow enough that the SQUARE stays an exact "
+        "quantization. Inputs quantize to DECIMAL(12,7) (exact .5 "
+        "ties are impossible for binary floats at scale 7; a NEAR-tie "
+        "can still split the engines' rounding mechanisms "
+        "(ROUNDING.md double→decimal class) at ~2^-40 per element, "
+        "which the output ROUND-6 absorbs) — narrow enough that the "
+        "SQUARE stays an exact "
         "decimal (25,14) inside both engines' 38-digit ceiling; a "
         "wider input decimal overflows the product and each engine "
         "sheds precision differently (measured: the 6th decimal of "
