@@ -53,6 +53,71 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import jaccard
 
+# ceiling on the estimated dense-matrix footprint of one tile before
+# the auto-chooser routes to the posting join instead (both tile sides
+# counted; float32 cells)
+TILE_BUDGET_BYTES = 256 << 20
+
+
+def estimate_tile_vocab(df: DataFrame, id_col: str, set_col: str,
+                        size_hint: int | None = None) -> int:
+    """Estimate the TILE-LOCAL distinct-element count the dense kernels
+    would see: hash-sample ~one tile's worth of rows (deterministic
+    pmod(xxhash64) — no RNG state, re-runs agree) and count its
+    distinct elements. A tile is ~TARGET_TILE_ROWS random rows, so a
+    same-sized random sample measures exactly the quantity that sizes
+    the kernel's dense matrices. One narrow scan + approx-distinct;
+    pass `size_hint` (parquet footer / catalog stats) to avoid a
+    plan-time count at scale."""
+    from .blocked import TARGET_TILE_ROWS
+
+    n = size_hint if size_hint is not None else df.count()
+    mod = max(1, n // max(TARGET_TILE_ROWS, 1))
+    probe = df.filter(F.pmod(F.xxhash64(F.col(id_col)), mod) == 0)
+    row = (probe.select(F.explode(set_col).alias("_g"))
+           .agg(F.approx_count_distinct("_g").alias("v"))
+           .first())
+    return int(row["v"] or 0)
+
+
+def choose_pair_path(df: DataFrame, id_col: str = "doc_id",
+                     set_col: str = "g",
+                     size_hint: int | None = None,
+                     tile_budget_bytes: int = TILE_BUDGET_BYTES) -> str:
+    """'tile' or 'posting' — operationalizes the regime trade the
+    module docstring describes. Tile footprint ≈ 2 sides ×
+    TARGET_TILE_ROWS × tile-local vocabulary × 4 bytes; small shared
+    vocabularies fit (→ dense kernel, skew-immune), large flat ones
+    don't (→ inverted index)."""
+    from .blocked import TARGET_TILE_ROWS
+
+    v_tile = estimate_tile_vocab(df, id_col, set_col, size_hint)
+    dense_bytes = 2 * TARGET_TILE_ROWS * max(v_tile, 1) * 4
+    return "tile" if dense_bytes <= tile_budget_bytes else "posting"
+
+
+def jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "g",
+    threshold: float = 0.08,
+    size_hint: int | None = None,
+    df_ceiling: int | None = None,
+) -> DataFrame:
+    """Exact jaccard pairs via whichever discovery path fits the
+    corpus (choose_pair_path); both paths share the output contract,
+    so callers never see which ran. `df_ceiling` applies only when the
+    posting path is chosen."""
+    if choose_pair_path(df, id_col, set_col, size_hint) == "tile":
+        from .blocked import jaccard_pairs_blocked
+
+        return jaccard_pairs_blocked(
+            df, id_col=id_col, set_col=set_col, threshold=threshold,
+            size_hint=size_hint)
+    return jaccard_pairs_posting(
+        df, id_col=id_col, set_col=set_col, threshold=threshold,
+        df_ceiling=df_ceiling)
+
 
 def _postings(df: DataFrame, id_col: str, set_col: str,
               df_ceiling: int | None) -> DataFrame:

@@ -91,6 +91,32 @@ def test_posting_plan_is_equi_join_with_partial_agg(spark, grams):
     assert "partial_count" in plan, plan
 
 
+def test_auto_chooser_picks_by_vocabulary_regime(spark, grams, sf_dir):
+    from kafka_elasticsearch_injector_spark.io import parquet_row_count
+    from kafka_elasticsearch_injector_spark.operators.posting import (
+        choose_pair_path,
+        jaccard_pairs_auto,
+    )
+
+    hint = parquet_row_count(sf_dir, "documents")
+    # small shared vocabulary (this corpus: <1k grams) → dense tile
+    assert choose_pair_path(grams, size_hint=hint) == "tile"
+    # wide flat vocabulary: each doc carries hundreds of unique grams
+    # over a huge space → the dense tile would not fit → posting
+    wide = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(200)),
+            lambda i: F.concat(F.md5(F.concat(F.col("id"), F.lit(":"), i)),
+                               F.lit("-g"))).alias("g"))
+    assert choose_pair_path(wide, size_hint=3000) == "posting"
+    # the dispatcher's output contract matches the direct kernel
+    auto = _pairs(jaccard_pairs_auto(grams, threshold=0.08,
+                                     size_hint=hint), "jac")
+    tile = _pairs(jaccard_pairs_blocked(grams, threshold=0.08), "jac")
+    assert auto == tile
+
+
 def test_containment_directed_both_ways(spark):
     # a ⊂ b: containment(a→b)=1.0, containment(b→a)=2/3 — both
     # directions from ONE candidate aggregation.
