@@ -203,7 +203,8 @@ def nearest_neighbor_blocked(
     dimension-sequentially, so scores are bit-identical to the oracle's
     list_reduce and the argmax/tie-break agree exactly.
 
-    Returns (vec_id_a, nn_id, cos_sim[rounded 6]). `size_hint` as in
+    Returns (vec_id_a, nn_id, cos_sim) — the cosine unrounded and
+    bit-identical to the oracle fold (round-6 audit). `size_hint` as in
     jaccard_pairs_blocked: avoids the plan-time count() for block choice.
     """
     base = df.select(F.col(id_col), F.col(vec_col))

@@ -59,25 +59,36 @@ from .dedup import jaccard
 TILE_BUDGET_BYTES = 256 << 20
 
 
-def estimate_tile_vocab(df: DataFrame, id_col: str, set_col: str,
-                        size_hint: int | None = None) -> int:
-    """Estimate the TILE-LOCAL distinct-element count the dense kernels
-    would see: hash-sample ~one tile's worth of rows (deterministic
-    pmod(xxhash64) — no RNG state, re-runs agree) and count its
-    distinct elements. A tile is ~TARGET_TILE_ROWS random rows, so a
-    same-sized random sample measures exactly the quantity that sizes
-    the kernel's dense matrices. One narrow scan + approx-distinct;
-    pass `size_hint` (parquet footer / catalog stats) to avoid a
-    plan-time count at scale."""
-    from .blocked import TARGET_TILE_ROWS
+def _rows_per_tile(df: DataFrame, n: int) -> int:
+    """The row count of one ACTUAL tile side for this corpus —
+    choose_blocks' floor of ≥4 blocks means small corpora tile into
+    pieces well under TARGET_TILE_ROWS, and sizing the estimate to
+    TARGET would overstate the dense footprint ~4× there."""
+    from .blocked import choose_blocks
 
+    blocks = choose_blocks(
+        n, df.sparkSession.sparkContext.defaultParallelism)
+    return max(1, -(-n // blocks))
+
+
+def estimate_tile_vocab(df: DataFrame, id_col: str, set_col: str,
+                        size_hint: int | None = None) -> tuple[int, int]:
+    """Estimate (rows_per_tile, tile-local distinct-element count) the
+    dense kernels would see: hash-sample one tile's worth of rows
+    (deterministic pmod(xxhash64) — no RNG state, re-runs agree) and
+    count the sample's distinct elements. A tile is rows_per_tile
+    random rows, so a same-sized random sample measures exactly the
+    quantity that sizes the kernel's dense matrices. One narrow scan +
+    approx-distinct; pass `size_hint` (parquet footer / catalog stats)
+    to avoid a plan-time count at scale."""
     n = size_hint if size_hint is not None else df.count()
-    mod = max(1, n // max(TARGET_TILE_ROWS, 1))
+    tile_rows = _rows_per_tile(df, n)
+    mod = max(1, n // tile_rows)
     probe = df.filter(F.pmod(F.xxhash64(F.col(id_col)), mod) == 0)
     row = (probe.select(F.explode(set_col).alias("_g"))
            .agg(F.approx_count_distinct("_g").alias("v"))
            .first())
-    return int(row["v"] or 0)
+    return tile_rows, int(row["v"] or 0)
 
 
 def choose_pair_path(df: DataFrame, id_col: str = "doc_id",
@@ -86,13 +97,11 @@ def choose_pair_path(df: DataFrame, id_col: str = "doc_id",
                      tile_budget_bytes: int = TILE_BUDGET_BYTES) -> str:
     """'tile' or 'posting' — operationalizes the regime trade the
     module docstring describes. Tile footprint ≈ 2 sides ×
-    TARGET_TILE_ROWS × tile-local vocabulary × 4 bytes; small shared
+    rows_per_tile × tile-local vocabulary × 4 bytes; small shared
     vocabularies fit (→ dense kernel, skew-immune), large flat ones
     don't (→ inverted index)."""
-    from .blocked import TARGET_TILE_ROWS
-
-    v_tile = estimate_tile_vocab(df, id_col, set_col, size_hint)
-    dense_bytes = 2 * TARGET_TILE_ROWS * max(v_tile, 1) * 4
+    tile_rows, v_tile = estimate_tile_vocab(df, id_col, set_col, size_hint)
+    dense_bytes = 2 * tile_rows * max(v_tile, 1) * 4
     return "tile" if dense_bytes <= tile_budget_bytes else "posting"
 
 

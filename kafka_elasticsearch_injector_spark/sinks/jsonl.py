@@ -56,7 +56,8 @@ def _json_default(v):
     raise TypeError(f"not JSON-serializable: {type(v).__name__}")
 
 
-def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str]) -> bytes:
+def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str],
+                    int_cols: frozenset[str] = frozenset()) -> bytes:
     buf = io.BytesIO()
     # mtime=0: gzip's header timestamp is the one nondeterminism source
     # for identical payloads.
@@ -66,10 +67,14 @@ def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str]) -> bytes:
         # with any float column turns integer ids into np.float64 and
         # serializes doc_id=5 as 5.0 — silent corruption for a typed
         # read-back. Series.tolist() keeps every value its own
-        # column's native Python type.
+        # column's native Python type — EXCEPT that Arrow→pandas turns
+        # a NULLABLE integer column into NaN-backed float64 before we
+        # ever see it, so Spark-schema-declared integer columns
+        # (int_cols) are re-coerced with int() per value.
         col_values = [rows[c].tolist() for c in columns]
         for vals in zip(*col_values):
-            obj = {c: (None if pd.isna(v) else v)
+            obj = {c: (None if pd.isna(v)
+                       else int(v) if c in int_cols else v)
                    for c, v in zip(columns, vals)}
             gz.write(json.dumps(obj, sort_keys=True, ensure_ascii=False,
                                 separators=(",", ":"),
@@ -97,12 +102,16 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
     """
     columns = list(columns or df.columns)
     cols = list(dict.fromkeys([id_col, *columns]))
+    int_cols = frozenset(
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() in
+        ("tinyint", "smallint", "int", "bigint"))
 
     def run(staging: str) -> list:
         def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             ordered = pdf.sort_values(id_col, kind="mergesort")
-            data = _jsonl_gz_bytes(ordered, columns)
+            data = _jsonl_gz_bytes(ordered, columns, int_cols)
             write_shard_file(staging, f"shard-{shard:05d}.jsonl.gz", data)
             return pd.DataFrame([{
                 "shard": shard, "n_rows": len(ordered),

@@ -65,7 +65,8 @@ def with_hash_shard(df: DataFrame, n_shards: int,
 
 
 def _tar_bytes(rows: pd.DataFrame, id_col: str,
-               members: dict[str, str]) -> tuple[bytes, int]:
+               members: dict[str, str],
+               int_cols: frozenset[str] = frozenset()) -> tuple[bytes, int]:
     """Serialize one shard's rows into deterministic tar bytes:
     members sorted by zero-padded key, all metadata pinned."""
     buf = io.BytesIO()
@@ -83,6 +84,15 @@ def _tar_bytes(rows: pd.DataFrame, id_col: str,
             key = f"{int(rid):012d}"
             for (suffix, col), vals in zip(member_cols, col_values):
                 val = vals[i]
+                # NULL member value → no tar member for this sample
+                # (read_webdataset returns None for absent members, so
+                # nulls round-trip instead of serializing as "None").
+                if val is None or (isinstance(val, float) and pd.isna(val)):
+                    continue
+                # Arrow→pandas floats a NULLABLE integer column; the
+                # Spark schema says which columns are really integral.
+                if col in int_cols:
+                    val = int(val)
                 data = (val if isinstance(val, (bytes, bytearray))
                         else str(val).encode("utf-8"))
                 info = tarfile.TarInfo(name=f"{key}.{suffix}")
@@ -118,12 +128,16 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     members = members or {"txt": "text"}
     # de-dup against id_col too: members may legitimately export the key
     cols = list(dict.fromkeys([id_col, *members.values()]))
+    int_cols = frozenset(
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() in
+        ("tinyint", "smallint", "int", "bigint"))
 
     def run(staging: str) -> list:
         def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             ordered = pdf.sort_values(id_col, kind="mergesort")
-            data, n = _tar_bytes(ordered, id_col, members)
+            data, n = _tar_bytes(ordered, id_col, members, int_cols)
             write_shard_file(staging, f"shard-{shard:05d}.tar", data)
             return pd.DataFrame([{
                 "shard": shard, "n_members": n, "n_bytes": len(data),

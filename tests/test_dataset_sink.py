@@ -377,6 +377,50 @@ def test_jsonl_shards_all_numeric_preserves_int_dtype(spark, tmp_path):
     assert got == {5: 0.5, 6: 1.25, 7: None}
 
 
+def test_jsonl_and_tar_nullable_int_columns_stay_integral(spark, tmp_path):
+    """Regression (round-6 review): a NULLABLE integer column reaches
+    the shard task as NaN-backed float64 (Arrow→pandas), which the
+    per-column dtype fix alone can't see — the Spark schema must drive
+    the re-coercion, in both writers."""
+    import gzip as _gz
+
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7, "a"), (2, None, "b"), (3, 9, "c")],
+        "doc_id long, ref long, t string")
+
+    out = str(tmp_path / "nullable")
+    write_jsonl_shards(df, out, 1)
+    lines = []
+    for name in sorted(os.listdir(out)):
+        if name.endswith(".jsonl.gz"):
+            with _gz.open(os.path.join(out, name), "rt") as f:
+                lines += [ln.strip() for ln in f if ln.strip()]
+    assert any('"ref":7,' in ln for ln in lines), lines
+    assert any('"ref":null' in ln for ln in lines)
+    assert not any("7.0" in ln for ln in lines)
+    back = spark.read.schema("doc_id long, ref long, t string").json(out)
+    assert {r.doc_id: r.ref for r in back.collect()} == {1: 7, 2: None, 3: 9}
+
+    # tar: the null row keeps the whole pandas column float64-coerced;
+    # integral members must still write b"7"/b"9", and the null member
+    # is SKIPPED so it reads back as None (not b"None"/b"nan")
+    tar_out = str(tmp_path / "nullable_tar")
+    write_webdataset(df, tar_out, 1, members={"ref": "ref", "txt": "t"})
+    got = {r.key: (None if r.ref is None else bytes(r.ref))
+           for r in read_webdataset(
+               spark, tar_out, members={"ref": "ref", "txt": "t"})
+           .collect()}
+    assert got == {f"{1:012d}": b"7", f"{2:012d}": None, f"{3:012d}": b"9"}
+
+
 def test_webdataset_all_numeric_members_preserve_int_dtype(spark, tmp_path):
     """Regression (same class as the JSONL iterrows bug): an all-numeric
     frame must not stringify integer tar members as '7.0'."""

@@ -102,11 +102,12 @@ def test_auto_chooser_picks_by_vocabulary_regime(spark, grams, sf_dir):
     # small shared vocabulary (this corpus: <1k grams) → dense tile
     assert choose_pair_path(grams, size_hint=hint) == "tile"
     # wide flat vocabulary: each doc carries hundreds of unique grams
-    # over a huge space → the dense tile would not fit → posting
+    # over a huge space → the dense tile (rows_per_tile × tile-local
+    # vocab × 4 B × 2 sides) would not fit → posting
     wide = spark.range(3000).select(
         F.col("id").alias("doc_id"),
         F.transform(
-            F.sequence(F.lit(1), F.lit(200)),
+            F.sequence(F.lit(1), F.lit(400)),
             lambda i: F.concat(F.md5(F.concat(F.col("id"), F.lit(":"), i)),
                                F.lit("-g"))).alias("g"))
     assert choose_pair_path(wide, size_hint=3000) == "posting"

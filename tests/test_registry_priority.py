@@ -78,6 +78,13 @@ def test_rotation_freshness_invariant():
     assert not stale, (
         f"queries whose latest green driver evidence predates round "
         f"{current - 3} (newest round: {current}): {stale}")
+
+
+def test_priority_is_total_and_stable():
+    # Unconditional (no history gate): priority_order must be a
+    # permutation of the declared names, deterministically — the
+    # silent-drop class the module docstring documents.
+    names = list(QUERIES)
     order = priority_order(names)
     assert sorted(order) == sorted(names)
     assert order == priority_order(names)  # deterministic
