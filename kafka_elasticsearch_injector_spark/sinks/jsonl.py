@@ -33,6 +33,7 @@ import gzip
 import hashlib
 import io
 import json
+import math
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -43,21 +44,90 @@ from .webdataset import with_hash_shard
 MANIFEST_SCHEMA = "shard int, n_rows long, n_bytes long, sha256 string"
 
 
-def _json_default(v):
-    """numpy scalars → native JSON types (pandas hands us np.int64 &c)."""
+def _is_null(v) -> bool:
+    """Scalar null test that is safe on containers — `pd.isna` on an
+    ndarray/list returns elementwise and blows up in a boolean
+    context, which is exactly how array columns used to crash this
+    writer."""
     import numpy as np
 
-    if isinstance(v, np.bool_):
-        return bool(v)
-    if isinstance(v, np.integer):
-        return int(v)
-    if isinstance(v, np.floating):
-        return float(v)
-    raise TypeError(f"not JSON-serializable: {type(v).__name__}")
+    if v is None or v is pd.NaT:
+        return True
+    if isinstance(v, (float, np.floating)):
+        return math.isnan(v)
+    return False
+
+
+def _converter(dtype):
+    """Spark DataType → (value → JSON-representable) converter.
+
+    Driven by the DECLARED schema, not the observed pandas dtype:
+    Arrow→pandas floats any nullable integer lane (top-level column OR
+    array element), hands timestamps over as pd.Timestamp, and maps
+    map/struct values to dicts — none of which json.dumps can be
+    trusted with unaided. Exact round-trip contract per type:
+    integral → JSON int; float/double → JSON number (non-finite values
+    emit NaN/Infinity tokens, which `spark.read.json` accepts via its
+    default allowNonNumericNumbers=true for top-level fields but nulls
+    INSIDE arrays — strict-JSON consumers should null non-finite
+    upstream); boolean → true/false; string → string;
+    timestamp/timestamp_ntz → naive ISO-8601 in the session timezone
+    (micros preserved; Spark's JSON reader parses it back bit-exactly);
+    date → ISO date; array/map/struct → recursively converted JSON
+    array/object (map keys must be strings — JSON objects have no
+    other key type). Binary and decimal are rejected at plan time:
+    binary belongs in the WebDataset export, and JSON has no exact
+    decimal representation."""
+    from pyspark.sql import types as T
+
+    import numpy as np
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return lambda v: int(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return lambda v: float(v)
+    if isinstance(dtype, T.BooleanType):
+        return lambda v: bool(v)
+    if isinstance(dtype, T.StringType):
+        return lambda v: str(v)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return lambda v: pd.Timestamp(v).isoformat()
+    if isinstance(dtype, T.DateType):
+        return lambda v: (v.date() if isinstance(v, pd.Timestamp)
+                          else v).isoformat()
+    if isinstance(dtype, T.ArrayType):
+        elem = _converter(dtype.elementType)
+
+        def conv_array(v):
+            vals = v.tolist() if isinstance(v, np.ndarray) else v
+            return [None if _is_null(x) else elem(x) for x in vals]
+        return conv_array
+    if isinstance(dtype, T.MapType) and isinstance(dtype.keyType,
+                                                   T.StringType):
+        val = _converter(dtype.valueType)
+
+        def conv_map(v):
+            items = v.items() if isinstance(v, dict) else v
+            return {str(k): (None if _is_null(x) else val(x))
+                    for k, x in items}
+        return conv_map
+    if isinstance(dtype, T.StructType):
+        fields = [(f.name, _converter(f.dataType)) for f in dtype.fields]
+
+        def conv_struct(v):
+            d = v if isinstance(v, dict) else v.asDict()
+            return {n: (None if _is_null(d.get(n)) else c(d.get(n)))
+                    for n, c in fields}
+        return conv_struct
+    raise TypeError(
+        f"JSONL export cannot represent {dtype.simpleString()} exactly "
+        "(binary belongs in the WebDataset export; decimal has no "
+        "exact JSON form; map keys must be strings)")
 
 
 def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str],
-                    int_cols: frozenset[str] = frozenset()) -> bytes:
+                    converters: dict) -> bytes:
     buf = io.BytesIO()
     # mtime=0: gzip's header timestamp is the one nondeterminism source
     # for identical payloads.
@@ -67,18 +137,16 @@ def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str],
         # with any float column turns integer ids into np.float64 and
         # serializes doc_id=5 as 5.0 — silent corruption for a typed
         # read-back. Series.tolist() keeps every value its own
-        # column's native Python type — EXCEPT that Arrow→pandas turns
-        # a NULLABLE integer column into NaN-backed float64 before we
-        # ever see it, so Spark-schema-declared integer columns
-        # (int_cols) are re-coerced with int() per value.
+        # column's native Python type; the schema-driven converters
+        # then restore what Arrow→pandas mangled (see _converter).
         col_values = [rows[c].tolist() for c in columns]
+        convs = [converters[c] for c in columns]
         for vals in zip(*col_values):
-            obj = {c: (None if pd.isna(v)
-                       else int(v) if c in int_cols else v)
-                   for c, v in zip(columns, vals)}
+            obj = {c: (None if _is_null(v) else conv(v))
+                   for c, conv, v in zip(columns, convs, vals)}
             gz.write(json.dumps(obj, sort_keys=True, ensure_ascii=False,
-                                separators=(",", ":"),
-                                default=_json_default).encode("utf-8"))
+                                separators=(",", ":"))
+                     .encode("utf-8"))
             gz.write(b"\n")
     return buf.getvalue()
 
@@ -92,9 +160,15 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
 
     `columns` selects and orders the exported fields (default: every
     column of `df`); `id_col` must be included or includable — it
-    drives both shard assignment and the in-file row order. Values
-    must be JSON-representable (strings, numbers, booleans, nulls);
-    binary columns belong in the WebDataset export instead.
+    drives both shard assignment and the in-file row order. Exportable
+    types: integral, float/double, boolean, string, timestamp[_ntz],
+    date, and arrays/string-keyed maps/structs thereof — conversion is
+    driven by the declared Spark schema (see _converter) so nullable
+    integers, embeddings (`array<double>`), token lists, and event
+    timestamps all round-trip exactly through
+    `spark.read.schema(ddl).json(path)`. Binary and decimal columns
+    are rejected at plan time; binary belongs in the WebDataset
+    export.
 
     The export executes INSIDE this call with atomic staged
     publication — a crash leaves the previous export intact. Requires
@@ -102,16 +176,16 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
     """
     columns = list(columns or df.columns)
     cols = list(dict.fromkeys([id_col, *columns]))
-    int_cols = frozenset(
-        f.name for f in df.schema.fields
-        if f.dataType.simpleString() in
-        ("tinyint", "smallint", "int", "bigint"))
+    # Build converters at PLAN time: an unrepresentable column type
+    # fails here with a clear TypeError, not per-task on the executors.
+    converters = {f.name: _converter(f.dataType)
+                  for f in df.schema.fields if f.name in columns}
 
     def run(staging: str) -> list:
         def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             ordered = pdf.sort_values(id_col, kind="mergesort")
-            data = _jsonl_gz_bytes(ordered, columns, int_cols)
+            data = _jsonl_gz_bytes(ordered, columns, converters)
             write_shard_file(staging, f"shard-{shard:05d}.jsonl.gz", data)
             return pd.DataFrame([{
                 "shard": shard, "n_rows": len(ordered),

@@ -468,3 +468,88 @@ def test_staged_publish_refuses_empty_over_prior_export(spark, tmp_path):
     # explicit opt-in publishes the empty result (prior files removed)
     write_jsonl_shards(empty, out, 2, allow_empty=True)
     assert not [f for f in os.listdir(out) if f.endswith(".jsonl.gz")]
+
+
+def test_jsonl_typed_columns_round_trip(spark, tmp_path):
+    """Schema-driven conversion (round-6): embeddings, token lists,
+    timestamps, dates, string-keyed maps, and structs — the column
+    types a real corpus export carries — must round-trip exactly
+    through `spark.read.schema(ddl).json`. `pd.isna` on an ndarray
+    used to crash the writer before the value path was schema-driven."""
+    import datetime as dt
+
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+
+    ddl = ("doc_id long, emb array<double>, toks array<string>, "
+           "ts timestamp, d date, m map<string,int>, "
+           "s struct<p:int,q:string>, counts array<int>")
+    rows = [
+        (1, [0.5, -1.25], ["a", "éǃ"],
+         dt.datetime(2018, 3, 10, 14, 30, 0, 123456), dt.date(2020, 1, 2),
+         {"k": 7}, (5, "x"), [1, None, 3]),
+        (2, None, [], None, None, None, None, None),
+        (3, [float("nan")], ["line\nbreak"],
+         dt.datetime(1999, 12, 31, 23, 59, 59), dt.date(1970, 1, 1),
+         {}, (None, None), []),
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "typed")
+    write_jsonl_shards(df, out, 2)
+
+    back = spark.read.schema(ddl).json(out)
+    got = {r.doc_id: r for r in back.collect()}
+    assert got[1].emb == [0.5, -1.25]
+    assert got[1].toks == ["a", "éǃ"]
+    assert got[1].ts == dt.datetime(2018, 3, 10, 14, 30, 0, 123456)
+    assert got[1].d == dt.date(2020, 1, 2)
+    assert got[1].m == {"k": 7}
+    assert got[1].s.p == 5 and got[1].s.q == "x"
+    # nullable-int ARRAY ELEMENTS float-coerce via Arrow; the declared
+    # element type must restore them (None stays None)
+    assert list(got[1].counts) == [1, None, 3]
+    assert got[2].emb is None and got[2].ts is None and got[2].s is None
+    # the writer emits the faithful NaN token; Spark's reader accepts
+    # it for TOP-LEVEL double fields (allowNonNumericNumbers) but
+    # nulls it inside arrays — pin the asymmetry so a Spark behavior
+    # change surfaces here
+    import gzip as _gz
+    raw = b"".join(
+        _gz.open(os.path.join(out, f), "rb").read()
+        for f in sorted(os.listdir(out)) if f.endswith(".jsonl.gz"))
+    assert b'"emb":[NaN]' in raw
+    assert got[3].emb == [None]
+    assert got[3].toks == ["line\nbreak"]
+
+    # byte determinism holds for the richer types too
+    import hashlib as _h
+    h1 = {f: _h.sha256(open(os.path.join(out, f), "rb").read()).hexdigest()
+          for f in os.listdir(out) if f.endswith(".jsonl.gz")}
+    out2 = str(tmp_path / "typed2")
+    write_jsonl_shards(df, out2, 2)
+    h2 = {f: _h.sha256(open(os.path.join(out2, f), "rb").read()).hexdigest()
+          for f in os.listdir(out2) if f.endswith(".jsonl.gz")}
+    assert h1 == h2
+
+
+def test_jsonl_rejects_unrepresentable_types_at_plan_time(spark, tmp_path):
+    """Binary / decimal / non-string map keys fail in the DRIVER with a
+    clear TypeError before any task runs — not per-executor."""
+    import pytest as _pt
+
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+
+    for ddl, bad in [("doc_id long, b binary", (1, b"x")),
+                     ("doc_id long, dec decimal(10,2)", None),
+                     ("doc_id long, m map<int,string>", None)]:
+        df = (spark.createDataFrame([bad], ddl) if bad is not None
+              else spark.range(1).selectExpr(
+                  "id AS doc_id",
+                  "CAST(1.5 AS DECIMAL(10,2)) AS dec" if "dec" in ddl
+                  else "map(1, 'v') AS m"))
+        with _pt.raises(TypeError, match="JSONL export cannot represent"):
+            write_jsonl_shards(df, str(tmp_path / "never"), 1)
+    assert not os.path.exists(str(tmp_path / "never"))
