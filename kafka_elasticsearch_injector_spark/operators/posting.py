@@ -112,12 +112,27 @@ def jaccard_pairs_auto(
     threshold: float = 0.08,
     size_hint: int | None = None,
     df_ceiling: int | None = None,
+    path: str | None = None,
 ) -> DataFrame:
     """Exact jaccard pairs via whichever discovery path fits the
     corpus (choose_pair_path); both paths share the output contract,
     so callers never see which ran. `df_ceiling` applies only when the
-    posting path is chosen."""
-    if choose_pair_path(df, id_col, set_col, size_hint) == "tile":
+    posting path is chosen.
+
+    EAGER PLANNING COST: unlike every other operator in this package,
+    the default (``path=None``) runs up to two small Spark jobs AT
+    PLAN-CONSTRUCTION time — a count plus a sampled
+    approx-distinct over `df` (estimate_tile_vocab) — to measure the
+    corpus regime before a path can be chosen. Callers composing lazy
+    plans who must not trigger jobs before action (or who already know
+    their corpus) should pass ``path='tile'`` or ``path='posting'``
+    explicitly, which skips estimation entirely and stays lazy."""
+    if path is None:
+        path = choose_pair_path(df, id_col, set_col, size_hint)
+    elif path not in ("tile", "posting"):
+        raise ValueError(f"path must be 'tile', 'posting' or None, "
+                         f"got {path!r}")
+    if path == "tile":
         from .blocked import jaccard_pairs_blocked
 
         return jaccard_pairs_blocked(

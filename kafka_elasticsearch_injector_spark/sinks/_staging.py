@@ -15,10 +15,28 @@ executors (local mode, NFS, FUSE-mounted object store).
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import uuid
 from collections.abc import Callable
+
+
+def is_null_scalar(v) -> bool:
+    """Scalar null test shared by the shard writers, safe on
+    containers: `pd.isna` on an ndarray/list returns elementwise and
+    blows up in a boolean context — exactly how array columns used to
+    crash the JSONL writer. Covers None, pd.NaT (a null timestamp
+    member value is NOT the 3-byte string "NaT"), and float NaN
+    (Arrow→pandas's encoding of a null in any floated lane)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return True
+    if isinstance(v, (float, np.floating)):
+        return math.isnan(v)
+    return False
 
 
 def staged_publish(path: str, ext: str, run: Callable[[str], list],

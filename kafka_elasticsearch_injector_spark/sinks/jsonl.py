@@ -33,29 +33,35 @@ import gzip
 import hashlib
 import io
 import json
-import math
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from ._staging import staged_publish, write_shard_file
+# Scalar null test safe on containers; shared with the tar writer
+# (None / pd.NaT / float NaN — see _staging.is_null_scalar).
+from ._staging import is_null_scalar as _is_null
 from .webdataset import with_hash_shard
 
 MANIFEST_SCHEMA = "shard int, n_rows long, n_bytes long, sha256 string"
 
 
-def _is_null(v) -> bool:
-    """Scalar null test that is safe on containers — `pd.isna` on an
-    ndarray/list returns elementwise and blows up in a boolean
-    context, which is exactly how array columns used to crash this
-    writer."""
-    import numpy as np
+def _null_test_for(dtype):
+    """Null test for a value INSIDE a container, driven by the value's
+    DECLARED type. For float/double elements a NaN is a genuine VALUE
+    — the writer must emit the faithful NaN token — so only None/NaT
+    mean null there. For every other element type a float NaN can only
+    be Arrow→pandas's encoding of a null hole (e.g. an `array<int>`
+    with null elements arrives as a float64 ndarray with NaN), so the
+    full `_is_null` fold applies. Top-level double columns are the one
+    lane where the distinction is unrecoverable (a nullable float64
+    Series encodes null AS NaN), hence `_jsonl_gz_bytes` keeps the
+    NaN→null fold there — see the _converter docstring."""
+    from pyspark.sql import types as T
 
-    if v is None or v is pd.NaT:
-        return True
-    if isinstance(v, (float, np.floating)):
-        return math.isnan(v)
-    return False
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return lambda v: v is None or v is pd.NaT
+    return _is_null
 
 
 def _converter(dtype):
@@ -66,11 +72,17 @@ def _converter(dtype):
     array element), hands timestamps over as pd.Timestamp, and maps
     map/struct values to dicts — none of which json.dumps can be
     trusted with unaided. Exact round-trip contract per type:
-    integral → JSON int; float/double → JSON number (non-finite values
-    emit NaN/Infinity tokens, which `spark.read.json` accepts via its
-    default allowNonNumericNumbers=true for top-level fields but nulls
-    INSIDE arrays — strict-JSON consumers should null non-finite
-    upstream); boolean → true/false; string → string;
+    integral → JSON int; float/double → JSON number. Non-finite
+    floats: INSIDE arrays/maps/structs, NaN and Infinity are values
+    and emit the faithful NaN/Infinity tokens, which `spark.read.json`
+    (allowNonNumericNumbers=true, verified on Spark 4.1.2) parses back
+    to NaN/Infinity at every nesting level — strict-JSON consumers
+    should null non-finite upstream. At TOP LEVEL, Infinity emits its
+    token, but a NaN double column value serializes as JSON null:
+    Arrow→pandas hands top-level nullable doubles over as a float64
+    Series that encodes null AS NaN, so the two are indistinguishable
+    there — the writer folds to null rather than invent NaNs for
+    genuinely missing values. boolean → true/false; string → string;
     timestamp/timestamp_ntz → naive ISO-8601 in the session timezone
     (micros preserved; Spark's JSON reader parses it back bit-exactly);
     date → ISO date; array/map/struct → recursively converted JSON
@@ -98,27 +110,30 @@ def _converter(dtype):
                           else v).isoformat()
     if isinstance(dtype, T.ArrayType):
         elem = _converter(dtype.elementType)
+        isnull = _null_test_for(dtype.elementType)
 
         def conv_array(v):
             vals = v.tolist() if isinstance(v, np.ndarray) else v
-            return [None if _is_null(x) else elem(x) for x in vals]
+            return [None if isnull(x) else elem(x) for x in vals]
         return conv_array
     if isinstance(dtype, T.MapType) and isinstance(dtype.keyType,
                                                    T.StringType):
         val = _converter(dtype.valueType)
+        isnull = _null_test_for(dtype.valueType)
 
         def conv_map(v):
             items = v.items() if isinstance(v, dict) else v
-            return {str(k): (None if _is_null(x) else val(x))
+            return {str(k): (None if isnull(x) else val(x))
                     for k, x in items}
         return conv_map
     if isinstance(dtype, T.StructType):
-        fields = [(f.name, _converter(f.dataType)) for f in dtype.fields]
+        fields = [(f.name, _converter(f.dataType),
+                   _null_test_for(f.dataType)) for f in dtype.fields]
 
         def conv_struct(v):
             d = v if isinstance(v, dict) else v.asDict()
-            return {n: (None if _is_null(d.get(n)) else c(d.get(n)))
-                    for n, c in fields}
+            return {n: (None if isnull(d.get(n)) else c(d.get(n)))
+                    for n, c, isnull in fields}
         return conv_struct
     raise TypeError(
         f"JSONL export cannot represent {dtype.simpleString()} exactly "

@@ -51,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._staging import staged_publish, write_shard_file
+from ._staging import is_null_scalar, staged_publish, write_shard_file
 
 MANIFEST_SCHEMA = "shard int, n_members long, n_bytes long, sha256 string"
 
@@ -86,8 +86,9 @@ def _tar_bytes(rows: pd.DataFrame, id_col: str,
                 val = vals[i]
                 # NULL member value → no tar member for this sample
                 # (read_webdataset returns None for absent members, so
-                # nulls round-trip instead of serializing as "None").
-                if val is None or (isinstance(val, float) and pd.isna(val)):
+                # nulls round-trip instead of serializing as "None" —
+                # or as literal "NaT" for a null timestamp).
+                if is_null_scalar(val):
                     continue
                 # Arrow→pandas floats a NULLABLE integer column; the
                 # Spark schema says which columns are really integral.

@@ -4,6 +4,7 @@ partition pruning on read-back."""
 from __future__ import annotations
 
 import glob
+import math
 import os
 
 from pyspark.sql import functions as F
@@ -421,6 +422,32 @@ def test_jsonl_and_tar_nullable_int_columns_stay_integral(spark, tmp_path):
     assert got == {f"{1:012d}": b"7", f"{2:012d}": None, f"{3:012d}": b"9"}
 
 
+def test_webdataset_null_timestamp_member_skipped_not_nat(spark, tmp_path):
+    """Regression (round-6 review): a NULL timestamp member value
+    reaches the tar task as pd.NaT, which the old None/NaN-only skip
+    test let fall through to str(val) — writing literal b"NaT" bytes
+    instead of omitting the member like every other null."""
+    import datetime as dt
+
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2021, 6, 1, 12, 0, 0), "a"),
+         (2, None, "b")],
+        "doc_id long, ts timestamp, t string")
+    out = str(tmp_path / "nat_tar")
+    write_webdataset(df, out, 1, members={"ts": "ts", "txt": "t"})
+    got = {r.key: (None if r.ts is None else bytes(r.ts))
+           for r in read_webdataset(
+               spark, out, members={"ts": "ts", "txt": "t"}).collect()}
+    assert got[f"{2:012d}"] is None, "NaT must skip the member"
+    assert got[f"{1:012d}"] is not None
+    assert b"NaT" not in got[f"{1:012d}"]
+
+
 def test_webdataset_all_numeric_members_preserve_int_dtype(spark, tmp_path):
     """Regression (same class as the JSONL iterrows bug): an all-numeric
     frame must not stringify integer tar members as '7.0'."""
@@ -510,16 +537,18 @@ def test_jsonl_typed_columns_round_trip(spark, tmp_path):
     # element type must restore them (None stays None)
     assert list(got[1].counts) == [1, None, 3]
     assert got[2].emb is None and got[2].ts is None and got[2].s is None
-    # the writer emits the faithful NaN token; Spark's reader accepts
-    # it for TOP-LEVEL double fields (allowNonNumericNumbers) but
-    # nulls it inside arrays — pin the asymmetry so a Spark behavior
-    # change surfaces here
+    # the writer emits the faithful NaN token for double ARRAY
+    # elements (NaN is a value there, not a null hole — that's the
+    # nullable-int coercion's job), and Spark's reader
+    # (allowNonNumericNumbers, verified on 4.1.2) parses the token
+    # back to NaN at every nesting level — pin both directions so a
+    # converter refactor or Spark behavior change surfaces here
     import gzip as _gz
     raw = b"".join(
         _gz.open(os.path.join(out, f), "rb").read()
         for f in sorted(os.listdir(out)) if f.endswith(".jsonl.gz"))
     assert b'"emb":[NaN]' in raw
-    assert got[3].emb == [None]
+    assert len(got[3].emb) == 1 and math.isnan(got[3].emb[0])
     assert got[3].toks == ["line\nbreak"]
 
     # byte determinism holds for the richer types too
@@ -531,6 +560,65 @@ def test_jsonl_typed_columns_round_trip(spark, tmp_path):
     h2 = {f: _h.sha256(open(os.path.join(out2, f), "rb").read()).hexdigest()
           for f in os.listdir(out2) if f.endswith(".jsonl.gz")}
     assert h1 == h2
+
+
+def test_jsonl_nonfinite_contract_exhaustive(spark, tmp_path):
+    """The complete non-finite serialization contract, byte-pinned at
+    every nesting level so a converter refactor can't half-break it
+    again (a round-6 rewrite nulled NaN array elements while the
+    docstring promised the token):
+
+    - INSIDE arrays / string-keyed maps / structs, NaN and ±Infinity
+      are VALUES of a declared float/double lane → faithful
+      NaN/Infinity/-Infinity tokens in the bytes, parsed back to the
+      same IEEE values by spark.read.json (allowNonNumericNumbers).
+    - TOP-LEVEL double: ±Infinity emits its token and round-trips;
+      NaN folds to JSON null (Arrow→pandas float64 encodes null AS
+      NaN, indistinguishable) — the one documented lossy lane.
+    - Nullable-INT array elements still restore via the declared
+      schema: their Arrow NaN holes mean null, never a token.
+    """
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    ddl = ("doc_id long, x double, a array<double>, "
+           "m map<string,double>, s struct<p:double,q:double>, "
+           "counts array<int>")
+    rows = [
+        (1, inf, [nan, inf, -inf, 2.5], {"n": nan, "i": -inf},
+         (nan, inf), [7, None]),
+        (2, nan, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "nonfinite")
+    write_jsonl_shards(df, out, 1)
+
+    import gzip as _gz
+    raw = b"".join(
+        _gz.open(os.path.join(out, f), "rb").read()
+        for f in sorted(os.listdir(out)) if f.endswith(".jsonl.gz"))
+    # byte-level: tokens inside containers, token for top-level Inf,
+    # null for top-level NaN
+    assert b'"a":[NaN,Infinity,-Infinity,2.5]' in raw
+    assert b'"i":-Infinity' in raw and b'"n":NaN' in raw
+    assert b'"p":NaN' in raw and b'"q":Infinity' in raw
+    assert b'"x":Infinity' in raw
+    assert b'"x":null' in raw
+    assert b'"counts":[7,null]' in raw
+
+    # read-back: every token parses to its IEEE value at every level
+    back = {r.doc_id: r
+            for r in spark.read.schema(ddl).json(out).collect()}
+    r1 = back[1]
+    assert r1.x == inf
+    assert (math.isnan(r1.a[0]) and r1.a[1] == inf
+            and r1.a[2] == -inf and r1.a[3] == 2.5)
+    assert math.isnan(r1.m["n"]) and r1.m["i"] == -inf
+    assert math.isnan(r1.s.p) and r1.s.q == inf
+    assert list(r1.counts) == [7, None]
+    assert back[2].x is None and back[2].a is None
 
 
 def test_jsonl_rejects_unrepresentable_types_at_plan_time(spark, tmp_path):

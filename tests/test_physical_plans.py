@@ -661,11 +661,19 @@ def test_q11_grand_total_scans_lineitem_once(spark, sf_dir):
     # vacuously without proving the stage reuse this test documents.
     # Derived as the sf0.01 sibling of the configured testdata root so
     # SPARK_GRAFT_TEST_SF_DIR relocation keeps this gate running.
+    # A missing sibling SKIPS outside CI (an sf0.001-only checkout
+    # must not go red on an environment constraint) and FAILS only
+    # when SPARK_GRAFT_STRICT_TESTDATA=1, which the CI tier sets —
+    # there, silently skipping the one executed-plan reuse proof
+    # would be worse than failing loudly.
     sf_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if not os.path.isdir(sf_dir):  # pragma: no cover
-        pytest.fail(f"sf0.01 testdata not found at {sf_dir} — the q11 "
-                    "scan-reuse gate needs the sf0.01 sibling of "
-                    "SPARK_GRAFT_TEST_SF_DIR")
+        msg = (f"sf0.01 testdata not found at {sf_dir} — the q11 "
+               "scan-reuse gate needs the sf0.01 sibling of "
+               "SPARK_GRAFT_TEST_SF_DIR")
+        if os.environ.get("SPARK_GRAFT_STRICT_TESTDATA") == "1":
+            pytest.fail(msg)
+        pytest.skip(msg)
     df = plans.queries()["q_tpch_q11"](spark, sf_dir)
     rows = df.collect()
     assert rows, "q_tpch_q11 empty at sf0.01 — scan-count check is vacuous"
