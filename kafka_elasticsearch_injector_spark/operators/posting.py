@@ -143,6 +143,22 @@ def jaccard_pairs_auto(
         df_ceiling=df_ceiling)
 
 
+def posting_jaccard_ratio(shared: Column, sza: Column,
+                          szb: Column) -> Column:
+    """The exact-mode jaccard emission: ONE double division of exact
+    integer counts, |A∩B| / (|A|+|B|-|A∩B|) — the integer-count-ratio
+    shape ROUNDING.md's decision rule certifies
+    (tests/test_bitwise_parity.py certifies THIS function directly on
+    adversarial counts, not via the tile-equivalence property)."""
+    return shared.cast("double") / (sza + szb - shared)
+
+
+def posting_containment_ratio(shared: Column, sza: Column) -> Column:
+    """The exact-mode containment emission |A∩B| / |A| — same
+    integer-count-ratio certification as posting_jaccard_ratio."""
+    return shared.cast("double") / sza
+
+
 def _postings(df: DataFrame, id_col: str, set_col: str,
               df_ceiling: int | None) -> DataFrame:
     posts = df.select(F.col(id_col).alias("_id"),
@@ -202,8 +218,8 @@ def jaccard_pairs_posting(
     joined = cand.join(sa, "doc_a").join(sb, "doc_b")
     if df_ceiling is None:
         # _shared IS the exact intersection — no re-verify needed.
-        jac: Column = (F.col("_shared").cast("double")
-                       / (F.col("_sza") + F.col("_szb") - F.col("_shared")))
+        jac: Column = posting_jaccard_ratio(
+            F.col("_shared"), F.col("_sza"), F.col("_szb"))
     else:
         jac = jaccard(F.col("_seta"), F.col("_setb"))
     return (joined.select("doc_a", "doc_b", jac.alias("jac"))
@@ -237,7 +253,8 @@ def containment_pairs_posting(
     joined = both.join(sa, "doc_a").join(sb, "doc_b") \
         .filter(F.col("_sza") > 0)
     if df_ceiling is None:
-        cont: Column = (F.col("_shared").cast("double") / F.col("_sza"))
+        cont: Column = posting_containment_ratio(
+            F.col("_shared"), F.col("_sza"))
     else:
         inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
         cont = inter.cast("double") / F.col("_sza")

@@ -127,3 +127,74 @@ def test_containment_directed_both_ways(spark):
     got = _pairs(containment_pairs_posting(df, threshold=0.0),
                  "containment")
     assert got == {(1, 2): 1.0, (2, 1): 2 / 3}
+
+
+def test_auto_router_end_to_end_flat_regime_cross_path_parity(spark):
+    """Round-6 follow-up: the router exercised END TO END on a
+    flat-vocabulary corpus — the regime where it must pick postings —
+    with the chosen path's output proven identical (pairs AND
+    bit-exact ratios) to the dense tile kernel forced over the same
+    corpus, and to the analytically known truth. Together with
+    test_auto_chooser_picks_by_vocabulary_regime (small shared
+    vocabulary → tile, output == tile kernel), this certifies the
+    routing decision AND cross-path parity at both regimes on real
+    tables, not just the synthetic property inputs."""
+    from kafka_elasticsearch_injector_spark.operators.posting import (
+        choose_pair_path,
+        jaccard_pairs_auto,
+    )
+
+    # 1500 disjoint doc pairs; partners share 300 pair-salted grams,
+    # each doc adds 100 doc-salted grams → every partner pair has
+    # jac = 300/(400+400-300) = 0.6 exactly; all other pairs share
+    # nothing. Vocabulary ~750k distinct grams over 3000 docs — far
+    # past any tile's dense budget.
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(100)),
+                lambda i: F.concat(F.md5(F.concat(F.col("id"), F.lit("u"),
+                                                  i)), F.lit("-u"))),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(300)),
+                lambda i: F.concat(
+                    F.md5(F.concat((F.col("id") / 2).cast("long"),
+                                   F.lit("p"), i)),
+                    F.lit("-p")))).alias("g"))
+
+    assert choose_pair_path(docs, size_hint=3000) == "posting"
+
+    auto = _pairs(jaccard_pairs_auto(docs, threshold=0.5,
+                                     size_hint=3000), "jac")
+    expected = {(2 * k, 2 * k + 1): 0.6 for k in range(1500)}
+    assert auto == expected
+    # the OTHER path, forced over the same flat corpus (n_blocks=32
+    # keeps each dense tile small enough to materialize in a test)
+    tile = _pairs(jaccard_pairs_blocked(docs, threshold=0.5,
+                                        n_blocks=32), "jac")
+    assert auto == tile
+
+
+def test_auto_path_override_skips_estimation_and_stays_lazy(spark,
+                                                            monkeypatch):
+    """`path=...` must bypass the eager regime estimation entirely
+    (the documented lazy-composition escape hatch): with estimation
+    sabotaged, explicit overrides still build plans; only the default
+    routes through it."""
+    from kafka_elasticsearch_injector_spark.operators import posting
+
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["b", "c"])],
+                               "doc_id long, g array<string>")
+
+    def boom(*a, **k):
+        raise AssertionError("estimation ran")
+
+    monkeypatch.setattr(posting, "estimate_tile_vocab", boom)
+    for forced in ("tile", "posting"):
+        out = posting.jaccard_pairs_auto(df, threshold=0.0, path=forced)
+        assert set(out.columns) >= {"doc_a", "doc_b", "jac"}
+    with pytest.raises(AssertionError, match="estimation ran"):
+        posting.jaccard_pairs_auto(df, threshold=0.0)
+    with pytest.raises(ValueError, match="path must be"):
+        posting.jaccard_pairs_auto(df, threshold=0.0, path="dense")
