@@ -18,8 +18,9 @@ Output contract: the final stdout line is ONE COMPACT JSON summary —
 "queries" holds only the headline subset — guaranteed < 1 KB so a
 tail-truncating capture still parses it (the full 118-entry dict blew
 past the driver's tail buffer two rounds running). The complete
-per-query timing map goes to BENCH_DETAIL.json next to this script,
-and to stderr.
+per-query timing map goes to BENCH_DETAIL.json next to this script
+(non-default scale factors write BENCH_DETAIL_sf{sf}.json instead so
+fast checks never clobber the committed sf0.1 record), and to stderr.
 """
 
 from __future__ import annotations
@@ -58,7 +59,8 @@ def spread_flags(runs: dict[str, list[float]],
         if len(ts) > 1 and max(ts) > ratio * min(ts) + slack)
 
 
-def build_summary(timings: dict[str, float], sf_val: float | str) -> str:
+def build_summary(timings: dict[str, float], sf_val: float | str,
+                  detail_name: str = "BENCH_DETAIL.json") -> str:
     """The single stdout line: compact JSON, total + headline timings
     only, guaranteed under MAX_SUMMARY_BYTES."""
     summary = {
@@ -68,7 +70,7 @@ def build_summary(timings: dict[str, float], sf_val: float | str) -> str:
         "sf": sf_val,
         "n_queries": len(timings),
         "queries": {q: timings[q] for q in HEADLINE if q in timings},
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     line = json.dumps(summary)
     if len(line.encode()) > MAX_SUMMARY_BYTES:  # pragma: no cover
@@ -156,13 +158,19 @@ def main() -> None:
         "spread_flagged": spread_flags(runs),
         "sf": sf_val,
     }
+    # The committed BENCH_DETAIL.json is the sf0.1 record the rounds
+    # compare against; a fast-check run at any other SF writes a
+    # suffixed file instead of clobbering it (this trap got an sf0.01
+    # detail committed in rounds 6 AND 7 before being fixed here).
+    detail_name = ("BENCH_DETAIL.json" if sf_val == 0.1
+                   else f"BENCH_DETAIL_sf{sf}.json")
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr, flush=True)
 
-    real_stdout.write(build_summary(timings, sf_val) + "\n")
+    real_stdout.write(build_summary(timings, sf_val, detail_name) + "\n")
     real_stdout.flush()
 
 
