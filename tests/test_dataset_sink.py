@@ -641,3 +641,149 @@ def test_jsonl_rejects_unrepresentable_types_at_plan_time(spark, tmp_path):
         with _pt.raises(TypeError, match="JSONL export cannot represent"):
             write_jsonl_shards(df, str(tmp_path / "never"), 1)
     assert not os.path.exists(str(tmp_path / "never"))
+
+
+# ---------------------------------------------------------------------------
+# Generative round-trip: the two converter regressions this file pins
+# (iterrows dtype coercion, NaN-in-array nulling) were both introduced
+# by refactors that kept every existing example green. This property
+# test generates random schemas (scalars, arrays, string-keyed maps,
+# structs, one level of container nesting) and random values including
+# None/NaN/±Infinity at every level, and checks the full documented
+# contract: write_jsonl_shards → spark.read.schema(...).json equals
+# the input under exactly two folds — top-level double NaN → null, and
+# nothing else.
+# ---------------------------------------------------------------------------
+
+def _jsonl_scalar_strategies():
+    import datetime as dt
+
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    return [
+        (T.LongType(), st.none() | st.integers(-2**62, 2**62)),
+        (T.IntegerType(), st.none() | st.integers(-2**31, 2**31 - 1)),
+        (T.DoubleType(), st.none() | st.floats(allow_nan=True,
+                                               allow_infinity=True,
+                                               width=64)),
+        (T.BooleanType(), st.none() | st.booleans()),
+        (T.StringType(), st.none() | st.text(max_size=12)),
+        (T.DateType(), st.none() | st.dates(dt.date(1900, 1, 1),
+                                            dt.date(2100, 1, 1))),
+        (T.TimestampType(),
+         st.none() | st.datetimes(dt.datetime(1900, 1, 1),
+                                  dt.datetime(2100, 1, 1))),
+    ]
+
+
+def _jsonl_column_strategy(nested: bool):
+    """(DataType, value-strategy) for one column; `nested` allows one
+    level of scalar-element containers inside the container."""
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    scalars = _jsonl_scalar_strategies()
+    leaves = list(scalars)
+    if nested:
+        leaves += [(T.ArrayType(d), st.none() | st.lists(s, max_size=3))
+                   for d, s in scalars]
+
+    def containers(leaf):
+        d, s = leaf
+        return st.one_of(
+            st.just((T.ArrayType(d), st.none() | st.lists(s, max_size=4))),
+            st.just((T.MapType(T.StringType(), d),
+                     st.none() | st.dictionaries(st.text(max_size=6), s,
+                                                 max_size=4))),
+            st.just((T.StructType([T.StructField("p", d),
+                                   T.StructField("q", d)]),
+                     st.none() | st.tuples(s, s))),
+        )
+
+    return st.one_of(st.sampled_from(scalars),
+                     st.sampled_from(leaves).flatmap(containers))
+
+
+def _jsonl_expected(v, dtype, top: bool):
+    """The documented read-back value for input `v` of declared type
+    `dtype`: identity except top-level double NaN → null."""
+    import math as m
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.DoubleType):
+        f = float(v)
+        return None if (top and m.isnan(f)) else f
+    if isinstance(dtype, T.ArrayType):
+        return [_jsonl_expected(x, dtype.elementType, False) for x in v]
+    if isinstance(dtype, T.MapType):
+        return {k: _jsonl_expected(x, dtype.valueType, False)
+                for k, x in v.items()}
+    if isinstance(dtype, T.StructType):
+        vals = v if isinstance(v, (tuple, list)) else tuple(v)
+        return {f.name: _jsonl_expected(x, f.dataType, False)
+                for f, x in zip(dtype.fields, vals)}
+    return v
+
+
+def _jsonl_eq(want, got) -> bool:
+    import datetime as dt
+    import math as m
+
+    if want is None or got is None:
+        return want is None and got is None
+    if isinstance(want, float):
+        return repr(float(got)) == repr(want)  # bit-exact, NaN-aware
+    if isinstance(want, list):
+        return (len(want) == len(got)
+                and all(_jsonl_eq(w, g) for w, g in zip(want, got)))
+    if isinstance(want, dict):
+        if hasattr(got, "asDict"):
+            got = got.asDict()
+        return (set(want) == set(got)
+                and all(_jsonl_eq(want[k], got[k]) for k in want))
+    if isinstance(want, dt.datetime):
+        return got == want
+    return got == want
+
+
+def test_jsonl_roundtrip_property(spark, tmp_path):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+
+    cols = st.lists(_jsonl_column_strategy(nested=True),
+                    min_size=1, max_size=3)
+    counter = iter(range(10**6))
+
+    @settings(max_examples=5, deadline=None)
+    @given(cols=cols, data=st.data())
+    def run(cols, data):
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType(), False)]
+            + [T.StructField(f"c{i}", d) for i, (d, _) in enumerate(cols)])
+        n_rows = data.draw(st.integers(1, 4))
+        rows = [tuple([rid] + [data.draw(s) for _, s in cols])
+                for rid in range(n_rows)]
+        df = spark.createDataFrame(rows, schema)
+        out = str(tmp_path / f"prop{next(counter)}")
+        write_jsonl_shards(df, out, 2)
+        back = {r["doc_id"]: r for r in
+                spark.read.schema(schema).json(out).collect()}
+        assert set(back) == set(range(n_rows))
+        for rid, row in enumerate(rows):
+            got = back[rid]
+            for i, (d, _) in enumerate(cols):
+                want = _jsonl_expected(row[1 + i], d, top=True)
+                assert _jsonl_eq(want, got[f"c{i}"]), (
+                    f"col c{i} {d.simpleString()}: want {want!r} "
+                    f"got {got[f'c{i}']!r}")
+
+    run()
