@@ -126,7 +126,11 @@ def jaccard_pairs_auto(
     corpus regime before a path can be chosen. Callers composing lazy
     plans who must not trigger jobs before action (or who already know
     their corpus) should pass ``path='tile'`` or ``path='posting'``
-    explicitly, which skips estimation entirely and stays lazy."""
+    explicitly, which skips the regime estimation entirely. Note
+    ``path='posting'`` is then fully lazy, but ``path='tile'`` still
+    needs a row count to size its tiles (blocked.choose_blocks) and
+    will run a plan-time ``df.count()`` unless ``size_hint`` is also
+    given — pass both for a job-free tile plan."""
     if path is None:
         path = choose_pair_path(df, id_col, set_col, size_hint)
     elif path not in ("tile", "posting"):

@@ -21,6 +21,9 @@ import shutil
 import uuid
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
+
 
 def is_null_scalar(v) -> bool:
     """Scalar null test shared by the shard writers, safe on
@@ -28,10 +31,8 @@ def is_null_scalar(v) -> bool:
     blows up in a boolean context — exactly how array columns used to
     crash the JSONL writer. Covers None, pd.NaT (a null timestamp
     member value is NOT the 3-byte string "NaT"), and float NaN
-    (Arrow→pandas's encoding of a null in any floated lane)."""
-    import numpy as np
-    import pandas as pd
-
+    (Arrow→pandas's encoding of a null in any floated lane). Runs once
+    per serialized cell — keep it import- and allocation-free."""
     if v is None or v is pd.NaT:
         return True
     if isinstance(v, (float, np.floating)):

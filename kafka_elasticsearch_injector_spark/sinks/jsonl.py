@@ -34,8 +34,10 @@ import hashlib
 import io
 import json
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from ._staging import staged_publish, write_shard_file
 # Scalar null test safe on containers; shared with the tar writer
@@ -45,23 +47,72 @@ from .webdataset import with_hash_shard
 
 MANIFEST_SCHEMA = "shard int, n_rows long, n_bytes long, sha256 string"
 
+# Companion null-mask columns (see _mask_expr) ride next to the data
+# columns through the shard shuffle under this reserved prefix.
+_MASK_PREFIX = "__jsonlmask__"
+
+_FLOAT_TYPES = (T.FloatType, T.DoubleType)
+
 
 def _null_test_for(dtype):
     """Null test for a value INSIDE a container, driven by the value's
-    DECLARED type. For float/double elements a NaN is a genuine VALUE
-    — the writer must emit the faithful NaN token — so only None/NaT
-    mean null there. For every other element type a float NaN can only
-    be Arrow→pandas's encoding of a null hole (e.g. an `array<int>`
-    with null elements arrives as a float64 ndarray with NaN), so the
-    full `_is_null` fold applies. Top-level double columns are the one
-    lane where the distinction is unrecoverable (a nullable float64
-    Series encodes null AS NaN), hence `_jsonl_gz_bytes` keeps the
-    NaN→null fold there — see the _converter docstring."""
-    from pyspark.sql import types as T
-
-    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+    DECLARED type. For float/double values a NaN is a genuine VALUE —
+    the writer must emit the faithful NaN token — so only None/NaT
+    mean null there (inside maps and structs, Arrow→pandas preserves
+    scalar-float None as None, so this is lossless; float ARRAY
+    elements are the lossy lane and are restored via the null masks —
+    see _mask_expr). For every other type a float NaN can only be
+    Arrow→pandas's encoding of a null hole (e.g. an `array<int>` with
+    null elements arrives as a float64 ndarray with NaN), so the full
+    `_is_null` fold applies. Top-level scalar float/double columns are
+    the one lane where the distinction stays unrecoverable (a nullable
+    float64 Series encodes null AS NaN, and a scalar column has no
+    mask), hence `_jsonl_gz_bytes` keeps the NaN→null fold there —
+    see the _converter docstring."""
+    if isinstance(dtype, _FLOAT_TYPES):
         return lambda v: v is None or v is pd.NaT
     return _is_null
+
+
+def _needs_mask(dtype) -> bool:
+    """Does this type contain a float/double ARRAY lane anywhere?
+    Those are the lossy Arrow→pandas lanes: a `list<double>` arrives
+    as a float64 ndarray where a null element and a genuine NaN are
+    the same bits. Scalar floats inside maps/structs arrive as real
+    None and need no mask (verified on Spark 4.1.2 / pyarrow)."""
+    if isinstance(dtype, T.ArrayType):
+        return (isinstance(dtype.elementType, _FLOAT_TYPES)
+                or _needs_mask(dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return _needs_mask(dtype.valueType)
+    if isinstance(dtype, T.StructType):
+        return any(_needs_mask(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _mask_expr(dtype, col: Column) -> Column:
+    """JVM-side companion expression mirroring `col`'s shape with
+    every float-array element replaced by its null-ness boolean:
+    array<double> → array<boolean>, map<string,array<float>> →
+    map<string,array<boolean>>, struct fields only where needed. The
+    writer walks value and mask in parallel (_masked_converter) to
+    restore exactly which NaNs were nulls — pure column transforms,
+    no UDFs, negligible next to the gzip work."""
+    if isinstance(dtype, T.ArrayType):
+        if isinstance(dtype.elementType, _FLOAT_TYPES):
+            return F.transform(col, lambda x: x.isNull())
+        return F.transform(
+            col, lambda x: _mask_expr(dtype.elementType, x))
+    if isinstance(dtype, T.MapType):
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(F.map_values(col),
+                        lambda x: _mask_expr(dtype.valueType, x)))
+    if isinstance(dtype, T.StructType):
+        return F.struct(*[
+            _mask_expr(f.dataType, col.getField(f.name)).alias(f.name)
+            for f in dtype.fields if _needs_mask(f.dataType)])
+    raise AssertionError(f"no mask lane in {dtype.simpleString()}")
 
 
 def _converter(dtype):
@@ -77,12 +128,16 @@ def _converter(dtype):
     and emit the faithful NaN/Infinity tokens, which `spark.read.json`
     (allowNonNumericNumbers=true, verified on Spark 4.1.2) parses back
     to NaN/Infinity at every nesting level — strict-JSON consumers
-    should null non-finite upstream. At TOP LEVEL, Infinity emits its
-    token, but a NaN double column value serializes as JSON null:
-    Arrow→pandas hands top-level nullable doubles over as a float64
-    Series that encodes null AS NaN, so the two are indistinguishable
-    there — the writer folds to null rather than invent NaNs for
-    genuinely missing values. boolean → true/false; string → string;
+    should null non-finite upstream. Null ELEMENTS of float/double
+    arrays still serialize as null, not NaN: Arrow→pandas folds them
+    into NaN indistinguishably, so the writer ships a JVM-computed
+    null-mask companion per float-array lane (_mask_expr) and restores
+    them (_masked_converter). The ONE lossy lane left is a TOP-LEVEL
+    scalar float/double column: Infinity emits its token, but NaN
+    serializes as JSON null — a scalar column has no mask and its
+    float64 Series encodes null AS NaN, so the writer folds to null
+    rather than invent NaNs for genuinely missing values.
+    boolean → true/false; string → string;
     timestamp/timestamp_ntz → naive ISO-8601 in the session timezone
     (micros preserved; Spark's JSON reader parses it back bit-exactly);
     date → ISO date; array/map/struct → recursively converted JSON
@@ -90,10 +145,6 @@ def _converter(dtype):
     other key type). Binary and decimal are rejected at plan time:
     binary belongs in the WebDataset export, and JSON has no exact
     decimal representation."""
-    from pyspark.sql import types as T
-
-    import numpy as np
-
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
                           T.LongType)):
         return lambda v: int(v)
@@ -141,8 +192,65 @@ def _converter(dtype):
         "exact JSON form; map keys must be strings)")
 
 
+def _tolist(v):
+    return v.tolist() if isinstance(v, np.ndarray) else v
+
+
+def _masked_converter(dtype):
+    """Like _converter but (value, mask) → JSON-representable, where
+    `mask` is the parallel null-mask from _mask_expr. Only built for
+    types where _needs_mask is True; sub-lanes without a float array
+    fall back to the plain converter (their nulls are already
+    faithful)."""
+    if isinstance(dtype, T.ArrayType):
+        if isinstance(dtype.elementType, _FLOAT_TYPES):
+            def conv_farray(v, m):
+                return [None if (mi or x is None) else float(x)
+                        for x, mi in zip(_tolist(v), _tolist(m))]
+            return conv_farray
+        elem = _masked_converter(dtype.elementType)
+
+        def conv_array(v, m):
+            # non-float elements that are null arrive as real None
+            return [None if x is None else elem(x, mi)
+                    for x, mi in zip(_tolist(v), _tolist(m))]
+        return conv_array
+    if isinstance(dtype, T.MapType):
+        val = _masked_converter(dtype.valueType)
+
+        def conv_map(v, m):
+            md = m if isinstance(m, dict) else dict(m)
+            items = v.items() if isinstance(v, dict) else v
+            return {str(k): (None if x is None else val(x, md.get(k)))
+                    for k, x in items}
+        return conv_map
+    if isinstance(dtype, T.StructType):
+        fields = []
+        for f in dtype.fields:
+            if _needs_mask(f.dataType):
+                fields.append((f.name, _masked_converter(f.dataType),
+                               None, True))
+            else:
+                fields.append((f.name, _converter(f.dataType),
+                               _null_test_for(f.dataType), False))
+
+        def conv_struct(v, m):
+            d = v if isinstance(v, dict) else v.asDict()
+            md = m if isinstance(m, dict) else m.asDict()
+            out = {}
+            for n, c, isnull, masked in fields:
+                x = d.get(n)
+                if masked:
+                    out[n] = None if x is None else c(x, md.get(n))
+                else:
+                    out[n] = None if isnull(x) else c(x)
+            return out
+        return conv_struct
+    raise AssertionError(f"no mask lane in {dtype.simpleString()}")
+
+
 def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str],
-                    converters: dict) -> bytes:
+                    converters: dict, masked: dict | None = None) -> bytes:
     buf = io.BytesIO()
     # mtime=0: gzip's header timestamp is the one nondeterminism source
     # for identical payloads.
@@ -154,11 +262,23 @@ def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str],
         # read-back. Series.tolist() keeps every value its own
         # column's native Python type; the schema-driven converters
         # then restore what Arrow→pandas mangled (see _converter).
+        masked = masked or {}
         col_values = [rows[c].tolist() for c in columns]
-        convs = [converters[c] for c in columns]
-        for vals in zip(*col_values):
-            obj = {c: (None if _is_null(v) else conv(v))
-                   for c, conv, v in zip(columns, convs, vals)}
+        mask_values = [rows[_MASK_PREFIX + c].tolist()
+                       if c in masked else None for c in columns]
+        convs = [(masked.get(c) or converters[c], c in masked)
+                 for c in columns]
+        for i in range(len(rows)):
+            obj = {}
+            for c, (conv, is_masked), vals, ms in zip(
+                    columns, convs, col_values, mask_values):
+                v = vals[i]
+                if _is_null(v):
+                    obj[c] = None
+                elif is_masked:
+                    obj[c] = conv(v, ms[i])
+                else:
+                    obj[c] = conv(v)
             gz.write(json.dumps(obj, sort_keys=True, ensure_ascii=False,
                                 separators=(",", ":"))
                      .encode("utf-8"))
@@ -190,17 +310,29 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
     a driver/executor-shared filesystem (see sinks/_staging.py).
     """
     columns = list(columns or df.columns)
+    if any(c.startswith(_MASK_PREFIX) for c in columns):
+        raise ValueError(f"column names may not start with {_MASK_PREFIX}"
+                         " (reserved for the writer's null masks)")
     cols = list(dict.fromkeys([id_col, *columns]))
     # Build converters at PLAN time: an unrepresentable column type
     # fails here with a clear TypeError, not per-task on the executors.
     converters = {f.name: _converter(f.dataType)
                   for f in df.schema.fields if f.name in columns}
+    # Null-mask companions for every float-array lane (see _mask_expr):
+    # Arrow→pandas folds a null list<float/double> element into NaN, so
+    # without these the writer could not tell an exported embedding's
+    # genuine NaN from a missing value.
+    masked = {f.name: _masked_converter(f.dataType)
+              for f in df.schema.fields
+              if f.name in columns and _needs_mask(f.dataType)}
+    mask_exprs = [_mask_expr(df.schema[c].dataType, F.col(c))
+                  .alias(_MASK_PREFIX + c) for c in masked]
 
     def run(staging: str) -> list:
         def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             ordered = pdf.sort_values(id_col, kind="mergesort")
-            data = _jsonl_gz_bytes(ordered, columns, converters)
+            data = _jsonl_gz_bytes(ordered, columns, converters, masked)
             write_shard_file(staging, f"shard-{shard:05d}.jsonl.gz", data)
             return pd.DataFrame([{
                 "shard": shard, "n_rows": len(ordered),
@@ -208,7 +340,8 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
                 "sha256": hashlib.sha256(data).hexdigest(),
             }])
 
-        sharded = with_hash_shard(df.select(*cols), n_shards, id_col)
+        sharded = with_hash_shard(df.select(*cols, *mask_exprs),
+                                  n_shards, id_col)
         return (sharded.groupBy("shard")
                 .applyInPandas(write_shard, MANIFEST_SCHEMA)
                 .collect())                     # executes the export

@@ -585,11 +585,14 @@ def test_jsonl_nonfinite_contract_exhaustive(spark, tmp_path):
     nan, inf = float("nan"), float("inf")
     ddl = ("doc_id long, x double, a array<double>, "
            "m map<string,double>, s struct<p:double,q:double>, "
-           "counts array<int>")
+           "counts array<int>, ma map<string,array<float>>, "
+           "sa struct<r:array<double>>")
     rows = [
-        (1, inf, [nan, inf, -inf, 2.5], {"n": nan, "i": -inf},
-         (nan, inf), [7, None]),
-        (2, nan, None, None, None, None),
+        (1, inf, [nan, None, inf, -inf, 2.5], {"n": nan, "i": -inf,
+                                               "z": None},
+         (nan, inf), [7, None], {"k": [1.5, None, nan]},
+         ([None, nan, 3.5],)),
+        (2, nan, None, None, None, None, None, None),
     ]
     df = spark.createDataFrame(rows, ddl)
     out = str(tmp_path / "nonfinite")
@@ -600,24 +603,35 @@ def test_jsonl_nonfinite_contract_exhaustive(spark, tmp_path):
         _gz.open(os.path.join(out, f), "rb").read()
         for f in sorted(os.listdir(out)) if f.endswith(".jsonl.gz"))
     # byte-level: tokens inside containers, token for top-level Inf,
-    # null for top-level NaN
-    assert b'"a":[NaN,Infinity,-Infinity,2.5]' in raw
+    # null for top-level NaN — and a NULL float-array element stays
+    # null (the null-mask lane), never an invented NaN
+    assert b'"a":[NaN,null,Infinity,-Infinity,2.5]' in raw
     assert b'"i":-Infinity' in raw and b'"n":NaN' in raw
+    assert b'"z":null' in raw
     assert b'"p":NaN' in raw and b'"q":Infinity' in raw
     assert b'"x":Infinity' in raw
     assert b'"x":null' in raw
     assert b'"counts":[7,null]' in raw
+    # masks reach float arrays nested inside maps and structs too
+    assert b'"k":[1.5,null,NaN]' in raw
+    assert b'"r":[null,NaN,3.5]' in raw
 
-    # read-back: every token parses to its IEEE value at every level
+    # read-back: every token parses to its IEEE value at every level,
+    # and the restored nulls stay null
     back = {r.doc_id: r
             for r in spark.read.schema(ddl).json(out).collect()}
     r1 = back[1]
     assert r1.x == inf
-    assert (math.isnan(r1.a[0]) and r1.a[1] == inf
-            and r1.a[2] == -inf and r1.a[3] == 2.5)
+    assert (math.isnan(r1.a[0]) and r1.a[1] is None and r1.a[2] == inf
+            and r1.a[3] == -inf and r1.a[4] == 2.5)
     assert math.isnan(r1.m["n"]) and r1.m["i"] == -inf
+    assert r1.m["z"] is None
     assert math.isnan(r1.s.p) and r1.s.q == inf
     assert list(r1.counts) == [7, None]
+    ka = list(r1.ma["k"])
+    assert ka[0] == 1.5 and ka[1] is None and math.isnan(ka[2])
+    ra = list(r1.sa.r)
+    assert ra[0] is None and math.isnan(ra[1]) and ra[2] == 3.5
     assert back[2].x is None and back[2].a is None
 
 

@@ -661,17 +661,22 @@ def test_q11_grand_total_scans_lineitem_once(spark, sf_dir):
     # vacuously without proving the stage reuse this test documents.
     # Derived as the sf0.01 sibling of the configured testdata root so
     # SPARK_GRAFT_TEST_SF_DIR relocation keeps this gate running.
-    # A missing sibling SKIPS outside CI (an sf0.001-only checkout
-    # must not go red on an environment constraint) and FAILS only
-    # when SPARK_GRAFT_STRICT_TESTDATA=1, which the CI tier sets —
-    # there, silently skipping the one executed-plan reuse proof
-    # would be worse than failing loudly.
+    # A missing sibling FAILS on the canonical testdata layout (no
+    # SPARK_GRAFT_TEST_SF_DIR override, or SPARK_GRAFT_STRICT_TESTDATA
+    # =1) — there, silently skipping the one executed-plan reuse proof
+    # would be worse than failing loudly — and SKIPS only on an
+    # explicitly relocated checkout (the override set, strictness not
+    # requested), where an sf0.001-only environment is a legitimate
+    # constraint, not a rot signal.
+    relocated = "SPARK_GRAFT_TEST_SF_DIR" in os.environ
+    strict = (os.environ.get("SPARK_GRAFT_STRICT_TESTDATA") == "1"
+              or not relocated)
     sf_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if not os.path.isdir(sf_dir):  # pragma: no cover
         msg = (f"sf0.01 testdata not found at {sf_dir} — the q11 "
                "scan-reuse gate needs the sf0.01 sibling of "
                "SPARK_GRAFT_TEST_SF_DIR")
-        if os.environ.get("SPARK_GRAFT_STRICT_TESTDATA") == "1":
+        if strict:
             pytest.fail(msg)
         pytest.skip(msg)
     df = plans.queries()["q_tpch_q11"](spark, sf_dir)

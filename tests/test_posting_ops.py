@@ -181,20 +181,26 @@ def test_auto_path_override_skips_estimation_and_stays_lazy(spark,
     """`path=...` must bypass the eager regime estimation entirely
     (the documented lazy-composition escape hatch): with estimation
     sabotaged, explicit overrides still build plans; only the default
-    routes through it."""
+    routes through it. Per the docstring, path='posting' is fully
+    lazy, while path='tile' needs size_hint too for a job-free plan —
+    both are asserted by ALSO sabotaging DataFrame.count."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
     from kafka_elasticsearch_injector_spark.operators import posting
 
     df = spark.createDataFrame([(1, ["a", "b"]), (2, ["b", "c"])],
                                "doc_id long, g array<string>")
 
     def boom(*a, **k):
-        raise AssertionError("estimation ran")
+        raise AssertionError("plan-time job ran")
 
     monkeypatch.setattr(posting, "estimate_tile_vocab", boom)
-    for forced in ("tile", "posting"):
-        out = posting.jaccard_pairs_auto(df, threshold=0.0, path=forced)
+    monkeypatch.setattr(SparkDataFrame, "count", boom)
+    for kwargs in ({"path": "posting"},
+                   {"path": "tile", "size_hint": 2}):
+        out = posting.jaccard_pairs_auto(df, threshold=0.0, **kwargs)
         assert set(out.columns) >= {"doc_a", "doc_b", "jac"}
-    with pytest.raises(AssertionError, match="estimation ran"):
+    with pytest.raises(AssertionError, match="plan-time job ran"):
         posting.jaccard_pairs_auto(df, threshold=0.0)
     with pytest.raises(ValueError, match="path must be"):
         posting.jaccard_pairs_auto(df, threshold=0.0, path="dense")
