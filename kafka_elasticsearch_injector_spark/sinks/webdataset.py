@@ -117,7 +117,12 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     `members` maps tar-member suffix -> source column (default
     {"txt": "text"}); every row contributes one `{key}.{suffix}`
     member per mapping, key = zero-padded `id_col`. Binary columns
-    pass through; everything else is utf-8 text.
+    pass through; everything else is utf-8 text. A NULL member value
+    omits the member. For float/double member columns that fold also
+    swallows genuine NaN values (Arrow→pandas encodes null AS NaN in a
+    float lane, and a skipped member has no token to carry the
+    difference) — numeric-vector payloads belong in the JSONL export,
+    which restores the distinction via null masks (sinks/jsonl.py).
 
     The export runs INSIDE this call: shard tasks write into a hidden
     staging dir under `path`, the manifest is collected (triggering
