@@ -93,8 +93,11 @@ def _needs_mask(dtype) -> bool:
 def _mask_expr(dtype, col: Column) -> Column:
     """JVM-side companion expression mirroring `col`'s shape with
     every float-array element replaced by its null-ness boolean:
-    array<double> → array<boolean>, map<string,array<float>> →
-    map<string,array<boolean>>, struct fields only where needed. The
+    array<double> → array<boolean>, struct fields only where needed,
+    map lanes as an entry list array<struct<k,m>> (NOT a rebuilt map —
+    map_from_arrays throws on duplicate keys, which foreign parquet /
+    from_json data can legally carry; an entry list tolerates them and
+    last-wins in the writer exactly like the value dict does). The
     writer walks value and mask in parallel (_masked_converter) to
     restore exactly which NaNs were nulls — pure column transforms,
     no UDFs, negligible next to the gzip work."""
@@ -104,10 +107,12 @@ def _mask_expr(dtype, col: Column) -> Column:
         return F.transform(
             col, lambda x: _mask_expr(dtype.elementType, x))
     if isinstance(dtype, T.MapType):
-        return F.map_from_arrays(
-            F.map_keys(col),
-            F.transform(F.map_values(col),
-                        lambda x: _mask_expr(dtype.valueType, x)))
+        return F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                e.getField("key").alias("k"),
+                _mask_expr(dtype.valueType,
+                           e.getField("value")).alias("m")))
     if isinstance(dtype, T.StructType):
         return F.struct(*[
             _mask_expr(f.dataType, col.getField(f.name)).alias(f.name)
@@ -164,8 +169,7 @@ def _converter(dtype):
         isnull = _null_test_for(dtype.elementType)
 
         def conv_array(v):
-            vals = v.tolist() if isinstance(v, np.ndarray) else v
-            return [None if isnull(x) else elem(x) for x in vals]
+            return [None if isnull(x) else elem(x) for x in _tolist(v)]
         return conv_array
     if isinstance(dtype, T.MapType) and isinstance(dtype.keyType,
                                                    T.StringType):
@@ -217,11 +221,23 @@ def _masked_converter(dtype):
         return conv_array
     if isinstance(dtype, T.MapType):
         val = _masked_converter(dtype.valueType)
+        # Duplicate map keys collapse last-wins in the pandas value
+        # dict; building the mask lookup from the entry list with the
+        # same last-wins rule keeps the two aligned. The unmasked
+        # fallback can only fire if a mask entry is missing entirely
+        # (it preserves NaN-as-value, the pre-mask contract) — better
+        # than an executor-side TypeError.
+        plain = _converter(dtype.valueType)
 
         def conv_map(v, m):
-            md = m if isinstance(m, dict) else dict(m)
+            md = {}
+            for e in _tolist(m):
+                d = e if isinstance(e, dict) else e.asDict()
+                md[d["k"]] = d["m"]
             items = v.items() if isinstance(v, dict) else v
-            return {str(k): (None if x is None else val(x, md.get(k)))
+            return {str(k): (None if x is None
+                             else val(x, md[k]) if md.get(k) is not None
+                             else plain(x))
                     for k, x in items}
         return conv_map
     if isinstance(dtype, T.StructType):
@@ -310,10 +326,10 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
     a driver/executor-shared filesystem (see sinks/_staging.py).
     """
     columns = list(columns or df.columns)
-    if any(c.startswith(_MASK_PREFIX) for c in columns):
+    cols = list(dict.fromkeys([id_col, *columns]))
+    if any(c.startswith(_MASK_PREFIX) for c in cols):
         raise ValueError(f"column names may not start with {_MASK_PREFIX}"
                          " (reserved for the writer's null masks)")
-    cols = list(dict.fromkeys([id_col, *columns]))
     # Build converters at PLAN time: an unrepresentable column type
     # fails here with a clear TypeError, not per-task on the executors.
     converters = {f.name: _converter(f.dataType)

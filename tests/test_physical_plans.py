@@ -661,17 +661,18 @@ def test_q11_grand_total_scans_lineitem_once(spark, sf_dir):
     # vacuously without proving the stage reuse this test documents.
     # Derived as the sf0.01 sibling of the configured testdata root so
     # SPARK_GRAFT_TEST_SF_DIR relocation keeps this gate running.
-    # A missing sibling FAILS on the canonical testdata layout (no
-    # SPARK_GRAFT_TEST_SF_DIR override, or SPARK_GRAFT_STRICT_TESTDATA
-    # =1) — there, silently skipping the one executed-plan reuse proof
-    # would be worse than failing loudly — and SKIPS only on an
-    # explicitly relocated checkout (the override set, strictness not
-    # requested), where an sf0.001-only environment is a legitimate
-    # constraint, not a rot signal.
-    relocated = "SPARK_GRAFT_TEST_SF_DIR" in os.environ
-    strict = (os.environ.get("SPARK_GRAFT_STRICT_TESTDATA") == "1"
-              or not relocated)
-    sf_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    # A missing sibling FAILS on the canonical /root/testdata layout —
+    # there, silently skipping the one executed-plan reuse proof would
+    # be worse than failing loudly — and SKIPS on a genuinely
+    # relocated checkout (different testdata root), where an
+    # sf0.001-only environment is a legitimate constraint, not a rot
+    # signal. SPARK_GRAFT_STRICT_TESTDATA=1/0 overrides the layout
+    # heuristic in either direction.
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    strict_env = os.environ.get("SPARK_GRAFT_STRICT_TESTDATA")
+    strict = (strict_env == "1" if strict_env in ("0", "1")
+              else root == "/root/testdata")
+    sf_dir = os.path.join(root, "sf0.01")
     if not os.path.isdir(sf_dir):  # pragma: no cover
         msg = (f"sf0.01 testdata not found at {sf_dir} — the q11 "
                "scan-reuse gate needs the sf0.01 sibling of "
