@@ -43,6 +43,7 @@ from ._staging import staged_publish, write_shard_file
 # Scalar null test safe on containers; shared with the tar writer
 # (None / pd.NaT / float NaN — see _staging.is_null_scalar).
 from ._staging import is_null_scalar as _is_null
+from .integrity import publish_manifest
 from .webdataset import with_hash_shard
 
 MANIFEST_SCHEMA = "shard int, n_rows long, n_bytes long, sha256 string"
@@ -363,4 +364,8 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
                 .collect())                     # executes the export
 
     rows = staged_publish(path, ".jsonl.gz", run, allow_empty=allow_empty)
+    # Persist the integrity record next to the shards (atomic,
+    # deterministic, invisible to Spark readers) — see
+    # sinks/integrity.verify_shard_export for the re-check.
+    publish_manifest(path, rows)
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)

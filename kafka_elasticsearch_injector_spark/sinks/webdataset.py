@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ._staging import is_null_scalar, staged_publish, write_shard_file
+from .integrity import publish_manifest
 
 MANIFEST_SCHEMA = "shard int, n_members long, n_bytes long, sha256 string"
 
@@ -156,6 +157,10 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
                 .collect())                     # executes the export
 
     rows = staged_publish(path, ".tar", run, allow_empty=allow_empty)
+    # Persist the integrity record next to the shards (atomic,
+    # deterministic, invisible to Spark readers) — see
+    # sinks/integrity.verify_shard_export for the re-check.
+    publish_manifest(path, rows)
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)
 
 

@@ -801,3 +801,88 @@ def test_jsonl_roundtrip_property(spark, tmp_path):
                     f"got {got[f'c{i}']!r}")
 
     run()
+
+
+# ------------------------------------------------ manifest + integrity
+
+
+def test_manifest_persisted_deterministic_and_invisible(spark, tmp_path):
+    """Both shard writers persist `_manifest.json` (atomic, sorted,
+    byte-deterministic across re-runs, equal to the returned manifest
+    DataFrame), and Spark's file index filters it — a native read of
+    the JSONL export must see only shard files."""
+    from kafka_elasticsearch_injector_spark.sinks.integrity import (
+        read_manifest,
+    )
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, t string")
+
+    out = str(tmp_path / "j")
+    ret = {r.shard: (r.n_rows, r.n_bytes, r.sha256)
+           for r in write_jsonl_shards(df, out, 3).collect()}
+    man = {d["shard"]: (d["n_rows"], d["n_bytes"], d["sha256"])
+           for d in read_manifest(out)}
+    assert man == ret
+    bytes1 = open(os.path.join(out, "_manifest.json"), "rb").read()
+    out2 = str(tmp_path / "j2")
+    write_jsonl_shards(df, out2, 3)
+    assert open(os.path.join(out2, "_manifest.json"), "rb").read() == bytes1
+
+    # native read ignores the manifest file
+    back = spark.read.schema("doc_id long, t string").json(out)
+    assert back.count() == 20
+
+    tout = str(tmp_path / "t")
+    tret = {r.shard for r in
+            write_webdataset(df, tout, 2, members={"txt": "t"}).collect()}
+    assert {d["shard"] for d in read_manifest(tout)} == tret
+
+
+def test_verify_shard_export_statuses(spark, tmp_path):
+    """The distributed verifier reconciles disk against the manifest:
+    intact export → all ok; then one corrupted byte → hash_mismatch,
+    a truncated shard → size_mismatch, a deleted shard → missing, and
+    a foreign shard file → extra."""
+    from kafka_elasticsearch_injector_spark.sinks.integrity import (
+        verify_shard_export,
+    )
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        write_jsonl_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(40)], "doc_id long, t string")
+    out = str(tmp_path / "v")
+    write_jsonl_shards(df, out, 4)
+
+    ok = verify_shard_export(spark, out, ".jsonl.gz").collect()
+    assert len(ok) == 4 and all(r.status == "ok" for r in ok)
+
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".jsonl.gz"))
+    # corrupt one byte, same length
+    p0 = os.path.join(out, shards[0])
+    b = bytearray(open(p0, "rb").read())
+    b[-1] ^= 0xFF
+    open(p0, "wb").write(bytes(b))
+    # truncate another
+    p1 = os.path.join(out, shards[1])
+    open(p1, "ab").write(b"xx")
+    # delete a third
+    os.remove(os.path.join(out, shards[2]))
+    # plant a foreign shard-file a reader's glob would pick up
+    open(os.path.join(out, "shard-99999.jsonl.gz"), "wb").write(b"junk")
+
+    got = {r.file: r.status
+           for r in verify_shard_export(spark, out, ".jsonl.gz").collect()}
+    assert got[shards[0]] == "hash_mismatch"
+    assert got[shards[1]] == "size_mismatch"
+    assert got[shards[2]] == "missing"
+    assert got["shard-99999.jsonl.gz"] == "extra"
+    assert got[shards[3]] == "ok"
