@@ -49,7 +49,10 @@ def publish_manifest(path: str, rows) -> str:
     byte-deterministically. Returns the manifest path. Called by the
     shard writers AFTER staged publication succeeds, so a failed
     export leaves the previous manifest describing the intact previous
-    files."""
+    files. A crash in the narrow window between the shard swap and
+    this write leaves a stale manifest over new files — a state
+    verify_shard_export reports as mismatches, which is exactly the
+    re-export signal wanted there."""
     shards = sorted((dict(r) if isinstance(r, dict) else r.asDict()
                      for r in rows), key=lambda d: d["shard"])
     payload = (json.dumps({"shards": shards}, sort_keys=True,
