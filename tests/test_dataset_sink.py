@@ -886,3 +886,28 @@ def test_verify_shard_export_statuses(spark, tmp_path):
     assert got[shards[2]] == "missing"
     assert got["shard-99999.jsonl.gz"] == "extra"
     assert got[shards[3]] == "ok"
+
+
+def test_jsonl_mask_plumbing_is_projection_only(spark):
+    """Plan gate: the null-mask companions are pure column transforms
+    — adding them to the export select must introduce NO Exchange (the
+    export's single shuffle stays the groupBy(shard)) and NO Python
+    evaluation (the masks run JVM-side)."""
+    from kafka_elasticsearch_injector_spark.sinks.jsonl import (
+        _mask_expr,
+        _needs_mask,
+    )
+
+    ddl = ("doc_id long, emb array<double>, "
+           "ma map<string,array<float>>, sa struct<r:array<double>>, "
+           "t string")
+    df = spark.createDataFrame([], ddl)
+    masked = [f for f in df.schema.fields if _needs_mask(f.dataType)]
+    assert [f.name for f in masked] == ["emb", "ma", "sa"]
+    frame = df.select(
+        *df.columns,
+        *[_mask_expr(f.dataType, F.col(f.name)).alias(f"__m_{f.name}")
+          for f in masked])
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
