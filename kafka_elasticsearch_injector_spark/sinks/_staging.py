@@ -41,13 +41,21 @@ def is_null_scalar(v) -> bool:
 
 
 def staged_publish(path: str, ext: str, run: Callable[[str], list],
-                   allow_empty: bool = False) -> list:
+                   allow_empty: bool = False,
+                   manifest: bool = False) -> list:
     """Run `run(staging_dir)` (a Spark job whose tasks write
     `shard-*{ext}` files into staging_dir, returning manifest rows),
     then swap the staged files in: stale `shard-*{ext}` from a prior
     export are removed only AFTER success, and only finished files are
     published (a task that died between its tmp write and rename
     leaves `*.tmp-*` litter in staging, which must not escape).
+
+    With `manifest=True`, the integrity manifest (see
+    sinks/integrity.py) is written INTO the staging dir after the job
+    succeeds and renamed into place as the LAST step of the swap — the
+    only shards-without-matching-manifest window is the swap's own
+    rename sequence, and the verifier reports that state loudly
+    (mismatches / all-extra) rather than ever seeing a torn manifest.
 
     If the job produced ZERO staged shard files while prior shard
     files exist at `path`, the swap is REFUSED (the prior export is
@@ -59,6 +67,10 @@ def staged_publish(path: str, ext: str, run: Callable[[str], list],
     os.makedirs(staging)
     try:
         rows = run(staging)
+        staged_manifest = None
+        if manifest:
+            from .integrity import publish_manifest
+            staged_manifest = publish_manifest(staging, rows)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -78,6 +90,9 @@ def staged_publish(path: str, ext: str, run: Callable[[str], list],
         if fname.endswith(ext):
             os.replace(os.path.join(staging, fname),
                        os.path.join(path, fname))
+    if staged_manifest is not None:
+        os.replace(staged_manifest,
+                   os.path.join(path, os.path.basename(staged_manifest)))
     shutil.rmtree(staging)
     return rows
 
@@ -88,4 +103,11 @@ def write_shard_file(staging: str, name: str, data: bytes) -> None:
     tmp = final + f".tmp-{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(data)
+        # Durability before visibility: rename may become durable
+        # before the data blocks, and a published-then-torn shard is
+        # exactly what the manifest verifier exists to never see from
+        # our own writes. One fsync per shard — the write path is one
+        # file per task, so this never serializes anything.
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, final)

@@ -45,14 +45,15 @@ VERIFY_SCHEMA = ("shard int, file string, status string, "
 
 def publish_manifest(path: str, rows) -> str:
     """Persist manifest `rows` (Rows or dicts with at least `shard`,
-    `n_bytes`, `sha256`) as `path/_manifest.json`, atomically and
-    byte-deterministically. Returns the manifest path. Called by the
-    shard writers AFTER staged publication succeeds, so a failed
-    export leaves the previous manifest describing the intact previous
-    files. A crash in the narrow window between the shard swap and
-    this write leaves a stale manifest over new files — a state
-    verify_shard_export reports as mismatches, which is exactly the
-    re-export signal wanted there."""
+    `file`, `n_bytes`, `sha256`) as `path/_manifest.json`, atomically
+    and byte-deterministically. Returns the manifest path. The shard
+    writers do not call this directly: `_staging.staged_publish`
+    writes the manifest INTO the staging dir and renames it into place
+    as the final step of the shard swap, so the only
+    shards-without-matching-manifest window is the swap's own rename
+    sequence — a state verify_shard_export reports as mismatches (or,
+    for a first-ever export with no prior manifest, as all-``extra``),
+    which is exactly the re-export signal wanted there."""
     shards = sorted((dict(r) if isinstance(r, dict) else r.asDict()
                      for r in rows), key=lambda d: d["shard"])
     payload = (json.dumps({"shards": shards}, sort_keys=True,
@@ -61,14 +62,32 @@ def publish_manifest(path: str, rows) -> str:
     tmp = target + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
+        # fsync before the rename: os.replace can become durable
+        # before the data blocks on ext4/object-store FUSE, and a
+        # 0-byte manifest breaks the verifier this file exists for.
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, target)
     return target
 
 
 def read_manifest(path: str) -> list[dict]:
-    """The persisted shard list (empty export → [])."""
+    """The persisted shard list (empty export → []; no manifest at all
+    → FileNotFoundError — verify_shard_export catches that case and
+    reports every on-disk shard as ``extra``)."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         return json.load(f)["shards"]
+
+
+_GLOB_META = '\\*?[]{}'
+
+
+def _escape_glob(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a literal path.
+    DataFrameReader.load globs its path argument, so an export written
+    to e.g. `/data/run[1]/out` (plain os IO — fine for the writers)
+    would otherwise verify against `[1]` as a character class."""
+    return "".join(f"\\{c}" if c in _GLOB_META else c for c in path)
 
 
 def verify_shard_export(spark: SparkSession, path: str,
@@ -88,19 +107,29 @@ def verify_shard_export(spark: SparkSession, path: str,
 
     An intact export verifies to all-``ok``; ``df.filter("status !=
     'ok'")`` is the alert predicate. `ext` is the shard extension the
-    writer used (".jsonl.gz", ".tar")."""
+    writer used (".jsonl.gz", ".tar"). A directory with shards but NO
+    manifest (a crash inside the swap's final rename, or a foreign
+    directory) reports every file as ``extra`` — alerting, not
+    crashing, is the contract monitoring builds on."""
+    try:
+        manifest = read_manifest(path)
+    except FileNotFoundError:
+        manifest = []
+    # File names come from the manifest itself (the writers record
+    # them), so the shard naming convention lives only in the writers.
     man = spark.createDataFrame(
-        [(d["shard"], f"shard-{d['shard']:05d}{ext}",
-          d["sha256"], d["n_bytes"]) for d in read_manifest(path)],
+        [(d["shard"], d["file"], d["sha256"], d["n_bytes"])
+         for d in manifest],
         "shard int, file string, expected_sha256 string, "
         "expected_bytes long")
     # pathGlobFilter on the directory (not a glob path): a valid empty
     # export — zero shards, or every shard deleted — must verify to an
-    # empty/miss result, not throw PATH_NOT_FOUND.
+    # empty/miss result, not throw PATH_NOT_FOUND. The directory path
+    # itself is still globbed by Hadoop, hence the metachar escape.
     actual = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", f"shard-*{ext}")
-        .load(path)
+        .load(_escape_glob(path))
         .select(
             F.element_at(F.split("path", "/"), -1).alias("file"),
             F.sha2("content", 256).alias("actual_sha256"),

@@ -43,10 +43,10 @@ from ._staging import staged_publish, write_shard_file
 # Scalar null test safe on containers; shared with the tar writer
 # (None / pd.NaT / float NaN — see _staging.is_null_scalar).
 from ._staging import is_null_scalar as _is_null
-from .integrity import publish_manifest
 from .webdataset import with_hash_shard
 
-MANIFEST_SCHEMA = "shard int, n_rows long, n_bytes long, sha256 string"
+MANIFEST_SCHEMA = ("shard int, file string, n_rows long, n_bytes long, "
+                   "sha256 string")
 
 # Companion null-mask columns (see _mask_expr) ride next to the data
 # columns through the shard shuffle under this reserved prefix.
@@ -348,11 +348,12 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
     def run(staging: str) -> list:
         def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
+            fname = f"shard-{shard:05d}.jsonl.gz"
             ordered = pdf.sort_values(id_col, kind="mergesort")
             data = _jsonl_gz_bytes(ordered, columns, converters, masked)
-            write_shard_file(staging, f"shard-{shard:05d}.jsonl.gz", data)
+            write_shard_file(staging, fname, data)
             return pd.DataFrame([{
-                "shard": shard, "n_rows": len(ordered),
+                "shard": shard, "file": fname, "n_rows": len(ordered),
                 "n_bytes": len(data),
                 "sha256": hashlib.sha256(data).hexdigest(),
             }])
@@ -363,9 +364,9 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
                 .applyInPandas(write_shard, MANIFEST_SCHEMA)
                 .collect())                     # executes the export
 
-    rows = staged_publish(path, ".jsonl.gz", run, allow_empty=allow_empty)
-    # Persist the integrity record next to the shards (atomic,
-    # deterministic, invisible to Spark readers) — see
-    # sinks/integrity.verify_shard_export for the re-check.
-    publish_manifest(path, rows)
+    # manifest=True: the integrity record (atomic, deterministic,
+    # invisible to Spark readers — see sinks/integrity.py) is renamed
+    # into place as the swap's final step.
+    rows = staged_publish(path, ".jsonl.gz", run, allow_empty=allow_empty,
+                          manifest=True)
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)

@@ -52,9 +52,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ._staging import is_null_scalar, staged_publish, write_shard_file
-from .integrity import publish_manifest
 
-MANIFEST_SCHEMA = "shard int, n_members long, n_bytes long, sha256 string"
+MANIFEST_SCHEMA = ("shard int, file string, n_members long, n_bytes long, "
+                   "sha256 string")
 
 
 def with_hash_shard(df: DataFrame, n_shards: int,
@@ -143,11 +143,13 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     def run(staging: str) -> list:
         def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
+            fname = f"shard-{shard:05d}.tar"
             ordered = pdf.sort_values(id_col, kind="mergesort")
             data, n = _tar_bytes(ordered, id_col, members, int_cols)
-            write_shard_file(staging, f"shard-{shard:05d}.tar", data)
+            write_shard_file(staging, fname, data)
             return pd.DataFrame([{
-                "shard": shard, "n_members": n, "n_bytes": len(data),
+                "shard": shard, "file": fname, "n_members": n,
+                "n_bytes": len(data),
                 "sha256": hashlib.sha256(data).hexdigest(),
             }])
 
@@ -156,11 +158,11 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
                 .applyInPandas(write_shard, MANIFEST_SCHEMA)
                 .collect())                     # executes the export
 
-    rows = staged_publish(path, ".tar", run, allow_empty=allow_empty)
-    # Persist the integrity record next to the shards (atomic,
-    # deterministic, invisible to Spark readers) — see
-    # sinks/integrity.verify_shard_export for the re-check.
-    publish_manifest(path, rows)
+    # manifest=True: the integrity record (atomic, deterministic,
+    # invisible to Spark readers — see sinks/integrity.py) is renamed
+    # into place as the swap's final step.
+    rows = staged_publish(path, ".tar", run, allow_empty=allow_empty,
+                          manifest=True)
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)
 
 
