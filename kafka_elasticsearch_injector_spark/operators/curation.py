@@ -128,3 +128,95 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
     )
+
+
+def cap_per_source(df: DataFrame, cap: int, source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-source frequency capping (the CCNet/RefinedWeb `head`
+    quota): keep at most `cap` documents per source, deterministic by
+    ascending id — re-runs keep the identical subset. Adds a boolean
+    `kept`. One window per source partition; at 100 TB the partition
+    key is the domain, so each quota ranks only its own documents —
+    nothing global. Skewed mega-domains are exactly the rows the cap
+    discards, so rank-truncation cost is bounded by the quota."""
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return df.withColumn(
+        "kept", F.row_number().over(w) <= F.lit(cap))
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 n_buckets: int = 256, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """DSIR-flavored importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score each corpus document by how much its
+    hashed-bigram profile looks like the `target` distribution versus
+    the corpus at large. Returns (id, score_num, score_den, weight).
+
+    Exact-arithmetic variant, on purpose: instead of the paper's
+    Σ log((t_f+1)/(r_f+1)) — whose per-term libm log carries engine
+    last-ulp skew — the weight is the count-weighted odds ratio
+        weight = Σ_f c_doc(f)·(t_f+1)  /  Σ_f c_doc(f)·(r_f+1)
+    with add-one smoothing. Numerator/denominator are exact BIGINTs,
+    the final division is one IEEE op on integer operands —
+    bit-identical in any engine — and the ordering it induces is the
+    same "looks more like target" ranking importance resampling needs.
+
+    Scale shape: bigrams hash into `n_buckets` features, so the two
+    corpus-level profiles are `n_buckets`-row aggregates that BROADCAST
+    back onto the per-doc feature counts: one explode + two broadcast
+    joins + one groupBy(doc) — the corpus text shuffles only as
+    (doc, bucket, count) triples."""
+    def feats(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        grams = word_ngrams(toks, 2)
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+            .cast("bigint"), F.lit(n_buckets))
+        return (df.select(F.col(id_col), F.explode(grams).alias("gram"))
+                .select(id_col, bucket.alias("bucket")))
+
+    doc_counts = (feats(corpus)
+                  .groupBy(id_col, "bucket")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    raw_profile = (doc_counts.groupBy("bucket")
+                   .agg(F.sum("c").alias("r")))
+    target_profile = (feats(target).groupBy("bucket")
+                      .agg(F.count(F.lit(1)).alias("t")))
+
+    scored = (doc_counts
+              .join(F.broadcast(raw_profile), "bucket")
+              .join(F.broadcast(target_profile), "bucket", "left")
+              .select(id_col, "c", "r", F.coalesce("t", F.lit(0)).alias("t")))
+    num = F.sum(F.col("c") * (F.col("t") + 1))
+    den = F.sum(F.col("c") * (F.col("r") + 1))
+    return (scored.groupBy(id_col)
+            .agg(num.cast("bigint").alias("score_num"),
+                 den.cast("bigint").alias("score_den"),
+                 (num.cast("double") / den).alias("weight")))
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: list[Column | str],
+                      k: int, report_col: Column | str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: rows whose
+    quasi-identifier combination occurs fewer than `k` times are
+    re-identifiable and must be suppressed before release. Returns one
+    row per `report_col` value: (report, n_groups, n_suppressed_groups,
+    n_rows_suppressed, n_rows_kept) — exact integers.
+
+    Complements pii_scrub (direct identifiers): k-anonymity is the
+    INDIRECT-identifier release gate. Two hash aggregations — group
+    sizes, then per-report rollup; the shuffle carries quasi-identifier
+    tuples + counts, never payload rows."""
+    qcols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    rep = F.col(report_col) if isinstance(report_col, str) else report_col
+    groups = (df.groupBy(rep.alias("report"), *qcols)
+              .agg(F.count(F.lit(1)).alias("n")))
+    suppressed = F.col("n") < k
+    return (groups.groupBy("report")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                 F.sum(F.when(suppressed, 1).otherwise(0))
+                 .cast("bigint").alias("n_suppressed_groups"),
+                 F.sum(F.when(suppressed, F.col("n")).otherwise(0))
+                 .cast("bigint").alias("n_rows_suppressed"),
+                 F.sum(F.when(~suppressed, F.col("n")).otherwise(0))
+                 .cast("bigint").alias("n_rows_kept")))

@@ -543,3 +543,66 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_blocked(
         grams, id_col=id_col, set_col="g", threshold=threshold,
         size_hint=size_hint)
+
+
+def minhash_lsh_pairs_cross(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-corpus MinHash→LSH→verify: pairs (doc_id from `corpus`,
+    probe_id from `probe`) with exact Jaccard ≥ `threshold` among
+    band-collision candidates — the FUZZY decontamination screen
+    (q_decontaminate is the exact-overlap variant; this one also
+    catches paraphrased/perturbed benchmark leakage the way corpus
+    self-dedup catches near-dups).
+
+    Scale shape: the probe side is a benchmark/eval set — tiny versus
+    the corpus by construction — so its exploded band table is
+    BROADCAST: corpus band rows never shuffle, the whole screen is one
+    map-side equi-join over the corpus scan plus a verify on the few
+    candidates. Same signature/band functions as the self-join path
+    (minhash_lsh_pairs), so one corpus-side signature materialization
+    can feed both. Candidates are deduped by first-matching-band
+    emission (no distinct() shuffle), exactly as in the self-join."""
+    n_bands = k // rows_per_band
+    band_cols = [f"band_{i}" for i in range(n_bands)]
+
+    def sig_bands(df: DataFrame) -> DataFrame:
+        shingled = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                word_ngrams(tokens(text_col), shingle_n)).alias("shingles"))
+        sigs = shingled.select(
+            id_col, "shingles", *minhash_signature(F.col("shingles"), k))
+        return sigs.select(id_col, "shingles",
+                           *lsh_band_hashes(k, rows_per_band))
+
+    def explode_bands(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col("shingles").alias(f"{prefix}_sh"),
+            *[F.col(c).alias(f"{prefix}_{c}") for c in band_cols],
+            F.posexplode(F.array(*[F.col(c) for c in band_cols]))
+            .alias("bidx", "bh"))
+
+    a = explode_bands(sig_bands(fill_cluster(corpus)), "c")
+    b = explode_bands(sig_bands(probe), "p")
+
+    joined = a.join(F.broadcast(b), ["bidx", "bh"])
+    for j in range(n_bands - 1):
+        joined = joined.filter(
+            (F.lit(j) >= F.col("bidx"))
+            | (F.col(f"c_band_{j}") != F.col(f"p_band_{j}")))
+
+    jac = jaccard(F.col("c_sh"), F.col("p_sh"))
+    return (joined
+            .select(F.col("c_id").alias("doc_id"),
+                    F.col("p_id").alias("probe_id"),
+                    jac.alias("jac"))
+            .filter(F.col("jac") >= threshold))

@@ -24,7 +24,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -230,3 +230,38 @@ def audio_features(df_audio: DataFrame, frame: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df_audio.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def perceptual_hash(df_media: DataFrame, bits: int = 32,
+                    id_col: str = "doc_id",
+                    media_col: str = "media") -> DataFrame:
+    """Block-hash style perceptual fingerprint over the binary media
+    column: (id, phash bigint of `bits` bits).
+
+    Real deployment: decode the image, downscale to a bits-cell grid,
+    bit = cell luminance vs median (pHash/blockhash family — near-dup
+    images differ in few bits). The container has no image libs, so
+    the DECODE stands in deterministically (the fake media IS utf-8
+    text, media_col = encode(text) from attach_media): the payload is
+    split into `bits` equal-width chunks spanning the whole payload,
+    and bit j = high bit of the first md5 nibble of chunk j — the
+    ssdeep/blockhash shape: identical blocks agree bit-for-bit,
+    differing blocks flip a fair coin, so near-dup payloads (most
+    blocks shared) land at small hamming distance and unrelated ones
+    at ~bits/2. Everything downstream of decode (bit packing,
+    pigeonhole hamming join via dedup.hamming_segment_pairs) is the
+    production path.
+
+    All JVM expressions (substr/md5/conditionals) — no Python, no
+    shuffle; the hash is a projection over the media scan."""
+    dec = F.decode(F.col(media_col), "UTF-8")
+    n = F.length(dec)
+    cl = F.greatest(F.floor(n / bits).cast("int"), F.lit(1))
+    phash: Column = F.lit(0).cast("bigint")
+    for j in range(bits):
+        chunk = dec.substr(F.lit(1) + F.lit(j) * cl, cl)
+        high = F.instr(F.lit("89abcdef"),
+                       F.substring(F.md5(chunk), 1, 1)) > 0
+        phash = phash + F.when(high, F.lit(1 << j).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+    return df_media.select(F.col(id_col), phash.alias("phash"))

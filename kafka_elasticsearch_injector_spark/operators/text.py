@@ -226,3 +226,83 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    w-window over the hash sequence, select each window's minimum
+    (rightmost-minimum tie-break), and keep the DISTINCT selections.
+    Guarantees any shared run of ≥ w+k-1 tokens between two documents
+    shares a fingerprint, at ~2/(w+1) the density of full k-gram sets —
+    the sketch plagiarism/overlap detection indexes at corpus scale.
+
+    Returns one row per selected fingerprint: (id, sel_pos, fp).
+
+    Determinism/oracle notes: the k-gram hash is the first 32 bits of
+    md5 (same value via conv() here, '0x'||hex cast in SQL); min and
+    tie-break are fused into ONE bigint key `h·2¹⁶ + (2¹⁶−1−pos)` so a
+    plain window MIN implements rightmost-min exactly (no engine-
+    specific arg_min semantics). Positions fit 16 bits (docs ≪ 65k
+    tokens here; widen the encoding before lifting that bound).
+
+    Scale shape: explode → one window function partitioned by doc →
+    distinct. The window sort key is (doc, pos) — each partition sorts
+    its own documents' few-hundred hashes; nothing is global. The
+    distinct's shuffle is the fingerprint set itself, i.e. the output.
+    """
+    toks = tokens(text_col)
+    n_grams = F.size(toks) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]))
+    h32 = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10) \
+        .cast("bigint")
+    enc = h32 * F.lit(65536) + (F.lit(65535) - F.col("pos"))
+
+    exploded = (df.select(F.col(id_col), n_grams.alias("n_grams"),
+                          F.posexplode(grams).alias("pos0", "gram"))
+                .withColumn("pos", F.col("pos0") + 1)
+                .withColumn("enc", enc))
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    sel = (exploded
+           .withColumn("s", F.min("enc").over(win))
+           .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
+           .select(id_col, "n_grams", "s").distinct())
+    return sel.select(
+        id_col, F.col("n_grams").cast("bigint").alias("n_grams"),
+        (F.lit(65535) - F.pmod("s", F.lit(65536)))
+        .cast("bigint").alias("sel_pos"),
+        F.floor(F.col("s") / F.lit(65536)).cast("bigint").alias("fp"))
+
+
+def lexical_diversity(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document lexical diversity: (id, n_tokens, n_types,
+    type_token_ratio, repetition_index) where repetition_index is the
+    token-distribution collision probability Σc²/n² — the Rényi-2
+    surrogate for entropy. Chosen over Shannon entropy deliberately:
+    Σc² and n² are exact integers, so the two ratios are single IEEE
+    divisions on exactly-representable operands — bit-identical in any
+    engine — whereas entropy's per-term libm log carries last-ulp
+    engine skew (ROUNDING.md class). Same signal ordering for quality
+    filtering: high collision ⇔ low entropy ⇔ repetitive doc.
+
+    One explode + two hash aggregations, both partial-aggregable; the
+    shuffle carries (doc, token) counts, never text."""
+    counts = (df.select(F.col(id_col),
+                        F.explode(tokens(text_col)).alias("tok"))
+              .groupBy(id_col, "tok")
+              .agg(F.count(F.lit(1)).alias("c")))
+    n = F.sum("c")
+    return (counts.groupBy(id_col)
+            .agg(n.cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                 (F.count(F.lit(1)).cast("double") / n)
+                 .alias("type_token_ratio"),
+                 (F.sum(F.col("c") * F.col("c")).cast("double")
+                  / (n * n)).alias("repetition_index")))

@@ -1,0 +1,330 @@
+"""Unit/property tests for the Part E curation operators
+(operators/semdedup.py + the round-7 additions to dedup/text/
+curation/maintenance/multimodal)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, n=60, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.uniform(-0.5, 0.5, dim)])
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+
+
+# ------------------------------------------------------- k-means
+
+
+def test_kmeans_assign_is_nearest_centroid(spark):
+    """Every point's reported cluster must be the argmin (with lowest-
+    cluster tie-break) over SOME common centroid list — verified by
+    replaying the exact integer Lloyd iterations in numpy."""
+    from kafka_elasticsearch_injector_spark.operators.semdedup import (
+        QUANT_SCALE,
+        kmeans_assign,
+    )
+
+    dim, k, iters = 8, 4, 2
+    df = _emb_df(spark, n=60, dim=dim)
+    got = {r.vec_id: (r.cluster, r.dist_sq)
+           for r in kmeans_assign(df, k=k, iters=iters, dim=dim).collect()}
+
+    pdf = df.toPandas().sort_values("vec_id")
+    q = {int(r.vec_id):
+         np.floor(np.array(r.embedding, dtype=np.float64) * QUANT_SCALE)
+         .astype(np.int64) for r in pdf.itertuples()}
+    cents = {j: q[j] for j in range(k)}  # k lowest ids are 0..k-1 here
+
+    def assign(cents):
+        out = {}
+        for vid, vec in q.items():
+            best = min((int(((vec - c) ** 2).sum()), j)
+                       for j, c in cents.items())
+            out[vid] = best  # (dist, cluster)
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        agg: dict[int, list] = {}
+        for vid, (_, j) in a.items():
+            agg.setdefault(j, []).append(q[vid])
+        cents = {j: np.array([int(np.floor(float(s) / len(vs)))
+                              for s in np.sum(vs, axis=0)], dtype=np.int64)
+                 for j, vs in agg.items()}
+    final = assign(cents)
+    expect = {vid: (j, d) for vid, (d, j) in final.items()}
+    assert got == expect
+
+
+def test_kmeans_deterministic_rerun(spark):
+    from kafka_elasticsearch_injector_spark.operators.semdedup import (
+        kmeans_assign,
+    )
+
+    df = _emb_df(spark, n=40, dim=8, seed=3)
+    a = sorted(map(tuple, kmeans_assign(df, k=3, iters=2, dim=8).collect()))
+    b = sorted(map(tuple, kmeans_assign(df, k=3, iters=2, dim=8).collect()))
+    assert a == b
+
+
+def test_semdedup_stats_match_brute_force(spark):
+    from kafka_elasticsearch_injector_spark.operators.semdedup import (
+        kmeans_assign,
+        semdedup_cluster_stats,
+    )
+
+    dim, k, thr = 8, 3, 0.2
+    df = _emb_df(spark, n=50, dim=dim, seed=11)
+    stats = {r.cluster: (r.n_docs, r.n_dup_pairs, r.n_pruned)
+             for r in semdedup_cluster_stats(
+                 df, threshold=thr, k=k, iters=2, dim=dim).collect()}
+
+    assign = {r.vec_id: r.cluster
+              for r in kmeans_assign(df, k=k, iters=2, dim=dim).collect()}
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in df.toPandas().itertuples()}
+    expect: dict[int, list] = {}
+    for a in vecs:
+        expect.setdefault(assign[a], [0, set()])
+    for a in vecs:
+        for b in vecs:
+            if a < b and assign[a] == assign[b]:
+                va, vb = vecs[a], vecs[b]
+                # dimension-sequential fold, same as the operator
+                dot = 0.0
+                na = 0.0
+                nb = 0.0
+                for i in range(dim):
+                    dot += va[i] * vb[i]
+                    na += va[i] * va[i]
+                    nb += vb[i] * vb[i]
+                cs = dot / (np.sqrt(na) * np.sqrt(nb))
+                if cs >= thr:
+                    e = expect[assign[a]]
+                    e[0] += 1
+                    e[1].add(b)
+    sizes: dict[int, int] = {}
+    for a, c in assign.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for c, n in sizes.items():
+        pairs, pruned = expect.get(c, [0, set()])
+        assert stats[c] == (n, pairs, len(pruned))
+
+
+# ------------------------------------------------------- winnowing
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's core guarantee: documents sharing a token run of
+    length ≥ w+k-1 share at least one fingerprint VALUE."""
+    from kafka_elasticsearch_injector_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    shared = " ".join(f"s{i}" for i in range(w + k - 1))  # exactly w+k-1
+    df = spark.createDataFrame(
+        [(1, "aa bb cc " + shared + " dd ee"),
+         (2, shared + " zz yy xx ww vv uu")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=k, w=w).collect()
+    f1 = {r.fp for r in fp if r.doc_id == 1}
+    f2 = {r.fp for r in fp if r.doc_id == 2}
+    assert f1 & f2
+
+
+def test_winnow_density_band(spark):
+    """Selected fingerprints ≤ windows; every window contributes, so
+    density sits in (0, 1] and n_fingerprints ≤ n_grams - w + 1."""
+    from kafka_elasticsearch_injector_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    text = " ".join(f"t{i % 17}" for i in range(60))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=3, w=4).collect()
+    n_grams = rows[0].n_grams
+    assert 1 <= len(rows) <= n_grams - 3
+    assert all(1 <= r.sel_pos <= n_grams for r in rows)
+
+
+# ------------------------------------------------------- cross minhash
+
+
+def test_minhash_cross_equals_selfjoin_cross_subset(spark):
+    """The cross-corpus LSH screen must emit exactly the self-join
+    screen's pairs restricted to (corpus, probe) sides — same bands,
+    same verify."""
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_cross,
+    )
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"w{i}"
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") % 5 != 0)
+    probe = df.filter(F.col("doc_id") % 5 == 0)
+
+    cross = {(r.doc_id, r.probe_id, r.jac)
+             for r in minhash_lsh_pairs_cross(
+                 corpus, probe, threshold=0.5).collect()}
+    self_pairs = minhash_lsh_pairs(df, threshold=0.5).collect()
+    expect = set()
+    for r in self_pairs:
+        a, b = r.doc_a, r.doc_b
+        if a % 5 != 0 and b % 5 == 0:
+            expect.add((a, b, r.jac))
+        elif b % 5 != 0 and a % 5 == 0:
+            expect.add((b, a, r.jac))
+    assert cross == expect
+
+
+# ------------------------------------------------------- corpus diff
+
+
+def test_corpus_diff_statuses(spark):
+    from kafka_elasticsearch_injector_spark.operators.maintenance import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "doc_id long, digest string, n_chars long")
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 31), (4, "d", 40)],
+        "doc_id long, digest string, n_chars long")
+    got = {r.doc_id: (r.status, r.n_chars)
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: ("removed", 10), 2: ("unchanged", 20),
+                   3: ("changed", 31), 4: ("added", 40)}
+
+
+# ------------------------------------------------------- capping
+
+
+def test_cap_per_source(spark):
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        cap_per_source,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)],
+        "doc_id long, source string")
+    out = cap_per_source(df, cap=4).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.source, []).append((r.doc_id, r.kept))
+    for src, entries in kept.items():
+        ids = sorted(i for i, _ in entries)
+        expect_kept = set(ids[:4])
+        assert {i for i, k in entries if k} == expect_kept
+
+
+# ------------------------------------------------------- phash
+
+
+def test_perceptual_hash_block_locality(spark):
+    """Identical payloads hash identically; a payload edited inside
+    ONE chunk flips at most one bit."""
+    from kafka_elasticsearch_injector_spark.operators.multimodal import (
+        attach_media,
+        perceptual_hash,
+    )
+
+    base = "x" * 64
+    edited = base[:10] + "Q" + base[11:]  # same length, chunk 5 only
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)], "doc_id long, text string")
+    ph = {r.doc_id: r.phash
+          for r in perceptual_hash(attach_media(df), bits=32).collect()}
+    assert ph[1] == ph[2]
+    assert bin(ph[1] ^ ph[3]).count("1") <= 1
+
+
+# ------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_audit_counts(spark):
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        k_anonymity_audit,
+    )
+
+    # group (g1, a): 3 rows (safe at k=3); (g1, b): 1 row (suppressed);
+    # (g2, a): 2 rows (suppressed)
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+         ("g2", "a"), ("g2", "a")],
+        "grp string, qi string")
+    got = {r.report: (r.n_groups, r.n_suppressed_groups,
+                      r.n_rows_suppressed, r.n_rows_kept)
+           for r in k_anonymity_audit(
+               df, ["qi"], k=3, report_col="grp").collect()}
+    assert got == {"g1": (2, 1, 1, 3), "g2": (1, 1, 2, 0)}
+
+
+# ------------------------------------------------------- diversity
+
+
+def test_lexical_diversity_values(spark):
+    from kafka_elasticsearch_injector_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_types, r.type_token_ratio,
+                      r.repetition_index)
+           for r in lexical_diversity(df).collect()}
+    assert got[1] == (4, 2, 0.5, (9 + 1) / 16)
+    assert got[2] == (4, 4, 1.0, 4 / 16)
+
+
+# ------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_pandas_replica(spark):
+    import hashlib
+
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        dsir_weights,
+    )
+
+    rows = [(1, "aa bb cc", "en"), (2, "aa bb dd", "fr"),
+            (3, "cc dd ee", "en"), (4, "ee ff gg", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.score_num, r.score_den, r.weight)
+           for r in dsir_weights(
+               df, df.filter(F.col("lang") == "en"),
+               n_buckets=16).collect()}
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % 16
+
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    docs: dict[int, dict[int, int]] = {}
+    for doc_id, text, lang in rows:
+        t = text.split(" ")
+        grams = [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+        for g in grams:
+            f = bucket(g)
+            raw[f] = raw.get(f, 0) + 1
+            if lang == "en":
+                tgt[f] = tgt.get(f, 0) + 1
+            docs.setdefault(doc_id, {})
+            docs[doc_id][f] = docs[doc_id].get(f, 0) + 1
+    for doc_id, feats in docs.items():
+        num = sum(c * (tgt.get(f, 0) + 1) for f, c in feats.items())
+        den = sum(c * (raw[f] + 1) for f, c in feats.items())
+        assert got[doc_id] == (num, den, num / den)

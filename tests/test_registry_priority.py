@@ -72,12 +72,21 @@ def test_rotation_freshness_invariant():
     current = rounds[-1]
     last_green, _ = driver_history()
     names = list(queries())
+    # Newly added queries have no driver row yet BY CONSTRUCTION; they
+    # are exempt only while the rotation guarantees they verify next
+    # round, i.e. while they sit inside the checked prefix (they sort
+    # never-checked-first, so this holds until the backlog of new
+    # queries itself exceeds the cap — at which point this test fails
+    # and the inventory must stop growing until evidence catches up).
+    prefix = set(names[:DRIVER_PREFIX_CAP])
     stale = {n: last_green.get(n) for n in names
-             if last_green.get(n) is None
-             or last_green[n] < current - 3}
+             if (last_green.get(n) is None and n not in prefix)
+             or (last_green.get(n) is not None
+                 and last_green[n] < current - 3)}
     assert not stale, (
         f"queries whose latest green driver evidence predates round "
-        f"{current - 3} (newest round: {current}): {stale}")
+        f"{current - 3} (newest round: {current}), or never-checked "
+        f"queries not scheduled in the next verification prefix: {stale}")
 
 
 def test_priority_is_total_and_stable():
