@@ -98,6 +98,13 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
     """Deterministic integer Lloyd's: returns (id, cluster int,
     dist_sq bigint) after `iters` centroid updates.
 
+    EAGER at plan time, necessarily: Lloyd's is an iterative algorithm
+    whose every pass depends on the previous pass's aggregates, so
+    CALLING this function runs `iters`+2 small Spark jobs (checkpoint,
+    init, per-iteration update aggs) before returning the (lazy) final
+    assignment plan — the same driver-coordinated shape as
+    dedup.connected_components and pyspark.ml's own KMeans.fit.
+
     - init: the k lowest-id vectors, cluster = their id rank;
     - assignment: exact BIGINT argmin, ties → lowest cluster id;
     - update: per-dim floor(double(sum)/count) — sum fits a double

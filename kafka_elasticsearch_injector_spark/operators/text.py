@@ -252,7 +252,26 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
     distinct. The window sort key is (doc, pos) — each partition sorts
     its own documents' few-hundred hashes; nothing is global. The
     distinct's shuffle is the fingerprint set itself, i.e. the output.
+    Per-doc ROLLUPS should use winnow_stats instead: it aggregates
+    straight off the window's own doc_id partitioning (one exchange
+    total, partial-distinct map-side) rather than paying the
+    fingerprint-set shuffle just to count it.
     """
+    sel = _winnow_selections(df, k, w, id_col, text_col) \
+        .select(id_col, "n_grams", "s").distinct()
+    return sel.select(
+        id_col, F.col("n_grams").cast("bigint").alias("n_grams"),
+        (F.lit(65535) - F.pmod("s", F.lit(65536)))
+        .cast("bigint").alias("sel_pos"),
+        F.floor(F.col("s") / F.lit(65536)).cast("bigint").alias("fp"))
+
+
+def _winnow_selections(df: DataFrame, k: int, w: int,
+                       id_col: str, text_col: str) -> DataFrame:
+    """Window selections BEFORE dedup: (id, n_grams, pos, s) — one row
+    per window position, `s` the fused min-key (duplicated whenever
+    adjacent windows pick the same gram, which is the winnowing
+    normal case)."""
     toks = tokens(text_col)
     n_grams = F.size(toks) - (k - 1)
     grams = F.transform(
@@ -269,15 +288,29 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
                 .withColumn("enc", enc))
     win = (Window.partitionBy(id_col).orderBy("pos")
            .rowsBetween(Window.currentRow, w - 1))
-    sel = (exploded
-           .withColumn("s", F.min("enc").over(win))
-           .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
-           .select(id_col, "n_grams", "s").distinct())
-    return sel.select(
-        id_col, F.col("n_grams").cast("bigint").alias("n_grams"),
-        (F.lit(65535) - F.pmod("s", F.lit(65536)))
-        .cast("bigint").alias("sel_pos"),
-        F.floor(F.col("s") / F.lit(65536)).cast("bigint").alias("fp"))
+    return (exploded
+            .withColumn("s", F.min("enc").over(win))
+            .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
+            .select(id_col, "n_grams", "pos", "s"))
+
+
+def winnow_stats(df: DataFrame, k: int = 3, w: int = 4,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-doc winnowing sketch rollup: (id, n_grams, n_fingerprints,
+    density). Exchange-frugal on purpose: the window already
+    hash-partitioned rows by `id_col`, and a groupBy on the same key
+    reuses that distribution, so the countDistinct dedups map-side and
+    the whole rollup costs ONE exchange (the window's) — vs the
+    fingerprint-set shuffle winnow_fingerprints pays to materialize
+    rows it would immediately collapse."""
+    sel = _winnow_selections(df, k, w, id_col, text_col)
+    return (sel.groupBy(id_col)
+            .agg(F.min("n_grams").cast("bigint").alias("n_grams"),
+                 F.countDistinct("s").cast("bigint")
+                 .alias("n_fingerprints"),
+                 (F.countDistinct("s").cast("double") / F.min("n_grams"))
+                 .alias("density")))
 
 
 def lexical_diversity(df: DataFrame, id_col: str = "doc_id",

@@ -353,19 +353,15 @@ _WIN_K, _WIN_W = 3, 4
         "MOSS): word 3-gram hashes, window-4 rightmost-minimum "
         "selection fused into one bigint key so plain window MIN "
         "implements the tie-break; per-doc sketch density ≈ 2/(w+1). "
-        "operators/text.winnow_fingerprints; density is an integer "
-        "ratio (bit-exact).",
+        "operators/text.winnow_stats — the rollup aggregates straight "
+        "off the window's doc_id partitioning (ONE exchange total, "
+        "plan-gated); density is an integer ratio (bit-exact).",
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import winnow_fingerprints
+    from ..operators.text import winnow_stats
 
-    fp = winnow_fingerprints(table(spark, sf_dir, "documents"),
-                             k=_WIN_K, w=_WIN_W)
-    return (fp.groupBy("doc_id")
-            .agg(F.min("n_grams").cast("bigint").alias("n_grams"),
-                 F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
-                 (F.count(F.lit(1)).cast("double") / F.min("n_grams"))
-                 .alias("density")))
+    return winnow_stats(table(spark, sf_dir, "documents"),
+                        k=_WIN_K, w=_WIN_W)
 
 
 # ===================================================================

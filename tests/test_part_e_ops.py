@@ -328,3 +328,54 @@ def test_dsir_weights_pandas_replica(spark):
         num = sum(c * (tgt.get(f, 0) + 1) for f, c in feats.items())
         den = sum(c * (raw[f] + 1) for f, c in feats.items())
         assert got[doc_id] == (num, den, num / den)
+
+
+# ------------------------------------------------------- plan gates
+
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fuzzy_decon_probe_broadcasts(spark, sf_dir):
+    """The cross-corpus screen's candidate join must BROADCAST the
+    probe band side: corpus band rows never shuffle, and no Exchange
+    sits above the join (same discipline as the self-join LSH gate)."""
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _executed(queries()["q_decontaminate_fuzzy"](spark, sf_dir))
+    tree = plan.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree, tree
+    above = tree.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange" not in above, tree
+
+
+def test_dsir_profiles_broadcast(spark, sf_dir):
+    """Both corpus-profile joins (raw + target, 256 rows each) must be
+    broadcasts — per-doc feature counts never shuffle for the joins
+    (the groupBys' own exchanges are the only ones)."""
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _executed(queries()["q_dsir_weights"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_kmeans_final_assignment_is_narrow(spark, sf_dir):
+    """The returned assignment plan must be a pure projection over the
+    checkpointed quantized rows — no Exchange, no join: the centroids
+    are plan literals inside one fold expression."""
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _executed(queries()["q_semdedup_kmeans"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_winnow_rollup_single_exchange(spark, sf_dir):
+    """winnow_stats must aggregate off the window's own doc_id
+    partitioning: exactly ONE Exchange in the whole plan (the
+    window's) — the distinct/groupBy re-shuffle class stays out."""
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _executed(queries()["q_winnow_fingerprints"](spark, sf_dir))
+    assert plan.count("Exchange") <= 1, plan
