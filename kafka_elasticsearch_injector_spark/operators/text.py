@@ -5,7 +5,7 @@ per-doc cost is O(chars), embarrassingly parallel, zero shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import tokens, word_ngrams
@@ -244,73 +244,77 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
     Determinism/oracle notes: the k-gram hash is the first 32 bits of
     md5 (same value via conv() here, '0x'||hex cast in SQL); min and
     tie-break are fused into ONE bigint key `h·2¹⁶ + (2¹⁶−1−pos)` so a
-    plain window MIN implements rightmost-min exactly (no engine-
-    specific arg_min semantics). Positions fit 16 bits (docs ≪ 65k
-    tokens here; widen the encoding before lifting that bound).
+    plain MIN over each window implements rightmost-min exactly (no
+    engine-specific arg_min semantics). Positions fit 16 bits (docs ≪
+    65k tokens here; widen the encoding before lifting that bound).
 
-    Scale shape: explode → one window function partitioned by doc →
-    distinct. The window sort key is (doc, pos) — each partition sorts
-    its own documents' few-hundred hashes; nothing is global. The
-    distinct's shuffle is the fingerprint set itself, i.e. the output.
-    Per-doc ROLLUPS should use winnow_stats instead: it aggregates
-    straight off the window's own doc_id partitioning (one exchange
-    total, partial-distinct map-side) rather than paying the
-    fingerprint-set shuffle just to count it.
+    Scale shape: ZERO exchanges. A document's grams already live in
+    one array, so the whole selection is row-local array algebra —
+    transform→slice→array_min for the sliding minima, array_distinct
+    for the per-doc dedup (cross-doc rows carry distinct ids, so no
+    global distinct exists to pay for) — and the operator is a narrow
+    projection over the scan: it parallelizes by input split and runs
+    shuffle-free at any corpus size. The explode emits only the
+    ~2/(w+1)-density selection set, never the full gram sequence.
     """
-    sel = _winnow_selections(df, k, w, id_col, text_col) \
-        .select(id_col, "n_grams", "s").distinct()
+    arr = _winnow_doc_arrays(df, k, w, id_col, text_col)
+    sel = arr.select(
+        F.col(id_col), F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.explode(F.array_distinct("_sels")).alias("s"))
     return sel.select(
-        id_col, F.col("n_grams").cast("bigint").alias("n_grams"),
+        id_col, "n_grams",
         (F.lit(65535) - F.pmod("s", F.lit(65536)))
         .cast("bigint").alias("sel_pos"),
         F.floor(F.col("s") / F.lit(65536)).cast("bigint").alias("fp"))
 
 
-def _winnow_selections(df: DataFrame, k: int, w: int,
+def _winnow_doc_arrays(df: DataFrame, k: int, w: int,
                        id_col: str, text_col: str) -> DataFrame:
-    """Window selections BEFORE dedup: (id, n_grams, pos, s) — one row
-    per window position, `s` the fused min-key (duplicated whenever
-    adjacent windows pick the same gram, which is the winnowing
-    normal case)."""
+    """(id, n_grams, _sels) — `_sels` holds every window's fused
+    min-key `h32·2¹⁶ + (2¹⁶−1−pos)` as a row-local ARRAY (duplicated
+    whenever adjacent windows pick the same gram, the winnowing normal
+    case). Built as three stacked projections (grams → gram-hash keys
+    → window minima) so each stage is a named attribute the next one
+    references: CollapseProject declines to inline non-cheap aliases
+    used more than once, so nothing is recomputed and no stage needs
+    an Exchange. Docs with fewer than w windows (n_grams < w) emit
+    nothing — identical to the old explode+window filter and to the
+    SQL oracle's `n_grams >= w` predicate."""
     toks = tokens(text_col)
-    n_grams = F.size(toks) - (k - 1)
+    base = (df.select(F.col(id_col), toks.alias("_toks"),
+                      (F.size(toks) - (k - 1)).alias("n_grams"))
+            .filter(F.col("n_grams") >= w))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        F.sequence(F.lit(1), F.col("n_grams")),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]))
-    h32 = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10) \
-        .cast("bigint")
-    enc = h32 * F.lit(65536) + (F.lit(65535) - F.col("pos"))
-
-    exploded = (df.select(F.col(id_col), n_grams.alias("n_grams"),
-                          F.posexplode(grams).alias("pos0", "gram"))
-                .withColumn("pos", F.col("pos0") + 1)
-                .withColumn("enc", enc))
-    win = (Window.partitionBy(id_col).orderBy("pos")
-           .rowsBetween(Window.currentRow, w - 1))
-    return (exploded
-            .withColumn("s", F.min("enc").over(win))
-            .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
-            .select(id_col, "n_grams", "pos", "s"))
+            " ", *[F.element_at(F.col("_toks"), i + j) for j in range(k)]))
+    encs = F.transform(
+        F.col("_grams"),
+        lambda g, i: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("bigint") * F.lit(65536) + (F.lit(65535) - (i + F.lit(1))))
+    sels = F.transform(
+        F.sequence(F.lit(1), F.col("n_grams") - (w - 1)),
+        lambda p: F.array_min(F.slice(F.col("_encs"), p, F.lit(w))))
+    return (base.select(id_col, "n_grams", grams.alias("_grams"))
+            .select(id_col, "n_grams", encs.alias("_encs"))
+            .select(id_col, "n_grams", sels.alias("_sels")))
 
 
 def winnow_stats(df: DataFrame, k: int = 3, w: int = 4,
                  id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Per-doc winnowing sketch rollup: (id, n_grams, n_fingerprints,
-    density). Exchange-frugal on purpose: the window already
-    hash-partitioned rows by `id_col`, and a groupBy on the same key
-    reuses that distribution, so the countDistinct dedups map-side and
-    the whole rollup costs ONE exchange (the window's) — vs the
-    fingerprint-set shuffle winnow_fingerprints pays to materialize
-    rows it would immediately collapse."""
-    sel = _winnow_selections(df, k, w, id_col, text_col)
-    return (sel.groupBy(id_col)
-            .agg(F.min("n_grams").cast("bigint").alias("n_grams"),
-                 F.countDistinct("s").cast("bigint")
-                 .alias("n_fingerprints"),
-                 (F.countDistinct("s").cast("double") / F.min("n_grams"))
-                 .alias("density")))
+    density). Shuffle-FREE: the sketch is already a row-local array
+    (see _winnow_doc_arrays), so the rollup is size(array_distinct())
+    inside the same narrow projection — no window, no groupBy, no
+    exchange; the plan gate pins the Exchange count at zero."""
+    arr = _winnow_doc_arrays(df, k, w, id_col, text_col)
+    n_fp = F.size(F.array_distinct("_sels"))
+    return arr.select(
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        n_fp.cast("bigint").alias("n_fingerprints"),
+        (n_fp.cast("double") / F.col("n_grams")).alias("density"))
 
 
 def lexical_diversity(df: DataFrame, id_col: str = "doc_id",

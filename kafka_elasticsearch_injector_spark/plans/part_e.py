@@ -353,9 +353,10 @@ _WIN_K, _WIN_W = 3, 4
         "MOSS): word 3-gram hashes, window-4 rightmost-minimum "
         "selection fused into one bigint key so plain window MIN "
         "implements the tie-break; per-doc sketch density ≈ 2/(w+1). "
-        "operators/text.winnow_stats — the rollup aggregates straight "
-        "off the window's doc_id partitioning (ONE exchange total, "
-        "plan-gated); density is an integer ratio (bit-exact).",
+        "operators/text.winnow_stats — the whole sketch is row-local "
+        "array algebra (transform/slice/array_min/array_distinct), so "
+        "the plan is a ZERO-exchange narrow projection (plan-gated); "
+        "density is an integer ratio (bit-exact).",
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import winnow_stats

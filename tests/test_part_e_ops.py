@@ -371,11 +371,12 @@ def test_kmeans_final_assignment_is_narrow(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
-def test_winnow_rollup_single_exchange(spark, sf_dir):
-    """winnow_stats must aggregate off the window's own doc_id
-    partitioning: exactly ONE Exchange in the whole plan (the
-    window's) — the distinct/groupBy re-shuffle class stays out."""
+def test_winnow_rollup_shuffle_free(spark, sf_dir):
+    """winnow_stats is row-local array algebra over the scan — the
+    executed plan must contain ZERO Exchanges and zero window/agg
+    operators: a narrow projection that parallelizes by input split."""
     from kafka_elasticsearch_injector_spark.plans import queries
 
     plan = _executed(queries()["q_winnow_fingerprints"](spark, sf_dir))
-    assert plan.count("Exchange") <= 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
