@@ -165,14 +165,19 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     corpus-level profiles are `n_buckets`-row aggregates that BROADCAST
     back onto the per-doc feature counts: one explode + two broadcast
     joins + one groupBy(doc) — the corpus text shuffles only as
-    (doc, bucket, count) triples."""
+    (doc, bucket, count) triples. The md5-per-bigram explode is
+    CPU-dense, so inputs go through fill_cluster first: a small corpus
+    arriving as one parquet split must not serialize ~n_tokens·|corpus|
+    hashes onto one core (at real scale the scan's own splits already
+    spread it and fill_cluster is a no-op)."""
     def feats(df: DataFrame) -> DataFrame:
         toks = tokens(text_col)
         grams = word_ngrams(toks, 2)
         bucket = F.pmod(
             F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
             .cast("bigint"), F.lit(n_buckets))
-        return (df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        return (fill_cluster(df)
+                .select(F.col(id_col), F.explode(grams).alias("gram"))
                 .select(id_col, bucket.alias("bucket")))
 
     doc_counts = (feats(corpus)
