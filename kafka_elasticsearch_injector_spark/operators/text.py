@@ -317,6 +317,98 @@ def winnow_stats(df: DataFrame, k: int = 3, w: int = 4,
         (n_fp.cast("double") / F.col("n_grams")).alias("density"))
 
 
+def winnow_pairs(df: DataFrame, k: int = 3, w: int = 4,
+                 df_ceiling: int = 16, min_shared: int = 2,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """MOSS overlap detection — the winnowing sketch's actual purpose:
+    discover document pairs sharing selected fingerprints and score
+    each pair by containment of the smaller sketch. Returns
+    (doc_a, doc_b, n_shared bigint, overlap double) for pairs with at
+    least `min_shared` shared fingerprints; overlap =
+    n_shared / min(|sketch_a|, |sketch_b|), an integer-operand IEEE
+    division (bit-exact cross-engine).
+
+    Scale shape — an inverted-index (posting) join over the SKETCH,
+    never the corpus:
+    - the per-doc fingerprint set is row-local array algebra
+      (_winnow_doc_arrays + array_distinct), so sketching is a narrow
+      projection and |sketch| rides along each posting row — no
+      doc-size side join;
+    - `df_ceiling` drops fingerprints appearing in more than that many
+      docs BEFORE the self-join (boilerplate/stop-fingerprints — the
+      same recall trade as posting.py's stop-gram ceiling, documented
+      there): per-fingerprint fan-out is ≤ ceiling², so worst cost is
+      |postings|·ceiling, never N²;
+    - the posting rows shuffle by fingerprint once and that exchange
+      is REUSED by the document-frequency aggregate and the join
+      (same canonical key), then pair rollup shuffles only
+      (doc_a, doc_b, 1) triples with map-side partial counts.
+    """
+    arr = _winnow_doc_arrays(df, k, w, id_col, text_col)
+    fpa = F.array_distinct(F.transform(
+        "_sels", lambda s: F.floor(s / F.lit(65536)).cast("bigint")))
+    fps = (arr.select(F.col(id_col).alias("doc"), fpa.alias("_fps"))
+           .select("doc", F.size("_fps").alias("n_fp"),
+                   F.explode("_fps").alias("fp")))
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    keep = fps.join(dfreq.filter(F.col("df") <= df_ceiling), "fp")
+    a = keep.select("fp", F.col("doc").alias("doc_a"),
+                    F.col("n_fp").alias("n_fp_a"))
+    b = keep.select("fp", F.col("doc").alias("doc_b"),
+                    F.col("n_fp").alias("n_fp_b"))
+    pairs = (a.join(b, "fp")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"),
+                  F.min("n_fp_a").alias("n_fp_a"),
+                  F.min("n_fp_b").alias("n_fp_b"))
+             .filter(F.col("n_shared") >= min_shared))
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        (F.col("n_shared").cast("double")
+         / F.least("n_fp_a", "n_fp_b")).alias("overlap"))
+
+
+def token_familiarity(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-doc typicality quality signal (CCNet-flavored LM-free
+    proxy): mean corpus document-frequency of the document's DISTINCT
+    tokens. OOV-heavy / gibberish docs score low, boilerplate scores
+    high — the cheap outlier screen that runs before any model-based
+    scorer. Returns (id, n_types, df_sum, familiarity) where
+    familiarity = df_sum / n_types (integer-operand IEEE division).
+
+    Scale shape: distinct tokens come from row-local array_distinct
+    (no per-doc distinct shuffle). The document-frequency profile is a
+    partial-aggregated groupBy(token) — map-side combine makes it
+    immune to Zipf token skew (every partition emits ≤ vocab rows, a
+    hot token like "the" never concentrates) — and the join back is
+    left to Catalyst: with a broadcastable vocabulary (the common
+    case; even 10M tokens ≈ low hundreds of MB) the (doc, token) rows
+    NEVER shuffle, and past that threshold it degrades to a shuffle
+    join where AQE's skew-join splits the hot tokens. A forced
+    co-partitioning by token would save the profile's second corpus
+    scan but funnel every occurrence of a hot token into one task —
+    the wrong trade under Zipf; the deliberate cost here is two scans
+    of one projected column."""
+    from .scale import fill_cluster
+
+    dt = (fill_cluster(df)
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct(tokens(text_col)))
+                  .alias("tok")))
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_types = F.count(F.lit(1))
+    return (dt.join(dfreq, "tok")
+            .groupBy(id_col)
+            .agg(n_types.cast("bigint").alias("n_types"),
+                 F.sum("df").cast("bigint").alias("df_sum"),
+                 (F.sum("df").cast("double") / n_types)
+                 .alias("familiarity")))
+
+
 def lexical_diversity(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Per-document lexical diversity: (id, n_tokens, n_types,

@@ -319,11 +319,11 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WIN_K, _WIN_W = 3, 4
 
-
-@register(
-    "q_winnow_fingerprints",
-    f"""
-    WITH t AS (
+# Shared oracle fragment: the winnowing selection set (doc_id, n_grams,
+# fused min-key s) — replays _winnow_doc_arrays' array algebra as an
+# explode + window. Reused by q_winnow_fingerprints here and the
+# pair-discovery query in part_f.
+_WINNOW_SEL_CTES = f"""t AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
     ), g0 AS (
       SELECT doc_id, len(tk) - {_WIN_K - 1} AS n_grams, tk,
@@ -343,7 +343,13 @@ _WIN_K, _WIN_W = 3, 4
                             AND {_WIN_W - 1} FOLLOWING) AS s
       FROM g
       QUALIFY pos <= n_grams - {_WIN_W - 1}
-    )
+    )"""
+
+
+@register(
+    "q_winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_SEL_CTES}
     SELECT doc_id, CAST(MIN(n_grams) AS BIGINT) AS n_grams,
            CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
            CAST(COUNT(*) AS DOUBLE) / MIN(n_grams) AS density
