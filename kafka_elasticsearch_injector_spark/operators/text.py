@@ -258,9 +258,17 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
     ~2/(w+1)-density selection set, never the full gram sequence.
     """
     arr = _winnow_doc_arrays(df, k, w, id_col, text_col)
+    # explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    # `size(arr) > 0` filter under a non-outer Generate, and predicate
+    # pushdown then substitutes the FULL nested sketch expression into
+    # a scan-level DataFilter — re-deriving the O(n_grams²) inlining
+    # this module just engineered away (see _winnow_doc_arrays). The
+    # rule skips outer generates, and `n_grams >= w` already
+    # guarantees every array is non-empty, so the outer variant is
+    # value-identical and never emits a null row.
     sel = arr.select(
         F.col(id_col), F.col("n_grams").cast("bigint").alias("n_grams"),
-        F.explode(F.array_distinct("_sels")).alias("s"))
+        F.explode_outer(F.array_distinct("_sels")).alias("s"))
     return sel.select(
         id_col, "n_grams",
         (F.lit(65535) - F.pmod("s", F.lit(65536)))
@@ -292,12 +300,23 @@ def _winnow_doc_arrays(df: DataFrame, k: int, w: int,
         F.col("_grams"),
         lambda g, i: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
         .cast("bigint") * F.lit(65536) + (F.lit(65535) - (i + F.lit(1))))
+    # The sliding-min projection MUST reference `_encs` more than once:
+    # CollapseProject inlines a non-cheap alias referenced exactly once,
+    # and an inlined `_encs` sits UNDER the per-window lambda, so every
+    # window position would re-evaluate the whole md5 transform —
+    # O(n_grams²) hashing per document (this exact regression shipped
+    # in round 7: 22 s for a 270k-token corpus). Deriving n_grams from
+    # size(_encs) makes the second reference, which pins `_encs` as a
+    # materialized per-row attribute in its own Project; a plan gate in
+    # tests/test_part_e_ops.py asserts the executed plan slices an
+    # attribute reference (`slice(_encs#N`), never a nested transform.
     sels = F.transform(
-        F.sequence(F.lit(1), F.col("n_grams") - (w - 1)),
+        F.sequence(F.lit(1), F.size("_encs") - (w - 1)),
         lambda p: F.array_min(F.slice(F.col("_encs"), p, F.lit(w))))
     return (base.select(id_col, "n_grams", grams.alias("_grams"))
-            .select(id_col, "n_grams", encs.alias("_encs"))
-            .select(id_col, "n_grams", sels.alias("_sels")))
+            .select(id_col, encs.alias("_encs"))
+            .select(id_col, F.size("_encs").cast("int").alias("n_grams"),
+                    sels.alias("_sels")))
 
 
 def winnow_stats(df: DataFrame, k: int = 3, w: int = 4,
@@ -335,22 +354,36 @@ def winnow_pairs(df: DataFrame, k: int = 3, w: int = 4,
       (_winnow_doc_arrays + array_distinct), so sketching is a narrow
       projection and |sketch| rides along each posting row — no
       doc-size side join;
+    - the posting rows are MATERIALIZED exactly once
+      (localCheckpoint) before fanning out to the document-frequency
+      aggregate and both self-join sides. Without the barrier,
+      Catalyst plans fps/dfreq/keep-a/keep-b as four independent
+      subtrees — four corpus scans, four md5 sketch computations,
+      zero ReusedExchange (the round-7 regression: 402 s at sf0.1 for
+      103 output rows). The sketch is ~2/(w+1) the gram density —
+      tiny next to the corpus — so checkpointing it is the cheap side
+      of the trade at any scale;
     - `df_ceiling` drops fingerprints appearing in more than that many
       docs BEFORE the self-join (boilerplate/stop-fingerprints — the
       same recall trade as posting.py's stop-gram ceiling, documented
       there): per-fingerprint fan-out is ≤ ceiling², so worst cost is
       |postings|·ceiling, never N²;
-    - the posting rows shuffle by fingerprint once and that exchange
-      is REUSED by the document-frequency aggregate and the join
-      (same canonical key), then pair rollup shuffles only
+    - downstream of the checkpoint, the pair rollup shuffles only
       (doc_a, doc_b, 1) triples with map-side partial counts.
+
+    Like posting.jaccard_pairs_auto, calling this runs an eager Spark
+    job (the checkpoint) at plan-construction time.
     """
     arr = _winnow_doc_arrays(df, k, w, id_col, text_col)
     fpa = F.array_distinct(F.transform(
         "_sels", lambda s: F.floor(s / F.lit(65536)).cast("bigint")))
+    # explode_outer for the same reason as winnow_fingerprints: a
+    # non-outer Generate gets an inferred size() filter whose pushdown
+    # re-inlines the O(n_grams²) sketch expression into the scan.
     fps = (arr.select(F.col(id_col).alias("doc"), fpa.alias("_fps"))
            .select("doc", F.size("_fps").alias("n_fp"),
-                   F.explode("_fps").alias("fp")))
+                   F.explode_outer("_fps").alias("fp"))
+           .localCheckpoint())
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     keep = fps.join(dfreq.filter(F.col("df") <= df_ceiling), "fp")
     a = keep.select("fp", F.col("doc").alias("doc_a"),

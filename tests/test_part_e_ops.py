@@ -380,3 +380,20 @@ def test_winnow_rollup_shuffle_free(spark, sf_dir):
     plan = _executed(queries()["q_winnow_fingerprints"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_winnow_sliding_min_not_inlined(spark, sf_dir):
+    """The sliding-min lambda must slice a MATERIALIZED `_encs`
+    attribute, never an inlined transform: CollapseProject inlines a
+    non-cheap alias referenced exactly once, and an inlined `_encs`
+    under the per-window lambda re-evaluates the whole md5 transform
+    per window position — O(n_grams²) hashing per document (the round-7
+    regression: 22 s for a 270k-token corpus, 0.6 s fixed). Guarded by
+    the size(_encs) double-reference in text._winnow_doc_arrays."""
+    import re
+
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _executed(queries()["q_winnow_fingerprints"](spark, sf_dir))
+    assert re.search(r"slice\(_encs#\d+", plan), plan
+    assert "slice(transform" not in plan, plan
