@@ -15,29 +15,10 @@ executors (local mode, NFS, FUSE-mounted object store).
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import uuid
 from collections.abc import Callable
-
-import numpy as np
-import pandas as pd
-
-
-def is_null_scalar(v) -> bool:
-    """Scalar null test shared by the shard writers, safe on
-    containers: `pd.isna` on an ndarray/list returns elementwise and
-    blows up in a boolean context — exactly how array columns used to
-    crash the JSONL writer. Covers None, pd.NaT (a null timestamp
-    member value is NOT the 3-byte string "NaT"), and float NaN
-    (Arrow→pandas's encoding of a null in any floated lane). Runs once
-    per serialized cell — keep it import- and allocation-free."""
-    if v is None or v is pd.NaT:
-        return True
-    if isinstance(v, (float, np.floating)):
-        return math.isnan(v)
-    return False
 
 
 def staged_publish(path: str, ext: str, run: Callable[[str], list],
@@ -93,6 +74,14 @@ def staged_publish(path: str, ext: str, run: Callable[[str], list],
     if staged_manifest is not None:
         os.replace(staged_manifest,
                    os.path.join(path, os.path.basename(staged_manifest)))
+    else:
+        # manifest=False must not leave a PRIOR export's manifest next
+        # to freshly swapped shards — a later verify_shard_export would
+        # report spurious mismatches against the stale record.
+        from .integrity import MANIFEST_NAME
+        stale = os.path.join(path, MANIFEST_NAME)
+        if os.path.exists(stale):
+            os.remove(stale)
     shutil.rmtree(staging)
     return rows
 

@@ -12,11 +12,21 @@ Spark-first shape, mirroring the tar writer:
 - shard = pmod(xxhash64(id), n): a pure function of the id, never
   round-robin/rand — re-runs and retries cannot move a row;
 - ONE shuffle (groupBy shard); each shard's file is written by exactly
-  one task via applyInPandas;
+  one task via applyInArrow;
 - byte determinism: rows sorted by id, JSON keys sorted, compact
   separators, gzip mtime pinned to 0 (gzip embeds a timestamp —
   unpinned it breaks reproducibility even for identical payloads);
 - atomic staged publication + sha256 manifest via sinks/_staging.py.
+
+The writer kernel is applyInARROW, not applyInPandas, and that is a
+correctness decision, not a style one: Arrow arrays carry validity
+bitmaps separate from the values, so `to_pylist()` hands every lane
+over losslessly — int64 stays exact past 2⁵³ next to null siblings,
+and a float NaN is distinguishable from a null hole at EVERY nesting
+level. The pandas path floats any nullable integer lane (silently
+rounding >2⁵³ values — a data-corruption bug shipped in round 7) and
+folds null float-array elements into NaN, which forced a JVM-side
+null-mask companion mechanism this writer no longer needs.
 
 Read-back needs NO custom code: `spark.read.schema(ddl).json(path)`
 decompresses and parses natively with full schema projection — which
@@ -34,115 +44,38 @@ import hashlib
 import io
 import json
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+import pyarrow as pa
+from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ._staging import staged_publish, write_shard_file
-# Scalar null test safe on containers; shared with the tar writer
-# (None / pd.NaT / float NaN — see _staging.is_null_scalar).
-from ._staging import is_null_scalar as _is_null
 from .webdataset import with_hash_shard
 
 MANIFEST_SCHEMA = ("shard int, file string, n_rows long, n_bytes long, "
                    "sha256 string")
 
-# Companion null-mask columns (see _mask_expr) ride next to the data
-# columns through the shard shuffle under this reserved prefix.
-_MASK_PREFIX = "__jsonlmask__"
-
-_FLOAT_TYPES = (T.FloatType, T.DoubleType)
-
-
-def _null_test_for(dtype):
-    """Null test for a value INSIDE a container, driven by the value's
-    DECLARED type. For float/double values a NaN is a genuine VALUE —
-    the writer must emit the faithful NaN token — so only None/NaT
-    mean null there (inside maps and structs, Arrow→pandas preserves
-    scalar-float None as None, so this is lossless; float ARRAY
-    elements are the lossy lane and are restored via the null masks —
-    see _mask_expr). For every other type a float NaN can only be
-    Arrow→pandas's encoding of a null hole (e.g. an `array<int>` with
-    null elements arrives as a float64 ndarray with NaN), so the full
-    `_is_null` fold applies. Top-level scalar float/double columns are
-    the one lane where the distinction stays unrecoverable (a nullable
-    float64 Series encodes null AS NaN, and a scalar column has no
-    mask), hence `_jsonl_gz_bytes` keeps the NaN→null fold there —
-    see the _converter docstring."""
-    if isinstance(dtype, _FLOAT_TYPES):
-        return lambda v: v is None or v is pd.NaT
-    return _is_null
-
-
-def _needs_mask(dtype) -> bool:
-    """Does this type contain a float/double ARRAY lane anywhere?
-    Those are the lossy Arrow→pandas lanes: a `list<double>` arrives
-    as a float64 ndarray where a null element and a genuine NaN are
-    the same bits. Scalar floats inside maps/structs arrive as real
-    None and need no mask (verified on Spark 4.1.2 / pyarrow)."""
-    if isinstance(dtype, T.ArrayType):
-        return (isinstance(dtype.elementType, _FLOAT_TYPES)
-                or _needs_mask(dtype.elementType))
-    if isinstance(dtype, T.MapType):
-        return _needs_mask(dtype.valueType)
-    if isinstance(dtype, T.StructType):
-        return any(_needs_mask(f.dataType) for f in dtype.fields)
-    return False
-
-
-def _mask_expr(dtype, col: Column) -> Column:
-    """JVM-side companion expression mirroring `col`'s shape with
-    every float-array element replaced by its null-ness boolean:
-    array<double> → array<boolean>, struct fields only where needed,
-    map lanes as an entry list array<struct<k,m>> (NOT a rebuilt map —
-    map_from_arrays throws on duplicate keys, which foreign parquet /
-    from_json data can legally carry; an entry list tolerates them and
-    last-wins in the writer exactly like the value dict does). The
-    writer walks value and mask in parallel (_masked_converter) to
-    restore exactly which NaNs were nulls — pure column transforms,
-    no UDFs, negligible next to the gzip work."""
-    if isinstance(dtype, T.ArrayType):
-        if isinstance(dtype.elementType, _FLOAT_TYPES):
-            return F.transform(col, lambda x: x.isNull())
-        return F.transform(
-            col, lambda x: _mask_expr(dtype.elementType, x))
-    if isinstance(dtype, T.MapType):
-        return F.transform(
-            F.map_entries(col),
-            lambda e: F.struct(
-                e.getField("key").alias("k"),
-                _mask_expr(dtype.valueType,
-                           e.getField("value")).alias("m")))
-    if isinstance(dtype, T.StructType):
-        return F.struct(*[
-            _mask_expr(f.dataType, col.getField(f.name)).alias(f.name)
-            for f in dtype.fields if _needs_mask(f.dataType)])
-    raise AssertionError(f"no mask lane in {dtype.simpleString()}")
+_MANIFEST_ARROW = pa.schema([
+    ("shard", pa.int32()), ("file", pa.string()), ("n_rows", pa.int64()),
+    ("n_bytes", pa.int64()), ("sha256", pa.string()),
+])
 
 
 def _converter(dtype):
-    """Spark DataType → (value → JSON-representable) converter.
+    """Spark DataType → (non-null pyarrow `to_pylist` value → JSON-
+    representable) converter, driven by the DECLARED schema.
 
-    Driven by the DECLARED schema, not the observed pandas dtype:
-    Arrow→pandas floats any nullable integer lane (top-level column OR
-    array element), hands timestamps over as pd.Timestamp, and maps
-    map/struct values to dicts — none of which json.dumps can be
-    trusted with unaided. Exact round-trip contract per type:
-    integral → JSON int; float/double → JSON number. Non-finite
-    floats: INSIDE arrays/maps/structs, NaN and Infinity are values
-    and emit the faithful NaN/Infinity tokens, which `spark.read.json`
-    (allowNonNumericNumbers=true, verified on Spark 4.1.2) parses back
-    to NaN/Infinity at every nesting level — strict-JSON consumers
-    should null non-finite upstream. Null ELEMENTS of float/double
-    arrays still serialize as null, not NaN: Arrow→pandas folds them
-    into NaN indistinguishably, so the writer ships a JVM-computed
-    null-mask companion per float-array lane (_mask_expr) and restores
-    them (_masked_converter). The ONE lossy lane left is a TOP-LEVEL
-    scalar float/double column: Infinity emits its token, but NaN
-    serializes as JSON null — a scalar column has no mask and its
-    float64 Series encodes null AS NaN, so the writer folds to null
-    rather than invent NaNs for genuinely missing values.
+    Arrow's to_pylist is already faithful — Python int for integral
+    (exact at any magnitude), float for float/double (NaN is a VALUE,
+    null is None), datetime for timestamps, list-of-(key, value)
+    tuples for maps (duplicate keys survive; the dict build below is
+    last-wins), dict for structs — so conversion is mostly ISO
+    formatting plus recursion. Exact round-trip contract per type:
+    integral → JSON int; float/double → JSON number, with non-finite
+    values emitting the faithful NaN/Infinity/-Infinity tokens at
+    every level INCLUDING top-level scalars (spark.read.json parses
+    them back bit-exactly at every nesting level,
+    allowNonNumericNumbers=true, verified on Spark 4.1.2 — strict-JSON
+    consumers should null non-finite upstream);
     boolean → true/false; string → string;
     timestamp/timestamp_ntz → naive ISO-8601 in the session timezone
     (micros preserved; Spark's JSON reader parses it back bit-exactly);
@@ -161,35 +94,33 @@ def _converter(dtype):
     if isinstance(dtype, T.StringType):
         return lambda v: str(v)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return lambda v: pd.Timestamp(v).isoformat()
+        # Arrow hands session-tz-aware datetimes for TIMESTAMP and
+        # naive ones for TIMESTAMP_NTZ; both serialize as naive
+        # session-local ISO — the form the JSON reader round-trips.
+        return lambda v: v.replace(tzinfo=None).isoformat()
     if isinstance(dtype, T.DateType):
-        return lambda v: (v.date() if isinstance(v, pd.Timestamp)
-                          else v).isoformat()
+        return lambda v: v.isoformat()
     if isinstance(dtype, T.ArrayType):
         elem = _converter(dtype.elementType)
-        isnull = _null_test_for(dtype.elementType)
 
         def conv_array(v):
-            return [None if isnull(x) else elem(x) for x in _tolist(v)]
+            return [None if x is None else elem(x) for x in v]
         return conv_array
     if isinstance(dtype, T.MapType) and isinstance(dtype.keyType,
                                                    T.StringType):
         val = _converter(dtype.valueType)
-        isnull = _null_test_for(dtype.valueType)
 
         def conv_map(v):
             items = v.items() if isinstance(v, dict) else v
-            return {str(k): (None if isnull(x) else val(x))
+            return {str(k): (None if x is None else val(x))
                     for k, x in items}
         return conv_map
     if isinstance(dtype, T.StructType):
-        fields = [(f.name, _converter(f.dataType),
-                   _null_test_for(f.dataType)) for f in dtype.fields]
+        fields = [(f.name, _converter(f.dataType)) for f in dtype.fields]
 
         def conv_struct(v):
-            d = v if isinstance(v, dict) else v.asDict()
-            return {n: (None if isnull(d.get(n)) else c(d.get(n)))
-                    for n, c, isnull in fields}
+            return {n: (None if v.get(n) is None else c(v.get(n)))
+                    for n, c in fields}
         return conv_struct
     raise TypeError(
         f"JSONL export cannot represent {dtype.simpleString()} exactly "
@@ -197,105 +128,17 @@ def _converter(dtype):
         "exact JSON form; map keys must be strings)")
 
 
-def _tolist(v):
-    return v.tolist() if isinstance(v, np.ndarray) else v
-
-
-def _masked_converter(dtype):
-    """Like _converter but (value, mask) → JSON-representable, where
-    `mask` is the parallel null-mask from _mask_expr. Only built for
-    types where _needs_mask is True; sub-lanes without a float array
-    fall back to the plain converter (their nulls are already
-    faithful)."""
-    if isinstance(dtype, T.ArrayType):
-        if isinstance(dtype.elementType, _FLOAT_TYPES):
-            def conv_farray(v, m):
-                return [None if (mi or x is None) else float(x)
-                        for x, mi in zip(_tolist(v), _tolist(m))]
-            return conv_farray
-        elem = _masked_converter(dtype.elementType)
-
-        def conv_array(v, m):
-            # non-float elements that are null arrive as real None
-            return [None if x is None else elem(x, mi)
-                    for x, mi in zip(_tolist(v), _tolist(m))]
-        return conv_array
-    if isinstance(dtype, T.MapType):
-        val = _masked_converter(dtype.valueType)
-        # Duplicate map keys collapse last-wins in the pandas value
-        # dict; building the mask lookup from the entry list with the
-        # same last-wins rule keeps the two aligned. The unmasked
-        # fallback can only fire if a mask entry is missing entirely
-        # (it preserves NaN-as-value, the pre-mask contract) — better
-        # than an executor-side TypeError.
-        plain = _converter(dtype.valueType)
-
-        def conv_map(v, m):
-            md = {}
-            for e in _tolist(m):
-                d = e if isinstance(e, dict) else e.asDict()
-                md[d["k"]] = d["m"]
-            items = v.items() if isinstance(v, dict) else v
-            return {str(k): (None if x is None
-                             else val(x, md[k]) if md.get(k) is not None
-                             else plain(x))
-                    for k, x in items}
-        return conv_map
-    if isinstance(dtype, T.StructType):
-        fields = []
-        for f in dtype.fields:
-            if _needs_mask(f.dataType):
-                fields.append((f.name, _masked_converter(f.dataType),
-                               None, True))
-            else:
-                fields.append((f.name, _converter(f.dataType),
-                               _null_test_for(f.dataType), False))
-
-        def conv_struct(v, m):
-            d = v if isinstance(v, dict) else v.asDict()
-            md = m if isinstance(m, dict) else m.asDict()
-            out = {}
-            for n, c, isnull, masked in fields:
-                x = d.get(n)
-                if masked:
-                    out[n] = None if x is None else c(x, md.get(n))
-                else:
-                    out[n] = None if isnull(x) else c(x)
-            return out
-        return conv_struct
-    raise AssertionError(f"no mask lane in {dtype.simpleString()}")
-
-
-def _jsonl_gz_bytes(rows: pd.DataFrame, columns: list[str],
-                    converters: dict, masked: dict | None = None) -> bytes:
+def _jsonl_gz_bytes(table: pa.Table, columns: list[str],
+                    converters: dict) -> bytes:
     buf = io.BytesIO()
     # mtime=0: gzip's header timestamp is the one nondeterminism source
     # for identical payloads.
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-        # Per-column access: iterrows() materializes each row as a
-        # Series coerced to ONE common dtype, so an all-numeric frame
-        # with any float column turns integer ids into np.float64 and
-        # serializes doc_id=5 as 5.0 — silent corruption for a typed
-        # read-back. Series.tolist() keeps every value its own
-        # column's native Python type; the schema-driven converters
-        # then restore what Arrow→pandas mangled (see _converter).
-        masked = masked or {}
-        col_values = [rows[c].tolist() for c in columns]
-        mask_values = [rows[_MASK_PREFIX + c].tolist()
-                       if c in masked else None for c in columns]
-        convs = [(masked.get(c) or converters[c], c in masked)
-                 for c in columns]
-        for i in range(len(rows)):
-            obj = {}
-            for c, (conv, is_masked), vals, ms in zip(
-                    columns, convs, col_values, mask_values):
-                v = vals[i]
-                if _is_null(v):
-                    obj[c] = None
-                elif is_masked:
-                    obj[c] = conv(v, ms[i])
-                else:
-                    obj[c] = conv(v)
+        col_values = [table.column(c).to_pylist() for c in columns]
+        convs = [converters[c] for c in columns]
+        for i in range(table.num_rows):
+            obj = {c: (None if vals[i] is None else conv(vals[i]))
+                   for c, conv, vals in zip(columns, convs, col_values)}
             gz.write(json.dumps(obj, sort_keys=True, ensure_ascii=False,
                                 separators=(",", ":"))
                      .encode("utf-8"))
@@ -328,40 +171,29 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
     """
     columns = list(columns or df.columns)
     cols = list(dict.fromkeys([id_col, *columns]))
-    if any(c.startswith(_MASK_PREFIX) for c in cols):
-        raise ValueError(f"column names may not start with {_MASK_PREFIX}"
-                         " (reserved for the writer's null masks)")
     # Build converters at PLAN time: an unrepresentable column type
     # fails here with a clear TypeError, not per-task on the executors.
     converters = {f.name: _converter(f.dataType)
                   for f in df.schema.fields if f.name in columns}
-    # Null-mask companions for every float-array lane (see _mask_expr):
-    # Arrow→pandas folds a null list<float/double> element into NaN, so
-    # without these the writer could not tell an exported embedding's
-    # genuine NaN from a missing value.
-    masked = {f.name: _masked_converter(f.dataType)
-              for f in df.schema.fields
-              if f.name in columns and _needs_mask(f.dataType)}
-    mask_exprs = [_mask_expr(df.schema[c].dataType, F.col(c))
-                  .alias(_MASK_PREFIX + c) for c in masked]
 
     def run(staging: str) -> list:
-        def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = int(pdf["shard"].iloc[0])
+        def write_shard(table: pa.Table) -> pa.Table:
+            shard = table.column("shard")[0].as_py()
             fname = f"shard-{shard:05d}.jsonl.gz"
-            ordered = pdf.sort_values(id_col, kind="mergesort")
-            data = _jsonl_gz_bytes(ordered, columns, converters, masked)
+            # Arrow's sort_indices is a stable sort — duplicate ids
+            # keep their incoming order, same as the old mergesort.
+            ordered = table.sort_by([(id_col, "ascending")])
+            data = _jsonl_gz_bytes(ordered, columns, converters)
             write_shard_file(staging, fname, data)
-            return pd.DataFrame([{
-                "shard": shard, "file": fname, "n_rows": len(ordered),
-                "n_bytes": len(data),
-                "sha256": hashlib.sha256(data).hexdigest(),
-            }])
+            return pa.table({
+                "shard": [shard], "file": [fname],
+                "n_rows": [table.num_rows], "n_bytes": [len(data)],
+                "sha256": [hashlib.sha256(data).hexdigest()],
+            }, schema=_MANIFEST_ARROW)
 
-        sharded = with_hash_shard(df.select(*cols, *mask_exprs),
-                                  n_shards, id_col)
+        sharded = with_hash_shard(df.select(*cols), n_shards, id_col)
         return (sharded.groupBy("shard")
-                .applyInPandas(write_shard, MANIFEST_SCHEMA)
+                .applyInArrow(write_shard, MANIFEST_SCHEMA)
                 .collect())                     # executes the export
 
     # manifest=True: the integrity record (atomic, deterministic,

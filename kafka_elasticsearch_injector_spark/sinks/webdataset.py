@@ -13,8 +13,10 @@ Spark-first shape:
   never round-robin/rand/monotonically_increasing_id, which depend on
   task scheduling;
 - ONE shuffle (the groupBy on shard); each shard's tar is written by
-  exactly one task via applyInPandas, so there is no cross-task append
-  coordination and a re-run cannot interleave differently;
+  exactly one task via applyInArrow (Arrow groups are lossless where
+  Arrow→pandas is not — exact int64 next to nulls, null never aliasing
+  NaN/NaT), so there is no cross-task append coordination and a re-run
+  cannot interleave differently;
 - byte determinism: members sorted by key, tar metadata pinned
   (mtime=0, uid/gid=0, mode=0644, USTAR format), atomic tmp+rename
   publication — the manifest's sha256 is reproducible bit-for-bit;
@@ -46,15 +48,23 @@ import io
 import os
 import tarfile
 from collections.abc import Iterable
+from datetime import datetime
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._staging import is_null_scalar, staged_publish, write_shard_file
+from ._staging import staged_publish, write_shard_file
 
 MANIFEST_SCHEMA = ("shard int, file string, n_members long, n_bytes long, "
                    "sha256 string")
+
+_MANIFEST_ARROW = pa.schema([
+    ("shard", pa.int32()), ("file", pa.string()),
+    ("n_members", pa.int64()), ("n_bytes", pa.int64()),
+    ("sha256", pa.string()),
+])
 
 
 def with_hash_shard(df: DataFrame, n_shards: int,
@@ -65,20 +75,23 @@ def with_hash_shard(df: DataFrame, n_shards: int,
         .cast("int"))
 
 
-def _tar_bytes(rows: pd.DataFrame, id_col: str,
-               members: dict[str, str],
-               int_cols: frozenset[str] = frozenset()) -> tuple[bytes, int]:
+def _tar_bytes(table: pa.Table, id_col: str,
+               members: dict[str, str]) -> tuple[bytes, int]:
     """Serialize one shard's rows into deterministic tar bytes:
-    members sorted by zero-padded key, all metadata pinned."""
+    members sorted by zero-padded key, all metadata pinned.
+
+    Takes a pyarrow Table (the applyInArrow group), because Arrow's
+    to_pylist is lossless where the pandas path was not: a nullable
+    integer member stays an exact Python int (never a rounded float64
+    — >2⁵³ ids/refs corrupted on the old path), a null is always None
+    (no NaT/NaN sentinel aliasing), and a float NaN is a genuine VALUE
+    that now writes b"nan" bytes instead of being silently swallowed
+    by the null skip."""
     buf = io.BytesIO()
     n = 0
-    # Per-column access (same fix as the JSONL writer): iterrows()
-    # coerces each row to one common dtype, so an all-numeric frame
-    # with any float column would stringify integer members as "7.0".
-    # Series.tolist() keeps every value its own column's native type.
     member_cols = sorted(members.items())
-    ids = rows[id_col].tolist()
-    col_values = [rows[col].tolist() for _, col in member_cols]
+    ids = table.column(id_col).to_pylist()
+    col_values = [table.column(col).to_pylist() for _, col in member_cols]
     with tarfile.open(fileobj=buf, mode="w",
                       format=tarfile.USTAR_FORMAT) as tar:
         for i, rid in enumerate(ids):
@@ -87,14 +100,13 @@ def _tar_bytes(rows: pd.DataFrame, id_col: str,
                 val = vals[i]
                 # NULL member value → no tar member for this sample
                 # (read_webdataset returns None for absent members, so
-                # nulls round-trip instead of serializing as "None" —
-                # or as literal "NaT" for a null timestamp).
-                if is_null_scalar(val):
+                # nulls round-trip instead of serializing as "None").
+                if val is None:
                     continue
-                # Arrow→pandas floats a NULLABLE integer column; the
-                # Spark schema says which columns are really integral.
-                if col in int_cols:
-                    val = int(val)
+                # TIMESTAMP arrives session-tz-aware from Arrow; write
+                # the naive session-local form (the pandas-era bytes).
+                if isinstance(val, datetime) and val.tzinfo is not None:
+                    val = val.replace(tzinfo=None)
                 data = (val if isinstance(val, (bytes, bytearray))
                         else str(val).encode("utf-8"))
                 info = tarfile.TarInfo(name=f"{key}.{suffix}")
@@ -119,11 +131,10 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     {"txt": "text"}); every row contributes one `{key}.{suffix}`
     member per mapping, key = zero-padded `id_col`. Binary columns
     pass through; everything else is utf-8 text. A NULL member value
-    omits the member. For float/double member columns that fold also
-    swallows genuine NaN values (Arrow→pandas encodes null AS NaN in a
-    float lane, and a skipped member has no token to carry the
-    difference) — numeric-vector payloads belong in the JSONL export,
-    which restores the distinction via null masks (sinks/jsonl.py).
+    omits the member; a float NaN is a VALUE and writes b"nan" (the
+    Arrow writer kernel sees validity bitmaps, so null never aliases
+    NaN/NaT). Numeric-vector payloads still belong in the JSONL
+    export, which round-trips them typed (sinks/jsonl.py).
 
     The export runs INSIDE this call: shard tasks write into a hidden
     staging dir under `path`, the manifest is collected (triggering
@@ -135,27 +146,25 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     members = members or {"txt": "text"}
     # de-dup against id_col too: members may legitimately export the key
     cols = list(dict.fromkeys([id_col, *members.values()]))
-    int_cols = frozenset(
-        f.name for f in df.schema.fields
-        if f.dataType.simpleString() in
-        ("tinyint", "smallint", "int", "bigint"))
 
     def run(staging: str) -> list:
-        def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = int(pdf["shard"].iloc[0])
+        def write_shard(table: pa.Table) -> pa.Table:
+            shard = table.column("shard")[0].as_py()
             fname = f"shard-{shard:05d}.tar"
-            ordered = pdf.sort_values(id_col, kind="mergesort")
-            data, n = _tar_bytes(ordered, id_col, members, int_cols)
+            # Arrow's sort_indices is stable — duplicate ids keep
+            # their incoming order, same as the old mergesort.
+            ordered = table.sort_by([(id_col, "ascending")])
+            data, n = _tar_bytes(ordered, id_col, members)
             write_shard_file(staging, fname, data)
-            return pd.DataFrame([{
-                "shard": shard, "file": fname, "n_members": n,
-                "n_bytes": len(data),
-                "sha256": hashlib.sha256(data).hexdigest(),
-            }])
+            return pa.table({
+                "shard": [shard], "file": [fname], "n_members": [n],
+                "n_bytes": [len(data)],
+                "sha256": [hashlib.sha256(data).hexdigest()],
+            }, schema=_MANIFEST_ARROW)
 
         sharded = with_hash_shard(df.select(*cols), n_shards, id_col)
         return (sharded.groupBy("shard")
-                .applyInPandas(write_shard, MANIFEST_SCHEMA)
+                .applyInArrow(write_shard, MANIFEST_SCHEMA)
                 .collect())                     # executes the export
 
     # manifest=True: the integrity record (atomic, deterministic,

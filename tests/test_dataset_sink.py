@@ -568,15 +568,15 @@ def test_jsonl_nonfinite_contract_exhaustive(spark, tmp_path):
     again (a round-6 rewrite nulled NaN array elements while the
     docstring promised the token):
 
-    - INSIDE arrays / string-keyed maps / structs, NaN and ±Infinity
-      are VALUES of a declared float/double lane → faithful
-      NaN/Infinity/-Infinity tokens in the bytes, parsed back to the
-      same IEEE values by spark.read.json (allowNonNumericNumbers).
-    - TOP-LEVEL double: ±Infinity emits its token and round-trips;
-      NaN folds to JSON null (Arrow→pandas float64 encodes null AS
-      NaN, indistinguishable) — the one documented lossy lane.
-    - Nullable-INT array elements still restore via the declared
-      schema: their Arrow NaN holes mean null, never a token.
+    - NaN and ±Infinity are VALUES of a declared float/double lane →
+      faithful NaN/Infinity/-Infinity tokens in the bytes at EVERY
+      level including top-level scalars, parsed back to the same IEEE
+      values by spark.read.json (allowNonNumericNumbers). The Arrow
+      writer kernel sees validity bitmaps, so a null is never confused
+      with a NaN anywhere — the old pandas-era "top-level NaN folds to
+      null" lossy lane is gone.
+    - Nullable-INT array elements stay exact next to their nulls (the
+      Arrow path never floats the lane).
     """
     from kafka_elasticsearch_injector_spark.sinks.jsonl import (
         write_jsonl_shards,
@@ -602,17 +602,17 @@ def test_jsonl_nonfinite_contract_exhaustive(spark, tmp_path):
     raw = b"".join(
         _gz.open(os.path.join(out, f), "rb").read()
         for f in sorted(os.listdir(out)) if f.endswith(".jsonl.gz"))
-    # byte-level: tokens inside containers, token for top-level Inf,
-    # null for top-level NaN — and a NULL float-array element stays
-    # null (the null-mask lane), never an invented NaN
+    # byte-level: faithful tokens at every level (top-level NaN
+    # included) — and a NULL float-array element stays null, never an
+    # invented NaN
     assert b'"a":[NaN,null,Infinity,-Infinity,2.5]' in raw
     assert b'"i":-Infinity' in raw and b'"n":NaN' in raw
     assert b'"z":null' in raw
     assert b'"p":NaN' in raw and b'"q":Infinity' in raw
     assert b'"x":Infinity' in raw
-    assert b'"x":null' in raw
+    assert b'"x":NaN' in raw
     assert b'"counts":[7,null]' in raw
-    # masks reach float arrays nested inside maps and structs too
+    # null-vs-NaN stays exact inside maps and structs too
     assert b'"k":[1.5,null,NaN]' in raw
     assert b'"r":[null,NaN,3.5]' in raw
 
@@ -632,7 +632,7 @@ def test_jsonl_nonfinite_contract_exhaustive(spark, tmp_path):
     assert ka[0] == 1.5 and ka[1] is None and math.isnan(ka[2])
     ra = list(r1.sa.r)
     assert ra[0] is None and math.isnan(ra[1]) and ra[2] == 3.5
-    assert back[2].x is None and back[2].a is None
+    assert math.isnan(back[2].x) and back[2].a is None
 
 
 def test_jsonl_rejects_unrepresentable_types_at_plan_time(spark, tmp_path):
@@ -658,15 +658,15 @@ def test_jsonl_rejects_unrepresentable_types_at_plan_time(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# Generative round-trip: the two converter regressions this file pins
-# (iterrows dtype coercion, NaN-in-array nulling) were both introduced
-# by refactors that kept every existing example green. This property
-# test generates random schemas (scalars, arrays, string-keyed maps,
-# structs, one level of container nesting) and random values including
-# None/NaN/±Infinity at every level, and checks the full documented
-# contract: write_jsonl_shards → spark.read.schema(...).json equals
-# the input under exactly two folds — top-level double NaN → null, and
-# nothing else.
+# Generative round-trip: the three converter regressions this file
+# pins (iterrows dtype coercion, NaN-in-array nulling, null-adjacent
+# bigint rounding) were all introduced by refactors that kept every
+# existing example green. This property test generates random schemas
+# (scalars, arrays, string-keyed maps, structs, one level of container
+# nesting) and random values including None/NaN/±Infinity at every
+# level, and checks the full documented contract:
+# write_jsonl_shards → spark.read.schema(...).json is the IDENTITY
+# (the Arrow writer kernel has no lossy lanes).
 # ---------------------------------------------------------------------------
 
 def _jsonl_scalar_strategies():
@@ -721,16 +721,13 @@ def _jsonl_column_strategy(nested: bool):
 
 def _jsonl_expected(v, dtype, top: bool):
     """The documented read-back value for input `v` of declared type
-    `dtype`: identity except top-level double NaN → null."""
-    import math as m
-
+    `dtype`: the identity — the Arrow writer has no lossy lanes."""
     from pyspark.sql import types as T
 
     if v is None:
         return None
     if isinstance(dtype, T.DoubleType):
-        f = float(v)
-        return None if (top and m.isnan(f)) else f
+        return float(v)
     if isinstance(dtype, T.ArrayType):
         return [_jsonl_expected(x, dtype.elementType, False) for x in v]
     if isinstance(dtype, T.MapType):
@@ -962,26 +959,30 @@ def test_failed_export_keeps_prior_manifest(spark, tmp_path):
         "shard-00000.jsonl.gz", "shard-00001.jsonl.gz"]
 
 
-def test_jsonl_mask_plumbing_is_projection_only(spark):
-    """Plan gate: the null-mask companions are pure column transforms
-    — adding them to the export select must introduce NO Exchange (the
-    export's single shuffle stays the groupBy(shard)) and NO Python
-    evaluation (the masks run JVM-side)."""
+def test_jsonl_bigint_exact_next_to_nulls(spark, tmp_path):
+    """Deterministic repro of the round-7 corruption: an integer lane
+    (scalar OR array element) whose column/array also carries a null
+    must serialize >2⁵³ values digit-exactly. The pandas writer path
+    floated those lanes (9007199254740993 → ...992 before int() ever
+    ran); the Arrow kernel sees validity bitmaps and exact int64."""
     from kafka_elasticsearch_injector_spark.sinks.jsonl import (
-        _mask_expr,
-        _needs_mask,
+        write_jsonl_shards,
     )
 
-    ddl = ("doc_id long, emb array<double>, "
-           "ma map<string,array<float>>, sa struct<r:array<double>>, "
-           "t string")
-    df = spark.createDataFrame([], ddl)
-    masked = [f for f in df.schema.fields if _needs_mask(f.dataType)]
-    assert [f.name for f in masked] == ["emb", "ma", "sa"]
-    frame = df.select(
-        *df.columns,
-        *[_mask_expr(f.dataType, F.col(f.name)).alias(f"__m_{f.name}")
-          for f in masked])
-    plan = frame._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
-    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    big = 9007199254740993          # 2**53 + 1, unrepresentable in f64
+    df = spark.createDataFrame(
+        [(1, big, [big, None, -big]), (2, None, None)],
+        "doc_id long, x long, a array<long>")
+    out = str(tmp_path / "bigint")
+    write_jsonl_shards(df, out, 1)
+
+    import gzip as _gz
+    raw = b"".join(
+        _gz.open(os.path.join(out, f), "rb").read()
+        for f in sorted(os.listdir(out)) if f.endswith(".jsonl.gz"))
+    assert b'"x":9007199254740993' in raw
+    assert b'"a":[9007199254740993,null,-9007199254740993]' in raw
+    back = {r.doc_id: r for r in
+            spark.read.schema(df.schema).json(out).collect()}
+    assert back[1].x == big and list(back[1].a) == [big, None, -big]
+    assert back[2].x is None and back[2].a is None
