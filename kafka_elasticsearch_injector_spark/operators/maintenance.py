@@ -130,11 +130,15 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     n = new.select(*[F.col(c).alias(f"_n_{c}") for c in new.columns])
     joined = o.join(
         n, o[f"_o_{id_col}"] == n[f"_n_{id_col}"], "full_outer")
+    # Null-SAFE digest compare (IS DISTINCT FROM): with a plain `!=`,
+    # a null-vs-non-null digest pair evaluates to NULL and falls
+    # through to 'unchanged' — a silent misclassification. The oracle
+    # SQL mirrors this with IS DISTINCT FROM.
     status = (
         F.when(F.col(f"_o_{id_col}").isNull(), F.lit("added"))
         .when(F.col(f"_n_{id_col}").isNull(), F.lit("removed"))
-        .when(F.col(f"_o_{digest_col}") != F.col(f"_n_{digest_col}"),
-              F.lit("changed"))
+        .when(~F.col(f"_o_{digest_col}").eqNullSafe(
+            F.col(f"_n_{digest_col}")), F.lit("changed"))
         .otherwise(F.lit("unchanged")))
     passthrough = [
         F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)

@@ -243,7 +243,9 @@ def perceptual_hash(df_media: DataFrame, bits: int = 32,
     images differ in few bits). The container has no image libs, so
     the DECODE stands in deterministically (the fake media IS utf-8
     text, media_col = encode(text) from attach_media): the payload is
-    split into `bits` equal-width chunks spanning the whole payload,
+    split into `bits` chunks of width floor(n/bits), the LAST chunk
+    absorbing the n mod bits remainder so every payload byte is
+    hashed (payloads differing only in the tail must not collide),
     and bit j = high bit of the first md5 nibble of chunk j — the
     ssdeep/blockhash shape: identical blocks agree bit-for-bit,
     differing blocks flip a fair coin, so near-dup payloads (most
@@ -259,7 +261,9 @@ def perceptual_hash(df_media: DataFrame, bits: int = 32,
     cl = F.greatest(F.floor(n / bits).cast("int"), F.lit(1))
     phash: Column = F.lit(0).cast("bigint")
     for j in range(bits):
-        chunk = dec.substr(F.lit(1) + F.lit(j) * cl, cl)
+        # last chunk: length n (clamped to end) absorbs the remainder
+        width = n if j == bits - 1 else cl
+        chunk = dec.substr(F.lit(1) + F.lit(j) * cl, width)
         high = F.instr(F.lit("89abcdef"),
                        F.substring(F.md5(chunk), 1, 1)) > 0
         phash = phash + F.when(high, F.lit(1 << j).cast("bigint")) \

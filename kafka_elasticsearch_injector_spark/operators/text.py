@@ -287,10 +287,24 @@ def _winnow_doc_arrays(df: DataFrame, k: int, w: int,
     used more than once, so nothing is recomputed and no stage needs
     an Exchange. Docs with fewer than w windows (n_grams < w) emit
     nothing — identical to the old explode+window filter and to the
-    SQL oracle's `n_grams >= w` predicate."""
+    SQL oracle's `n_grams >= w` predicate.
+
+    The fused key packs the gram position into 16 bits, so a document
+    with more than 65535 k-grams would silently corrupt the
+    rightmost-min tie-break (the position lane goes negative); an
+    executor-side raise_error guard makes oversized docs fail LOUDLY
+    instead — widen the encoding (e.g. h·2³² + (2³²−1−pos)) before
+    lifting the bound."""
     toks = tokens(text_col)
+    n_raw = F.size(toks) - (k - 1)
+    n_grams = F.when(n_raw <= F.lit(65535), n_raw).otherwise(F.raise_error(
+        F.format_string(
+            "winnowing position encoding overflow: document has %s "
+            "k-grams but the fused min-key carries 16-bit positions "
+            "(max 65535); widen the encoding in _winnow_doc_arrays",
+            n_raw)))
     base = (df.select(F.col(id_col), toks.alias("_toks"),
-                      (F.size(toks) - (k - 1)).alias("n_grams"))
+                      n_grams.alias("n_grams"))
             .filter(F.col("n_grams") >= w))
     grams = F.transform(
         F.sequence(F.lit(1), F.col("n_grams")),

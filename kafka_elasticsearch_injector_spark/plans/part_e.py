@@ -182,7 +182,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
                   WHEN n.doc_id IS NULL THEN 'removed'
-                  WHEN o.digest <> n.digest THEN 'changed'
+                  WHEN o.digest IS DISTINCT FROM n.digest THEN 'changed'
                   ELSE 'unchanged' END AS status,
              COALESCE(n.n_chars, o.n_chars) AS n_chars
       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) t
@@ -377,9 +377,13 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PH_BITS, _PH_MAX_HAMMING = 32, 4
 
+# Lane width mirrors the Spark operator: floor(n/bits) per chunk, the
+# LAST chunk absorbing the n mod bits remainder (substr length past the
+# end clamps in both engines) so every payload byte is hashed.
 _PH_LANES = " + ".join(
     f"""CASE WHEN strpos('89abcdef', substr(md5(
-        substr(text, 1 + {j} * cl, cl)), 1, 1)) > 0
+        substr(text, 1 + {j} * cl,
+               {'length(text)' if j == _PH_BITS - 1 else 'cl'})), 1, 1)) > 0
         THEN CAST({1 << j} AS BIGINT) ELSE 0 END"""
     for j in range(_PH_BITS))
 
@@ -400,7 +404,8 @@ _PH_LANES = " + ".join(
     WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAX_HAMMING}
     """,
     doc="Near-dup media detection over the BINARY column: 32-bit "
-        "block-hash fingerprint (payload split into 32 equal chunks, "
+        "block-hash fingerprint (payload split into 32 chunks, last "
+        "chunk absorbing the remainder so the tail is hashed too, "
         "bit = md5 nibble of the chunk — identical blocks agree, "
         "ssdeep/blockhash family) + pigeonhole hamming join ≤ 4 via "
         "dedup.hamming_segment_pairs — the same Manku topology as "

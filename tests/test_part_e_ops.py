@@ -154,6 +154,26 @@ def test_winnow_density_band(spark):
     assert all(1 <= r.sel_pos <= n_grams for r in rows)
 
 
+def test_winnow_position_overflow_fails_loudly(spark):
+    """The fused min-key carries 16-bit positions; a document with
+    more than 65535 k-grams must raise (not silently corrupt the
+    rightmost-min tie-break and the sel_pos/fp decode)."""
+    import pytest
+
+    from kafka_elasticsearch_injector_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    big = " ".join(str(i) for i in range(65536 + 3 - 1 + 1))  # 65536 grams
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(Exception, match="position encoding overflow"):
+        winnow_fingerprints(df, k=3, w=4).collect()
+    # exactly AT the bound still works
+    ok = " ".join(str(i) for i in range(65535 + 3 - 1))  # 65535 grams
+    df2 = spark.createDataFrame([(1, ok)], "doc_id long, text string")
+    assert winnow_fingerprints(df2, k=3, w=4).count() >= 1
+
+
 # ------------------------------------------------------- cross minhash
 
 
@@ -208,6 +228,24 @@ def test_corpus_diff_statuses(spark):
            for r in corpus_diff(old, new).collect()}
     assert got == {1: ("removed", 10), 2: ("unchanged", 20),
                    3: ("changed", 31), 4: ("added", 40)}
+
+
+def test_corpus_diff_null_digest_is_changed(spark):
+    """Null-safe digest compare: a null-vs-non-null digest pair is
+    'changed' (a plain != evaluates NULL and used to fall through to
+    'unchanged'); null-vs-null is 'unchanged'."""
+    from kafka_elasticsearch_injector_spark.operators.maintenance import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None, 10), (2, "b", 20), (3, None, 30)],
+        "doc_id long, digest string, n_chars long")
+    new = spark.createDataFrame(
+        [(1, "now-present", 11), (2, None, 21), (3, None, 30)],
+        "doc_id long, digest string, n_chars long")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}
 
 
 # ------------------------------------------------------- capping

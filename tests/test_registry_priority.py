@@ -245,3 +245,30 @@ def test_survey_and_registry_name_sync():
     reg = set(QUERIES)
     assert reg - survey == set(), f"registered but not in SURVEY: {reg - survey}"
     assert survey - reg == set(), f"in SURVEY but not registered: {survey - reg}"
+
+
+def test_no_unbenched_registered_query():
+    """Round-7 postmortem gate: BOTH blown queries landed in a
+    snapshot commit without ever running under bench.py, so the first
+    sf0.1 numbers anyone saw were the driver's (402 s). Every
+    registered query must appear in the committed sf0.1 BENCH_DETAIL
+    — i.e. adding a query REQUIRES rerunning `python bench.py` (at the
+    default sf0.1) before committing. Extra detail rows for since-
+    renamed queries are tolerated; missing ones are not."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BENCH_DETAIL.json")
+    assert os.path.exists(path), "BENCH_DETAIL.json missing — run bench.py"
+    with open(path) as f:
+        detail = json.load(f)
+    assert detail.get("sf") == 0.1, (
+        f"BENCH_DETAIL.json is at sf={detail.get('sf')} — rerun bench.py "
+        "at the default sf0.1 before committing (sf0.01 runs write "
+        "BENCH_DETAIL_sf0.01.json and must not clobber this file)")
+    benched = set(detail.get("queries", {}))
+    missing = sorted(set(QUERIES) - benched)
+    assert not missing, (
+        f"registered queries never benched at sf0.1: {missing} — "
+        "run `python bench.py` and commit the refreshed BENCH_DETAIL.json")
