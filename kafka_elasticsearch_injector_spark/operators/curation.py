@@ -225,3 +225,163 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: list[Column | str],
                  .cast("bigint").alias("n_rows_suppressed"),
                  F.sum(F.when(~suppressed, F.col("n")).otherwise(0))
                  .cast("bigint").alias("n_rows_kept")))
+
+
+def ngram_coverage(corpus: DataFrame, probe: DataFrame, n: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-probe-document n-gram coverage by the corpus: for each
+    document of `probe` (a benchmark/eval set), the fraction of its
+    DISTINCT word n-grams that appear anywhere in `corpus`. The audit
+    run when TUNING decontamination: coverage ≈ 1 means the benchmark
+    is effectively memorizable from the training mix even if no single
+    document tripped the overlap screen; decontaminate() then needs a
+    stricter n / threshold. Returns (id, n_grams, n_covered, coverage)
+    for probe docs with at least one n-gram; coverage is an
+    integer-operand IEEE division (bit-exact cross-engine).
+
+    Scale shape — the corpus is scanned ONCE and never shuffled by
+    gram text:
+    - probe grams (small by construction: eval sets are KBs-MBs)
+      broadcast to the corpus scan, so the corpus explode is filtered
+      to candidate grams BEFORE any aggregation;
+    - the matched-gram set (≤ |probe grams|) is then distinct'd and
+      broadcast back onto the per-probe-doc gram rows — the only
+      exchanges move probe-sized relations;
+    - at 100 TB the corpus side stays a narrow projection + broadcast
+      semi-join; no global distinct over corpus grams ever runs.
+    """
+    probe_grams = (probe.select(
+        F.col(id_col), F.explode(F.array_distinct(
+            word_ngrams(tokens(text_col), n))).alias("g")))
+    probe_gram_set = probe_grams.select("g").distinct()
+    # fill_cluster: the corpus-side shingling is the CPU-bound stage;
+    # a few-split input would run it on a sliver of the cluster (no-op
+    # at scale — see scale.fill_cluster). explode_outer, not explode:
+    # a non-outer Generate gets an inferred size()>0 filter whose
+    # pushdown re-evaluates the whole gram array per row at the scan
+    # (see text._winnow_doc_arrays); the join on g drops the outer
+    # variant's null rows for free.
+    hits = (fill_cluster(corpus.select(text_col)).select(
+        F.explode_outer(word_ngrams(tokens(text_col), n)).alias("g"))
+            .join(F.broadcast(probe_gram_set), "g")
+            .select("g").distinct()
+            .withColumn("_hit", F.lit(1)))
+    return (probe_grams.join(F.broadcast(hits), "g", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .cast("bigint").alias("n_covered"),
+                 (F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                  / F.count(F.lit(1))).alias("coverage")))
+
+
+def length_filter_sweep(df: DataFrame, thresholds: list[int],
+                        text_col: str = "text") -> DataFrame:
+    """Length-filter threshold sweep: for each candidate minimum token
+    count, how many documents and tokens survive — the one-pass audit
+    a curation pipeline runs to PICK its length cutoff instead of
+    guessing (C4 dropped <3-sentence pages; the right bound is
+    corpus-specific). Returns one row per threshold:
+    (min_tokens, docs_kept, tokens_kept, docs_share, tokens_share);
+    shares are integer-operand IEEE divisions.
+
+    Scale shape: ONE corpus scan into a single partial-aggregated
+    reduce (2·|grid|+2 conditional lanes — every lane map-side
+    combines), then the grid rows are inlined from the one aggregate
+    row. No join, no second scan, no shuffle beyond the reduce."""
+    nt = n_tokens(text_col)
+    base = df.select(nt.alias("_n"))
+    lanes = [F.count(F.lit(1)).alias("_docs"),
+             F.sum("_n").alias("_toks")]
+    for t in thresholds:
+        keep = F.col("_n") >= t
+        lanes.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"_d{t}"))
+        lanes.append(F.sum(F.when(keep, F.col("_n")).otherwise(0))
+                     .alias(f"_t{t}"))
+    agg = base.agg(*lanes)
+    rows = F.array(*[
+        F.struct(F.lit(t).cast("bigint").alias("min_tokens"),
+                 F.col(f"_d{t}").cast("bigint").alias("docs_kept"),
+                 F.col(f"_t{t}").cast("bigint").alias("tokens_kept"),
+                 (F.col(f"_d{t}").cast("double") / F.col("_docs"))
+                 .alias("docs_share"),
+                 (F.col(f"_t{t}").cast("double") / F.col("_toks"))
+                 .alias("tokens_share"))
+        for t in thresholds])
+    return (agg.select(F.explode(rows).alias("r"))
+            .select("r.min_tokens", "r.docs_kept", "r.tokens_kept",
+                    "r.docs_share", "r.tokens_share"))
+
+
+def gini_tokens(df: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Gini coefficient of token mass across `group_col` (sources /
+    domains): the imbalance number a mixture design quotes next to the
+    HHI — 0 = perfectly even token budget, →1 = one domain dominates.
+    Uses the exact rank formula G = Σᵢ(2i − n − 1)wᵢ / (n Σw) with
+    ties broken by group name, so numerator and denominator are exact
+    BIGINTs and the single division is bit-identical cross-engine.
+    Returns one row: (n_groups, total_tokens, gini).
+
+    Scale shape: token mass per group is a partial-aggregated groupBy
+    (immune to doc skew); everything after runs on |groups| rows —
+    the rank window and final reduce are KB-sized at any corpus
+    size."""
+    per = (df.select(F.col(group_col).alias("grp"),
+                     n_tokens(text_col).alias("_n"))
+           .groupBy("grp").agg(F.sum("_n").cast("bigint").alias("w")))
+    # n and Σw ride along every ranked row via an unpartitioned window
+    # (|groups| rows — KBs); nesting them as aggregates-inside-the-sum
+    # is illegal SQL in both engines.
+    wall = Window.partitionBy(F.lit(1))
+    ranked = per.select(
+        "w", F.row_number().over(Window.orderBy("w", "grp")).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("w").over(wall).alias("tw"))
+    num = F.sum((F.lit(2) * F.col("i") - F.col("n") - 1) * F.col("w"))
+    return ranked.agg(
+        F.min("n").cast("bigint").alias("n_groups"),
+        F.min("tw").cast("bigint").alias("total_tokens"),
+        (num.cast("double") / F.min(F.col("n") * F.col("tw")))
+        .alias("gini"))
+
+
+def vocab_growth(df: DataFrame, buckets: int = 10,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: walk the corpus in id order
+    split into `buckets` equal-count tranches and report cumulative
+    token mass vs cumulative DISTINCT vocabulary after each tranche —
+    the curve that says whether more data still buys new vocabulary
+    (sub-linear growth flattening early ⇒ the corpus is saturating and
+    further scale mostly repeats itself). Returns one row per tranche:
+    (bucket, cum_tokens, cum_types, type_token_ratio); the ratio is an
+    integer-operand IEEE division.
+
+    Scale shape: the ntile ranking is inherently a single-task scan,
+    so it runs over a SLIM (id)-only projection (8 bytes/row) and the
+    bucket joins back onto the full rows — text never enters the
+    window. A token's FIRST tranche is min(bucket) per token — a
+    partial-aggregated groupBy(token) immune to Zipf skew (map-side
+    combine caps every partition's emission at vocab size); both
+    cumsums then run on `buckets` rows."""
+    slim = df.select(F.col(id_col)).withColumn(
+        "bucket", F.ntile(buckets).over(Window.orderBy(id_col)))
+    base = (df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+            .join(slim, id_col))
+    tok_mass = (base.select("bucket", F.size("_tk").alias("_n"))
+                .groupBy("bucket").agg(F.sum("_n").alias("toks")))
+    first_seen = (base.select("bucket", F.explode("_tk").alias("tok"))
+                  .groupBy("tok").agg(F.min("bucket").alias("bucket"))
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("types")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (tok_mass.join(first_seen, "bucket", "left")
+            .select("bucket", F.col("toks"),
+                    F.coalesce("types", F.lit(0)).alias("types"))
+            .select(F.col("bucket").cast("bigint").alias("bucket"),
+                    F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
+                    F.sum("types").over(w).cast("bigint").alias("cum_types"))
+            .withColumn("type_token_ratio",
+                        F.col("cum_types").cast("double")
+                        / F.col("cum_tokens")))

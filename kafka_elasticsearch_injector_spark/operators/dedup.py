@@ -334,6 +334,36 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
     )
 
 
+def dedup_survivors(clusters: DataFrame, docs: DataFrame,
+                    id_col: str = "doc_id",
+                    weight_col: str = "n_chars") -> DataFrame:
+    """The dedup run's ACTIONABLE output: one row per multi-member
+    cluster with the surviving document and what merging costs —
+    (survivor_id, n_merged, chars_kept, chars_dropped). `clusters` is
+    dedup_clusters' (id, cluster_id, is_canonical) labeling; `docs`
+    supplies `weight_col` (chars/bytes/tokens). cluster_sizes answers
+    "are the thresholds sane" (histogram); this answers "which ids
+    survive and how much volume the merge removes" — the relation an
+    incremental pipeline anti-joins against.
+
+    Scale shape: one broadcast-or-shuffle equi-join on the id, one
+    partial-aggregated groupBy(cluster_id); singleton clusters are
+    filtered AFTER the rollup so the filter is on cluster-count rows,
+    never a second pass over members."""
+    joined = clusters.join(
+        docs.select(F.col(id_col), F.col(weight_col).alias("_w")), id_col)
+    canonical = F.col("is_canonical")
+    return (joined.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+                 F.sum(F.when(canonical, F.col("_w")).otherwise(0))
+                 .cast("bigint").alias("chars_kept"),
+                 F.sum(F.when(~canonical, F.col("_w")).otherwise(0))
+                 .cast("bigint").alias("chars_dropped"))
+            .filter(F.col("n_merged") >= 2)
+            .select(F.col("cluster_id").alias("survivor_id"),
+                    "n_merged", "chars_kept", "chars_dropped"))
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """16-bit SimHash per row: lane j votes +1 when hex digit j of

@@ -1,0 +1,255 @@
+"""Part G — corpus-accounting round 8 additions: dedup survivor
+rollup, benchmark n-gram coverage, length-filter threshold sweep,
+token-mass Gini, and a Heaps'-law vocabulary-growth audit.
+
+Reference parity note: none of this exists in the reference (its
+pipeline ends at routing records into Elasticsearch,
+src/kafka/consumer.go + src/elasticsearch/elasticsearch.go:60-124);
+these extend the training-corpus operator family (Parts C-F) with the
+accounting/audit queries a curation run logs to tune itself.
+
+Cross-engine determinism notes:
+- every emitted ratio (coverage, shares, type_token_ratio) is an
+  integer-operand IEEE division — bit-identical across engines
+  (ROUNDING.md);
+- gini uses the exact rank formula Σᵢ(2i−n−1)wᵢ / (n·Σw) with ties
+  broken by group name, so numerator and denominator are exact
+  integers and the single division is bit-exact; the numerator is
+  non-negative by construction (w ascending in i), so no -0.0 hazard;
+- ntile(10) tranche assignment is the standard SQL NTILE (earlier
+  tranches absorb the remainder) over the unique doc_id order —
+  identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from .part_c import _MH_CLUSTER_CTES, _MH_CLUSTER_SELECT
+from .registry import register
+
+# ===================================================================
+# Dedup survivor rollup
+# ===================================================================
+
+
+@register(
+    "q_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_MH_CLUSTER_CTES},
+    clusters AS ({_MH_CLUSTER_SELECT})
+    SELECT cluster_id AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(CASE WHEN is_canonical THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept,
+           CAST(SUM(CASE WHEN NOT is_canonical THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped
+    FROM clusters JOIN documents USING (doc_id)
+    GROUP BY cluster_id HAVING COUNT(*) >= 2
+    """,
+    doc="The dedup run's actionable output (operators/dedup."
+        "dedup_survivors): one row per multi-member MinHash→LSH→CC "
+        "cluster with the surviving doc id and the merged volume "
+        "(chars kept vs dropped) — the relation an incremental "
+        "pipeline anti-joins against, complementing "
+        "q_dedup_cluster_sizes' tuning histogram. One id equi-join + "
+        "one partial-aggregated rollup downstream of the shared "
+        "clustering; all counts exact BIGINTs.",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_survivors
+    from .part_c import q_dedup_minhash_cluster
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = q_dedup_minhash_cluster(spark, sf_dir)
+    return dedup_survivors(clusters, docs)
+
+
+# ===================================================================
+# Benchmark n-gram coverage
+# ===================================================================
+
+_NC_N, _NC_MOD = 2, 97
+
+
+@register(
+    "q_ngram_coverage",
+    f"""
+    WITH pg AS (
+      SELECT DISTINCT doc_id, tk[pos] || ' ' || tk[pos+1] AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+                   unnest(range(1, greatest(len(string_split(text, ' '))
+                                            - 1, 0) + 1)) AS pos
+            FROM documents WHERE doc_id % {_NC_MOD} = 0) t
+    ), cg AS (
+      SELECT DISTINCT tk[pos] || ' ' || tk[pos+1] AS g
+      FROM (SELECT string_split(text, ' ') AS tk,
+                   unnest(range(1, greatest(len(string_split(text, ' '))
+                                            - 1, 0) + 1)) AS pos
+            FROM documents WHERE doc_id % {_NC_MOD} <> 0) t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS coverage
+    FROM pg LEFT JOIN cg USING (g)
+    GROUP BY doc_id
+    """,
+    doc="Benchmark n-gram coverage audit (operators/curation."
+        "ngram_coverage): per eval-set document, the fraction of its "
+        "distinct word bigrams appearing ANYWHERE in the training "
+        "corpus — the decontamination-tuning signal (coverage ≈ 1 "
+        "means the benchmark is memorizable from the mix even when no "
+        "single document trips the overlap screen). Probe = the "
+        f"deterministic doc_id %% {_NC_MOD} == 0 slice. The corpus "
+        "side is one scan filtered by the BROADCAST probe-gram set "
+        "before any aggregation; only probe-sized relations shuffle; "
+        "coverage is an integer-operand division.",
+)
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import ngram_coverage
+
+    docs = table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % _NC_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _NC_MOD != 0)
+    return ngram_coverage(corpus, probe, n=_NC_N)
+
+
+# ===================================================================
+# Length-filter threshold sweep
+# ===================================================================
+
+_LF_GRID = (8, 16, 32, 64)
+
+
+@register(
+    "q_length_filter_sweep",
+    f"""
+    WITH base AS (
+      SELECT len(string_split(text, ' ')) AS n FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS docs, SUM(n) AS toks FROM base
+    ), grid AS (
+      SELECT unnest([{", ".join(str(t) for t in _LF_GRID)}]) AS t
+    )
+    SELECT CAST(t AS BIGINT) AS min_tokens,
+           CAST(SUM(CASE WHEN n >= t THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN n >= t THEN n ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(SUM(CASE WHEN n >= t THEN 1 ELSE 0 END) AS DOUBLE)
+             / MIN(docs) AS docs_share,
+           CAST(SUM(CASE WHEN n >= t THEN n ELSE 0 END) AS DOUBLE)
+             / MIN(toks) AS tokens_share
+    FROM base CROSS JOIN tot CROSS JOIN grid
+    GROUP BY t
+    """,
+    doc="Length-filter threshold sweep (operators/curation."
+        "length_filter_sweep): docs/tokens surviving each candidate "
+        "minimum-token cutoff, in ONE corpus scan — the audit that "
+        "picks the length filter instead of guessing it (C4's "
+        "3-sentence floor is corpus-specific). Single partial-"
+        "aggregated reduce with 2·|grid|+2 conditional lanes; grid "
+        "rows inlined from the one aggregate row; shares are integer-"
+        "operand divisions.",
+)
+def q_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import length_filter_sweep
+
+    return length_filter_sweep(table(spark, sf_dir, "documents"),
+                               list(_LF_GRID))
+
+
+# ===================================================================
+# Token-mass Gini
+# ===================================================================
+
+
+@register(
+    "q_gini_tokens",
+    """
+    WITH per AS (
+      SELECT source AS grp, SUM(len(string_split(text, ' '))) AS w
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT CAST(w AS BIGINT) AS w,
+             ROW_NUMBER() OVER (ORDER BY w, grp) AS i,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(w) OVER () AS BIGINT) AS tw
+      FROM per
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_groups,
+           CAST(MIN(tw) AS BIGINT) AS total_tokens,
+           CAST(SUM((2 * i - n - 1) * w) AS DOUBLE) / MIN(n * tw) AS gini
+    FROM ranked
+    """,
+    doc="Token-mass Gini across sources (operators/curation."
+        "gini_tokens): the imbalance coefficient a mixture design "
+        "quotes next to q_hhi_concentration — 0 = even token budget, "
+        "→1 = one domain dominates. Exact rank formula "
+        "Σ(2i−n−1)wᵢ/(n·Σw), ties broken by source name: integer "
+        "numerator/denominator, ONE bit-exact division. Partial-"
+        "aggregated per-source mass; everything after runs on "
+        "|sources| rows.",
+)
+def q_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import gini_tokens
+
+    return gini_tokens(table(spark, sf_dir, "documents"))
+
+
+# ===================================================================
+# Vocabulary-growth (Heaps'-law) audit
+# ===================================================================
+
+_VG_BUCKETS = 10
+
+
+@register(
+    "q_vocab_growth",
+    f"""
+    WITH slim AS (
+      SELECT doc_id, ntile({_VG_BUCKETS}) OVER (ORDER BY doc_id) AS bucket
+      FROM documents
+    ), base AS (
+      SELECT bucket, string_split(text, ' ') AS tk
+      FROM documents JOIN slim USING (doc_id)
+    ), tok_mass AS (
+      SELECT bucket, SUM(len(tk)) AS toks FROM base GROUP BY bucket
+    ), first_seen AS (
+      SELECT bucket, COUNT(*) AS types FROM (
+        SELECT tok, MIN(bucket) AS bucket
+        FROM (SELECT bucket, unnest(tk) AS tok FROM base)
+        GROUP BY tok)
+      GROUP BY bucket
+    ), cum AS (
+      SELECT bucket,
+             SUM(toks) OVER (ORDER BY bucket) AS cum_tokens,
+             SUM(COALESCE(types, 0)) OVER (ORDER BY bucket) AS cum_types
+      FROM tok_mass LEFT JOIN first_seen USING (bucket)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_types AS BIGINT) AS cum_types,
+           CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS BIGINT)
+             AS type_token_ratio
+    FROM cum
+    """,
+    doc="Heaps'-law vocabulary-growth audit (operators/curation."
+        "vocab_growth): cumulative distinct vocabulary vs cumulative "
+        "token mass across 10 equal-count tranches of the corpus in "
+        "id order — the does-more-data-still-buy-new-vocabulary curve "
+        "(early flattening ⇒ the corpus is saturating). The ntile "
+        "ranking runs over a slim id-only projection (text never "
+        "enters the single-task window); first-tranche-per-token is a "
+        "Zipf-immune partial-aggregated groupBy(token); cumsums run "
+        "on 10 rows. type_token_ratio is an integer-operand division.",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import vocab_growth
+
+    return vocab_growth(table(spark, sf_dir, "documents"),
+                        buckets=_VG_BUCKETS)

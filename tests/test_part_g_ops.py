@@ -1,0 +1,143 @@
+"""Part G operator units: dedup survivor rollup, n-gram coverage,
+length-filter sweep, token-mass Gini, vocabulary growth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+# ------------------------------------------------------ survivors
+
+
+def test_dedup_survivors_rollup(spark):
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        dedup_survivors,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False),
+         (4, 4, True),                       # singleton — dropped
+         (5, 5, True), (6, 5, False)],
+        "doc_id long, cluster_id long, is_canonical boolean")
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60)],
+        "doc_id long, n_chars long")
+    got = {r.survivor_id: (r.n_merged, r.chars_kept, r.chars_dropped)
+           for r in dedup_survivors(clusters, docs).collect()}
+    assert got == {1: (3, 10, 50), 5: (2, 50, 60)}
+
+
+# ------------------------------------------------------ coverage
+
+
+def test_ngram_coverage_fractions(spark):
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        ngram_coverage,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "a b c d"), (101, "x y")], "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(1, "a b c"),      # bigrams {a b, b c} — both in corpus
+         (2, "b c q"),      # {b c, c q} — one covered
+         (3, "zz ww"),      # {zz ww} — none
+         (4, "solo")],      # no bigrams — excluded
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_covered, r.coverage)
+           for r in ngram_coverage(corpus, probe, n=2).collect()}
+    assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_ngram_coverage_probe_side_broadcasts(spark):
+    """Both joins must broadcast probe-sized relations — the corpus
+    gram rows never shuffle by gram text."""
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        ngram_coverage,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)],
+        "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(1000, "w1 w2 w3")], "doc_id long, text string")
+    plan = (ngram_coverage(corpus, probe)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+# ------------------------------------------------------ length sweep
+
+
+def test_length_filter_sweep_counts_and_shares(spark):
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        length_filter_sweep,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d")],
+        "doc_id long, text string")   # token counts 1..4, total 10
+    got = {r.min_tokens: (r.docs_kept, r.tokens_kept,
+                          r.docs_share, r.tokens_share)
+           for r in length_filter_sweep(docs, [2, 4, 5]).collect()}
+    assert got == {2: (3, 9, 0.75, 0.9),
+                   4: (1, 4, 0.25, 0.4),
+                   5: (0, 0, 0.0, 0.0)}
+
+
+def test_length_filter_sweep_single_scan_no_join(spark):
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        length_filter_sweep,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string")
+    plan = (length_filter_sweep(docs, [2, 4])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, plan
+
+
+# ------------------------------------------------------ gini
+
+
+def test_gini_tokens_known_values(spark):
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        gini_tokens,
+    )
+
+    # masses 1, 2, 3 → G = (1·(2−4) + 2·(4−4) + 3·(6−4)) / (3·6) = 4/18
+    docs = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "a b", "s2"), (3, "a b c", "s3")],
+        "doc_id long, text string, source string")
+    row = gini_tokens(docs).collect()[0]
+    assert (row.n_groups, row.total_tokens) == (3, 6)
+    assert row.gini == pytest.approx(4 / 18, abs=0)
+
+    even = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "c d", "s2")],
+        "doc_id long, text string, source string")
+    assert gini_tokens(even).collect()[0].gini == 0.0
+
+
+# ------------------------------------------------------ vocab growth
+
+
+def test_vocab_growth_cumulative_and_totals(spark):
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d e"), (4, "a e")],
+        "doc_id long, text string")
+    rows = sorted(vocab_growth(docs, buckets=2).collect(),
+                  key=lambda r: r.bucket)
+    # tranche 1 = docs 1-2 (tokens 4, vocab {a,b,c}); tranche 2 adds
+    # docs 3-4 (tokens +5, new vocab {d,e})
+    assert [(r.bucket, r.cum_tokens, r.cum_types) for r in rows] == [
+        (1, 4, 3), (2, 9, 5)]
+    assert rows[0].type_token_ratio == 3 / 4
+    assert rows[1].type_token_ratio == 5 / 9
