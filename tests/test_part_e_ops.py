@@ -435,3 +435,16 @@ def test_winnow_sliding_min_not_inlined(spark, sf_dir):
     plan = _executed(queries()["q_winnow_fingerprints"](spark, sf_dir))
     assert re.search(r"slice\(_encs#\d+", plan), plan
     assert "slice(transform" not in plan, plan
+
+
+def test_winnow_pairs_reads_materialized_sketch_only(spark, sf_dir):
+    """The round-7 402 s regression class: winnow_pairs fanned out to
+    four INDEPENDENT corpus scans of the md5 sketch pipeline. The fix
+    localCheckpoints the posting rows once, so the executed join plan
+    must contain ZERO parquet scans of documents — every branch reads
+    the checkpointed RDD."""
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _executed(queries()["q_winnow_pairs"](spark, sf_dir))
+    assert "documents" not in plan, plan
+    assert plan.count("ExistingRDD") >= 1, plan
