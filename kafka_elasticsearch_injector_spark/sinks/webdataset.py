@@ -226,25 +226,15 @@ def read_webdataset(spark, path: str,
     suffix_to_col = dict(ordered)
 
     def parse(batches):
+        # Suffix semantics live in ONE place, shared with the
+        # registered `format("webdataset")` data source
+        # (sources/webdataset_source._parse_tar_samples) so the two
+        # readers cannot drift.
+        from ..sources.webdataset_source import _parse_tar_samples
+
         for pdf in batches:
             for _, row in pdf.iterrows():
-                samples: dict[str, dict[str, bytes]] = {}
-                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tar:
-                    for m in tar.getmembers():
-                        if not m.isfile():
-                            continue
-                        # WebDataset split: first dot AFTER the last
-                        # slash — dotted directories stay in the key.
-                        dirname, _, base = m.name.rpartition("/")
-                        stem, dot, suffix = base.partition(".")
-                        if not dot:
-                            continue        # extensionless: no suffix
-                        key = f"{dirname}/{stem}" if dirname else stem
-                        col = suffix_to_col.get(suffix)
-                        if col is None:
-                            continue
-                        samples.setdefault(key, {})[col] = (
-                            tar.extractfile(m).read())
+                samples = _parse_tar_samples(row["content"], suffix_to_col)
                 shard = os.path.basename(row["path"])
                 rows = [
                     {"shard": shard, "key": k,

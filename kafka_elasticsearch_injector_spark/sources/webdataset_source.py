@@ -1,0 +1,151 @@
+"""WebDataset tar shards as a REGISTERED Spark data source.
+
+Spark 4's Python DataSource API (`pyspark.sql.datasource`) lets a
+format participate in the engine's own planning protocol instead of
+being a helper function: after `register_webdataset_source(spark)`,
+
+    spark.read.format("webdataset")
+         .option("members", '{"txt": "text", "cls": "label"}')
+         .load("/corpus/tars")
+
+plans ONE input partition per `shard-*.tar` (parallelism = shard
+count, the same contract the writer sizes shards for) and each task
+streams its tar straight from the shared filesystem into Arrow
+RecordBatches — the file bytes never round-trip through the JVM the
+way the `binaryFile`-based helper's do (sinks/webdataset.
+read_webdataset keeps working as the no-registration path; both
+readers share _parse_tar_samples, so suffix semantics cannot drift).
+
+Nothing in the reference corresponds (its only source is the Kafka
+consumer, src/kafka/consumer.go:61-135); this is engine-surface work:
+the point of a training-data engine is that EXISTING tar corpora read
+as first-class tables.
+
+Options:
+- `members` (JSON object, default {"txt": "text"}): tar-member suffix
+  → output column. Suffix matching follows the WebDataset convention
+  documented on sinks/webdataset.read_webdataset (first dot after the
+  last slash; dotted suffixes must be requested verbatim).
+- `path`: directory of `*.tar` shards (the `.load(path)` argument).
+
+Schema: (shard string, key string, <col> binary ...), one row per
+sample key — identical to read_webdataset.
+
+At 100 TB: partitions() lists shard files driver-side (cheap: one
+listing of ~thousands of names); each read() holds one shard's
+samples in memory — the same ~1 GB bound as the writer. The task
+reads local/NFS/FUSE paths; on an object store without a mount, front
+it with fsspec inside _open_shard.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pyarrow as pa
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+_DEFAULT_MEMBERS = {"txt": "text"}
+
+
+def _members_from_options(options) -> dict[str, str]:
+    raw = options.get("members")
+    members = json.loads(raw) if raw else dict(_DEFAULT_MEMBERS)
+    if (not isinstance(members, dict) or not members
+            or not all(isinstance(k, str) and isinstance(v, str)
+                       for k, v in members.items())):
+        raise ValueError(
+            "webdataset `members` option must be a non-empty JSON "
+            f"object of suffix -> column strings, got: {raw!r}")
+    return members
+
+
+def _parse_tar_samples(data: bytes, members: dict[str, str]):
+    """tar bytes → {key: {col: payload}} under the WebDataset suffix
+    convention (shared by read_webdataset and this data source)."""
+    samples: dict[str, dict[str, bytes]] = {}
+    with tarfile.open(fileobj=io.BytesIO(data)) as tar:
+        for m in tar.getmembers():
+            if not m.isfile():
+                continue
+            # First dot AFTER the last slash — dotted directories
+            # stay in the key; extensionless members have no suffix.
+            dirname, _, base = m.name.rpartition("/")
+            stem, dot, suffix = base.partition(".")
+            if not dot:
+                continue
+            col = members.get(suffix)
+            if col is None:
+                continue
+            key = f"{dirname}/{stem}" if dirname else stem
+            samples.setdefault(key, {})[col] = tar.extractfile(m).read()
+    return samples
+
+
+@dataclass
+class _ShardPartition(InputPartition):
+    path: str
+
+
+class WebDatasetReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "webdataset source needs a path: "
+                "spark.read.format('webdataset').load(<dir of *.tar>)")
+        self._members = _members_from_options(options)
+
+    def partitions(self) -> list[InputPartition]:
+        import glob
+
+        shards = sorted(glob.glob(os.path.join(self._path, "*.tar")))
+        if not shards:
+            raise FileNotFoundError(
+                f"no *.tar shards under {self._path}")
+        return [_ShardPartition(p) for p in shards]
+
+    def read(self, partition: _ShardPartition) -> Iterator[pa.RecordBatch]:
+        with open(partition.path, "rb") as f:
+            samples = _parse_tar_samples(f.read(), self._members)
+        ordered = sorted(self._members.items())
+        shard = os.path.basename(partition.path)
+        keys = sorted(samples)
+        arrays = [
+            pa.array([shard] * len(keys), pa.string()),
+            pa.array(keys, pa.string()),
+            *[pa.array([samples[k].get(col) for k in keys], pa.binary())
+              for _, col in ordered],
+        ]
+        names = ["shard", "key", *[col for _, col in ordered]]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class WebDatasetDataSource(DataSource):
+    """`format("webdataset")` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webdataset"
+
+    def schema(self) -> str:
+        ordered = sorted(_members_from_options(self.options).items())
+        return ("shard string, key string, "
+                + ", ".join(f"`{col}` binary" for _, col in ordered))
+
+    def reader(self, schema) -> WebDatasetReader:
+        return WebDatasetReader(self.options)
+
+
+def register_webdataset_source(spark) -> None:
+    """Idempotently register `format("webdataset")` on this session."""
+    spark.dataSource.register(WebDatasetDataSource)
