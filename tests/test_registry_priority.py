@@ -247,6 +247,21 @@ def test_survey_and_registry_name_sync():
     assert survey - reg == set(), f"in SURVEY but not registered: {survey - reg}"
 
 
+def test_readme_query_count_matches_registry():
+    """ADVICE r7: the README's correctness-contract sentence quotes the
+    inventory size; pin it to the registry so growth can't strand it."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "README.md")) as f:
+        m = re.search(r"Every one of the (\d+) declared queries", f.read())
+    assert m, "README correctness-contract sentence missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} declared queries; registry has "
+        f"{len(QUERIES)} — update README.md")
+
+
 def test_no_unbenched_registered_query():
     """Round-7 postmortem gate: BOTH blown queries landed in a
     snapshot commit without ever running under bench.py, so the first
