@@ -51,6 +51,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -130,6 +131,64 @@ class WebDatasetReader(DataSourceReader):
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+class WebDatasetStreamReader(DataSourceStreamReader):
+    """Micro-batch tar-shard stream: each batch reads the shards that
+    APPEARED since the last committed offset — the ingest path for a
+    corpus being produced shard-by-shard upstream (a writer fleet
+    dropping `shard-NNNNN.tar` files as it finishes them).
+
+    Offset model: the lexicographic high-water mark of processed shard
+    FILENAMES (`{"last": "shard-00042.tar"}`), so offsets stay O(1)
+    regardless of how many shards ever existed. That requires the
+    producer contract every shard writer here already follows: shard
+    names sort in production order and a published shard is immutable
+    (atomic rename — sinks/_staging.py). A name sorting BELOW the
+    watermark after its directory was scanned is silently ignored,
+    exactly like a late file under Spark's own file source.
+
+    Parallelism: partitions(start, end) lists the new names
+    driver-side; each task streams ONE shard — the same per-task
+    memory bound and Arrow handoff as the batch reader."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "webdataset stream needs a path: "
+                "spark.readStream.format('webdataset').load(<dir>)")
+        self._members = _members_from_options(options)
+
+    def _names(self) -> list[str]:
+        import glob
+
+        return sorted(os.path.basename(p) for p in
+                      glob.glob(os.path.join(self._path, "*.tar")))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._names()
+        return {"last": names[-1]} if names else {"last": ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        new = [n for n in self._names() if lo < n <= hi]
+        # An empty batch still needs one no-op partition: the API
+        # requires a non-empty sequence.
+        if not new:
+            return [_ShardPartition("")]
+        return [_ShardPartition(os.path.join(self._path, n)) for n in new]
+
+    def read(self, partition: _ShardPartition) -> Iterator[pa.RecordBatch]:
+        if not partition.path:
+            return
+        yield from WebDatasetReader.read(self, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class WebDatasetDataSource(DataSource):
     """`format("webdataset")` — see module docstring."""
 
@@ -144,6 +203,9 @@ class WebDatasetDataSource(DataSource):
 
     def reader(self, schema) -> WebDatasetReader:
         return WebDatasetReader(self.options)
+
+    def streamReader(self, schema) -> WebDatasetStreamReader:
+        return WebDatasetStreamReader(self.options)
 
 
 def register_webdataset_source(spark) -> None:

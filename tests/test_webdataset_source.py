@@ -79,3 +79,63 @@ def test_source_column_pruning_still_returns_requested(spark, tar_export):
     got = {r.key: bytes(r.text) for r in df.select("key", "text").collect()}
     assert got[f"{7:012d}"] == b"text 7"
     assert len(got) == 30
+
+
+def test_stream_reader_picks_up_new_shards(spark, tar_export, tmp_path):
+    """readStream over the tar directory: batch 1 sees the initial
+    export; a shard file appearing later (atomic rename, name above
+    the watermark) arrives in a later batch exactly once."""
+    import os
+    import shutil
+    import tarfile
+    import time
+
+    _register(spark)
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    for f in sorted(os.listdir(tar_export)):
+        if f.endswith(".tar"):
+            shutil.copy(os.path.join(tar_export, f),
+                        os.path.join(stream_dir, f))
+
+    seen: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        rows = df.collect()
+        if rows:
+            seen[epoch_id] = rows
+
+    q = (spark.readStream.format("webdataset").load(stream_dir)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if sum(len(v) for v in seen.values()) >= 30:
+                break
+            time.sleep(0.5)
+        assert sum(len(v) for v in seen.values()) == 30
+
+        # publish one more shard ABOVE the watermark (atomic rename)
+        extra_tmp = os.path.join(stream_dir, ".extra.tmp")
+        with tarfile.open(extra_tmp, "w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            data = b"late sample"
+            info = tarfile.TarInfo(name="999999999999.txt")
+            info.size = len(data)
+            import io as _io
+            tar.addfile(info, _io.BytesIO(data))
+        os.replace(extra_tmp, os.path.join(stream_dir, "shard-99999.tar"))
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if sum(len(v) for v in seen.values()) >= 31:
+                break
+            time.sleep(0.5)
+        total = [r for v in seen.values() for r in v]
+        assert len(total) == 31
+        late = [r for r in total if r.shard == "shard-99999.tar"]
+        assert len(late) == 1 and bytes(late[0].text) == b"late sample"
+    finally:
+        q.stop()
