@@ -299,7 +299,11 @@ def length_filter_sweep(df: DataFrame, thresholds: list[int],
         lanes.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"_d{t}"))
         lanes.append(F.sum(F.when(keep, F.col("_n")).otherwise(0))
                      .alias(f"_t{t}"))
-    agg = base.agg(*lanes)
+    # Empty corpus → the global agg's single row carries NULL sums;
+    # drop it so the output is zero rows, matching the SQL oracle's
+    # GROUP BY over an empty relation (and the non-null BIGINT
+    # contract of the count columns).
+    agg = base.agg(*lanes).filter(F.col("_docs") > 0)
     rows = F.array(*[
         F.struct(F.lit(t).cast("bigint").alias("min_tokens"),
                  F.col(f"_d{t}").cast("bigint").alias("docs_kept"),
@@ -334,9 +338,14 @@ def gini_tokens(df: DataFrame, group_col: str = "source",
     # n and Σw ride along every ranked row via an unpartitioned window
     # (|groups| rows — KBs); nesting them as aggregates-inside-the-sum
     # is illegal SQL in both engines.
+    # asc_nulls_last on BOTH keys: Spark's ASC default is NULLS FIRST,
+    # DuckDB's is NULLS LAST — a NULL group (or all-NULL-text group
+    # mass) would otherwise rank differently and skew the numerator.
     wall = Window.partitionBy(F.lit(1))
+    order = Window.orderBy(F.col("w").asc_nulls_last(),
+                           F.col("grp").asc_nulls_last())
     ranked = per.select(
-        "w", F.row_number().over(Window.orderBy("w", "grp")).alias("i"),
+        "w", F.row_number().over(order).alias("i"),
         F.count(F.lit(1)).over(wall).alias("n"),
         F.sum("w").over(wall).alias("tw"))
     num = F.sum((F.lit(2) * F.col("i") - F.col("n") - 1) * F.col("w"))

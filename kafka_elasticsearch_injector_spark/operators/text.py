@@ -297,12 +297,16 @@ def _winnow_doc_arrays(df: DataFrame, k: int, w: int,
     lifting the bound."""
     toks = tokens(text_col)
     n_raw = F.size(toks) - (k - 1)
-    n_grams = F.when(n_raw <= F.lit(65535), n_raw).otherwise(F.raise_error(
+    # Guard direction matters: `when(n_raw > bound, raise)` keeps a
+    # NULL text (NULL n_raw → condition NULL → otherwise branch) on
+    # the silent-drop path the `n_grams >= w` filter already handles,
+    # instead of crashing the job with a misleading overflow error.
+    n_grams = F.when(n_raw > F.lit(65535), F.raise_error(
         F.format_string(
             "winnowing position encoding overflow: document has %s "
             "k-grams but the fused min-key carries 16-bit positions "
             "(max 65535); widen the encoding in _winnow_doc_arrays",
-            n_raw)))
+            n_raw))).otherwise(n_raw)
     base = (df.select(F.col(id_col), toks.alias("_toks"),
                       n_grams.alias("n_grams"))
             .filter(F.col("n_grams") >= w))

@@ -104,7 +104,7 @@ _NC_N, _NC_MOD = 2, 97
         "corpus — the decontamination-tuning signal (coverage ≈ 1 "
         "means the benchmark is memorizable from the mix even when no "
         "single document trips the overlap screen). Probe = the "
-        f"deterministic doc_id %% {_NC_MOD} == 0 slice. The corpus "
+        f"deterministic doc_id % {_NC_MOD} == 0 slice. The corpus "
         "side is one scan filtered by the BROADCAST probe-gram set "
         "before any aggregation; only probe-sized relations shuffle; "
         "coverage is an integer-operand division.",

@@ -171,6 +171,11 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
     """
     columns = list(columns or df.columns)
     cols = list(dict.fromkeys([id_col, *columns]))
+    if "shard" in cols:
+        raise ValueError(
+            "column name 'shard' is reserved: the writer's hash-shard "
+            "assignment would silently overwrite it (rename the column "
+            "before exporting)")
     # Build converters at PLAN time: an unrepresentable column type
     # fails here with a clear TypeError, not per-task on the executors.
     converters = {f.name: _converter(f.dataType)

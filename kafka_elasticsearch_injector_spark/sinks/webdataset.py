@@ -146,6 +146,11 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     members = members or {"txt": "text"}
     # de-dup against id_col too: members may legitimately export the key
     cols = list(dict.fromkeys([id_col, *members.values()]))
+    if "shard" in cols:
+        raise ValueError(
+            "column name 'shard' is reserved: the writer's hash-shard "
+            "assignment would silently overwrite it (rename the column "
+            "before exporting)")
 
     def run(staging: str) -> list:
         def write_shard(table: pa.Table) -> pa.Table:

@@ -139,12 +139,16 @@ class WebDatasetStreamReader(DataSourceStreamReader):
 
     Offset model: the lexicographic high-water mark of processed shard
     FILENAMES (`{"last": "shard-00042.tar"}`), so offsets stay O(1)
-    regardless of how many shards ever existed. That requires the
-    producer contract every shard writer here already follows: shard
-    names sort in production order and a published shard is immutable
-    (atomic rename — sinks/_staging.py). A name sorting BELOW the
-    watermark after its directory was scanned is silently ignored,
-    exactly like a late file under Spark's own file source.
+    regardless of how many shards ever existed. The producer contract
+    is APPEND-ONLY: each shard is published once via atomic rename,
+    names sort in production order, and published bytes never change.
+    A name sorting BELOW the watermark after its directory was scanned
+    is silently ignored, exactly like a late file under Spark's own
+    file source. NOTE this is NOT the contract of the repo's own
+    staged_publish exporters — a re-export REPLACES shard files under
+    the SAME names, which a watermark (or any replayable offset log)
+    cannot represent: don't point a stream at a directory that gets
+    re-exported; stream from a directory a producer only appends to.
 
     Parallelism: partitions(start, end) lists the new names
     driver-side; each task streams ONE shard — the same per-task

@@ -448,3 +448,17 @@ def test_winnow_pairs_reads_materialized_sketch_only(spark, sf_dir):
     plan = _executed(queries()["q_winnow_pairs"](spark, sf_dir))
     assert "documents" not in plan, plan
     assert plan.count("ExistingRDD") >= 1, plan
+
+
+def test_winnow_null_text_dropped_not_crashed(spark):
+    """A NULL text row rides the silent-drop path (like any doc with
+    fewer than w windows); the overflow guard must not fire on the
+    NULL branch of the when()."""
+    from kafka_elasticsearch_injector_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g h")], "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=3, w=4).collect()
+    assert rows and {r.doc_id for r in rows} == {2}

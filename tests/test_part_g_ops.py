@@ -141,3 +141,34 @@ def test_vocab_growth_cumulative_and_totals(spark):
         (1, 4, 3), (2, 9, 5)]
     assert rows[0].type_token_ratio == 3 / 4
     assert rows[1].type_token_ratio == 5 / 9
+
+
+# --------------------------------------------- review regressions (r8)
+
+
+def test_length_filter_sweep_empty_corpus_zero_rows(spark):
+    """Empty corpus → zero rows (matching the SQL oracle's GROUP BY
+    over an empty relation), never NULL-count rows."""
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        length_filter_sweep,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert length_filter_sweep(empty, [2, 4]).count() == 0
+
+
+def test_gini_tokens_null_group_ranks_last(spark):
+    """A NULL group must rank NULLS LAST (DuckDB's ASC default) so the
+    rank-formula numerator matches the oracle. Masses: s1=1, NULL=1,
+    s2=2 → order (w, grp nulls last) = s1, NULL, s2 →
+    G = (1·(2−4) + 1·(4−4) + 2·(6−4)) / (3·4) = 2/12."""
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        gini_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", None), (3, "c d", "s2")],
+        "doc_id long, text string, source string")
+    row = gini_tokens(docs).collect()[0]
+    assert (row.n_groups, row.total_tokens) == (3, 4)
+    assert row.gini == pytest.approx(2 / 12, abs=0)
