@@ -394,3 +394,39 @@ def vocab_growth(df: DataFrame, buckets: int = 10,
             .withColumn("type_token_ratio",
                         F.col("cum_types").cast("double")
                         / F.col("cum_tokens")))
+
+
+def packing_efficiency(docs: DataFrame, budget: int, n_shards: int = 32,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Packing-plan audit over pack_sequences' concat-and-chunk layout:
+    per shard, how full the fixed-size training sequences are and how
+    many documents straddle a chunk boundary — the two numbers that
+    decide whether the budget fits the corpus (short docs → great
+    fill, straddle-heavy → attention masks cross document cuts more
+    often). Returns one row per shard:
+    (shard, n_docs, total_tokens, n_chunks, padding_tokens,
+     n_straddling, fill_ratio) where n_chunks = ceil(total/budget)
+    (only the final chunk of a shard carries padding in concat-and-
+    chunk) and fill_ratio = total_tokens / (n_chunks·budget), an
+    integer-operand IEEE division.
+
+    Scale shape: one partial-aggregable rollup over pack_sequences'
+    output (which itself is one per-shard window cumsum); the shuffle
+    carries |shards| rows."""
+    packed = pack_sequences(docs, budget, n_shards, id_col, text_col)
+    total = F.sum("n_tokens")
+    # exact integer ceil-div in both engines: (x + b - 1) DIV b
+    n_chunks = F.expr(
+        f"(sum(n_tokens) + {budget - 1}) DIV {budget}")
+    straddle = F.col("chunk_offset") + F.col("n_tokens") > budget
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 total.cast("bigint").alias("total_tokens"),
+                 n_chunks.cast("bigint").alias("n_chunks"),
+                 (n_chunks * budget - total).cast("bigint")
+                 .alias("padding_tokens"),
+                 F.sum(F.when(straddle, 1).otherwise(0)).cast("bigint")
+                 .alias("n_straddling"),
+                 (total.cast("double") / (n_chunks * budget))
+                 .alias("fill_ratio")))

@@ -390,7 +390,11 @@ def winnow_pairs(df: DataFrame, k: int = 3, w: int = 4,
       (doc_a, doc_b, 1) triples with map-side partial counts.
 
     Like posting.jaccard_pairs_auto, calling this runs an eager Spark
-    job (the checkpoint) at plan-construction time.
+    job (the checkpoint) at plan-construction time. The sketch job
+    parallelizes by input split (deliberately NOT fill_cluster'd:
+    measured at sf0.1, round-robin-shuffling the text cost more than
+    the 0.6 s serial sketch it parallelized, and at real scale splits
+    already provide the parallelism).
     """
     arr = _winnow_doc_arrays(df, k, w, id_col, text_col)
     fpa = F.array_distinct(F.transform(

@@ -253,3 +253,53 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return vocab_growth(table(spark, sf_dir, "documents"),
                         buckets=_VG_BUCKETS)
+
+
+# ===================================================================
+# Packing-efficiency audit
+# ===================================================================
+
+_PE_BUDGET, _PE_SHARDS = 512, 8
+
+
+@register(
+    "q_packing_efficiency",
+    f"""
+    WITH packed AS (
+      SELECT doc_id,
+             CAST(doc_id % {_PE_SHARDS} AS INTEGER) AS shard,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(SUM(len(string_split(text, ' '))) OVER (
+                    PARTITION BY doc_id % {_PE_SHARDS} ORDER BY doc_id)
+                  - len(string_split(text, ' ')) AS BIGINT) AS start_tok
+      FROM documents
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + {_PE_BUDGET - 1}) // {_PE_BUDGET}
+                AS BIGINT) AS n_chunks,
+           CAST((SUM(n_tokens) + {_PE_BUDGET - 1}) // {_PE_BUDGET}
+                * {_PE_BUDGET} - SUM(n_tokens) AS BIGINT)
+             AS padding_tokens,
+           CAST(SUM(CASE WHEN start_tok % {_PE_BUDGET} + n_tokens
+                              > {_PE_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddling,
+           CAST(SUM(n_tokens) AS DOUBLE)
+             / ((SUM(n_tokens) + {_PE_BUDGET - 1}) // {_PE_BUDGET}
+                * {_PE_BUDGET}) AS fill_ratio
+    FROM packed GROUP BY shard
+    """,
+    doc="Packing-plan audit (operators/curation.packing_efficiency) "
+        "over q_pack_sequences' concat-and-chunk layout: per shard, "
+        "sequence fill ratio (only the final chunk pads), padding "
+        "volume, and how many documents straddle a chunk boundary — "
+        "the two numbers that decide whether budget=512 fits the "
+        "corpus. One partial-aggregable rollup over the packing "
+        "window; fill_ratio is an integer-operand division; ceil-div "
+        "spelled (x + b - 1) DIV b so both engines stay integral.",
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import packing_efficiency
+
+    return packing_efficiency(table(spark, sf_dir, "documents"),
+                              budget=_PE_BUDGET, n_shards=_PE_SHARDS)

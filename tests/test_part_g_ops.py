@@ -172,3 +172,31 @@ def test_gini_tokens_null_group_ranks_last(spark):
     row = gini_tokens(docs).collect()[0]
     assert (row.n_groups, row.total_tokens) == (3, 4)
     assert row.gini == pytest.approx(2 / 12, abs=0)
+
+
+# ------------------------------------------------------ packing audit
+
+
+def test_packing_efficiency_known_layout(spark):
+    """Single shard, budget 4, token counts 3,3,2 (concat = 8 tokens):
+    2 chunks, 0 padding, the middle doc straddles the first boundary."""
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        packing_efficiency,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g h")],
+        "doc_id long, text string")
+    row = packing_efficiency(docs, budget=4, n_shards=1).collect()[0]
+    assert (row.shard, row.n_docs, row.total_tokens) == (0, 3, 8)
+    assert (row.n_chunks, row.padding_tokens) == (2, 0)
+    assert row.n_straddling == 1          # doc 1: offset 3 + 3 > 4
+    assert row.fill_ratio == 1.0
+
+    # 9 tokens -> 3 chunks, 3 padding, fill 9/12
+    docs2 = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g h i")],
+        "doc_id long, text string")
+    row2 = packing_efficiency(docs2, budget=4, n_shards=1).collect()[0]
+    assert (row2.n_chunks, row2.padding_tokens) == (3, 3)
+    assert row2.fill_ratio == 9 / 12
