@@ -636,3 +636,63 @@ def minhash_lsh_pairs_cross(
                     F.col("p_id").alias("probe_id"),
                     jac.alias("jac"))
             .filter(F.col("jac") >= threshold))
+
+
+def lsh_band_tuning(pairs: DataFrame, configs: list[tuple[int, int]],
+                    dup_threshold: float = 0.5,
+                    jac_col: str = "jac") -> DataFrame:
+    """LSH parameter tuning: evaluate the banding S-curve
+    p(s) = 1 − (1 − s^r)^b for each candidate (rows_per_band r,
+    bands b) config against the OBSERVED pair-similarity distribution
+    `pairs` (one row per pair with its exact Jaccard), so the r/b
+    choice is driven by this corpus's actual near-dup mass instead of
+    the textbook curve. Returns one row per config:
+    (rows_per_band, bands, n_dup_pairs, n_other_pairs,
+     expected_dup_recall, expected_other_rate) where "dup" means
+    jaccard ≥ `dup_threshold` — recall is what the config would keep,
+    other_rate is the verification load it would let through.
+
+    Exact-arithmetic discipline (hash-parity with a SQL oracle): a
+    naive SUM of p(s) doubles is accumulation-order dependent, so each
+    pair's p is QUANTIZED to floor(p·2²⁰) first — s is an
+    integer-operand division, the powers are explicit left-associated
+    products, scaling by 2²⁰ is exact, and floor gives a BIGINT — and
+    the final ratios divide exact integer sums. One partial-aggregable
+    pass over the pairs; |configs| rows out."""
+    import functools
+    import operator as _op
+
+    def _pow(col: Column, e: int) -> Column:
+        return functools.reduce(_op.mul, [col] * e)
+
+    s = F.col(jac_col)
+    is_dup = s >= dup_threshold
+    lanes = [
+        F.sum(F.when(is_dup, 1).otherwise(0)).alias("_nd"),
+        F.sum(F.when(~is_dup, 1).otherwise(0)).alias("_no"),
+    ]
+    for r, b in configs:
+        p = F.lit(1.0) - _pow(F.lit(1.0) - _pow(s, r), b)
+        q = F.floor(p * F.lit(1048576.0)).cast("bigint")
+        lanes.append(F.sum(F.when(is_dup, q).otherwise(0))
+                     .alias(f"_d{r}_{b}"))
+        lanes.append(F.sum(F.when(~is_dup, q).otherwise(0))
+                     .alias(f"_o{r}_{b}"))
+    agg = pairs.agg(*lanes).filter(F.col("_nd") + F.col("_no") > 0)
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).cast("bigint").alias("rows_per_band"),
+            F.lit(b).cast("bigint").alias("bands"),
+            F.col("_nd").cast("bigint").alias("n_dup_pairs"),
+            F.col("_no").cast("bigint").alias("n_other_pairs"),
+            (F.col(f"_d{r}_{b}").cast("double")
+             / (F.col("_nd") * F.lit(1048576)))
+            .alias("expected_dup_recall"),
+            (F.col(f"_o{r}_{b}").cast("double")
+             / (F.col("_no") * F.lit(1048576)))
+            .alias("expected_other_rate"))
+        for r, b in configs])
+    return (agg.select(F.explode(rows).alias("c"))
+            .select("c.rows_per_band", "c.bands", "c.n_dup_pairs",
+                    "c.n_other_pairs", "c.expected_dup_recall",
+                    "c.expected_other_rate"))

@@ -303,3 +303,96 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return packing_efficiency(table(spark, sf_dir, "documents"),
                               budget=_PE_BUDGET, n_shards=_PE_SHARDS)
+
+
+# ===================================================================
+# LSH banding-parameter tuning (S-curve audit)
+# ===================================================================
+
+_BT_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))   # (rows_per_band, bands)
+_BT_DUP = 0.5
+_BT_Q = 1048576          # 2^20 quantizer — exact scaling, exact floor
+
+
+def _bt_pow_sql(expr: str, e: int) -> str:
+    out = expr
+    for _ in range(e - 1):
+        out = f"({out} * {expr})"
+    return out
+
+
+def _bt_lanes_sql() -> str:
+    lanes = [f"CAST(SUM(CASE WHEN jac >= {_BT_DUP} THEN 1 ELSE 0 END) "
+             "AS BIGINT) AS _nd",
+             f"CAST(SUM(CASE WHEN jac < {_BT_DUP} THEN 1 ELSE 0 END) "
+             "AS BIGINT) AS _no"]
+    for r, b in _BT_CONFIGS:
+        s_r = _bt_pow_sql("jac", r)
+        p = f"(1.0 - {_bt_pow_sql(f'(1.0 - {s_r})', b)})"
+        q = f"CAST(floor({p} * {_BT_Q}.0) AS BIGINT)"
+        lanes.append(f"CAST(SUM(CASE WHEN jac >= {_BT_DUP} THEN {q} "
+                     f"ELSE 0 END) AS BIGINT) AS _d{r}_{b}")
+        lanes.append(f"CAST(SUM(CASE WHEN jac < {_BT_DUP} THEN {q} "
+                     f"ELSE 0 END) AS BIGINT) AS _o{r}_{b}")
+    return ", ".join(lanes)
+
+
+def _bt_rows_sql() -> str:
+    selects = []
+    for r, b in _BT_CONFIGS:
+        selects.append(f"""
+      SELECT CAST({r} AS BIGINT) AS rows_per_band,
+             CAST({b} AS BIGINT) AS bands,
+             _nd AS n_dup_pairs, _no AS n_other_pairs,
+             CAST(_d{r}_{b} AS DOUBLE) / (_nd * {_BT_Q})
+               AS expected_dup_recall,
+             CAST(_o{r}_{b} AS DOUBLE) / (_no * {_BT_Q})
+               AS expected_other_rate
+      FROM lanes""")
+    return "\n      UNION ALL".join(selects)
+
+
+def _bt_sql() -> str:
+    from .part_c import _minhash_pairs_sql
+
+    return f"""
+    WITH p AS (
+      {_minhash_pairs_sql(0.0, shingle_n=1)}
+    ), lanes AS (
+      SELECT {_bt_lanes_sql()} FROM p
+    )
+    {_bt_rows_sql()}
+    """
+
+
+@register(
+    "q_lsh_band_tuning",
+    _bt_sql(),
+    doc="LSH banding-parameter tuning (operators/dedup."
+        "lsh_band_tuning): evaluate the S-curve p(s) = 1 − (1 − sʳ)ᵇ "
+        "for every k=8 split (r×b ∈ 1×8, 2×4, 4×2, 8×1) against the "
+        "OBSERVED candidate-pair Jaccard distribution — expected "
+        "recall over true near-dups (jac ≥ 0.5) vs expected pass-"
+        "through of everything else, so r/b is picked from this "
+        "corpus's actual similarity mass, not the textbook curve. "
+        "Cross-engine exactness: per-pair p is quantized to "
+        "floor(p·2²⁰) BEFORE summation (integer-operand s, explicit "
+        "left-associated products, power-of-two scaling), so the sums "
+        "are exact BIGINTs and the ratios integer-operand divisions — "
+        "no order-dependent double accumulation. One partial-"
+        "aggregable pass over the production candidate pairs.",
+)
+def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import parquet_row_count, small_vocab_probe
+    from ..operators.dedup import lsh_band_tuning, minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    # vocab_hint enables the bitmask64 verify — without it the exact-
+    # Jaccard verify on every threshold-0 candidate is array_intersect
+    # over ~10M pairs (measured 14.8 s vs 2 s at sf0.1, the same trap
+    # q_minhash_calibration documents).
+    pairs = minhash_lsh_pairs(
+        docs, k=8, rows_per_band=2, shingle_n=1, threshold=0.0,
+        size_hint=parquet_row_count(sf_dir, "documents"),
+        vocab_hint=small_vocab_probe(sf_dir, "documents"))
+    return lsh_band_tuning(pairs, list(_BT_CONFIGS), dup_threshold=_BT_DUP)

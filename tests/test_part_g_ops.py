@@ -200,3 +200,38 @@ def test_packing_efficiency_known_layout(spark):
     row2 = packing_efficiency(docs2, budget=4, n_shards=1).collect()[0]
     assert (row2.n_chunks, row2.padding_tokens) == (3, 3)
     assert row2.fill_ratio == 9 / 12
+
+
+# ------------------------------------------------------ LSH band tuning
+
+
+def test_lsh_band_tuning_scurve_values(spark):
+    """Hand-checked S-curve on a two-pair distribution: jac 1.0 (dup)
+    and jac 0.25 (other). p(1)=1 for every config; for (r=2, b=4):
+    p(0.25) = 1 − (1 − 0.0625)⁴."""
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        lsh_band_tuning,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, 0.25)], "doc_a long, doc_b long, jac double")
+    got = {(r.rows_per_band, r.bands):
+           (r.n_dup_pairs, r.n_other_pairs,
+            r.expected_dup_recall, r.expected_other_rate)
+           for r in lsh_band_tuning(
+               pairs, [(2, 4), (8, 1)], dup_threshold=0.5).collect()}
+    import math
+    q = 1048576
+    p24 = 1.0 - (1.0 - 0.25 * 0.25) ** 4
+    p81 = 0.25 ** 8
+    assert got[(2, 4)] == (1, 1, 1.0, math.floor(p24 * q) / q)
+    assert got[(8, 1)] == (1, 1, 1.0, math.floor(p81 * q) / q)
+
+
+def test_lsh_band_tuning_empty_pairs_zero_rows(spark):
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        lsh_band_tuning,
+    )
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long, jac double")
+    assert lsh_band_tuning(empty, [(2, 4)]).count() == 0
