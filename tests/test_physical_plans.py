@@ -76,6 +76,18 @@ def test_no_cartesian_products_anywhere(all_executed_plans):
         assert "CartesianProduct" not in plan, name
 
 
+def test_no_collapsed_transform_under_slice_anywhere(all_executed_plans):
+    """Inventory-wide gate for the round-7 O(n_grams²) class:
+    CollapseProject inlining a transform(...) producer UNDER a
+    slice(...) consumer re-evaluates the whole array per element of
+    the outer lambda. `slice(transform(` in any executed plan is that
+    collapse in the flesh (the winnowing-specific gate in
+    test_part_e_ops pins the fixed shape; this sweeps every declared
+    query so the class can't ship again under a new name)."""
+    for name, plan in all_executed_plans.items():
+        assert "slice(transform(" not in plan, name
+
+
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     # The injector projection chain (decode/enrich/route) must fuse into
     # whole-stage codegen — zero Python, zero interpreted expressions.
