@@ -396,3 +396,56 @@ def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_hint=parquet_row_count(sf_dir, "documents"),
         vocab_hint=small_vocab_probe(sf_dir, "documents"))
     return lsh_band_tuning(pairs, list(_BT_CONFIGS), dup_threshold=_BT_DUP)
+
+
+# ===================================================================
+# Candidate-similarity histogram
+# ===================================================================
+
+_JH_BUCKETS = 20
+
+
+@register(
+    "q_candidate_jac_histogram",
+    f"""
+    WITH p AS (
+      {{pairs}}
+    )
+    SELECT bucket, n_pairs,
+           CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER () AS share
+    FROM (
+      SELECT CAST(floor(jac * {_JH_BUCKETS}.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY bucket)
+    """.format(pairs=__import__(
+        "kafka_elasticsearch_injector_spark.plans.part_c",
+        fromlist=["_minhash_pairs_sql"])._minhash_pairs_sql(
+            0.0, shingle_n=1)),
+    doc="Candidate-pair similarity histogram (floor(jac·20) buckets "
+        "over the production threshold-0 LSH candidates): the observed "
+        "distribution q_lsh_band_tuning integrates over and the plot a "
+        "dedup run logs before picking its threshold. floor of a "
+        "single IEEE multiply is deterministic cross-engine; share "
+        "divides exact integers via an unpartitioned window over the "
+        "≤ 21 bucket rows (no eager total count). One partial-"
+        "aggregable pass.",
+)
+def q_candidate_jac_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..io import parquet_row_count, small_vocab_probe
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=8, rows_per_band=2, shingle_n=1, threshold=0.0,
+        size_hint=parquet_row_count(sf_dir, "documents"),
+        vocab_hint=small_vocab_probe(sf_dir, "documents"))
+    hist = (pairs
+            .groupBy(F.floor(F.col("jac") * _JH_BUCKETS).cast("bigint")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+    total = F.sum("n_pairs").over(Window.partitionBy(F.lit(1)))
+    return hist.select(
+        "bucket", "n_pairs",
+        (F.col("n_pairs").cast("double") / total).alias("share"))

@@ -462,3 +462,46 @@ def test_winnow_null_text_dropped_not_crashed(spark):
         [(1, None), (2, "a b c d e f g h")], "doc_id long, text string")
     rows = winnow_fingerprints(df, k=3, w=4).collect()
     assert rows and {r.doc_id for r in rows} == {2}
+
+
+def test_winnow_matches_bruteforce_reference(spark):
+    """Semantic pin for the twice-rewritten winnowing plan: the Spark
+    selection set must equal a pure-Python brute force of the same
+    definition (md5-based gram hash, fused h·2¹⁶+(2¹⁶−1−pos) key,
+    per-window min = rightmost-min tie-break, distinct selections) on
+    randomized token sequences with forced hash collisions (tiny
+    vocabulary ⇒ repeated grams ⇒ real tie-breaks)."""
+    import hashlib
+    import random
+
+    from kafka_elasticsearch_injector_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    rng = random.Random(1234)
+    docs = []
+    for i in range(25):
+        n = rng.randint(1, 40)
+        docs.append((i, " ".join(
+            rng.choice("a b c d e".split()) for _ in range(n))))
+
+    def brute(text):
+        toks = text.split(" ")
+        n_grams = len(toks) - (k - 1)
+        if n_grams < w:
+            return set()
+        encs = []
+        for p in range(n_grams):            # 0-based; stored pos is p+1
+            g = " ".join(toks[p:p + k])
+            h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            encs.append(h * 65536 + (65535 - (p + 1)))
+        sels = {min(encs[p:p + w]) for p in range(n_grams - w + 1)}
+        return {(n_grams, 65535 - s % 65536, s // 65536) for s in sels}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.n_grams, r.sel_pos, r.fp))
+    expect = {i: brute(t) for i, t in docs if brute(t)}
+    assert got == expect
