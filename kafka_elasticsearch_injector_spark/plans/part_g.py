@@ -1,6 +1,8 @@
 """Part G — corpus-accounting round 8 additions: dedup survivor
 rollup, benchmark n-gram coverage, length-filter threshold sweep,
-token-mass Gini, and a Heaps'-law vocabulary-growth audit.
+token-mass Gini, Heaps'-law vocabulary growth, packing efficiency,
+LSH band tuning, candidate-similarity histogram, and LSH recall vs
+exact ground truth.
 
 Reference parity note: none of this exists in the reference (its
 pipeline ends at routing records into Elasticsearch,
@@ -449,3 +451,66 @@ def q_candidate_jac_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "bucket", "n_pairs",
         (F.col("n_pairs").cast("double") / total).alias("share"))
+
+
+# ===================================================================
+# LSH candidate-generation recall vs exact ground truth
+# ===================================================================
+
+_DR_THRESH = 0.5
+
+
+def _dr_sql() -> str:
+    from .part_c import _minhash_pairs_sql, _ngram_pairs_sql
+
+    return f"""
+    WITH exact AS (
+      {_ngram_pairs_sql(_DR_THRESH)}
+    ), lsh AS (
+      {_minhash_pairs_sql(_DR_THRESH, shingle_n=2)}
+    ), c AS (
+      SELECT (SELECT COUNT(*) FROM exact) AS ne,
+             (SELECT COUNT(*) FROM lsh) AS nl
+    )
+    SELECT CAST(ne AS BIGINT) AS n_true_pairs,
+           CAST(nl AS BIGINT) AS n_candidate_pairs,
+           CAST(ne - nl AS BIGINT) AS n_missed,
+           CAST(nl AS DOUBLE) / ne AS recall
+    FROM c WHERE ne > 0
+    """
+
+
+@register(
+    "q_dedup_recall",
+    _dr_sql(),
+    doc="LSH candidate-GENERATION recall against exact ground truth — "
+        "the text-dedup twin of q_ann_recall, completing the sketch-"
+        "evaluation trio (calibration = per-pair estimate error, "
+        "band tuning = expected S-curve, THIS = realized recall): "
+        "exact bigram-Jaccard pairs ≥ 0.5 from the blocked tile kernel "
+        "(quadratic truth, tile-bounded) vs the banded MinHash path at "
+        "the same threshold. Verified LSH pairs are a SUBSET of the "
+        "truth (the verify stage computes the identical Jaccard), so "
+        "recall = |lsh| / |exact| — two count aggregates, one "
+        "integer-operand division; empty truth emits zero rows in "
+        "both engines.",
+)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import parquet_row_count
+    from ..operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    hint = parquet_row_count(sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, n=2, threshold=_DR_THRESH,
+                                  size_hint=hint)
+    lsh = D.minhash_lsh_pairs(docs, k=8, rows_per_band=2, shingle_n=2,
+                              threshold=_DR_THRESH, size_hint=hint)
+    ec = exact.agg(F.count(F.lit(1)).alias("_ne"))
+    lc = lsh.agg(F.count(F.lit(1)).alias("_nl"))
+    return (ec.crossJoin(lc).filter(F.col("_ne") > 0)
+            .select(F.col("_ne").cast("bigint").alias("n_true_pairs"),
+                    F.col("_nl").cast("bigint").alias("n_candidate_pairs"),
+                    (F.col("_ne") - F.col("_nl")).cast("bigint")
+                    .alias("n_missed"),
+                    (F.col("_nl").cast("double") / F.col("_ne"))
+                    .alias("recall")))
