@@ -514,3 +514,59 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_missed"),
                     (F.col("_nl").cast("double") / F.col("_ne"))
                     .alias("recall")))
+
+
+# ===================================================================
+# Mixture-sampling convergence audit
+# ===================================================================
+
+
+@register(
+    "q_mixture_convergence",
+    """
+    WITH rates AS (
+      SELECT source, COUNT(*) AS n_total,
+             SUM(CASE WHEN CAST(CAST('0x' ||
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS DOUBLE) / 4294967296.0
+                      < {rate} THEN 1 ELSE 0 END) AS n_kept,
+             CAST(MIN({rate}) AS DOUBLE) AS requested_rate
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           requested_rate,
+           CAST(n_kept AS DOUBLE) / n_total AS realized_rate
+    FROM rates
+    """.format(rate=__import__(
+        "kafka_elasticsearch_injector_spark.plans.part_c",
+        fromlist=["_mix_rate_sql"])._mix_rate_sql()),
+    doc="Mixture-sampling convergence audit: per source, the REALIZED "
+        "keep rate of the deterministic md5-threshold sampler next to "
+        "the requested rate — the log line that says whether the "
+        "domain mix landed where the design asked (hash sampling "
+        "converges at 1/√n; small sources can sit far off). One "
+        "partial-aggregated rollup, conditional-count lanes share the "
+        "q_mixture_sample threshold expression verbatim; realized "
+        "rate is an integer-operand division, requested rate a plan "
+        "literal.",
+)
+def q_mixture_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import _TWO_32
+    from .part_c import _MIX_DEFAULT, _MIX_RATES
+
+    docs = table(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("bigint") / F.lit(_TWO_32))
+    rate = F.lit(float(_MIX_DEFAULT))
+    for key, r in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == key, F.lit(float(r))).otherwise(rate)
+    return (docs.select("source", u.alias("_u"), rate.alias("_r"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                 F.sum(F.when(F.col("_u") < F.col("_r"), 1).otherwise(0))
+                 .cast("bigint").alias("n_kept"),
+                 F.min("_r").alias("requested_rate"),
+                 (F.sum(F.when(F.col("_u") < F.col("_r"), 1).otherwise(0))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("realized_rate")))

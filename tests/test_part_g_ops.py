@@ -235,3 +235,53 @@ def test_lsh_band_tuning_empty_pairs_zero_rows(spark):
 
     empty = spark.createDataFrame([], "doc_a long, doc_b long, jac double")
     assert lsh_band_tuning(empty, [(2, 4)]).count() == 0
+
+
+def test_gini_rank_formula_equals_pairwise_definition(spark):
+    """Cross-validate the implemented rank formula Σ(2i−n−1)wᵢ/(nΣw)
+    against the textbook mean-absolute-difference definition
+    G = ΣᵢΣⱼ|wᵢ−wⱼ| / (2n²·w̄) on randomized masses — two independent
+    derivations agreeing pins the algebra, not just the code."""
+    import random
+
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        gini_tokens,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        masses = [rng.randint(1, 30) for _ in range(rng.randint(2, 8))]
+        docs = spark.createDataFrame(
+            [(i, " ".join(["t"] * m), f"s{i}")
+             for i, m in enumerate(masses)],
+            "doc_id long, text string, source string")
+        got = gini_tokens(docs).collect()[0].gini
+        n, tot = len(masses), sum(masses)
+        pairwise = sum(abs(a - b) for a in masses for b in masses) / (
+            2 * n * n * (tot / n))
+        assert got == pytest.approx(pairwise, rel=1e-12), masses
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    """pack_sequences' window-cumsum layout vs a pure-Python replay of
+    the concat-and-chunk definition on randomized doc lengths."""
+    import random
+
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    rng = random.Random(7)
+    budget, n_shards = 16, 3
+    docs = [(i, " ".join(["w"] * rng.randint(1, 24))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.shard, r.n_tokens, r.chunk_id, r.chunk_offset)
+           for r in pack_sequences(df, budget, n_shards).collect()}
+
+    cursor = {s: 0 for s in range(n_shards)}
+    for i, text in docs:                    # id order per shard
+        n = len(text.split(" "))
+        shard = i % n_shards
+        start = cursor[shard]
+        cursor[shard] += n
+        assert got[i] == (shard, n, start // budget, start % budget), i
