@@ -326,6 +326,9 @@ def gini_tokens(df: DataFrame, group_col: str = "source",
     Uses the exact rank formula G = Σᵢ(2i − n − 1)wᵢ / (n Σw) with
     ties broken by group name, so numerator and denominator are exact
     BIGINTs and the single division is bit-identical cross-engine.
+    Groups with NULL token mass (all-NULL text) are EXCLUDED from
+    n_groups — counting them in n while they contribute nothing to
+    Σw would let the numerator (hence gini) go negative.
     Returns one row: (n_groups, total_tokens, gini).
 
     Scale shape: token mass per group is a partial-aggregated groupBy
@@ -334,13 +337,18 @@ def gini_tokens(df: DataFrame, group_col: str = "source",
     size."""
     per = (df.select(F.col(group_col).alias("grp"),
                      n_tokens(text_col).alias("_n"))
-           .groupBy("grp").agg(F.sum("_n").cast("bigint").alias("w")))
+           .groupBy("grp").agg(F.sum("_n").cast("bigint").alias("w"))
+           # A group whose token mass is entirely NULL (all-NULL text)
+           # would be counted in n yet contribute nothing to tw or the
+           # numerator, letting gini go negative (ADVICE r8). Exclude
+           # NULL-mass groups from n_groups — both engines, same WHERE.
+           .filter(F.col("w").isNotNull()))
     # n and Σw ride along every ranked row via an unpartitioned window
     # (|groups| rows — KBs); nesting them as aggregates-inside-the-sum
     # is illegal SQL in both engines.
     # asc_nulls_last on BOTH keys: Spark's ASC default is NULLS FIRST,
-    # DuckDB's is NULLS LAST — a NULL group (or all-NULL-text group
-    # mass) would otherwise rank differently and skew the numerator.
+    # DuckDB's is NULLS LAST — a NULL group name would otherwise rank
+    # differently and skew the numerator (w is non-null post-filter).
     wall = Window.partitionBy(F.lit(1))
     order = Window.orderBy(F.col("w").asc_nulls_last(),
                            F.col("grp").asc_nulls_last())

@@ -679,17 +679,25 @@ def lsh_band_tuning(pairs: DataFrame, configs: list[tuple[int, int]],
         lanes.append(F.sum(F.when(~is_dup, q).otherwise(0))
                      .alias(f"_o{r}_{b}"))
     agg = pairs.agg(*lanes).filter(F.col("_nd") + F.col("_no") > 0)
+    # Empty-class guard: if every observed pair lands on one side of
+    # dup_threshold the other side's ratio is x/0 — Spark (non-ANSI)
+    # yields NULL there while DuckDB (ieee_floating_point_ops default)
+    # yields NaN/Inf. Guard BOTH engines to NULL explicitly
+    # (F.when here, CASE WHEN in the SQL oracle) so an empty class is
+    # a NULL rate in both.
     rows = F.array(*[
         F.struct(
             F.lit(r).cast("bigint").alias("rows_per_band"),
             F.lit(b).cast("bigint").alias("bands"),
             F.col("_nd").cast("bigint").alias("n_dup_pairs"),
             F.col("_no").cast("bigint").alias("n_other_pairs"),
-            (F.col(f"_d{r}_{b}").cast("double")
-             / (F.col("_nd") * F.lit(1048576)))
+            F.when(F.col("_nd") > 0,
+                   F.col(f"_d{r}_{b}").cast("double")
+                   / (F.col("_nd") * F.lit(1048576)))
             .alias("expected_dup_recall"),
-            (F.col(f"_o{r}_{b}").cast("double")
-             / (F.col("_no") * F.lit(1048576)))
+            F.when(F.col("_no") > 0,
+                   F.col(f"_o{r}_{b}").cast("double")
+                   / (F.col("_no") * F.lit(1048576)))
             .alias("expected_other_rate"))
         for r, b in configs])
     return (agg.select(F.explode(rows).alias("c"))

@@ -75,21 +75,28 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NC_N, _NC_MOD = 2, 97
 
+# The oracle's gram expression is GENERATED from _NC_N (ADVICE r8:
+# a hardcoded bigram concat would silently desync the declared pair
+# if _NC_N were ever bumped) — same discipline as _minhash_pairs_sql's
+# shingle_n parametrization.
+_NC_GRAM = " || ' ' || ".join(f"tk[pos+{i}]" if i else "tk[pos]"
+                              for i in range(_NC_N))
+
 
 @register(
     "q_ngram_coverage",
     f"""
     WITH pg AS (
-      SELECT DISTINCT doc_id, tk[pos] || ' ' || tk[pos+1] AS g
+      SELECT DISTINCT doc_id, {_NC_GRAM} AS g
       FROM (SELECT doc_id, string_split(text, ' ') AS tk,
                    unnest(range(1, greatest(len(string_split(text, ' '))
-                                            - 1, 0) + 1)) AS pos
+                                            - {_NC_N - 1}, 0) + 1)) AS pos
             FROM documents WHERE doc_id % {_NC_MOD} = 0) t
     ), cg AS (
-      SELECT DISTINCT tk[pos] || ' ' || tk[pos+1] AS g
+      SELECT DISTINCT {_NC_GRAM} AS g
       FROM (SELECT string_split(text, ' ') AS tk,
                    unnest(range(1, greatest(len(string_split(text, ' '))
-                                            - 1, 0) + 1)) AS pos
+                                            - {_NC_N - 1}, 0) + 1)) AS pos
             FROM documents WHERE doc_id % {_NC_MOD} <> 0) t
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -176,6 +183,7 @@ def q_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT source AS grp, SUM(len(string_split(text, ' '))) AS w
       FROM documents GROUP BY source
+      HAVING SUM(len(string_split(text, ' '))) IS NOT NULL
     ), ranked AS (
       SELECT CAST(w AS BIGINT) AS w,
              ROW_NUMBER() OVER (ORDER BY w, grp) AS i,
@@ -340,17 +348,26 @@ def _bt_lanes_sql() -> str:
 
 
 def _bt_rows_sql() -> str:
+    # Mirrors the operator exactly (ADVICE r8): the WHERE clause is
+    # the SQL twin of the Spark-side `_nd + _no > 0` empty-input
+    # filter (an empty candidate relation aggregates to one all-NULL
+    # lanes row — emit ZERO config rows, not |configs| NULL rows),
+    # and the CASE WHEN guards are the twin of the F.when zero-class
+    # guards (x/0 is NULL in non-ANSI Spark but NaN/Inf in DuckDB).
     selects = []
     for r, b in _BT_CONFIGS:
         selects.append(f"""
       SELECT CAST({r} AS BIGINT) AS rows_per_band,
              CAST({b} AS BIGINT) AS bands,
              _nd AS n_dup_pairs, _no AS n_other_pairs,
-             CAST(_d{r}_{b} AS DOUBLE) / (_nd * {_BT_Q})
-               AS expected_dup_recall,
-             CAST(_o{r}_{b} AS DOUBLE) / (_no * {_BT_Q})
-               AS expected_other_rate
-      FROM lanes""")
+             CASE WHEN _nd > 0
+                  THEN CAST(_d{r}_{b} AS DOUBLE) / (_nd * {_BT_Q})
+             END AS expected_dup_recall,
+             CASE WHEN _no > 0
+                  THEN CAST(_o{r}_{b} AS DOUBLE) / (_no * {_BT_Q})
+             END AS expected_other_rate
+      FROM lanes
+      WHERE COALESCE(_nd, 0) + COALESCE(_no, 0) > 0""")
     return "\n      UNION ALL".join(selects)
 
 

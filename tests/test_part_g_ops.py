@@ -285,3 +285,107 @@ def test_pack_sequences_matches_bruteforce(spark):
         start = cursor[shard]
         cursor[shard] += n
         assert got[i] == (shard, n, start // budget, start % budget), i
+
+
+# --------------------------------------------- review regressions (r9)
+
+
+def test_lsh_band_tuning_one_sided_class_null_rate(spark):
+    """ADVICE r8 (medium): when every observed pair lands on one side
+    of dup_threshold, the other class's ratio is x/0 — must be NULL,
+    guarded explicitly (Spark non-ANSI happens to NULL x/0, but the
+    unguarded DuckDB twin yields NaN/Inf — a parity break)."""
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        lsh_band_tuning,
+    )
+
+    all_dup = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, 1.0)], "doc_a long, doc_b long, jac double")
+    row = lsh_band_tuning(all_dup, [(2, 4)], dup_threshold=0.5).collect()[0]
+    assert (row.n_dup_pairs, row.n_other_pairs) == (2, 0)
+    assert row.expected_dup_recall == 1.0
+    assert row.expected_other_rate is None
+
+
+def test_lsh_band_tuning_sql_twin_guards_zero_class():
+    """The oracle SQL must carry the SAME zero-class CASE guards and
+    the WHERE twin of the Spark-side empty-input filter: DuckDB over
+    a one-sided pair relation yields NULL rates (not NaN/Inf), and an
+    empty relation yields ZERO config rows (not |configs| NULL rows)."""
+    import duckdb
+
+    from kafka_elasticsearch_injector_spark.plans.part_g import (
+        _BT_CONFIGS, _bt_lanes_sql, _bt_rows_sql,
+    )
+
+    con = duckdb.connect()
+    one_sided = f"""
+    WITH p AS (SELECT CAST(1.0 AS DOUBLE) AS jac
+               UNION ALL SELECT CAST(1.0 AS DOUBLE)),
+    lanes AS (SELECT {_bt_lanes_sql()} FROM p)
+    {_bt_rows_sql()}
+    """
+    rows = con.execute(one_sided).fetchall()
+    assert len(rows) == len(_BT_CONFIGS)
+    for r in rows:
+        assert (r[2], r[3]) == (2, 0)       # n_dup_pairs, n_other_pairs
+        assert r[4] == 1.0                  # expected_dup_recall
+        assert r[5] is None                 # expected_other_rate: NULL
+
+    empty = f"""
+    WITH p AS (SELECT * FROM (SELECT CAST(0.5 AS DOUBLE) AS jac)
+               WHERE 1 = 0),
+    lanes AS (SELECT {_bt_lanes_sql()} FROM p)
+    {_bt_rows_sql()}
+    """
+    assert con.execute(empty).fetchall() == []
+
+
+def test_gini_tokens_null_mass_group_excluded(spark):
+    """ADVICE r8: a group whose token mass is entirely NULL must be
+    excluded from n_groups — counting it in n while it contributes
+    nothing to Σw or the numerator can drive gini negative. Masses
+    s1=1, s2=3, s3=NULL → n=2, Σw=4,
+    G = ((2·1−2−1)·1 + (2·2−2−1)·3) / (2·4) = 2/8."""
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        gini_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b c d", "s2"), (3, None, "s3")],
+        "doc_id long, text string, source string")
+    row = gini_tokens(docs).collect()[0]
+    assert (row.n_groups, row.total_tokens) == (2, 4)
+    assert row.gini == pytest.approx(2 / 8, abs=0)
+    assert row.gini >= 0.0
+
+
+def test_gini_tokens_null_mass_sql_parity():
+    """The q_gini_tokens oracle's HAVING clause is the SQL twin of the
+    operator's w-IS-NOT-NULL filter: DuckDB over the same NULL-mass
+    corpus returns the identical (2, 4, 0.25) row."""
+    import duckdb
+
+    from kafka_elasticsearch_injector_spark.plans import oracle_sql
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW documents AS SELECT * FROM (VALUES
+          (1, 'a', 's1'), (2, 'b c d', 's2'), (3, CAST(NULL AS VARCHAR),
+           's3')) t(doc_id, text, source)""")
+    assert con.execute(oracle_sql()["q_gini_tokens"]).fetchall() == [
+        (2, 4, 0.25)]
+
+
+def test_ngram_coverage_oracle_gram_generated_from_n():
+    """ADVICE r8: the oracle's gram expression must be GENERATED from
+    _NC_N (a hardcoded bigram concat would silently desync the
+    declared pair if _NC_N were bumped) — rebuild the expected concat
+    and window bound from _NC_N and pin both in the registered SQL."""
+    from kafka_elasticsearch_injector_spark.plans import oracle_sql, part_g
+
+    expected_gram = " || ' ' || ".join(
+        f"tk[pos+{i}]" if i else "tk[pos]" for i in range(part_g._NC_N))
+    sql = oracle_sql()["q_ngram_coverage"]
+    assert expected_gram in sql
+    assert f"- {part_g._NC_N - 1}, 0)" in sql
