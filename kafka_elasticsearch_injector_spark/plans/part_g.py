@@ -20,7 +20,9 @@ Cross-engine determinism notes:
   non-negative by construction (w ascending in i), so no -0.0 hazard;
 - ntile(10) tranche assignment is the standard SQL NTILE (earlier
   tranches absorb the remainder) over the unique doc_id order —
-  identical in Spark and DuckDB.
+  the oracle says NTILE literally; the Spark side reproduces it
+  exactly via curation.ntile_by_id's broadcast boundary ids (no
+  global sort window — see its docstring for the equivalence proof).
 """
 
 from __future__ import annotations
@@ -252,9 +254,12 @@ _VG_BUCKETS = 10
         "vocab_growth): cumulative distinct vocabulary vs cumulative "
         "token mass across 10 equal-count tranches of the corpus in "
         "id order — the does-more-data-still-buy-new-vocabulary curve "
-        "(early flattening ⇒ the corpus is saturating). The ntile "
-        "ranking runs over a slim id-only projection (text never "
-        "enters the single-task window); first-tranche-per-token is a "
+        "(early flattening ⇒ the corpus is saturating). Tranche "
+        "assignment is curation.ntile_by_id: exact NTILE semantics "
+        "with the 9 boundary ids extracted via coarse-group-"
+        "partitioned windows over a slim id projection and BROADCAST, "
+        "so bucket is a map-side column (no single-task ntile window "
+        "anywhere — plan-gated); first-tranche-per-token is a "
         "Zipf-immune partial-aggregated groupBy(token); cumsums run "
         "on 10 rows. type_token_ratio is an integer-operand division.",
 )

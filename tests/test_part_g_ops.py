@@ -389,3 +389,57 @@ def test_ngram_coverage_oracle_gram_generated_from_n():
     sql = oracle_sql()["q_ngram_coverage"]
     assert expected_gram in sql
     assert f"- {part_g._NC_N - 1}, 0)" in sql
+
+
+# ----------------------------------------- distributed exact NTILE (r9)
+
+
+def test_ntile_by_id_matches_window_ntile(spark):
+    """ntile_by_id must reproduce SQL NTILE exactly on adversarial id
+    distributions: clustered, gapped, negative, and n < buckets —
+    compared against Spark's own window ntile as ground truth."""
+    from pyspark.sql import Window
+
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        ntile_by_id,
+    )
+
+    cases = [
+        list(range(100)),                              # dense sequential
+        [i * 97 + 13 for i in range(57)],              # strided
+        [2**40 + i for i in range(20)] + [-5, 0, 7],   # clustered + tail
+        [-(2**35) + i * i for i in range(33)],         # quadratic gaps
+        [42],                                          # n == 1
+        [1, 2, 3],                                     # n < buckets
+    ]
+    for ids in cases:
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        for b in (1, 2, 7, 10):
+            got = {r.doc_id: r.bucket
+                   for r in ntile_by_id(df, b, coarse=8).collect()}
+            want = {r.doc_id: r.bucket for r in df.withColumn(
+                "bucket",
+                F.ntile(b).over(Window.orderBy("doc_id"))).collect()}
+            assert got == want, (ids, b)
+
+
+def test_vocab_growth_no_global_id_window(spark, sf_dir):
+    """r8 verdict item #1: q_vocab_growth must NOT rank per-document
+    ids in a single-task window. The executed plan must contain no
+    ntile, and every window ordering raw `_id` attributes must be
+    PARTITIONED by the coarse group `_c` (unpartitioned windows are
+    only allowed over aggregate-sized relations, which never carry
+    `_id`)."""
+    import re
+
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    df = queries()["q_vocab_growth"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, plan
+    for spec in specs:
+        if "_id#" in spec:
+            assert spec.lstrip().startswith("_c#"), spec
