@@ -575,6 +575,73 @@ def ngram_jaccard_pairs(
         size_hint=size_hint)
 
 
+def hash_sample(df: DataFrame, sample_mod: int | None,
+                id_col: str = "doc_id") -> DataFrame:
+    """Seedless deterministic hash sample: keep rows whose 32-bit
+    md5(id) prefix ≡ 0 (mod `sample_mod`) — the same engine-exact,
+    retry-stable discipline as mixture_sample / q_sample_stratified
+    (rand() is none of those). `None` or ≤ 1 keeps everything. The
+    SQL twin is
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+      % m = 0."""
+    if sample_mod is None or sample_mod <= 1:
+        return df
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    return df.filter(u % sample_mod == 0)
+
+
+def dedup_recall(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 2,
+                 threshold: float = 0.5, k: int = 8,
+                 rows_per_band: int = 2,
+                 size_hint: int | None = None,
+                 sample_mod: int | None = None) -> DataFrame:
+    """LSH candidate-generation recall against exact ground truth:
+    exact n-gram-Jaccard pairs ≥ threshold from the blocked tile
+    kernel (ngram_jaccard_pairs — quadratic truth, tile-bounded) vs
+    the banded MinHash path (minhash_lsh_pairs) at the same threshold
+    over the same shingles. Verified LSH pairs are a SUBSET of the
+    truth (the verify stage computes the identical Jaccard), so
+    recall = |lsh| / |exact| — two count aggregates, one
+    integer-operand division. One row
+    (n_true_pairs, n_candidate_pairs, n_missed, recall); empty truth
+    emits zero rows.
+
+    100 TB contract (`sample_mod`): the exact truth is quadratic by
+    definition, so at scale the evaluation runs on a hash-selected
+    sub-corpus — pass sample_mod=m to keep docs with
+    md5₃₂(id) ≡ 0 (mod m) via hash_sample (seedless, so re-runs and
+    both engines select the identical sub-corpus) and measure recall
+    among the surviving pairs: pairs survive at rate 1/m², and the
+    recall ratio over the sampled pair population is the standard
+    unbiased estimate of corpus recall (same document-the-scale-
+    variant discipline as q_drift_ks's bucket-first note).
+    Equivalences pinned by tests: sample_mod=1 ≡ full corpus, and
+    sample_mod=m ≡ running the full evaluation on
+    hash_sample(docs, m). `size_hint` (tile-kernel block sizing) is
+    scaled by 1/m automatically."""
+    docs = hash_sample(docs, sample_mod, id_col)
+    if size_hint is not None and sample_mod and sample_mod > 1:
+        size_hint = max(1, size_hint // sample_mod)
+    exact = ngram_jaccard_pairs(docs, id_col=id_col, text_col=text_col,
+                                n=n, threshold=threshold,
+                                size_hint=size_hint)
+    lsh = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                            k=k, rows_per_band=rows_per_band,
+                            shingle_n=n, threshold=threshold,
+                            size_hint=size_hint)
+    ec = exact.agg(F.count(F.lit(1)).alias("_ne"))
+    lc = lsh.agg(F.count(F.lit(1)).alias("_nl"))
+    return (ec.crossJoin(lc).filter(F.col("_ne") > 0)
+            .select(F.col("_ne").cast("bigint").alias("n_true_pairs"),
+                    F.col("_nl").cast("bigint").alias("n_candidate_pairs"),
+                    (F.col("_ne") - F.col("_nl")).cast("bigint")
+                    .alias("n_missed"),
+                    (F.col("_nl").cast("double") / F.col("_ne"))
+                    .alias("recall")))
+
+
 def minhash_lsh_pairs_cross(
     corpus: DataFrame,
     probe: DataFrame,

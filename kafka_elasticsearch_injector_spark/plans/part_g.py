@@ -515,27 +515,21 @@ def _dr_sql() -> str:
         "truth (the verify stage computes the identical Jaccard), so "
         "recall = |lsh| / |exact| — two count aggregates, one "
         "integer-operand division; empty truth emits zero rows in "
-        "both engines.",
+        "both engines. At 100 TB the quadratic truth runs on a "
+        "hash-sampled sub-corpus via dedup_recall's sample_mod knob "
+        "(seedless md5 selection; see its docstring) — this declared "
+        "query is the full-corpus audit.",
 )
 def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import parquet_row_count
-    from ..operators import dedup as D
+    from ..operators.dedup import dedup_recall
 
-    docs = table(spark, sf_dir, "documents")
-    hint = parquet_row_count(sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, n=2, threshold=_DR_THRESH,
-                                  size_hint=hint)
-    lsh = D.minhash_lsh_pairs(docs, k=8, rows_per_band=2, shingle_n=2,
-                              threshold=_DR_THRESH, size_hint=hint)
-    ec = exact.agg(F.count(F.lit(1)).alias("_ne"))
-    lc = lsh.agg(F.count(F.lit(1)).alias("_nl"))
-    return (ec.crossJoin(lc).filter(F.col("_ne") > 0)
-            .select(F.col("_ne").cast("bigint").alias("n_true_pairs"),
-                    F.col("_nl").cast("bigint").alias("n_candidate_pairs"),
-                    (F.col("_ne") - F.col("_nl")).cast("bigint")
-                    .alias("n_missed"),
-                    (F.col("_nl").cast("double") / F.col("_ne"))
-                    .alias("recall")))
+    # Full-corpus evaluation at bench scale; dedup_recall's sample_mod
+    # knob is the documented 100 TB contract (hash-sampled truth
+    # sub-corpus) — the declared query stays the exact audit.
+    return dedup_recall(table(spark, sf_dir, "documents"), n=2,
+                        threshold=_DR_THRESH, k=8, rows_per_band=2,
+                        size_hint=parquet_row_count(sf_dir, "documents"))
 
 
 # ===================================================================

@@ -443,3 +443,69 @@ def test_vocab_growth_no_global_id_window(spark, sf_dir):
     for spec in specs:
         if "_id#" in spec:
             assert spec.lstrip().startswith("_c#"), spec
+
+
+# ------------------------------------- sampled recall evaluation (r9)
+
+
+def _recall_fixture(spark):
+    """~40 docs with hash-dispersed ids and planted bigram near-dups so
+    that BOTH the full corpus and the md5 mod-3 sample contain true
+    pairs (texts are duplicated across ids, so any surviving id pair
+    of the same family is a jac=1.0 truth pair)."""
+    fams = ["alpha beta gamma delta", "red green blue yellow",
+            "one two three four five", "north south east west"]
+    rows = [(i, fams[i % len(fams)]) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_recall_sample_mod_one_is_full(spark):
+    """sample_mod=1 (and None) must be the identical full-corpus
+    evaluation — same single result row."""
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        dedup_recall,
+    )
+
+    docs = _recall_fixture(spark)
+    full = dedup_recall(docs, threshold=0.5).collect()
+    assert len(full) == 1 and full[0].n_true_pairs > 0
+    assert dedup_recall(docs, threshold=0.5, sample_mod=1).collect() \
+        == full
+
+
+def test_dedup_recall_sampled_equals_direct_on_subcorpus(spark):
+    """The 100 TB contract: recall with sample_mod=m must equal the
+    full evaluation run directly on hash_sample(docs, m) — the knob
+    only selects the sub-corpus, never changes the measurement."""
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        dedup_recall, hash_sample,
+    )
+
+    docs = _recall_fixture(spark)
+    sub = hash_sample(docs, 3)
+    n_sub = sub.count()
+    assert 0 < n_sub < 40            # the sample is real and proper
+    direct = dedup_recall(sub, threshold=0.5).collect()
+    sampled = dedup_recall(docs, threshold=0.5, sample_mod=3).collect()
+    assert sampled == direct
+    assert len(sampled) == 1 and sampled[0].n_true_pairs > 0
+
+
+def test_hash_sample_matches_sql_twin(spark):
+    """hash_sample's md5-prefix selection must be bit-identical to its
+    documented DuckDB twin (the cross-engine sampling contract)."""
+    import duckdb
+
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        hash_sample,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)],
+                                 "doc_id long")
+    got = sorted(r.doc_id for r in hash_sample(docs, 5).collect())
+    want = [r[0] for r in duckdb.sql("""
+        SELECT i FROM range(200) t(i)
+        WHERE CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 5 = 0
+        ORDER BY i""").fetchall()]
+    assert got == want and len(got) > 0
