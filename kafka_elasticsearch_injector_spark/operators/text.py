@@ -357,7 +357,9 @@ def winnow_stats(df: DataFrame, k: int = 3, w: int = 4,
 def winnow_pairs(df: DataFrame, k: int = 3, w: int = 4,
                  df_ceiling: int = 16, min_shared: int = 2,
                  id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 reliable: bool = False,
+                 staging_dir: str | None = None) -> DataFrame:
     """MOSS overlap detection — the winnowing sketch's actual purpose:
     discover document pairs sharing selected fingerprints and score
     each pair by containment of the smaller sketch. Returns
@@ -390,11 +392,22 @@ def winnow_pairs(df: DataFrame, k: int = 3, w: int = 4,
       (doc_a, doc_b, 1) triples with map-side partial counts.
 
     Like posting.jaccard_pairs_auto, calling this runs an eager Spark
-    job (the checkpoint) at plan-construction time. The sketch job
-    parallelizes by input split (deliberately NOT fill_cluster'd:
+    job (the materialization) at plan-construction time. The sketch
+    job parallelizes by input split (deliberately NOT fill_cluster'd:
     measured at sf0.1, round-robin-shuffling the text cost more than
     the 0.6 s serial sketch it parallelized, and at real scale splits
     already provide the parallelism).
+
+    Durability trade (`reliable`): the default localCheckpoint stores
+    the sketch blocks in EXECUTOR storage with the lineage truncated —
+    fast and right for local[n] / on-demand nodes, but if an executor
+    dies (preemptible/spot nodes) its blocks are gone and there is no
+    lineage to recompute from: the job fails. `reliable=True` instead
+    stages the sketch through one parquet round-trip under
+    `staging_dir` (a durable path every executor can reach — DFS at
+    scale), trading one extra write for executor-loss survival; the
+    downstream plan is identical either way (it reads one materialized
+    sketch relation).
     """
     arr = _winnow_doc_arrays(df, k, w, id_col, text_col)
     fpa = F.array_distinct(F.transform(
@@ -402,10 +415,18 @@ def winnow_pairs(df: DataFrame, k: int = 3, w: int = 4,
     # explode_outer for the same reason as winnow_fingerprints: a
     # non-outer Generate gets an inferred size() filter whose pushdown
     # re-inlines the O(n_grams²) sketch expression into the scan.
-    fps = (arr.select(F.col(id_col).alias("doc"), fpa.alias("_fps"))
-           .select("doc", F.size("_fps").alias("n_fp"),
-                   F.explode_outer("_fps").alias("fp"))
-           .localCheckpoint())
+    sketch = (arr.select(F.col(id_col).alias("doc"), fpa.alias("_fps"))
+              .select("doc", F.size("_fps").alias("n_fp"),
+                      F.explode_outer("_fps").alias("fp")))
+    if reliable:
+        if staging_dir is None:
+            raise ValueError(
+                "winnow_pairs(reliable=True) needs staging_dir: a "
+                "durable path (DFS at scale) every executor can read")
+        sketch.write.mode("overwrite").parquet(staging_dir)
+        fps = df.sparkSession.read.parquet(staging_dir)
+    else:
+        fps = sketch.localCheckpoint()
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     keep = fps.join(dfreq.filter(F.col("df") <= df_ceiling), "fp")
     a = keep.select("fp", F.col("doc").alias("doc_a"),
