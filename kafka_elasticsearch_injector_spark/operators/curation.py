@@ -364,6 +364,53 @@ def gini_tokens(df: DataFrame, group_col: str = "source",
         .alias("gini"))
 
 
+def drift_ks(df: DataFrame, value_col: str = "v", grp_col: str = "grp",
+             buckets: int | None = None) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the `value_col`
+    distributions of cohorts grp==1 and grp==2 — the distribution-
+    drift gate a pipeline runs between crawl snapshots before mixing
+    them. Returns one row (ks_d double). Exact: integer cumulative
+    counts divide as doubles only at the compare.
+
+    Exact mode (buckets=None): one shuffle to per-value counts, then
+    the CDF window runs over the DISTINCT value grid — KB-sized for
+    integer-ish features.
+
+    Bucket-first mode (buckets=B) — the 100 TB shape for continuous /
+    high-cardinality features (this is the scale variant the exact
+    mode's docstring has always pointed at): values are floored into
+    B equal-width buckets via a broadcast one-row (min, max)
+    aggregate (integer width = (hi−lo) DIV B + 1, so the map is exact
+    integer arithmetic and monotone), the CDF window runs over ≤ B
+    rows, and ks_d is the standard ECDF-on-histogram approximation —
+    the max of |F1−F2| sampled at bucket right-edges, hence a LOWER
+    bound on exact D that EQUALS it whenever each observed value gets
+    its own bucket (any integer grid narrower than B; pinned by
+    test). Values must be integral in this mode (DIV arithmetic)."""
+    base = df.select(F.col(value_col).alias("_v"),
+                     F.col(grp_col).alias("_g"))
+    if buckets is not None:
+        rng = base.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+        base = (base.crossJoin(F.broadcast(rng))
+                .select(F.expr(
+                    f"CAST((_v - _lo) DIV ((_hi - _lo) DIV {buckets} + 1)"
+                    " AS BIGINT)").alias("_v"), "_g"))
+    counts = (base.groupBy("_v")
+              .agg(F.sum(F.when(F.col("_g") == 1, 1).otherwise(0))
+                   .cast("bigint").alias("c1"),
+                   F.sum(F.when(F.col("_g") == 2, 1).otherwise(0))
+                   .cast("bigint").alias("c2")))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    tot = counts.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    cum = (counts.select("_v", F.sum("c1").over(w).alias("k1"),
+                         F.sum("c2").over(w).alias("k2"))
+           .crossJoin(F.broadcast(tot)))
+    d = F.abs(F.col("k1").cast("double") / F.col("t1")
+              - F.col("k2").cast("double") / F.col("t2"))
+    return cum.agg(F.max(d).alias("ks_d"))
+
+
 def ntile_by_id(df: DataFrame, buckets: int, id_col: str = "doc_id",
                 coarse: int = 1024) -> DataFrame:
     """Exact SQL NTILE(buckets) OVER (ORDER BY id) WITHOUT the global

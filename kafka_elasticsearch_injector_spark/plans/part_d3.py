@@ -1196,28 +1196,15 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "standard ECDF-on-histogram approximation).",
 )
 def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import drift_ks
+
     docs = table(spark, sf_dir, "documents")
     grp = F.when(
         F.substring("source", 4, 10).cast("int") < 10, 1).otherwise(2)
-    counts = (
-        docs.select(F.col("n_chars").alias("v"), grp.alias("grp"))
-        .groupBy("v")
-        .agg(F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
-             .cast("bigint").alias("c1"),
-             F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
-             .cast("bigint").alias("c2"))
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
-                                        Window.currentRow)
-    tot = counts.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
-    cum = (
-        counts.select("v", F.sum("c1").over(w).alias("k1"),
-                      F.sum("c2").over(w).alias("k2"))
-        .crossJoin(F.broadcast(tot))
-    )
-    d = F.abs(F.col("k1").cast("double") / F.col("t1")
-              - F.col("k2").cast("double") / F.col("t2"))
-    return cum.agg(F.max(d).alias("ks_d"))
+    # Exact distinct-value-grid mode; drift_ks(buckets=B) is the
+    # documented bucket-first 100 TB variant for continuous features.
+    return drift_ks(docs.select(F.col("n_chars").alias("v"),
+                                grp.alias("grp")))
 
 
 # ------------------------------------------------- operational audits
