@@ -139,3 +139,87 @@ def test_stream_reader_picks_up_new_shards(spark, tar_export, tmp_path):
         assert len(late) == 1 and bytes(late[0].text) == b"late sample"
     finally:
         q.stop()
+
+
+def _publish_shard(stream_dir, name, key, payload):
+    """Append-only atomic publish of a one-sample tar shard."""
+    import io as _io
+    import os
+    import tarfile
+
+    tmp = os.path.join(stream_dir, f".{name}.tmp")
+    with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tar:
+        info = tarfile.TarInfo(name=f"{key}.txt")
+        info.size = len(payload)
+        tar.addfile(info, _io.BytesIO(payload))
+    os.replace(tmp, os.path.join(stream_dir, name))
+
+
+def test_stream_reader_crash_recovery_no_reread(spark, tar_export,
+                                                tmp_path):
+    """r8 verdict item #3 — the tar analog of the injector pipeline's
+    offset-commit e2e: stop the query after its offsets are committed,
+    publish more shards while it is DOWN, restart from the SAME
+    checkpoint. The restarted query must read exactly the shards
+    published during the outage — every old shard skipped (watermark
+    restored from the offset log, nothing re-read), none missed."""
+    import os
+    import shutil
+
+    _register(spark)
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    for f in sorted(os.listdir(tar_export)):
+        if f.endswith(".tar"):
+            shutil.copy(os.path.join(tar_export, f),
+                        os.path.join(stream_dir, f))
+    ckpt = str(tmp_path / "ckpt")
+
+    run1: list = []
+
+    def sink1(df, epoch_id):
+        run1.extend(df.collect())
+
+    q1 = (spark.readStream.format("webdataset").load(stream_dir)
+          .writeStream.foreachBatch(sink1)
+          .option("checkpointLocation", ckpt).start())
+    try:
+        q1.processAllAvailable()       # drain AND commit the offsets
+    finally:
+        q1.stop()
+    q1.awaitTermination(30)
+    assert len(run1) == 30             # the initial 4-shard export
+
+    # published while the query is down — two shards above, one BELOW
+    # the committed watermark (the late-file case the producer
+    # contract excludes: it must stay invisible, not resurrect)
+    _publish_shard(stream_dir, "shard-90000.tar", "900000000000",
+                   b"during outage A")
+    _publish_shard(stream_dir, "shard-90001.tar", "900000000001",
+                   b"during outage B")
+    _publish_shard(stream_dir, "shard-00000.0.tar", "000000000099",
+                   b"late below watermark")
+
+    run2: list = []
+
+    def sink2(df, epoch_id):
+        run2.extend(df.collect())
+
+    q2 = (spark.readStream.format("webdataset").load(stream_dir)
+          .writeStream.foreachBatch(sink2)
+          .option("checkpointLocation", ckpt).start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    q2.awaitTermination(30)
+
+    got = sorted((r.shard, r.key, bytes(r.text)) for r in run2)
+    assert got == [
+        ("shard-90000.tar", "900000000000", b"during outage A"),
+        ("shard-90001.tar", "900000000001", b"during outage B"),
+    ], got                              # old shards NOT re-read
+    # exactly-once across the restart: union of both runs covers every
+    # contract-conforming sample exactly once
+    all_keys = [r.key for r in run1] + [r[1] for r in got]
+    assert len(all_keys) == len(set(all_keys)) == 32
