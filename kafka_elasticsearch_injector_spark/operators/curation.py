@@ -570,3 +570,181 @@ def packing_efficiency(docs: DataFrame, budget: int, n_shards: int = 32,
                  .alias("n_straddling"),
                  (total.cast("double") / (n_chunks * budget))
                  .alias("fill_ratio")))
+
+
+def doc_freq_spectrum(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Document-frequency spectrum: for every document-frequency value
+    k, how many distinct tokens appear in exactly k documents — the
+    k=1 mass is the hapax share (Heaps'-law health), the high-k tail
+    is the stopword/boilerplate mass a df-ceiling would drop. Returns
+    one row per observed doc_freq:
+    (doc_freq, n_tokens, token_share) with token_share an
+    integer-operand IEEE division.
+
+    Scale shape: two partial-aggregated shuffles (token → its df,
+    df → spectrum row count) — map-side combine caps the first at
+    vocab size per partition, the second at |distinct df| rows; the
+    share window runs over the KB-sized spectrum."""
+    toks = df.select(F.col(id_col),
+                     F.explode(F.array_distinct(tokens(text_col)))
+                     .alias("_tok"))
+    dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    spec = dfreq.groupBy("_df").agg(F.count(F.lit(1)).alias("n_tokens"))
+    total = F.sum("n_tokens").over(Window.partitionBy(F.lit(1)))
+    return spec.select(
+        F.col("_df").cast("bigint").alias("doc_freq"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens").cast("double") / total).alias("token_share"))
+
+
+def vocab_overlap_matrix(df: DataFrame, group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Pairwise vocabulary overlap between groups (sources/domains):
+    exact token-set Jaccard for every group pair that shares at least
+    one token — the redundancy view a mixture design reads next to
+    the per-source token masses (two domains with jaccard → 1 buy one
+    domain's worth of vocabulary). Returns
+    (src_a, src_b, n_shared, jaccard) for src_a < src_b; pairs with
+    ZERO shared tokens are omitted (their jaccard is 0 by
+    definition). jaccard divides exact integers.
+
+    Scale shape: the (group, token) relation is deduped by a partial-
+    aggregated distinct, then self-joined on token — per-token fan-out
+    is bounded by |groups|², never |docs|²; per-group vocab sizes
+    broadcast onto the ≤|groups|² pair rows."""
+    st = (df.select(F.col(group_col).alias("_g"),
+                    F.explode(F.array_distinct(tokens(text_col)))
+                    .alias("_tok"))
+          .distinct())
+    sizes = st.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (a.join(b, "_tok")
+             .filter(F.col("a._g") < F.col("b._g"))
+             .groupBy(F.col("a._g").alias("src_a"),
+                      F.col("b._g").alias("src_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    na = sizes.select(F.col("_g").alias("src_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_g").alias("src_b"), F.col("_n").alias("_nb"))
+    return (inter.join(F.broadcast(na), "src_a")
+            .join(F.broadcast(nb), "src_b")
+            .select("src_a", "src_b",
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    (F.col("n_shared").cast("double")
+                     / (F.col("_na") + F.col("_nb") - F.col("n_shared")))
+                    .alias("jaccard")))
+
+
+def ngram_novelty(df: DataFrame, buckets: int = 10, n: int = 2,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-tranche n-gram novelty: walk the corpus in id order split
+    into `buckets` equal-count tranches (ntile_by_id — exact NTILE,
+    no single-task window) and report, per tranche, how many of its
+    distinct word n-grams were never seen in an earlier tranche —
+    vocab_growth's phrase-level sibling (token novelty can stay high
+    while PHRASE novelty collapses: the corpus keeps new words but
+    repeats its constructions). Returns one row per tranche:
+    (bucket, n_present, n_new, novelty) with novelty an
+    integer-operand division.
+
+    Scale shape: tranche assignment is a broadcast map-side column;
+    the (bucket, gram) relation is deduped by partial-aggregated
+    distinct; first-tranche-per-gram is a Zipf-immune groupBy(gram)
+    min; the final join runs on `buckets` rows."""
+    bg = (ntile_by_id(df, buckets, id_col)
+          .select("bucket",
+                  F.explode(F.array_distinct(
+                      word_ngrams(tokens(text_col), n))).alias("_g"))
+          .distinct())
+    present = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_present"))
+    first = bg.groupBy("_g").agg(F.min("bucket").alias("bucket"))
+    new = first.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_new"))
+    return (present.join(new, "bucket", "left")
+            .select(F.col("bucket").cast("bigint").alias("bucket"),
+                    F.col("n_present").cast("bigint").alias("n_present"),
+                    F.coalesce("n_new", F.lit(0)).cast("bigint")
+                    .alias("n_new"))
+            .withColumn("novelty", F.col("n_new").cast("double")
+                        / F.col("n_present")))
+
+
+def group_median_grid(df: DataFrame, group_col: str = "source",
+                      value_col: str = "n_chars") -> DataFrame:
+    """Exact per-group lower median via the VALUE GRID — the same
+    bucket-first discipline as drift_ks: per-(group, value) counts
+    first (partial-aggregable, immune to doc skew), then the running
+    count and the rank target k = (n+1) DIV 2 run over the grid
+    (|groups| × |distinct values| rows — KBs for integer-ish
+    features), never over documents. median = the smallest value
+    whose running count reaches k (the interpolation-free lower
+    median, deterministic in both engines). Returns one row per
+    group: (group, n_docs, median)."""
+    counts = (df.groupBy(F.col(group_col).alias("grp"),
+                         F.col(value_col).alias("v"))
+              .agg(F.count(F.lit(1)).alias("_cnt")))
+    wcum = (Window.partitionBy("grp").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("grp")
+    g = counts.select(
+        "grp", "v", "_cnt",
+        F.sum("_cnt").over(wcum).alias("_cum"),
+        F.sum("_cnt").over(wall).alias("_n"))
+    k = F.expr("(_n + 1) DIV 2")
+    return (g.filter((F.col("_cum") >= k)
+                     & (F.col("_cum") - F.col("_cnt") < k))
+            .select(F.col("grp").alias(group_col),
+                    F.col("_n").cast("bigint").alias("n_docs"),
+                    F.col("v").cast("bigint").alias("median")))
+
+
+def prefix_dup_clusters(df: DataFrame, n_prefix: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Boilerplate-prefix detection: group documents by the md5 of
+    their first `n_prefix` whitespace tokens and keep groups of ≥ 2 —
+    the template/header screen that catches near-duplicate FAMILIES
+    (licence headers, scraped navigation, form letters) that
+    full-document similarity under-scores because the shared prefix
+    is a small fraction of each document. Returns one row per
+    duplicate-prefix family:
+    (prefix_hash, n_docs, min_doc_id, total_chars).
+
+    Scale shape: the 32-hex-char digest is the only thing that
+    shuffles (text stays in the map stage), one partial-aggregated
+    groupBy — the exact-dedup shape at prefix granularity."""
+    pref = F.md5(F.concat_ws(" ", F.slice(tokens(text_col), 1, n_prefix)))
+    return (df.select(pref.alias("prefix_hash"), F.col(id_col),
+                      F.length(text_col).alias("_len"))
+            .groupBy("prefix_hash")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min(id_col).cast("bigint").alias("min_doc_id"),
+                 F.sum("_len").cast("bigint").alias("total_chars"))
+            .filter(F.col("n_docs") >= 2))
+
+
+def shard_token_skew(df: DataFrame, n_shards: int = 32,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Packing-shard balance audit: token mass per id-hash shard and
+    the max/mean skew ratio — the number that says whether the
+    pack_sequences shard fan-out keeps executors evenly fed (skew → 1
+    is balanced; the straggler shard sets the stage's wall-clock).
+    Returns ONE row: (n_shards_used, min_tokens, max_tokens,
+    total_tokens, skew) where skew = max·shards/total — exact integer
+    operands, one IEEE division.
+
+    Scale shape: one partial-aggregated rollup to |shards| rows, then
+    a single reduce."""
+    per = (df.groupBy((F.col(id_col) % n_shards).alias("_s"))
+           .agg(F.sum(n_tokens(text_col)).alias("_t")))
+    return (per.agg(F.count(F.lit(1)).cast("bigint").alias("n_shards_used"),
+                    F.min("_t").cast("bigint").alias("min_tokens"),
+                    F.max("_t").cast("bigint").alias("max_tokens"),
+                    F.sum("_t").cast("bigint").alias("total_tokens"))
+            .filter(F.col("n_shards_used") > 0)
+            .select("n_shards_used", "min_tokens", "max_tokens",
+                    "total_tokens",
+                    ((F.col("max_tokens") * F.col("n_shards_used"))
+                     .cast("double") / F.col("total_tokens"))
+                    .alias("skew")))

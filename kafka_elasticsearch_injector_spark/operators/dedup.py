@@ -575,6 +575,37 @@ def ngram_jaccard_pairs(
         size_hint=size_hint)
 
 
+def dup_provenance(clusters: DataFrame, docs: DataFrame,
+                   group_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-provenance rollup over a clustering relation
+    (doc_id, cluster_id): of the multi-member near-dup clusters, how
+    many span MORE than one `group_col` value — the signal that
+    duplication is cross-source syndication (drop one copy per
+    cluster, keep the mix) rather than within-source boilerplate
+    (fix the crawler). Returns ONE row:
+    (n_dup_clusters, n_cross_source, cross_share) — exact counts, one
+    integer-operand division; zero multi-member clusters emits zero
+    rows in both engines.
+
+    Scale shape: one id equi-join to attach the group, one
+    partial-aggregated per-cluster rollup (count + count-distinct
+    bounded by |groups|), one reduce."""
+    per = (clusters.join(docs.select(id_col, group_col), id_col)
+           .groupBy("cluster_id")
+           .agg(F.count(F.lit(1)).alias("_sz"),
+                F.countDistinct(group_col).alias("_nsrc"))
+           .filter(F.col("_sz") >= 2))
+    return (per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_clusters"),
+        F.sum(F.when(F.col("_nsrc") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_cross_source"))
+        .filter(F.col("n_dup_clusters") > 0)
+        .select("n_dup_clusters", "n_cross_source",
+                (F.col("n_cross_source").cast("double")
+                 / F.col("n_dup_clusters")).alias("cross_share")))
+
+
 def hash_sample(df: DataFrame, sample_mod: int | None,
                 id_col: str = "doc_id") -> DataFrame:
     """Seedless deterministic hash sample: keep rows whose 32-bit

@@ -191,16 +191,19 @@ _DD_BANDS = "\n      UNION ALL\n".join(
     for b in range(_MINHASH_K // _MINHASH_ROWS))
 
 
-def _minhash_pairs_sql(threshold: float, shingle_n: int = 1) -> str:
+def _minhash_pairs_sql(threshold: float, shingle_n: int = 1,
+                       rel: str = "documents") -> str:
     """Oracle fragment: MinHash(k=8)+LSH(4×2) candidate pairs verified at
     exact Jaccard ≥ `threshold` — reused by q_dedup_minhash and the
     scale-path clustering oracle. `shingle_n` > 1 shingles into word
     n-grams (mirrors operators/dedup.word_ngrams: space-joined,
-    short docs shingle to [])."""
+    short docs shingle to []). `rel` lets a caller point the fragment
+    at a CTE (e.g. a hash-sampled sub-corpus) instead of the base
+    table — DuckDB forbids a non-recursive CTE shadowing it."""
     if shingle_n == 1:
-        toks_body = """
+        toks_body = f"""
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
-      FROM documents"""
+      FROM {rel}"""
     else:
         toks_body = f"""
       SELECT doc_id, list_distinct(CASE WHEN len(t) >= {shingle_n}
@@ -208,7 +211,7 @@ def _minhash_pairs_sql(threshold: float, shingle_n: int = 1) -> str:
           range(1, len(t) - {shingle_n} + 2),
           i -> array_to_string(t[i:i+{shingle_n}-1], ' '))
         ELSE [] END) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {rel})"""
     return f"""
     WITH toks AS ({toks_body}
     ), sigs AS (
@@ -333,16 +336,17 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_N, _NGRAM_THRESH = 2, 0.08
 
 
-def _ngram_pairs_sql(threshold: float) -> str:
+def _ngram_pairs_sql(threshold: float, rel: str = "documents") -> str:
     """Oracle fragment: exact 2-gram Jaccard pairs (doc_a < doc_b) at
-    `threshold` — reused by q_dedup_ngram and the clustering oracle."""
+    `threshold` — reused by q_dedup_ngram and the clustering oracle.
+    `rel` retargets the fragment at a CTE (see _minhash_pairs_sql)."""
     return f"""
     WITH grams AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(string_split(text, ' '))),
                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
                AS g
-      FROM documents
+      FROM {rel}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)

@@ -50,7 +50,7 @@ def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from . import (  # noqa: F401
         part_a, part_b, part_b_ext, part_b_ext2, part_c, part_c2, part_d,
-        part_d2, part_d3, part_e, part_f, part_g)
+        part_d2, part_d3, part_e, part_f, part_g, part_h)
 
 
 # Consumers (correctness drivers, demo runs) verify a PREFIX of the
