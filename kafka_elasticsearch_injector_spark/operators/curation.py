@@ -648,23 +648,31 @@ def ngram_novelty(df: DataFrame, buckets: int = 10, n: int = 2,
     (bucket, n_present, n_new, novelty) with novelty an
     integer-operand division.
 
-    Scale shape: tranche assignment is a broadcast map-side column;
-    the (bucket, gram) relation is deduped by partial-aggregated
-    distinct; first-tranche-per-gram is a Zipf-immune groupBy(gram)
-    min; the final join runs on `buckets` rows."""
-    bg = (ntile_by_id(df, buckets, id_col)
-          .select("bucket",
-                  F.explode(F.array_distinct(
-                      word_ngrams(tokens(text_col), n))).alias("_g"))
-          .distinct())
-    present = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_present"))
-    first = bg.groupBy("_g").agg(F.min("bucket").alias("bucket"))
-    new = first.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_new"))
-    return (present.join(new, "bucket", "left")
+    Scale shape — ONE corpus pass, no relation fan-out: tranche
+    assignment is a broadcast map-side column; a single groupBy(gram)
+    collect_set(bucket) dedupes AND gathers each gram's tranche set
+    (≤ `buckets` elements — the partial aggregate caps every
+    partition's state at vocab size, Zipf-immune); exploding that set
+    with array_min riding along yields n_present (count per bucket)
+    and n_new (bucket == the gram's min) from the SAME aggregation —
+    the naive present/first two-branch formulation re-derives the
+    gram explode per consumer (four text scans in the executed plan;
+    this shape has exactly one, plan-gated)."""
+    per_gram = (ntile_by_id(df, buckets, id_col)
+                .select("bucket",
+                        F.explode(F.array_distinct(
+                            word_ngrams(tokens(text_col), n))).alias("_g"))
+                .groupBy("_g")
+                .agg(F.collect_set("bucket").alias("_bs")))
+    ex = per_gram.select(F.array_min("_bs").alias("_first"),
+                         F.explode("_bs").alias("bucket"))
+    return (ex.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_present"),
+                 F.sum(F.when(F.col("_first") == F.col("bucket"), 1)
+                       .otherwise(0)).alias("n_new"))
             .select(F.col("bucket").cast("bigint").alias("bucket"),
                     F.col("n_present").cast("bigint").alias("n_present"),
-                    F.coalesce("n_new", F.lit(0)).cast("bigint")
-                    .alias("n_new"))
+                    F.col("n_new").cast("bigint").alias("n_new"))
             .withColumn("novelty", F.col("n_new").cast("double")
                         / F.col("n_present")))
 

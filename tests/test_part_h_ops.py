@@ -151,3 +151,12 @@ def test_ngram_novelty_no_global_id_window(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
         if "_id#" in spec:
             assert spec.lstrip().startswith("_c#"), spec
+    # single-pass gate: the gram explode must be derived ONCE — the
+    # two-branch present/first formulation re-scans text per consumer
+    # (4 corpus scans); the collect_set shape has exactly one. The
+    # AQE toString appends an "== Initial Plan ==" duplicate — gate
+    # the executed (final) section only.
+    final = plan.split("== Initial Plan ==")[0]
+    text_scans = [m for m in re.findall(r"FileScan parquet \[([^\]]*)\]",
+                                        final) if "text" in m]
+    assert len(text_scans) == 1, text_scans
