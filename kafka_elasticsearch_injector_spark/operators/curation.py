@@ -512,22 +512,31 @@ def vocab_growth(df: DataFrame, buckets: int = 10,
     extracted from a slim id-only projection via coarse-group-
     partitioned windows and broadcast, so bucket is a MAP-SIDE column
     on the document rows (no global single-task ntile window, no
-    id-join that would shuffle text; r8 verdict item #1). A token's
-    FIRST tranche is min(bucket) per token — a partial-aggregated
-    groupBy(token) immune to Zipf skew (map-side combine caps every
-    partition's emission at vocab size); both cumsums then run on
-    `buckets` rows."""
-    base = (ntile_by_id(df, buckets, id_col)
-            .select("bucket", tokens(text_col).alias("_tk")))
-    tok_mass = (base.select("bucket", F.size("_tk").alias("_n"))
-                .groupBy("bucket").agg(F.sum("_n").alias("toks")))
-    first_seen = (base.select("bucket", F.explode("_tk").alias("tok"))
-                  .groupBy("tok").agg(F.min("bucket").alias("bucket"))
-                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("types")))
+    id-join that would shuffle text; r8 verdict item #1). The corpus
+    is scanned ONCE, in a fully LINEAR chain (no relation fan-out — a
+    branching tok_mass/first_seen formulation re-derives the token
+    explode per consumer because pruning makes the branches'
+    exchanges non-identical): (token, bucket) occurrence counts
+    partial-aggregate first (map-side combine caps every partition's
+    emission at vocab size, Zipf-immune), then per token the ≤
+    `buckets` (bucket, count) pairs collapse into one row carrying
+    min(bucket); exploding that back out yields token mass
+    (Σ count per bucket) and new-type count (bucket == the token's
+    min) from the SAME relation. Both cumsums then run on `buckets`
+    rows. Plan-gated: exactly one text scan."""
+    per_tok = (ntile_by_id(df, buckets, id_col)
+               .select("bucket", F.explode(tokens(text_col)).alias("tok"))
+               .groupBy("tok", "bucket").agg(F.count(F.lit(1)).alias("_c"))
+               .groupBy("tok")
+               .agg(F.min("bucket").alias("_fb"),
+                    F.collect_list(F.struct("bucket", "_c")).alias("_bc")))
+    lanes = (per_tok.select("_fb", F.explode("_bc").alias("b"))
+             .groupBy(F.col("b.bucket").alias("bucket"))
+             .agg(F.sum("b._c").alias("toks"),
+                  F.sum(F.when(F.col("b.bucket") == F.col("_fb"), 1)
+                        .otherwise(0)).alias("types")))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (tok_mass.join(first_seen, "bucket", "left")
-            .select("bucket", F.col("toks"),
-                    F.coalesce("types", F.lit(0)).alias("types"))
+    return (lanes
             .select(F.col("bucket").cast("bigint").alias("bucket"),
                     F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
                     F.sum("types").over(w).cast("bigint").alias("cum_types"))

@@ -443,6 +443,14 @@ def test_vocab_growth_no_global_id_window(spark, sf_dir):
     for spec in specs:
         if "_id#" in spec:
             assert spec.lstrip().startswith("_c#"), spec
+    # single-pass gate (r9): the linear per-token chain must derive
+    # the token explode ONCE — a branching tok_mass/first_seen
+    # formulation re-scans text per consumer. Final plan section only
+    # (AQE toString appends an Initial Plan duplicate).
+    final = plan.split("== Initial Plan ==")[0]
+    text_scans = [m for m in re.findall(r"FileScan parquet \[([^\]]*)\]",
+                                        final) if "text" in m]
+    assert len(text_scans) == 1, text_scans
 
 
 # ------------------------------------- sampled recall evaluation (r9)
