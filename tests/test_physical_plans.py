@@ -88,6 +88,29 @@ def test_no_collapsed_transform_under_slice_anywhere(all_executed_plans):
         assert "slice(transform(" not in plan, name
 
 
+def test_no_single_partition_exchange_over_row_data(all_executed_plans):
+    """Inventory-wide gate for the r8 q_vocab_growth class: an
+    Exchange SinglePartition whose subtree reaches a scan with no
+    intervening Aggregate funnels per-ROW data through ONE task — the
+    global-sort/window shape that dies at 10^9 rows. Single-partition
+    exchanges are legal only above aggregates (KB-sized rollups).
+    Textual walk: from each SinglePartition line, the first
+    Aggregate-or-Scan encountered below must be an Aggregate."""
+    for name, plan in all_executed_plans.items():
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            for j in range(i + 1, len(lines)):
+                nxt = lines[j]
+                if "Aggregate" in nxt or "AQEShuffleRead" in nxt:
+                    break
+                if "FileScan" in nxt or "LocalTableScan" in nxt:
+                    raise AssertionError(
+                        f"{name}: {ln.strip()[:70]} feeds "
+                        f"{nxt.strip()[:70]}")
+
+
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     # The injector projection chain (decode/enrich/route) must fuse into
     # whole-stage codegen — zero Python, zero interpreted expressions.
