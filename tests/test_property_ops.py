@@ -139,3 +139,63 @@ def test_posting_paths_equal_set_arithmetic(spark, sets, ceiling):
         if a & b & keep:
             want_c[(i, j)] = len(a & b) / len(a)
     assert got_c == want_c
+
+
+# ------------------------------------------ distributed NTILE (r9)
+
+
+def _brute_ntile(ids: list[int], b: int) -> dict[int, int]:
+    """Pure-Python SQL NTILE: first (n mod b) tiles get one extra."""
+    s = sorted(ids)
+    n = len(s)
+    base, rem = divmod(n, b)
+    out, i = {}, 0
+    for t in range(1, b + 1):
+        size = base + (1 if t <= rem else 0)
+        for _ in range(size):
+            if i < n:
+                out[s[i]] = t
+                i += 1
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=60, unique=True),
+       st.integers(min_value=1, max_value=12),
+       st.integers(min_value=2, max_value=9))
+def test_ntile_by_id_matches_bruteforce(spark, ids, b, coarse):
+    """ntile_by_id == the textbook NTILE on arbitrary unique int64
+    ids, for any bucket count and any coarse-split width (the coarse
+    parameter must never change the answer — it only repartitions the
+    boundary search)."""
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        ntile_by_id,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.bucket
+           for r in ntile_by_id(df, b, coarse=coarse).collect()}
+    assert got == _brute_ntile(ids, b)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+              st.integers(min_value=0, max_value=40)),
+    min_size=1, max_size=50))
+def test_group_median_grid_matches_bruteforce(spark, rows):
+    """Value-grid median == the textbook lower median per group
+    (duplicates and all)."""
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        group_median_grid,
+    )
+
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: (r.n_docs, r.median)
+           for r in group_median_grid(df).collect()}
+    want = {}
+    for g in {g for g, _ in rows}:
+        vs = sorted(v for gg, v in rows if gg == g)
+        want[g] = (len(vs), vs[(len(vs) + 1) // 2 - 1])
+    assert got == want
