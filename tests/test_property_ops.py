@@ -199,3 +199,28 @@ def test_group_median_grid_matches_bruteforce(spark, rows):
         vs = sorted(v for gg, v in rows if gg == g)
         want[g] = (len(vs), vs[(len(vs) + 1) // 2 - 1])
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=200),
+                          st.sampled_from([1, 2])),
+                min_size=4, max_size=60).filter(
+                    lambda rs: len({g for _, g in rs}) == 2),
+       st.integers(min_value=2, max_value=16))
+def test_drift_ks_bucket_mode_bounds(spark, rows, buckets):
+    """Bucket-first KS is a LOWER bound on exact D for any bucket
+    count, and EQUALS it when the bucket width is 1 (every observed
+    value gets its own bucket) — the two properties the 100 TB mode's
+    contract rests on."""
+    from kafka_elasticsearch_injector_spark.operators.curation import (
+        drift_ks,
+    )
+
+    df = spark.createDataFrame([(v, g) for v, g in rows],
+                               "v long, grp int")
+    exact = drift_ks(df).collect()[0].ks_d
+    coarse = drift_ks(df, buckets=buckets).collect()[0].ks_d
+    assert coarse <= exact + 1e-15, (rows, buckets)
+    span = max(v for v, _ in rows) - min(v for v, _ in rows)
+    fine = drift_ks(df, buckets=span + 1 if span else 1).collect()[0].ks_d
+    assert fine == exact, (rows,)
