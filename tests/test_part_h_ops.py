@@ -160,3 +160,56 @@ def test_ngram_novelty_no_global_id_window(spark, sf_dir):
     text_scans = [m for m in re.findall(r"FileScan parquet \[([^\]]*)\]",
                                         final) if "text" in m]
     assert len(text_scans) == 1, text_scans
+
+
+# ----------------------------------------------- Part H plan gates
+
+
+def _final_plan(df):
+    df.collect()
+    return (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+
+
+def test_vocab_overlap_broadcasts_and_reuses(spark, sf_dir):
+    """The claim in the registered doc: per-source sizes BROADCAST
+    onto the pair rows (no sort-merge anywhere), and the deduped
+    (source, token) exchange is REUSED across the self-join sides —
+    the corpus relation is derived once."""
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _final_plan(queries()["q_vocab_overlap_matrix"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_prefix_dup_shuffles_digest_only(spark, sf_dir):
+    """The claim: only the 32-hex digest (plus the partial-agg lanes)
+    shuffles — the text column must not appear in any exchange's
+    input projection (it dies in the map stage)."""
+    import re
+
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _final_plan(queries()["q_prefix_dup_clusters"](spark, sf_dir))
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) == 1 and "prefix_hash" in ex[0], ex
+    # the partial aggregate feeding the exchange outputs only the
+    # digest + aggregation lanes — never the raw text column (text is
+    # consumed in the map stage below it)
+    feed = plan.split("Exchange hashpartitioning", 1)[1]
+    out = (feed.split("HashAggregate", 2)[1]
+           .split("output=[", 1)[1].split("]", 1)[0])
+    assert "text#" not in out and "prefix_hash" in out, out
+
+
+def test_shard_token_skew_single_scan_partial_agg(spark, sf_dir):
+    """The claim: one partial-aggregated rollup — a single scan, a
+    single hash exchange (per-shard rows), no joins."""
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    plan = _final_plan(queries()["q_shard_token_skew"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
