@@ -344,36 +344,57 @@ _BM25_K1, _BM25_B = 1.2, 0.75
         "(libm last-ulp differs across engines; monotone per term), "
         "and per-term scores are rounded to 6 then summed as EXACT "
         "decimals, so the cross-term accumulation is order-independent "
-        "— the standard float-sum nondeterminism cannot arise. Plan: "
-        "the term filter prunes the exploded stream BEFORE the tf "
-        "aggregation, doc length is a narrow projection, corpus stats "
-        "enter as a broadcast scalar; top-10 is TakeOrdered.",
+        "— the standard float-sum nondeterminism cannot arise. Plan "
+        "(r9 rewrite): per-term tf and doc length are ROW-LOCAL array "
+        "lanes (size/filter over the split — no explode, no "
+        "per-(doc,term) shuffle), so the whole query is one stats "
+        "pass (1-row aggregate over the lanes: n, avgdl, per-term "
+        "df) broadcast onto one scoring pass — two text scans total "
+        "(was four: tf and dl each re-derived for their downstream "
+        "aggregate), zero joins, top-10 is TakeOrdered. The scoring "
+        "arithmetic is operand-for-operand the formulation the "
+        "oracle spells (identical doubles), and the cross-term sum "
+        "is a fixed-width chain of exact decimals.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(F.col("dl").cast("bigint")).cast("double")
-         / F.count(F.lit(1))).alias("avgdl"))
-    idf = (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
-        F.col("tf") + _BM25_K1
-        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
-    term_score = F.round(idf * tf_part, 6).cast("decimal(18,6)")
+    toks = F.split("text", " ")
+
+    def _term_eq(term: str):
+        # one-arg lambda, built per term: PySpark gives a TWO-arg
+        # higher-order-function lambda (element, index) semantics, so
+        # a default-arg closure (lambda x, _t=term: ...) would bind
+        # the INDEX column, not the term
+        return lambda x: x == F.lit(term)
+
+    lanes = [F.col("doc_id").alias("doc_id"), F.size(toks).alias("dl")]
+    for i, t in enumerate(_BM25_TERMS):
+        lanes.append(F.size(F.filter(toks, _term_eq(t))).alias(f"tf_{i}"))
+    per = docs.select(*lanes)
+    aggs = [F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("dl").cast("bigint")).cast("double")
+             / F.count(F.lit(1))).alias("avgdl")]
+    for i in range(len(_BM25_TERMS)):
+        aggs.append(F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+                    .cast("bigint").alias(f"df_{i}"))
+    stats = per.agg(*aggs)
+    total = F.lit("0").cast("decimal(18,6)")
+    any_tf = F.lit(False)
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf_{i}")
+        idf = ((F.col("n") - F.col(f"df_{i}") + 0.5)
+               / (F.col(f"df_{i}") + 0.5))
+        tf_part = (tf * (_BM25_K1 + 1.0)) / (
+            tf + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+        term_score = F.round(idf * tf_part, 6).cast("decimal(18,6)")
+        total = total + F.when(tf > 0, term_score).otherwise(
+            F.lit("0").cast("decimal(18,6)"))
+        any_tf = any_tf | (tf > 0)
     return (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_score.alias("term_score"))
-        .groupBy("doc_id")
-        .agg(as_double6(F.sum("term_score")).alias("bm25"))
+        per.crossJoin(F.broadcast(stats))
+        .filter(any_tf)
+        .select("doc_id", as_double6(total).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
