@@ -541,3 +541,23 @@ def test_winnow_pairs_reliable_staging_equals_default(spark, tmp_path):
     assert plan.count("FileScan parquet") >= 1, plan
     # never re-derives from the in-memory docs relation (text):
     assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
+
+
+def test_bm25_two_scans_no_joins(spark, sf_dir):
+    """r9 rewrite gate: BM25 is one stats pass + one scoring pass —
+    exactly two text scans in the executed plan (the theoretical
+    minimum), no equi-joins (per-term tf and dl are row-local array
+    lanes; stats broadcast), top-10 via TakeOrdered."""
+    import re
+
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    df = queries()["q_bm25"](spark, sf_dir)
+    df.collect()
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    text_scans = [m for m in re.findall(r"FileScan parquet \[([^\]]*)\]",
+                                        plan) if "text" in m]
+    assert len(text_scans) == 2, text_scans
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "TakeOrdered" in plan, plan
