@@ -567,17 +567,17 @@ def test_fuzzy_levenshtein_blocks_before_verifying(spark, sf_dir):
 
 
 def test_bm25_filters_terms_before_aggregating(spark, sf_dir):
-    # The 3-term filter must prune the exploded token stream BEFORE the
-    # tf aggregation (a post-agg filter would shuffle the whole
-    # vocabulary); corpus stats broadcast; top-10 is TakeOrdered.
+    # r9 rewrite: per-term tf and dl are ROW-LOCAL array lanes — no
+    # explode (no Generate), no per-(doc,term) shuffle, no dfreq/dl
+    # equi-joins; the 1-row stats aggregate broadcasts; top-10 is
+    # TakeOrdered. (The executed two-scan count is gated in
+    # test_part_e_ops.test_bm25_two_scans_no_joins.)
     plan = _explain(spark, sf_dir, "q_bm25")
     tree = plan.split("\n\n", 1)[0]
-    gen = tree.split("Generate", 1)[0] if "Generate" in tree else tree
     assert "TakeOrderedAndProject" in tree, tree
-    assert "partial_count" in plan, plan
-    # the tok IN (...) predicate sits under the first aggregate
-    assert re.search(r"Filter.*\n.*Generate|Generate.*\n.*Filter", tree) \
-        or "tok IN" in plan or "tok#" in plan, tree
+    assert "Generate" not in tree, tree
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree
+    assert "BroadcastNestedLoopJoin" in tree, tree   # 1-row stats
 
 
 def test_cumulative_users_windows_only_the_daily_series(spark, sf_dir):
