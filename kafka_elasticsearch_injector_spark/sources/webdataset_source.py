@@ -27,6 +27,9 @@ Options:
   documented on sinks/webdataset.read_webdataset (first dot after the
   last slash; dotted suffixes must be requested verbatim).
 - `path`: directory of `*.tar` shards (the `.load(path)` argument).
+- `maxShardsPerTrigger` (stream only, default unbounded): cap shards
+  ingested per micro-batch — backlog backpressure, see
+  WebDatasetStreamReader.
 
 Schema: (shard string, key string, <col> binary ...), one row per
 sample key — identical to read_webdataset.
@@ -152,7 +155,20 @@ class WebDatasetStreamReader(DataSourceStreamReader):
 
     Parallelism: partitions(start, end) lists the new names
     driver-side; each task streams ONE shard — the same per-task
-    memory bound and Arrow handoff as the batch reader."""
+    memory bound and Arrow handoff as the batch reader.
+
+    Backpressure: `maxShardsPerTrigger` (option, default unbounded)
+    caps how many shards each micro-batch ingests — the tar analog of
+    the Kafka source's maxOffsetsPerTrigger (reference §2.1 op 2,
+    KAFKA_CONSUMER_BUFFER_SIZE in src/injector/injector.go:31-34), so
+    a producer burst drains in bounded batches. Scope caveat: each
+    RUN's first batch is unbounded — the Python stream API gives
+    latestOffset no view of the committed start (it even fires before
+    initialOffset), and answering below it regresses the watermark
+    into re-delivery, so the cap engages only once this reader has
+    answered once. Bound a large FIRST import by starting the stream
+    before bulk-publishing, or ingest the backlog with the batch
+    reader first."""
 
     def __init__(self, options):
         self._path = options.get("path")
@@ -161,6 +177,23 @@ class WebDatasetStreamReader(DataSourceStreamReader):
                 "webdataset stream needs a path: "
                 "spark.readStream.format('webdataset').load(<dir>)")
         self._members = _members_from_options(options)
+        # Spark hands options through a case-insensitive map — keys
+        # arrive LOWERCASED in the Python data source.
+        raw = options.get("maxshardspertrigger")
+        self._max_shards = int(raw) if raw else None
+        if self._max_shards is not None and self._max_shards < 1:
+            raise ValueError("maxShardsPerTrigger must be >= 1, got "
+                             f"{raw!r}")
+        # Backpressure floor = the highest offset THIS reader has
+        # already returned. The engine's committed start can never be
+        # above it, so bounding the next batch to the first N names
+        # past it is always monotone. It starts unknown — the FIRST
+        # latestOffset of a run answers unbounded, because the
+        # runner-side reader cannot see the committed start (verified
+        # empirically: latestOffset fires BEFORE initialOffset, and a
+        # bounded answer below a restart's committed start regresses
+        # the watermark and re-delivers shards).
+        self._floor: str | None = None
 
     def _names(self) -> list[str]:
         import glob
@@ -173,7 +206,23 @@ class WebDatasetStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         names = self._names()
-        return {"last": names[-1]} if names else {"last": ""}
+        if not names:
+            return {"last": ""}
+        # maxShardsPerTrigger: bound each batch to the first N names
+        # above the floor — the tar analog of the Kafka source's
+        # maxOffsetsPerTrigger (reference §2.1 op 2 backpressure).
+        # The first latestOffset of a run answers UNBOUNDED (floor
+        # unknown — see __init__), so the cap governs shards arriving
+        # while the query runs; it cannot bound the very first batch
+        # (the Python stream API has no admission-control hook).
+        end = names[-1]
+        if self._max_shards is not None and self._floor is not None:
+            pending = [n for n in names if n > self._floor]
+            if pending:
+                end = pending[min(self._max_shards, len(pending)) - 1]
+        if self._floor is None or end > self._floor:
+            self._floor = end
+        return {"last": end}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("last", ""), end.get("last", "")

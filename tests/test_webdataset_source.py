@@ -223,3 +223,56 @@ def test_stream_reader_crash_recovery_no_reread(spark, tar_export,
     # contract-conforming sample exactly once
     all_keys = [r.key for r in run1] + [r[1] for r in got]
     assert len(all_keys) == len(set(all_keys)) == 32
+
+
+def test_stream_max_shards_per_trigger(spark, tar_export, tmp_path):
+    """Backpressure: shards published while the query runs must drain
+    one per micro-batch under maxShardsPerTrigger=1 — each a separate
+    epoch, every sample exactly once. (Each run's FIRST batch is
+    unbounded — the Python stream API gives latestOffset no view of
+    the committed start; documented on WebDatasetStreamReader.)"""
+    import os
+    import shutil
+
+    _register(spark)
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    first = sorted(f for f in os.listdir(tar_export)
+                   if f.endswith(".tar"))[0]
+    shutil.copy(os.path.join(tar_export, first),
+                os.path.join(stream_dir, first))
+
+    batches: list[set] = []
+
+    def sink(df, epoch_id):
+        shards = {r.shard for r in df.collect()}
+        if shards:
+            batches.append(shards)
+
+    q = (spark.readStream.format("webdataset")
+         .option("maxShardsPerTrigger", "1").load(stream_dir)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()                    # drain the 1-shard start
+        for i in range(4):                         # burst while running
+            _publish_shard(stream_dir, f"shard-9000{i}.tar",
+                           f"90000000000{i}", b"burst")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+
+    assert len(batches) >= 5, batches              # 1 + one per burst shard
+    assert all(len(s) == 1 for s in batches), batches
+    seen = [s for b in batches for s in b]
+    assert len(seen) == len(set(seen)) == 5        # exactly once
+
+    from kafka_elasticsearch_injector_spark.sources.webdataset_source import (
+        WebDatasetStreamReader,
+    )
+
+    with __import__("pytest").raises(ValueError,
+                                     match="maxShardsPerTrigger"):
+        WebDatasetStreamReader({"path": stream_dir,
+                                "maxshardspertrigger": "0"})
