@@ -30,6 +30,10 @@ Options:
 - `maxShardsPerTrigger` (stream only, default unbounded): cap shards
   ingested per micro-batch — backlog backpressure, see
   WebDatasetStreamReader.
+- `onCorrupt` ("fail" default | "skip"): what an unreadable tar does —
+  fail the job, or drop the whole shard with a warning (the injector's
+  malformed side-drop posture; essential for streams, where a poison
+  shard would fail every retry of its micro-batch).
 
 Schema: (shard string, key string, <col> binary ...), one row per
 sample key — identical to read_webdataset.
@@ -108,6 +112,19 @@ class WebDatasetReader(DataSourceReader):
                 "webdataset source needs a path: "
                 "spark.read.format('webdataset').load(<dir of *.tar>)")
         self._members = _members_from_options(options)
+        # onCorrupt (lowercased by Spark's option map): "fail" (default)
+        # raises on an unreadable tar — a batch job should stop on a
+        # broken input; "skip" drops the WHOLE corrupt shard and keeps
+        # going — the malformed side-drop posture of the injector's
+        # decode stage (reference §2.1 op 8), for corpora where one
+        # truncated tar must not poison a 100 TB read (a stream retry
+        # would replay the same broken bytes forever).
+        mode = (options.get("oncorrupt") or "fail").lower()
+        if mode not in ("fail", "skip"):
+            raise ValueError(
+                f"webdataset onCorrupt must be 'fail' or 'skip', "
+                f"got {mode!r}")
+        self._skip_corrupt = mode == "skip"
 
     def partitions(self) -> list[InputPartition]:
         import glob
@@ -120,7 +137,20 @@ class WebDatasetReader(DataSourceReader):
 
     def read(self, partition: _ShardPartition) -> Iterator[pa.RecordBatch]:
         with open(partition.path, "rb") as f:
-            samples = _parse_tar_samples(f.read(), self._members)
+            data = f.read()
+        try:
+            samples = _parse_tar_samples(data, self._members)
+        except tarfile.TarError as e:
+            if self._skip_corrupt:
+                import warnings
+
+                warnings.warn(
+                    f"webdataset: skipping corrupt shard "
+                    f"{partition.path}: {e}")
+                return
+            raise ValueError(
+                f"corrupt webdataset shard {partition.path}: {e} "
+                "(set onCorrupt=skip to drop corrupt shards)") from e
         ordered = sorted(self._members.items())
         shard = os.path.basename(partition.path)
         keys = sorted(samples)
@@ -177,6 +207,15 @@ class WebDatasetStreamReader(DataSourceStreamReader):
                 "webdataset stream needs a path: "
                 "spark.readStream.format('webdataset').load(<dir>)")
         self._members = _members_from_options(options)
+        # Same onCorrupt contract as the batch reader (read() is
+        # shared); "skip" matters doubly here — a corrupt shard would
+        # otherwise fail every retry of the same micro-batch forever.
+        mode = (options.get("oncorrupt") or "fail").lower()
+        if mode not in ("fail", "skip"):
+            raise ValueError(
+                f"webdataset onCorrupt must be 'fail' or 'skip', "
+                f"got {mode!r}")
+        self._skip_corrupt = mode == "skip"
         # Spark hands options through a case-insensitive map — keys
         # arrive LOWERCASED in the Python data source.
         raw = options.get("maxshardspertrigger")

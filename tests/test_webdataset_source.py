@@ -276,3 +276,44 @@ def test_stream_max_shards_per_trigger(spark, tar_export, tmp_path):
                                      match="maxShardsPerTrigger"):
         WebDatasetStreamReader({"path": stream_dir,
                                 "maxshardspertrigger": "0"})
+
+
+def test_on_corrupt_fail_and_skip(spark, tar_export, tmp_path):
+    """A garbage .tar must fail the batch read loudly by default and
+    be dropped whole under onCorrupt=skip (healthy shards unaffected);
+    a stream with onCorrupt=skip advances past the poison shard."""
+    import os
+    import shutil
+
+    _register(spark)
+    d = str(tmp_path / "mix")
+    os.makedirs(d)
+    for f in sorted(os.listdir(tar_export)):
+        if f.endswith(".tar"):
+            shutil.copy(os.path.join(tar_export, f), os.path.join(d, f))
+    with open(os.path.join(d, "shard-00002.5.tar"), "wb") as f:
+        f.write(b"this is not a tar archive at all")
+
+    with pytest.raises(Exception, match="corrupt webdataset shard"):
+        spark.read.format("webdataset").load(d).count()
+
+    ok = (spark.read.format("webdataset")
+          .option("onCorrupt", "skip").load(d))
+    assert ok.count() == 30                       # 4 healthy shards
+
+    with pytest.raises(Exception, match="'fail' or 'skip'"):
+        (spark.read.format("webdataset")
+         .option("onCorrupt", "maybe").load(d).count())
+
+    # stream: the poison shard must not wedge the watermark
+    got: list = []
+    q = (spark.readStream.format("webdataset")
+         .option("onCorrupt", "skip").load(d)
+         .writeStream.foreachBatch(lambda df, _: got.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert len(got) == 30
