@@ -194,7 +194,8 @@ def read_webdataset_keys(path: str) -> Iterable[tuple[int, str]]:
 
 
 def read_webdataset(spark, path: str,
-                    members: dict[str, str] | None = None) -> DataFrame:
+                    members: dict[str, str] | None = None,
+                    on_corrupt: str = "fail") -> DataFrame:
     """Distributed WebDataset reader — the inverse of write_webdataset,
     and the interop path for externally-produced tar-shard corpora.
 
@@ -223,6 +224,12 @@ def read_webdataset(spark, path: str,
     sinks/dataset.py for analytics, this format for sequential
     dataloaders.
     """
+    if on_corrupt not in ("fail", "skip"):
+        raise ValueError(
+            f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
+    if on_corrupt not in ("fail", "skip"):
+        raise ValueError(
+            f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
     members = members or {"txt": "text"}
     ordered = sorted(members.items())           # deterministic columns
     out_cols = ["shard", "key", *[col for _, col in ordered]]
@@ -237,9 +244,27 @@ def read_webdataset(spark, path: str,
         # readers cannot drift.
         from ..sources.webdataset_source import _parse_tar_samples
 
+        import tarfile as _tarfile
+
         for pdf in batches:
             for _, row in pdf.iterrows():
-                samples = _parse_tar_samples(row["content"], suffix_to_col)
+                try:
+                    samples = _parse_tar_samples(row["content"],
+                                                 suffix_to_col)
+                except _tarfile.TarError as e:
+                    # same contract as the registered source's
+                    # onCorrupt option: fail loudly by default, or
+                    # drop the whole corrupt shard and keep reading
+                    if on_corrupt == "skip":
+                        import warnings
+
+                        warnings.warn(f"read_webdataset: skipping "
+                                      f"corrupt shard {row['path']}: {e}")
+                        continue
+                    raise ValueError(
+                        f"corrupt webdataset shard {row['path']}: {e} "
+                        "(pass on_corrupt='skip' to drop corrupt "
+                        "shards)") from e
                 shard = os.path.basename(row["path"])
                 rows = [
                     {"shard": shard, "key": k,

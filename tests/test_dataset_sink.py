@@ -986,3 +986,28 @@ def test_jsonl_bigint_exact_next_to_nulls(spark, tmp_path):
             spark.read.schema(df.schema).json(out).collect()}
     assert back[1].x == big and list(back[1].a) == [big, None, -big]
     assert back[2].x is None and back[2].a is None
+
+
+def test_read_webdataset_on_corrupt(spark, tmp_path):
+    """Helper-reader twin of the registered source's onCorrupt: fail
+    loudly by default, drop the whole corrupt shard under 'skip'."""
+    import os
+
+    import pytest
+
+    from kafka_elasticsearch_injector_spark.sinks.webdataset import (
+        read_webdataset, write_webdataset,
+    )
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(12)],
+                                 "doc_id long, text string")
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, 3).collect()
+    with open(os.path.join(out, "shard-00001.5.tar"), "wb") as f:
+        f.write(b"garbage not tar")
+
+    with pytest.raises(Exception, match="corrupt webdataset shard"):
+        read_webdataset(spark, out).count()
+    assert read_webdataset(spark, out, on_corrupt="skip").count() == 12
+    with pytest.raises(ValueError, match="'fail' or 'skip'"):
+        read_webdataset(spark, out, on_corrupt="maybe")
