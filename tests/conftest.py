@@ -21,6 +21,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SLOW_MODULES = frozenset({
     "test_queries_oracle",
     "test_physical_plans",
+    "test_webdataset_source",
+    "test_part_h_ops",
     "test_event_time",
     "test_streaming",
     "test_es_http_e2e",
@@ -58,6 +60,16 @@ SLOW_TEST_PREFIXES = (
     "test_include_key_avro",
     "test_compact_",
     "test_metrics_listener",
+    # r9 additions: Spark-roundtrip property sweeps and sf-dir plan
+    # gates in otherwise-fast unit modules
+    "test_ntile_by_id_matches",
+    "test_vocab_growth_no_global",
+    "test_dedup_recall_sample",
+    "test_dedup_recall_sampled",
+    "test_winnow_pairs_reliable",
+    "test_group_median_grid_matches",
+    "test_drift_ks_bucket_mode",
+    "test_stream_",
     "test_approx_percentile_certified",
     "test_approx_distinct_certified",
     "test_lsh_single_table",
