@@ -400,8 +400,12 @@ def drift_ks(df: DataFrame, value_col: str = "v", grp_col: str = "grp",
                    .cast("bigint").alias("c1"),
                    F.sum(F.when(F.col("_g") == 2, 1).otherwise(0))
                    .cast("bigint").alias("c2")))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding,
-                                         Window.currentRow)
+    # asc_nulls_last: Spark's ASC default is NULLS FIRST, DuckDB's is
+    # NULLS LAST — a NULL value column would skew the cumulative counts
+    # differently per engine (benign today: callers pass non-null
+    # features, but the gini_tokens lesson says pin it anyway).
+    w = (Window.orderBy(F.col("_v").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     tot = counts.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
     cum = (counts.select("_v", F.sum("c1").over(w).alias("k1"),
                          F.sum("c2").over(w).alias("k2"))

@@ -1196,8 +1196,8 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tagged GROUP BY v
     ), cum AS (
       SELECT v,
-             SUM(c1) OVER (ORDER BY v) AS k1,
-             SUM(c2) OVER (ORDER BY v) AS k2,
+             SUM(c1) OVER (ORDER BY v NULLS LAST) AS k1,
+             SUM(c2) OVER (ORDER BY v NULLS LAST) AS k2,
              (SELECT SUM(c1) FROM counts) AS t1,
              (SELECT SUM(c2) FROM counts) AS t2
       FROM counts

@@ -60,8 +60,8 @@ _KH_BUCKETS = 32
              CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
       FROM bk GROUP BY bv
     ), cum AS (
-      SELECT SUM(c1) OVER (ORDER BY bv) AS k1,
-             SUM(c2) OVER (ORDER BY bv) AS k2,
+      SELECT SUM(c1) OVER (ORDER BY bv NULLS LAST) AS k1,
+             SUM(c2) OVER (ORDER BY bv NULLS LAST) AS k2,
              (SELECT SUM(c1) FROM counts) AS t1,
              (SELECT SUM(c2) FROM counts) AS t2
       FROM counts

@@ -195,7 +195,8 @@ def read_webdataset_keys(path: str) -> Iterable[tuple[int, str]]:
 
 def read_webdataset(spark, path: str,
                     members: dict[str, str] | None = None,
-                    on_corrupt: str = "fail") -> DataFrame:
+                    on_corrupt: str = "fail",
+                    on_corrupt_log_dir: str | None = None) -> DataFrame:
     """Distributed WebDataset reader — the inverse of write_webdataset,
     and the interop path for externally-produced tar-shard corpora.
 
@@ -216,6 +217,13 @@ def read_webdataset(spark, path: str,
     contain dots (`v1.0/doc.txt` → key `v1.0/doc`, suffix `txt`).
     Extensionless members have no suffix and are skipped.
 
+    `on_corrupt` mirrors the registered source's onCorrupt option
+    ("fail" default | "skip"); with "skip", `on_corrupt_log_dir` is the
+    optional shared-filesystem directory where each dropped shard
+    leaves a durable `<shard>.skipped` marker — see onCorruptLogDir in
+    sources/webdataset_source.py (the reference's side-drop metric
+    analog; without it skips only reach the task logger).
+
     Scale shape: `binaryFile` yields one row per tar, so one task
     parses one whole shard — the same ~1 GB in-memory bound the writer
     sizes n_shards for, and parallelism = shard count (thousands of
@@ -224,9 +232,6 @@ def read_webdataset(spark, path: str,
     sinks/dataset.py for analytics, this format for sequential
     dataloaders.
     """
-    if on_corrupt not in ("fail", "skip"):
-        raise ValueError(
-            f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
     if on_corrupt not in ("fail", "skip"):
         raise ValueError(
             f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
@@ -254,12 +259,15 @@ def read_webdataset(spark, path: str,
                 except _tarfile.TarError as e:
                     # same contract as the registered source's
                     # onCorrupt option: fail loudly by default, or
-                    # drop the whole corrupt shard and keep reading
+                    # drop the whole corrupt shard AUDITABLY — task-log
+                    # warning + optional durable `<shard>.skipped`
+                    # marker (shared _record_skip, see
+                    # sources/webdataset_source.py onCorruptLogDir)
                     if on_corrupt == "skip":
-                        import warnings
+                        from ..sources.webdataset_source import \
+                            _record_skip
 
-                        warnings.warn(f"read_webdataset: skipping "
-                                      f"corrupt shard {row['path']}: {e}")
+                        _record_skip(row["path"], e, on_corrupt_log_dir)
                         continue
                     raise ValueError(
                         f"corrupt webdataset shard {row['path']}: {e} "

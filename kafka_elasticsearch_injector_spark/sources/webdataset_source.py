@@ -34,6 +34,15 @@ Options:
   fail the job, or drop the whole shard with a warning (the injector's
   malformed side-drop posture; essential for streams, where a poison
   shard would fail every retry of its micro-batch).
+- `onCorruptLogDir` (optional, with `onCorrupt=skip`): directory on the
+  driver/executor-shared filesystem where every skipped shard leaves a
+  durable `<shard>.skipped` marker (shard path + error, written via
+  temp+rename so task retries are idempotent). The reference never
+  drops data silently — its malformed side-drop increments a metric
+  (src/kafka/consumer.go:154-159, src/metrics/metrics.go); this is the
+  batch/stream analog: count the markers to audit corrupt-shard loss.
+  Without it, a skip is still logged through the task logger (executor
+  stderr), but long-running streams should set the log dir.
 
 Schema: (shard string, key string, <col> binary ...), one row per
 sample key — identical to read_webdataset.
@@ -49,6 +58,7 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import os
 import tarfile
 from collections.abc import Iterator
@@ -63,6 +73,30 @@ from pyspark.sql.datasource import (
 )
 
 _DEFAULT_MEMBERS = {"txt": "text"}
+
+_log = logging.getLogger(__name__)
+
+
+def _record_skip(shard_path: str, err: Exception,
+                 log_dir: str | None) -> None:
+    """Make an onCorrupt=skip drop OBSERVABLE (shared by the registered
+    source and sinks/webdataset.read_webdataset). Always logs through
+    the task logger (executor stderr — a plain warnings.warn inside an
+    executor task is typically invisible); when `log_dir` is set, also
+    writes a durable `<shard>.skipped` sidecar marker via temp+rename,
+    so a task retry rewrites the same marker instead of double-counting
+    and an audit is `len(*.skipped)` — the side-manifest analog of the
+    reference's side-drop metric (src/kafka/consumer.go:154-159)."""
+    _log.warning("webdataset: skipping corrupt shard %s: %s",
+                 shard_path, err)
+    if not log_dir:
+        return
+    os.makedirs(log_dir, exist_ok=True)
+    name = os.path.basename(shard_path) + ".skipped"
+    tmp = os.path.join(log_dir, f"._{name}.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{shard_path}\t{err}\n")
+    os.replace(tmp, os.path.join(log_dir, name))
 
 
 def _members_from_options(options) -> dict[str, str]:
@@ -125,6 +159,8 @@ class WebDatasetReader(DataSourceReader):
                 f"webdataset onCorrupt must be 'fail' or 'skip', "
                 f"got {mode!r}")
         self._skip_corrupt = mode == "skip"
+        # Durable skip markers (module docstring: onCorruptLogDir).
+        self._skip_log_dir = options.get("oncorruptlogdir") or None
 
     def partitions(self) -> list[InputPartition]:
         import glob
@@ -142,11 +178,7 @@ class WebDatasetReader(DataSourceReader):
             samples = _parse_tar_samples(data, self._members)
         except tarfile.TarError as e:
             if self._skip_corrupt:
-                import warnings
-
-                warnings.warn(
-                    f"webdataset: skipping corrupt shard "
-                    f"{partition.path}: {e}")
+                _record_skip(partition.path, e, self._skip_log_dir)
                 return
             raise ValueError(
                 f"corrupt webdataset shard {partition.path}: {e} "
@@ -216,6 +248,7 @@ class WebDatasetStreamReader(DataSourceStreamReader):
                 f"webdataset onCorrupt must be 'fail' or 'skip', "
                 f"got {mode!r}")
         self._skip_corrupt = mode == "skip"
+        self._skip_log_dir = options.get("oncorruptlogdir") or None
         # Spark hands options through a case-insensitive map — keys
         # arrive LOWERCASED in the Python data source.
         raw = options.get("maxshardspertrigger")

@@ -1011,3 +1011,14 @@ def test_read_webdataset_on_corrupt(spark, tmp_path):
     assert read_webdataset(spark, out, on_corrupt="skip").count() == 12
     with pytest.raises(ValueError, match="'fail' or 'skip'"):
         read_webdataset(spark, out, on_corrupt="maybe")
+
+    # the drop is auditable: on_corrupt_log_dir leaves one durable
+    # `<shard>.skipped` marker per dropped shard (shared _record_skip
+    # with the registered source — same contract, same marker shape)
+    skiplog = str(tmp_path / "skiplog")
+    assert read_webdataset(spark, out, on_corrupt="skip",
+                           on_corrupt_log_dir=skiplog).count() == 12
+    marks = sorted(os.listdir(skiplog))
+    assert marks == ["shard-00001.5.tar.skipped"]
+    assert "shard-00001.5.tar" in open(
+        os.path.join(skiplog, marks[0])).read()

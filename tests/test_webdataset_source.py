@@ -297,18 +297,31 @@ def test_on_corrupt_fail_and_skip(spark, tar_export, tmp_path):
     with pytest.raises(Exception, match="corrupt webdataset shard"):
         spark.read.format("webdataset").load(d).count()
 
+    # skip must be AUDITABLE: onCorruptLogDir collects one durable
+    # `<shard>.skipped` marker per dropped shard (the side-manifest
+    # analog of the reference's malformed side-drop metric,
+    # src/kafka/consumer.go:154-159) — count markers = count of drops
+    skiplog = str(tmp_path / "skiplog")
     ok = (spark.read.format("webdataset")
-          .option("onCorrupt", "skip").load(d))
+          .option("onCorrupt", "skip")
+          .option("onCorruptLogDir", skiplog).load(d))
     assert ok.count() == 30                       # 4 healthy shards
+    marks = sorted(os.listdir(skiplog))
+    assert marks == ["shard-00002.5.tar.skipped"]
+    body = open(os.path.join(skiplog, marks[0])).read()
+    assert "shard-00002.5.tar" in body and "\t" in body
 
     with pytest.raises(Exception, match="'fail' or 'skip'"):
         (spark.read.format("webdataset")
          .option("onCorrupt", "maybe").load(d).count())
 
-    # stream: the poison shard must not wedge the watermark
+    # stream: the poison shard must not wedge the watermark, and the
+    # drop must leave the same durable marker
+    streamlog = str(tmp_path / "streamlog")
     got: list = []
     q = (spark.readStream.format("webdataset")
-         .option("onCorrupt", "skip").load(d)
+         .option("onCorrupt", "skip")
+         .option("onCorruptLogDir", streamlog).load(d)
          .writeStream.foreachBatch(lambda df, _: got.extend(df.collect()))
          .option("checkpointLocation", str(tmp_path / "ck")).start())
     try:
@@ -317,3 +330,4 @@ def test_on_corrupt_fail_and_skip(spark, tar_export, tmp_path):
         q.stop()
     q.awaitTermination(30)
     assert len(got) == 30
+    assert sorted(os.listdir(streamlog)) == ["shard-00002.5.tar.skipped"]
