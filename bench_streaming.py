@@ -22,6 +22,15 @@ Prints ONE JSON line:
    "rows": R, "wall_s": S}
 
 Environment: SPARK_GRAFT_STREAM_ROWS (default 1,000,000).
+
+Regression gate: the per-round number is committed to
+BENCH_STREAMING.json (history + documented floor); tests/
+test_bench_contract.py gates the file's shape, that every recorded
+round clears the floor, and — via run() at reduced rows — that the
+LIVE pipeline still clears a conservative smoke floor, so a per-row
+hot-path regression fails CI instead of waiting for the manual
+per-round measurement (the batch bench learned this in r7:
+test_no_unbenched_registered_query).
 """
 
 from __future__ import annotations
@@ -38,7 +47,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", 1_000_000))
 
 
-def main() -> None:
+def run(n_rows: int = N_ROWS) -> dict:
+    """Measure the injector hot path end-to-end; returns the result
+    record main() prints. Callable from tests (reduced rows) as the
+    live smoke-floor gate."""
     from pyspark.sql import functions as F
 
     from kafka_elasticsearch_injector_spark.config import InjectorConfig
@@ -71,7 +83,7 @@ def main() -> None:
             F.lit("internal").alias("debug_tag"),
         ))
         (
-            spark.range(N_ROWS)
+            spark.range(n_rows)
             .select(
                 # Keys are JSON OBJECTS: the pipeline decodes keys the
                 # way the reference does (json.Unmarshal into a map) and
@@ -125,19 +137,23 @@ def main() -> None:
 
     # Guard against measuring the drop path: every synthetic record must
     # actually reach the sink protocol.
-    if delivered != N_ROWS:
+    if delivered != n_rows:
         raise SystemExit(
-            f"throughput bench delivered {delivered}/{N_ROWS} records — "
+            f"throughput bench delivered {delivered}/{n_rows} records — "
             "the corpus is being dropped, the number would be a lie")
 
-    print(json.dumps({
+    return {
         "metric": "injector_throughput",
-        "value": round(N_ROWS / wall, 1),
+        "value": round(n_rows / wall, 1),
         "unit": "records/sec",
-        "rows": N_ROWS,
+        "rows": n_rows,
         "delivered": delivered,
         "wall_s": round(wall, 3),
-    }))
+    }
+
+
+def main() -> None:
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":
