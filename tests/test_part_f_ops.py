@@ -128,6 +128,41 @@ def test_token_familiarity_plan_is_zipf_safe(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_token_familiarity_past_broadcast_degrade(spark, sf_dir):
+    """The docstring promises the join back 'degrades to a shuffle
+    join where AQE's skew-join splits the hot tokens' once the
+    vocabulary outgrows the broadcast threshold. Force that regime
+    (autoBroadcastJoinThreshold=-1) and prove the fallback plan is
+    sane: a shuffle join ON tok (SortMergeJoin/ShuffledHashJoin, no
+    broadcast anywhere), the df profile still partial-aggregated
+    (Zipf-immune map-side combine), and the RESULT identical to the
+    broadcast regime's."""
+    from kafka_elasticsearch_injector_spark.operators.text import (
+        token_familiarity,
+    )
+    from kafka_elasticsearch_injector_spark.plans import queries
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    df_small = _docs(spark, [(1, "a b c"), (2, "a b a"), (3, "a d")])
+    want = {r.doc_id: (r.n_types, r.df_sum, r.familiarity)
+            for r in token_familiarity(df_small).collect()}
+    try:
+        spark.conf.set(key, "-1")
+        q = queries()["q_token_familiarity"](spark, sf_dir)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert ("SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan), plan
+        assert "partial_count" in plan, plan
+        got = {r.doc_id: (r.n_types, r.df_sum, r.familiarity)
+               for r in token_familiarity(df_small).collect()}
+        assert got == want == {1: (3, 6, 2.0), 2: (2, 5, 2.5),
+                               3: (2, 4, 2.0)}
+    finally:
+        spark.conf.set(key, old)
+
+
 # ------------------------------------------------- cross-lingual
 
 
