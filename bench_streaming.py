@@ -63,9 +63,14 @@ def run(n_rows: int = N_ROWS) -> dict:
     )
 
     # mode="streaming": no ParallelGC pin — micro-batch latency wants
-    # the JVM-default G1's pause-time goals, not throughput GC.
+    # the JVM-default G1's pause-time goals, not throughput GC. The
+    # mode only shapes BUILDER inputs: under an already-live JVM
+    # (the test suite's smoke-floor call) getOrCreate() reuses the
+    # existing batch-pinned session — fine there, because the smoke
+    # floor is ~10x below either GC regime's throughput. Log level is
+    # main()'s business: mutating it here would leak ERROR-only
+    # logging into every test that runs after the smoke floor.
     spark = get_spark("bench-streaming", mode="streaming")
-    spark.sparkContext.setLogLevel("ERROR")
     cpus = spark.sparkContext.defaultParallelism
 
     work = tempfile.mkdtemp(prefix="bench_streaming_")
@@ -136,9 +141,11 @@ def run(n_rows: int = N_ROWS) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
     # Guard against measuring the drop path: every synthetic record must
-    # actually reach the sink protocol.
+    # actually reach the sink protocol. RuntimeError, not SystemExit:
+    # run() is a library entry point (the CI smoke floor calls it) and
+    # must not terminate a caller's process; main() converts.
     if delivered != n_rows:
-        raise SystemExit(
+        raise RuntimeError(
             f"throughput bench delivered {delivered}/{n_rows} records — "
             "the corpus is being dropped, the number would be a lie")
 
@@ -153,7 +160,15 @@ def run(n_rows: int = N_ROWS) -> dict:
 
 
 def main() -> None:
-    print(json.dumps(run()))
+    from kafka_elasticsearch_injector_spark.session import get_spark
+
+    get_spark("bench-streaming",
+              mode="streaming").sparkContext.setLogLevel("ERROR")
+    try:
+        result = run()
+    except RuntimeError as e:
+        raise SystemExit(str(e)) from e
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

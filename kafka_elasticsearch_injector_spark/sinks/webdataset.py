@@ -220,7 +220,7 @@ def read_webdataset(spark, path: str,
     `on_corrupt` mirrors the registered source's onCorrupt option
     ("fail" default | "skip"); with "skip", `on_corrupt_log_dir` is the
     optional shared-filesystem directory where each dropped shard
-    leaves a durable `<shard>.skipped` marker — see onCorruptLogDir in
+    leaves a durable `<shard>.<hash8>.skipped` marker — see onCorruptLogDir in
     sources/webdataset_source.py (the reference's side-drop metric
     analog; without it skips only reach the task logger).
 
@@ -260,7 +260,7 @@ def read_webdataset(spark, path: str,
                     # same contract as the registered source's
                     # onCorrupt option: fail loudly by default, or
                     # drop the whole corrupt shard AUDITABLY — task-log
-                    # warning + optional durable `<shard>.skipped`
+                    # warning + optional durable `<shard>.<hash8>.skipped`
                     # marker (shared _record_skip, see
                     # sources/webdataset_source.py onCorruptLogDir)
                     if on_corrupt == "skip":

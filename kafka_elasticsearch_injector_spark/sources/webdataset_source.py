@@ -36,7 +36,9 @@ Options:
   shard would fail every retry of its micro-batch).
 - `onCorruptLogDir` (optional, with `onCorrupt=skip`): directory on the
   driver/executor-shared filesystem where every skipped shard leaves a
-  durable `<shard>.skipped` marker (shard path + error, written via
+  durable `<shard>.<hash8>.skipped` marker (shard path + error,
+  hash8 = 8 hex of the full shard path so same-named shards from
+  different corpora sharing one log dir cannot collide; written via
   temp+rename so task retries are idempotent). The reference never
   drops data silently — its malformed side-drop increments a metric
   (src/kafka/consumer.go:154-159, src/metrics/metrics.go); this is the
@@ -83,16 +85,25 @@ def _record_skip(shard_path: str, err: Exception,
     source and sinks/webdataset.read_webdataset). Always logs through
     the task logger (executor stderr — a plain warnings.warn inside an
     executor task is typically invisible); when `log_dir` is set, also
-    writes a durable `<shard>.skipped` sidecar marker via temp+rename,
-    so a task retry rewrites the same marker instead of double-counting
-    and an audit is `len(*.skipped)` — the side-manifest analog of the
-    reference's side-drop metric (src/kafka/consumer.go:154-159)."""
+    writes a durable `<shard>.<hash8>.skipped` sidecar marker via
+    temp+rename, so a task retry rewrites the same marker instead of
+    double-counting and an audit is `len(*.skipped)` — the
+    side-manifest analog of the reference's side-drop metric
+    (src/kafka/consumer.go:154-159)."""
     _log.warning("webdataset: skipping corrupt shard %s: %s",
                  shard_path, err)
     if not log_dir:
         return
+    import hashlib
+
     os.makedirs(log_dir, exist_ok=True)
-    name = os.path.basename(shard_path) + ".skipped"
+    # basename + 8-hex of the FULL path: two corpora sharing one log
+    # dir can both drop a "shard-00002.tar" without the markers
+    # colliding (the audit is len(*.skipped) — an overwrite would
+    # undercount), while a task RETRY of the same shard still rewrites
+    # the same marker instead of double-counting.
+    digest = hashlib.sha256(shard_path.encode()).hexdigest()[:8]
+    name = f"{os.path.basename(shard_path)}.{digest}.skipped"
     tmp = os.path.join(log_dir, f"._{name}.{os.getpid()}.tmp")
     with open(tmp, "w") as f:
         f.write(f"{shard_path}\t{err}\n")

@@ -1019,6 +1019,8 @@ def test_read_webdataset_on_corrupt(spark, tmp_path):
     assert read_webdataset(spark, out, on_corrupt="skip",
                            on_corrupt_log_dir=skiplog).count() == 12
     marks = sorted(os.listdir(skiplog))
-    assert marks == ["shard-00001.5.tar.skipped"]
+    assert len(marks) == 1
+    assert marks[0].startswith("shard-00001.5.tar.")
+    assert marks[0].endswith(".skipped")
     assert "shard-00001.5.tar" in open(
         os.path.join(skiplog, marks[0])).read()

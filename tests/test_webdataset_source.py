@@ -307,7 +307,10 @@ def test_on_corrupt_fail_and_skip(spark, tar_export, tmp_path):
           .option("onCorruptLogDir", skiplog).load(d))
     assert ok.count() == 30                       # 4 healthy shards
     marks = sorted(os.listdir(skiplog))
-    assert marks == ["shard-00002.5.tar.skipped"]
+    assert len(marks) == 1 and marks[0].endswith(".skipped")
+    # <basename>.<hash8 of full path>.skipped — same-named shards from
+    # different corpora sharing a log dir cannot collide
+    assert marks[0].startswith("shard-00002.5.tar.")
     body = open(os.path.join(skiplog, marks[0])).read()
     assert "shard-00002.5.tar" in body and "\t" in body
 
@@ -330,4 +333,37 @@ def test_on_corrupt_fail_and_skip(spark, tar_export, tmp_path):
         q.stop()
     q.awaitTermination(30)
     assert len(got) == 30
-    assert sorted(os.listdir(streamlog)) == ["shard-00002.5.tar.skipped"]
+    smarks = sorted(os.listdir(streamlog))
+    assert len(smarks) == 1
+    assert smarks[0].startswith("shard-00002.5.tar.")
+    assert smarks[0].endswith(".skipped")
+
+
+def test_record_skip_markers_collide_free_and_retry_idempotent(tmp_path):
+    """Pure-unit contract of the skip audit: (a) same-named shards from
+    DIFFERENT corpora sharing one log dir leave DISTINCT markers (the
+    audit is len(*.skipped) — an overwrite would undercount); (b) a
+    task retry of the SAME shard rewrites its marker, never adds a
+    second (no double-count); (c) marker body carries path + error."""
+    import os
+
+    from kafka_elasticsearch_injector_spark.sources.webdataset_source import (
+        _record_skip,
+    )
+
+    log = str(tmp_path / "log")
+    err = ValueError("truncated header")
+    _record_skip("/corpus_a/shard-00002.tar", err, log)
+    _record_skip("/corpus_b/shard-00002.tar", err, log)      # same basename
+    _record_skip("/corpus_a/shard-00002.tar", err, log)      # retry
+    marks = sorted(os.listdir(log))
+    assert len(marks) == 2, marks
+    assert all(m.startswith("shard-00002.tar.") and m.endswith(".skipped")
+               for m in marks)
+    bodies = [open(os.path.join(log, m)).read() for m in marks]
+    assert {b.split("\t")[0] for b in bodies} == {
+        "/corpus_a/shard-00002.tar", "/corpus_b/shard-00002.tar"}
+    assert all("truncated header" in b for b in bodies)
+    # log_dir=None: logging-only path, nothing written anywhere
+    _record_skip("/corpus_a/shard-00003.tar", err, None)
+    assert sorted(os.listdir(log)) == marks
