@@ -1,0 +1,148 @@
+"""TFRecord shards as a REGISTERED Spark data source.
+
+After `register_tfrecord_source(spark)`,
+
+    spark.read.format("tfrecord")
+         .option("features", '{"doc_id": "int64", "text": "bytes"}')
+         .load("/corpus/tfrecords")
+
+plans ONE input partition per `shard-*.tfrecord`/`*.tfrecord` file
+(parallelism = shard count) and each task streams its file straight
+into Arrow RecordBatches — the same planning contract as the
+registered webdataset source, for the tf.data ecosystem's format.
+Framing + Example codec live in sinks/tfrecord.py (public-spec
+implementations, no TensorFlow dependency) and are SHARED with the
+binaryFile-based helper reader `sinks.tfrecord.read_tfrecord`, so the
+two readers cannot drift.
+
+Options:
+- `features` (JSON object, column -> kind, see sinks/tfrecord.py
+  module docstring; omitted = raw mode: one BINARY `record` column of
+  undecoded tf.train.Example payloads).
+- `path`: directory of `*.tfrecord` shards (the `.load(path)` arg).
+- `onCorrupt` ("fail" default | "skip") and `onCorruptLogDir`: the
+  exact webdataset-source contract — fail the job on a truncated/CRC-
+  mismatched shard, or drop the WHOLE shard auditable (task-logger
+  warning + durable `<shard>.<hash8>.skipped` marker, shared
+  `_record_skip`).
+- `verifyCrc` ("true" default | "false"): per-record CRC-32C checks;
+  disable only for trusted re-reads where the Python CRC table would
+  bound throughput.
+
+Schema: (shard string, <col> typed ...) per `features`, one row per
+record — identical to read_tfrecord.
+
+At 100 TB: partitions() lists shard files driver-side (one listing of
+~thousands of names); each read() holds one shard in memory — the
+same ~1 GB bound the writer sizes n_shards for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .webdataset_source import _record_skip, _ShardPartition
+
+
+def _features_from_options(options) -> dict[str, str] | None:
+    from ..sinks.tfrecord import KINDS
+
+    raw = options.get("features")
+    if not raw:
+        return None
+    features = json.loads(raw)
+    if (not isinstance(features, dict) or not features
+            or not all(isinstance(k, str) and v in KINDS
+                       for k, v in features.items())):
+        raise ValueError(
+            "tfrecord `features` option must be a non-empty JSON "
+            f"object of column -> kind (kinds: {KINDS}), got: {raw!r}")
+    return features
+
+
+class TFRecordReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "tfrecord source needs a path: "
+                "spark.read.format('tfrecord').load(<dir of *.tfrecord>)")
+        self._features = _features_from_options(options)
+        mode = (options.get("oncorrupt") or "fail").lower()
+        if mode not in ("fail", "skip"):
+            raise ValueError(
+                f"tfrecord onCorrupt must be 'fail' or 'skip', "
+                f"got {mode!r}")
+        self._skip_corrupt = mode == "skip"
+        self._skip_log_dir = options.get("oncorruptlogdir") or None
+        self._verify_crc = (
+            (options.get("verifycrc") or "true").lower() != "false")
+
+    def partitions(self) -> list[InputPartition]:
+        import glob
+
+        shards = sorted(glob.glob(os.path.join(self._path,
+                                               "*.tfrecord")))
+        if not shards:
+            raise FileNotFoundError(
+                f"no *.tfrecord shards under {self._path}")
+        return [_ShardPartition(p) for p in shards]
+
+    def read(self, partition: _ShardPartition
+             ) -> Iterator[pa.RecordBatch]:
+        from ..sinks.tfrecord import rows_from_file, schema_for
+
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        try:
+            rows = list(rows_from_file(data, self._features,
+                                       verify_crc=self._verify_crc))
+        except ValueError as e:
+            if self._skip_corrupt:
+                _record_skip(partition.path, e, self._skip_log_dir)
+                return
+            raise ValueError(
+                f"corrupt TFRecord shard {partition.path}: {e} "
+                "(set onCorrupt=skip to drop corrupt shards)") from e
+        if not rows:
+            return
+        shard = os.path.basename(partition.path)
+        schema = schema_for(self._features)
+        names = [c.split()[0].strip("`") for c in schema.split(", ")]
+        arrays = [pa.array([shard] * len(rows), pa.string())]
+        pa_types = {"binary": pa.binary(), "bigint": pa.int64(),
+                    "float": pa.float32(), "string": pa.string(),
+                    "array<binary>": pa.list_(pa.binary()),
+                    "array<bigint>": pa.list_(pa.int64()),
+                    "array<float>": pa.list_(pa.float32())}
+        for col in schema.split(", ")[1:]:
+            name, typ = col.split()[0].strip("`"), col.split()[1]
+            arrays.append(pa.array([r[name] for r in rows],
+                                   pa_types[typ]))
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class TFRecordDataSource(DataSource):
+    """`format("tfrecord")` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tfrecord"
+
+    def schema(self) -> str:
+        from ..sinks.tfrecord import schema_for
+
+        return schema_for(_features_from_options(self.options))
+
+    def reader(self, schema) -> TFRecordReader:
+        return TFRecordReader(self.options)
+
+
+def register_tfrecord_source(spark) -> None:
+    """Idempotently register `format("tfrecord")` on this session."""
+    spark.dataSource.register(TFRecordDataSource)

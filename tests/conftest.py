@@ -20,6 +20,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # `pytest tests/` (unchanged, both tiers).
 SLOW_MODULES = frozenset({
     "test_queries_oracle",
+    "test_tfrecord",
     "test_physical_plans",
     "test_webdataset_source",
     "test_part_h_ops",

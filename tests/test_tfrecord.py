@@ -1,0 +1,252 @@
+"""TFRecord sink + readers: framing/Example codec spec conformance,
+byte-deterministic export, writer<->reader round-trip, registered
+format("tfrecord") source parity, and the onCorrupt audit contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kafka_elasticsearch_injector_spark.sinks.tfrecord import (
+    crc32c,
+    decode_example,
+    encode_example,
+    frame_record,
+    iter_tfrecords,
+    read_tfrecord,
+    write_tfrecord,
+)
+
+
+# ------------------------------------------------------ pure codec
+
+
+def test_crc32c_public_vector():
+    # the canonical CRC-32C (Castagnoli) check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_framing_round_trip_and_corruption_detection():
+    recs = [b"hello", b"", b"x" * 4096]
+    blob = b"".join(frame_record(r) for r in recs)
+    assert list(iter_tfrecords(blob)) == recs
+    # flip one payload byte: the data-CRC must catch it
+    bad = bytearray(blob)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        list(iter_tfrecords(bytes(bad)))
+    # truncation (mid-header and mid-payload) must raise, not hang
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_tfrecords(blob[:5]))
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_tfrecords(blob[:14]))
+    # verify_crc=False skips the checksum but still frames correctly
+    assert list(iter_tfrecords(blob, verify_crc=False)) == recs
+
+
+def test_example_wire_bytes_match_hand_derivation():
+    """Spec conformance pinned against hand-derived protobuf bytes
+    (tensorflow/core/example/{example,feature}.proto): Example{1:
+    Features}, Features{1: map entry{1: key, 2: Feature}}, Feature
+    {3: Int64List}, Int64List{1: packed varints}."""
+    got = encode_example({"a": ("int64", [5])})
+    int64_list = b"\x0a\x01\x05"                       # packed [5]
+    feature = b"\x1a" + bytes([len(int64_list)]) + int64_list
+    entry = b"\x0a\x01a" + b"\x12" + bytes([len(feature)]) + feature
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    want = b"\x0a" + bytes([len(features)]) + features
+    assert got == want
+
+
+def test_example_codec_round_trip_all_kinds():
+    feats = {
+        "doc_id": ("int64", [-7]),
+        "text": ("bytes", ["hi \N{EARTH GLOBE EUROPE-AFRICA}"]),
+        "score": ("float", [1.5]),
+        "tags": ("bytes_list", [b"a", b"bb", b""]),
+        "ids": ("int64_list", [0, -1, 2**62, -(2**62), 2**63 - 1]),
+        "emb": ("float_list", [0.25, -0.5, 3.0]),
+    }
+    out = decode_example(encode_example(feats))
+    assert out["doc_id"] == ("int64_list", [-7])
+    assert out["text"] == ("bytes_list",
+                           ["hi \N{EARTH GLOBE EUROPE-AFRICA}"
+                            .encode("utf-8")])
+    assert out["score"] == ("float_list", [1.5])
+    assert out["tags"] == ("bytes_list", [b"a", b"bb", b""])
+    assert out["ids"] == ("int64_list",
+                          [0, -1, 2**62, -(2**62), 2**63 - 1])
+    assert out["emb"] == ("float_list", [0.25, -0.5, 3.0])
+
+
+def test_example_decoder_accepts_unpacked_lists():
+    """TF always writes packed (feature.proto declares packed=true),
+    but proto3 parsers MUST accept the unpacked encoding too."""
+    # Int64List{value: 3, value: 5} unpacked: two wire-type-0 field 1s
+    int64_list = b"\x08\x03\x08\x05"
+    feature = b"\x1a" + bytes([len(int64_list)]) + int64_list
+    entry = b"\x0a\x01k" + b"\x12" + bytes([len(feature)]) + feature
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    payload = b"\x0a" + bytes([len(features)]) + features
+    assert decode_example(payload) == {"k": ("int64_list", [3, 5])}
+
+
+def test_encode_example_is_order_insensitive():
+    feats = {"b": ("int64", [1]), "a": ("bytes", [b"x"]),
+             "c": ("float_list", [1.0, 2.0])}
+    rev = dict(reversed(list(feats.items())))
+    assert encode_example(feats) == encode_example(rev)
+
+
+@pytest.mark.parametrize("bad", ["int32", "double", "str", ""])
+def test_unknown_kind_rejected(bad):
+    with pytest.raises(ValueError, match="unknown feature kind"):
+        encode_example({"x": (bad, [1])})
+
+
+# --------------------------------------------------- writer + reader
+
+
+FEATURES = {"doc_id": "int64", "text": "bytes", "score": "float",
+            "emb": "float_list"}
+
+
+def _corpus(spark):
+    rows = [(i, f"doc {i}", float(i) / 4.0,
+             [float(i), float(i) + 0.5]) for i in range(24)]
+    rows.append((98, None, None, None))            # NULLs -> absent
+    rows.append((99, "tail", 9.75, []))            # empty list
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, score float, emb array<float>")
+
+
+def test_tfrecord_export_round_trip_and_determinism(spark, tmp_path):
+    df = _corpus(spark)
+    out = str(tmp_path / "tfr")
+    m1 = {r.file: r.sha256
+          for r in write_tfrecord(df, out, 3, features=FEATURES).collect()}
+    assert len(m1) == 3
+    assert sorted(os.listdir(out))[0].endswith((".json", ".tfrecord"))
+
+    back = read_tfrecord(spark, out, features=FEATURES)
+    got = {r.doc_id: r for r in back.collect()}
+    assert len(got) == 26 and back.columns == [
+        "shard", "doc_id", "emb", "score", "text"]
+    assert bytes(got[7].text) == b"doc 7"
+    assert got[7].score == pytest.approx(7 / 4.0)
+    assert list(got[7].emb) == [7.0, 7.5]
+    assert got[98].text is None and got[98].score is None
+    assert got[98].emb is None                     # absent feature
+    assert list(got[99].emb) == []                 # present, empty
+    # raw mode: one undecoded Example payload per record
+    raw = read_tfrecord(spark, out)
+    assert raw.columns == ["shard", "record"]
+    payloads = [bytes(r.record) for r in raw.collect()]
+    assert len(payloads) == 26
+    assert decode_example(payloads[0])              # parses
+
+    # byte determinism: a re-export reproduces identical sha256s
+    m2 = {r.file: r.sha256
+          for r in write_tfrecord(df, out, 3, features=FEATURES).collect()}
+    assert m1 == m2
+
+
+def test_tfrecord_source_matches_helper_reader(spark, tmp_path):
+    from kafka_elasticsearch_injector_spark.sources.tfrecord_source import (
+        register_tfrecord_source,
+    )
+
+    df = _corpus(spark)
+    out = str(tmp_path / "tfr")
+    write_tfrecord(df, out, 4, features=FEATURES).collect()
+    register_tfrecord_source(spark)
+    via_source = (spark.read.format("tfrecord")
+                  .option("features", json.dumps(FEATURES)).load(out))
+    via_helper = read_tfrecord(spark, out, features=FEATURES)
+    assert via_source.schema == via_helper.schema
+    key = lambda r: (r[0], r[1])                   # (shard, doc_id)
+    a = sorted(map(tuple, via_source.collect()), key=key)
+    b = sorted(map(tuple, via_helper.collect()), key=key)
+    assert a == b and len(a) == 26
+    # one planned partition per shard file
+    assert via_source.rdd.getNumPartitions() == 4
+
+
+def test_tfrecord_on_corrupt_contract(spark, tmp_path):
+    """fail loudly by default; skip drops the WHOLE corrupt shard and
+    leaves the durable audit marker — byte-for-byte the webdataset
+    readers' contract, same shared _record_skip."""
+    from kafka_elasticsearch_injector_spark.sources.tfrecord_source import (
+        register_tfrecord_source,
+    )
+
+    df = _corpus(spark)
+    out = str(tmp_path / "tfr")
+    write_tfrecord(df, out, 3, features=FEATURES).collect()
+    with open(os.path.join(out, "shard-00001.5.tfrecord"), "wb") as f:
+        f.write(b"this is not a tfrecord stream")
+
+    register_tfrecord_source(spark)
+    with pytest.raises(Exception, match="corrupt TFRecord shard"):
+        spark.read.format("tfrecord").load(out).count()
+    with pytest.raises(Exception, match="corrupt TFRecord shard"):
+        read_tfrecord(spark, out, features=FEATURES).count()
+
+    skiplog = str(tmp_path / "skiplog")
+    ok = (spark.read.format("tfrecord")
+          .option("onCorrupt", "skip")
+          .option("onCorruptLogDir", skiplog).load(out))
+    assert ok.count() == 26
+    marks = sorted(os.listdir(skiplog))
+    assert len(marks) == 1
+    assert marks[0].startswith("shard-00001.5.tfrecord.")
+    assert marks[0].endswith(".skipped")
+
+    helperlog = str(tmp_path / "helperlog")
+    assert read_tfrecord(spark, out, features=FEATURES,
+                         on_corrupt="skip",
+                         on_corrupt_log_dir=helperlog).count() == 26
+    assert len(os.listdir(helperlog)) == 1
+    with pytest.raises(ValueError, match="'fail' or 'skip'"):
+        read_tfrecord(spark, out, on_corrupt="maybe")
+
+
+def test_tfrecord_option_validation(spark, tmp_path):
+    from kafka_elasticsearch_injector_spark.sources.tfrecord_source import (
+        register_tfrecord_source,
+    )
+
+    df = _corpus(spark)
+    out = str(tmp_path / "tfr")
+    write_tfrecord(df, out, 2, features=FEATURES).collect()
+    register_tfrecord_source(spark)
+    with pytest.raises(Exception, match="features"):
+        (spark.read.format("tfrecord")
+         .option("features", '{"x": "int32"}').load(out).collect())
+    with pytest.raises(Exception, match="no \\*\\.tfrecord shards"):
+        (spark.read.format("tfrecord")
+         .load(out + "/empty-subdir").collect())
+    with pytest.raises(ValueError, match="unknown feature kind"):
+        write_tfrecord(df, out, 2, features={"text": "utf8"})
+    with pytest.raises(ValueError, match="reserved"):
+        write_tfrecord(df.withColumnRenamed("text", "shard"), out, 2,
+                       features={"shard": "bytes"})
+
+
+def test_tfrecord_manifest_integrity_and_staged_publish(spark, tmp_path):
+    """The export rides the shared staged-publication + manifest
+    machinery: sha256s in the manifest match the written bytes, and a
+    verify pass over the directory agrees."""
+    import hashlib
+
+    df = _corpus(spark)
+    out = str(tmp_path / "tfr")
+    manifest = write_tfrecord(df, out, 3, features=FEATURES).collect()
+    for r in manifest:
+        data = open(os.path.join(out, r.file), "rb").read()
+        assert hashlib.sha256(data).hexdigest() == r.sha256
+        assert len(data) == r.n_bytes
+    assert sum(r.n_records for r in manifest) == 26
