@@ -28,6 +28,12 @@ Options:
 - `verifyCrc` ("true" default | "false"): per-record CRC-32C checks;
   disable only for trusted re-reads where the Python CRC table would
   bound throughput.
+- `maxShardsPerTrigger` (stream only, default unbounded): per-batch
+  ingest cap under `spark.readStream.format("tfrecord")` — the stream
+  reads shards APPENDED since the last committed offset via the same
+  filename-watermark protocol as the webdataset stream (shared base:
+  sources/appended_shards.py; append-only producer contract and the
+  first-batch-unbounded caveat documented there).
 
 Schema: (shard string, <col> typed ...) per `features`, one row per
 record — identical to read_tfrecord.
@@ -46,7 +52,8 @@ from collections.abc import Iterator
 import pyarrow as pa
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from .webdataset_source import _record_skip, _ShardPartition
+from .appended_shards import AppendedShardStreamReader, _ShardPartition
+from .webdataset_source import _record_skip
 
 
 def _features_from_options(options) -> dict[str, str] | None:
@@ -65,6 +72,21 @@ def _features_from_options(options) -> dict[str, str] | None:
     return features
 
 
+def _parse_read_options(reader, options) -> None:
+    """features/onCorrupt/onCorruptLogDir/verifyCrc parsing shared by
+    the batch and stream readers (read() itself is shared too)."""
+    reader._features = _features_from_options(options)
+    mode = (options.get("oncorrupt") or "fail").lower()
+    if mode not in ("fail", "skip"):
+        raise ValueError(
+            f"tfrecord onCorrupt must be 'fail' or 'skip', "
+            f"got {mode!r}")
+    reader._skip_corrupt = mode == "skip"
+    reader._skip_log_dir = options.get("oncorruptlogdir") or None
+    reader._verify_crc = (
+        (options.get("verifycrc") or "true").lower() != "false")
+
+
 class TFRecordReader(DataSourceReader):
     def __init__(self, options):
         self._path = options.get("path")
@@ -72,16 +94,7 @@ class TFRecordReader(DataSourceReader):
             raise ValueError(
                 "tfrecord source needs a path: "
                 "spark.read.format('tfrecord').load(<dir of *.tfrecord>)")
-        self._features = _features_from_options(options)
-        mode = (options.get("oncorrupt") or "fail").lower()
-        if mode not in ("fail", "skip"):
-            raise ValueError(
-                f"tfrecord onCorrupt must be 'fail' or 'skip', "
-                f"got {mode!r}")
-        self._skip_corrupt = mode == "skip"
-        self._skip_log_dir = options.get("oncorruptlogdir") or None
-        self._verify_crc = (
-            (options.get("verifycrc") or "true").lower() != "false")
+        _parse_read_options(self, options)
 
     def partitions(self) -> list[InputPartition]:
         import glob
@@ -127,6 +140,28 @@ class TFRecordReader(DataSourceReader):
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+class TFRecordStreamReader(AppendedShardStreamReader):
+    """Micro-batch TFRecord-shard stream: reads shards that APPEARED
+    since the last committed offset. Offset model, append-only
+    producer contract, and `maxShardsPerTrigger` backpressure (incl.
+    the first-batch-unbounded caveat) are the shared filename-
+    watermark protocol documented on sources/appended_shards.
+    AppendedShardStreamReader — the same reader the webdataset stream
+    uses, parameterized by glob; record decode is the batch reader's,
+    so onCorrupt=skip keeps a poison shard from failing every retry of
+    its micro-batch forever."""
+
+    format_name = "tfrecord"
+    shard_glob = "*.tfrecord"
+
+    def __init__(self, options):
+        super().__init__(options)
+        _parse_read_options(self, options)
+
+    # the batch reader's decode/skip/Arrow handoff, one shard per task
+    _read_shard = TFRecordReader.read
+
+
 class TFRecordDataSource(DataSource):
     """`format("tfrecord")` — see module docstring."""
 
@@ -141,6 +176,9 @@ class TFRecordDataSource(DataSource):
 
     def reader(self, schema) -> TFRecordReader:
         return TFRecordReader(self.options)
+
+    def streamReader(self, schema) -> TFRecordStreamReader:
+        return TFRecordStreamReader(self.options)
 
 
 def register_tfrecord_source(spark) -> None:

@@ -64,15 +64,11 @@ import logging
 import os
 import tarfile
 from collections.abc import Iterator
-from dataclasses import dataclass
 
 import pyarrow as pa
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    DataSourceStreamReader,
-    InputPartition,
-)
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .appended_shards import AppendedShardStreamReader, _ShardPartition
 
 _DEFAULT_MEMBERS = {"txt": "text"}
 
@@ -144,11 +140,6 @@ def _parse_tar_samples(data: bytes, members: dict[str, str]):
     return samples
 
 
-@dataclass
-class _ShardPartition(InputPartition):
-    path: str
-
-
 class WebDatasetReader(DataSourceReader):
     def __init__(self, options):
         self._path = options.get("path")
@@ -207,48 +198,26 @@ class WebDatasetReader(DataSourceReader):
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-class WebDatasetStreamReader(DataSourceStreamReader):
+class WebDatasetStreamReader(AppendedShardStreamReader):
     """Micro-batch tar-shard stream: each batch reads the shards that
     APPEARED since the last committed offset — the ingest path for a
     corpus being produced shard-by-shard upstream (a writer fleet
     dropping `shard-NNNNN.tar` files as it finishes them).
 
-    Offset model: the lexicographic high-water mark of processed shard
-    FILENAMES (`{"last": "shard-00042.tar"}`), so offsets stay O(1)
-    regardless of how many shards ever existed. The producer contract
-    is APPEND-ONLY: each shard is published once via atomic rename,
-    names sort in production order, and published bytes never change.
-    A name sorting BELOW the watermark after its directory was scanned
-    is silently ignored, exactly like a late file under Spark's own
-    file source. NOTE this is NOT the contract of the repo's own
-    staged_publish exporters — a re-export REPLACES shard files under
-    the SAME names, which a watermark (or any replayable offset log)
-    cannot represent: don't point a stream at a directory that gets
-    re-exported; stream from a directory a producer only appends to.
+    Offset model, append-only producer contract, parallelism, and the
+    `maxShardsPerTrigger` backpressure semantics (incl. the
+    first-batch-unbounded caveat) are the shared filename-watermark
+    protocol — documented ONCE on sources/appended_shards.
+    AppendedShardStreamReader, reused verbatim by the tfrecord stream.
+    The tar analog of the Kafka source's maxOffsetsPerTrigger
+    (reference §2.1 op 2, KAFKA_CONSUMER_BUFFER_SIZE in
+    src/injector/injector.go:31-34)."""
 
-    Parallelism: partitions(start, end) lists the new names
-    driver-side; each task streams ONE shard — the same per-task
-    memory bound and Arrow handoff as the batch reader.
-
-    Backpressure: `maxShardsPerTrigger` (option, default unbounded)
-    caps how many shards each micro-batch ingests — the tar analog of
-    the Kafka source's maxOffsetsPerTrigger (reference §2.1 op 2,
-    KAFKA_CONSUMER_BUFFER_SIZE in src/injector/injector.go:31-34), so
-    a producer burst drains in bounded batches. Scope caveat: each
-    RUN's first batch is unbounded — the Python stream API gives
-    latestOffset no view of the committed start (it even fires before
-    initialOffset), and answering below it regresses the watermark
-    into re-delivery, so the cap engages only once this reader has
-    answered once. Bound a large FIRST import by starting the stream
-    before bulk-publishing, or ingest the backlog with the batch
-    reader first."""
+    format_name = "webdataset"
+    shard_glob = "*.tar"
 
     def __init__(self, options):
-        self._path = options.get("path")
-        if not self._path:
-            raise ValueError(
-                "webdataset stream needs a path: "
-                "spark.readStream.format('webdataset').load(<dir>)")
+        super().__init__(options)
         self._members = _members_from_options(options)
         # Same onCorrupt contract as the batch reader (read() is
         # shared); "skip" matters doubly here — a corrupt shard would
@@ -260,69 +229,9 @@ class WebDatasetStreamReader(DataSourceStreamReader):
                 f"got {mode!r}")
         self._skip_corrupt = mode == "skip"
         self._skip_log_dir = options.get("oncorruptlogdir") or None
-        # Spark hands options through a case-insensitive map — keys
-        # arrive LOWERCASED in the Python data source.
-        raw = options.get("maxshardspertrigger")
-        self._max_shards = int(raw) if raw else None
-        if self._max_shards is not None and self._max_shards < 1:
-            raise ValueError("maxShardsPerTrigger must be >= 1, got "
-                             f"{raw!r}")
-        # Backpressure floor = the highest offset THIS reader has
-        # already returned. The engine's committed start can never be
-        # above it, so bounding the next batch to the first N names
-        # past it is always monotone. It starts unknown — the FIRST
-        # latestOffset of a run answers unbounded, because the
-        # runner-side reader cannot see the committed start (verified
-        # empirically: latestOffset fires BEFORE initialOffset, and a
-        # bounded answer below a restart's committed start regresses
-        # the watermark and re-delivers shards).
-        self._floor: str | None = None
 
-    def _names(self) -> list[str]:
-        import glob
-
-        return sorted(os.path.basename(p) for p in
-                      glob.glob(os.path.join(self._path, "*.tar")))
-
-    def initialOffset(self) -> dict:
-        return {"last": ""}
-
-    def latestOffset(self) -> dict:
-        names = self._names()
-        if not names:
-            return {"last": ""}
-        # maxShardsPerTrigger: bound each batch to the first N names
-        # above the floor — the tar analog of the Kafka source's
-        # maxOffsetsPerTrigger (reference §2.1 op 2 backpressure).
-        # The first latestOffset of a run answers UNBOUNDED (floor
-        # unknown — see __init__), so the cap governs shards arriving
-        # while the query runs; it cannot bound the very first batch
-        # (the Python stream API has no admission-control hook).
-        end = names[-1]
-        if self._max_shards is not None and self._floor is not None:
-            pending = [n for n in names if n > self._floor]
-            if pending:
-                end = pending[min(self._max_shards, len(pending)) - 1]
-        if self._floor is None or end > self._floor:
-            self._floor = end
-        return {"last": end}
-
-    def partitions(self, start: dict, end: dict):
-        lo, hi = start.get("last", ""), end.get("last", "")
-        new = [n for n in self._names() if lo < n <= hi]
-        # An empty batch still needs one no-op partition: the API
-        # requires a non-empty sequence.
-        if not new:
-            return [_ShardPartition("")]
-        return [_ShardPartition(os.path.join(self._path, n)) for n in new]
-
-    def read(self, partition: _ShardPartition) -> Iterator[pa.RecordBatch]:
-        if not partition.path:
-            return
-        yield from WebDatasetReader.read(self, partition)
-
-    def commit(self, end: dict) -> None:
-        pass
+    # the batch reader's parse/skip/Arrow handoff, one shard per task
+    _read_shard = WebDatasetReader.read
 
 
 class WebDatasetDataSource(DataSource):

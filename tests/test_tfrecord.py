@@ -250,3 +250,57 @@ def test_tfrecord_manifest_integrity_and_staged_publish(spark, tmp_path):
         assert hashlib.sha256(data).hexdigest() == r.sha256
         assert len(data) == r.n_bytes
     assert sum(r.n_records for r in manifest) == 26
+
+
+def _publish_tfrecord_shard(stream_dir, name, doc_id, text):
+    """Append-only atomic publish of a one-record TFRecord shard."""
+    from kafka_elasticsearch_injector_spark.sinks.tfrecord import (
+        encode_example,
+        frame_record,
+    )
+
+    payload = encode_example({"doc_id": ("int64", [doc_id]),
+                              "text": ("bytes", [text])})
+    tmp = os.path.join(stream_dir, f".{name}.tmp")
+    with open(tmp, "wb") as f:
+        f.write(frame_record(payload))
+    os.replace(tmp, os.path.join(stream_dir, name))
+
+
+def test_tfrecord_stream_picks_up_new_shards(spark, tmp_path):
+    """readStream over the shard directory (the shared appended-shards
+    watermark, here under format('tfrecord')): the initial shards
+    drain, later atomic-rename publishes arrive exactly once, typed."""
+    from kafka_elasticsearch_injector_spark.sources.tfrecord_source import (
+        register_tfrecord_source,
+    )
+
+    register_tfrecord_source(spark)
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    for i in range(3):
+        _publish_tfrecord_shard(stream_dir, f"shard-0000{i}.tfrecord",
+                                i, f"initial {i}".encode())
+
+    got: list = []
+    q = (spark.readStream.format("tfrecord")
+         .option("features",
+                 json.dumps({"doc_id": "int64", "text": "bytes"}))
+         .load(stream_dir)
+         .writeStream.foreachBatch(lambda df, _: got.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+        assert len(got) == 3
+        for i in range(3, 6):                    # publish while running
+            _publish_tfrecord_shard(stream_dir,
+                                    f"shard-0000{i}.tfrecord",
+                                    i, f"late {i}".encode())
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert sorted(r.doc_id for r in got) == list(range(6))  # exactly once
+    by_id = {r.doc_id: r for r in got}
+    assert bytes(by_id[4].text) == b"late 4"
+    assert by_id[5].shard == "shard-00005.tfrecord"
