@@ -427,7 +427,13 @@ def rows_from_file(data: bytes, features: dict[str, str] | None,
     """Decode one TFRecord file's bytes into reader rows (no `shard`
     column — the caller knows the file). Shared by both readers.
     Scalar kinds surface element 0 (None when the feature is absent
-    or empty); list kinds surface the whole list."""
+    or empty); list kinds surface the whole list. GZIP-compressed
+    shards (tf.data compression_type="GZIP" keeps the extension) are
+    detected by magic and decompressed transparently."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
     for payload in iter_tfrecords(data, verify_crc=verify_crc):
         if not features:
             yield {"record": payload}

@@ -304,3 +304,80 @@ def test_tfrecord_stream_picks_up_new_shards(spark, tmp_path):
     by_id = {r.doc_id: r for r in got}
     assert bytes(by_id[4].text) == b"late 4"
     assert by_id[5].shard == "shard-00005.tfrecord"
+
+
+def test_example_codec_hypothesis_round_trip():
+    """Generative net over the Example codec: arbitrary feature dicts
+    (all six kinds, full int64 range, arbitrary bytes incl. empty,
+    float32-representable floats) encode deterministically and decode
+    back exactly. Floats are drawn pre-rounded through struct so the
+    comparison is exact (float32 is the FORMAT's width)."""
+    import struct as _struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    f32 = st.floats(allow_nan=False, width=32).map(
+        lambda v: _struct.unpack("<f", _struct.pack("<f", v))[0])
+    i64 = st.integers(-(2**63), 2**63 - 1)
+    raw = st.binary(max_size=64)
+    kinds = {
+        "bytes": raw.map(lambda v: [v]),
+        "int64": i64.map(lambda v: [v]),
+        "float": f32.map(lambda v: [v]),
+        "bytes_list": st.lists(raw, max_size=5),
+        "int64_list": st.lists(i64, max_size=5),
+        "float_list": st.lists(f32, max_size=5),
+    }
+    feature = st.sampled_from(sorted(kinds)).flatmap(
+        lambda k: kinds[k].map(lambda vals: (k, vals)))
+    names = st.text(
+        st.characters(codec="utf-8",
+                      blacklist_categories=("Cs",)),
+        min_size=1, max_size=12)
+    examples = st.dictionaries(names, feature, max_size=6)
+
+    @settings(max_examples=200, deadline=None)
+    @given(examples)
+    def check(feats):
+        blob = encode_example(feats)
+        assert encode_example(feats) == blob           # deterministic
+        out = decode_example(blob)
+        assert set(out) == set(feats)
+        for name, (kind, vals) in feats.items():
+            dk, dv = out[name]
+            assert dk == kind.replace("_list", "") + "_list"
+            want = [v.encode() if isinstance(v, str) else v
+                    for v in vals]
+            assert dv == want, (name, kind)
+
+    check()
+
+
+def test_gzip_compressed_shards_read_transparently(spark, tmp_path):
+    """tf.data writes GZIP-compressed TFRecord streams under the same
+    extension (compression_type='GZIP'); both readers must detect the
+    magic and decompress — including through the registered source."""
+    import gzip
+
+    from kafka_elasticsearch_injector_spark.sources.tfrecord_source import (
+        register_tfrecord_source,
+    )
+
+    out = str(tmp_path / "tfr")
+    os.makedirs(out)
+    recs = b"".join(
+        frame_record(encode_example({"doc_id": ("int64", [i]),
+                                     "text": ("bytes", [b"z%d" % i])}))
+        for i in range(5))
+    with open(os.path.join(out, "shard-00000.tfrecord"), "wb") as f:
+        f.write(gzip.compress(recs))
+
+    feats = {"doc_id": "int64", "text": "bytes"}
+    got = {r.doc_id: bytes(r.text)
+           for r in read_tfrecord(spark, out, features=feats).collect()}
+    assert got == {i: b"z%d" % i for i in range(5)}
+    register_tfrecord_source(spark)
+    via_source = (spark.read.format("tfrecord")
+                  .option("features", json.dumps(feats)).load(out))
+    assert via_source.count() == 5
