@@ -36,3 +36,5 @@ from .schema_registry import (  # noqa: F401
     SchemaRegistryError,
     dict_registry,
 )
+from .tfrecord_source import register_tfrecord_source  # noqa: F401
+from .webdataset_source import register_webdataset_source  # noqa: F401
