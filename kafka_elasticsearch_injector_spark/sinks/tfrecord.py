@@ -438,11 +438,26 @@ def rows_from_file(data: bytes, features: dict[str, str] | None,
         if not features:
             yield {"record": payload}
             continue
-        decoded = decode_example(payload)
+        try:
+            decoded = decode_example(payload)
+        except struct.error as e:
+            # a malformed packed section inside a CRC-valid record is
+            # a writer bug, but it must still speak the readers'
+            # corrupt-shard language (they catch ValueError — the
+            # onCorrupt=fail|skip contract)
+            raise ValueError(f"malformed Example payload: {e}") from e
         row: dict = {}
         for name, kind in features.items():
             got = decoded.get(name)
             values = got[1] if got else None
+            if values:                  # empty/absent: any kind fits
+                want = kind.replace("_list", "") + "_list"
+                if got[0] != want:
+                    # fail HERE with names, not later with an opaque
+                    # Arrow type error inside the batch builder
+                    raise ValueError(
+                        f"feature {name!r} is {got[0].replace('_list', '')}"
+                        f" in the file but was requested as {kind}")
             if kind.endswith("_list"):
                 row[name] = None if values is None else values
             else:

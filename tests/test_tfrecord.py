@@ -381,3 +381,47 @@ def test_gzip_compressed_shards_read_transparently(spark, tmp_path):
     via_source = (spark.read.format("tfrecord")
                   .option("features", json.dumps(feats)).load(out))
     assert via_source.count() == 5
+
+
+def test_kind_mismatch_and_malformed_payload_speak_valueerror(spark,
+                                                              tmp_path):
+    """(a) requesting a feature under the wrong kind fails with a
+    NAMED error (not an opaque Arrow type error later), and it routes
+    through the onCorrupt contract like any corrupt shard; (b) a
+    malformed packed section inside a CRC-valid record raises
+    ValueError, not struct.error, so onCorrupt=skip still governs it."""
+    from kafka_elasticsearch_injector_spark.sinks.tfrecord import (
+        rows_from_file,
+    )
+
+    out = str(tmp_path / "tfr")
+    os.makedirs(out)
+    good = frame_record(encode_example({"doc_id": ("int64", [1]),
+                                        "text": ("bytes", [b"x"])}))
+    with open(os.path.join(out, "shard-00000.tfrecord"), "wb") as f:
+        f.write(good)
+
+    with pytest.raises(Exception, match="requested as bytes"):
+        read_tfrecord(spark, out,
+                      features={"doc_id": "bytes"}).collect()
+    # empty/absent features fit ANY requested kind (a foreign writer's
+    # kind-less empty Feature must not trip the check)
+    got = read_tfrecord(spark, out, features={"missing": "int64"}).collect()
+    assert got[0].missing is None
+    # skip path: the mismatched shard drops whole, auditable
+    skiplog = str(tmp_path / "skiplog")
+    assert read_tfrecord(spark, out, features={"doc_id": "bytes"},
+                         on_corrupt="skip",
+                         on_corrupt_log_dir=skiplog).count() == 0
+    assert len(os.listdir(skiplog)) == 1
+
+    # (b) CRC-valid record whose Int64List body truncates a FloatList-
+    # style packed read: craft Feature{2: FloatList{1: 3 bytes}} — the
+    # packed <f unpack must surface as ValueError
+    float_list = b"\x0a\x03\x00\x00\x80"          # len 3: not 4-aligned
+    feature = b"\x12" + bytes([len(float_list)]) + float_list
+    entry = b"\x0a\x01k" + b"\x12" + bytes([len(feature)]) + feature
+    features_body = b"\x0a" + bytes([len(entry)]) + entry
+    payload = b"\x0a" + bytes([len(features_body)]) + features_body
+    with pytest.raises(ValueError, match="malformed Example"):
+        list(rows_from_file(frame_record(payload), {"k": "float_list"}))
