@@ -96,6 +96,11 @@ class AppendedShardStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         names = self._names()
         if not names:
+            # deliberately does NOT establish the floor: on a restart
+            # whose committed start this reader cannot see, a floor of
+            # "" would let the cap answer below that start and regress
+            # the watermark (property-tested: unbounded until the
+            # first NON-EMPTY answer)
             return {"last": ""}
         # maxShardsPerTrigger: bound each batch to the first N names
         # above the floor (unbounded on the run's first answer).

@@ -367,3 +367,72 @@ def test_record_skip_markers_collide_free_and_retry_idempotent(tmp_path):
     # log_dir=None: logging-only path, nothing written anywhere
     _record_skip("/corpus_a/shard-00003.tar", err, None)
     assert sorted(os.listdir(log)) == marks
+
+
+def test_appended_shards_offset_model_property(tmp_path):
+    """Pure-unit generative guard on the shared stream base
+    (sources/appended_shards.AppendedShardStreamReader): under random
+    interleavings of publishes and latestOffset polls with a random
+    maxShardsPerTrigger, (a) the returned watermark is monotone, (b)
+    replaying partitions() over consecutive offset pairs yields every
+    published shard EXACTLY once, (c) the first poll answers unbounded
+    (the restart-safety invariant), and (d) steady-state batches never
+    exceed the cap."""
+    import os
+    import random
+
+    from kafka_elasticsearch_injector_spark.sources.appended_shards import (
+        AppendedShardStreamReader,
+    )
+
+    class _R(AppendedShardStreamReader):
+        format_name = "probe"
+        shard_glob = "*.bin"
+
+    rng = random.Random(20260815)
+    for trial in range(25):
+        d = str(tmp_path / f"t{trial}")
+        os.makedirs(d)
+        cap = rng.choice([None, 1, 2, 3])
+        opts = {"path": d}
+        if cap:
+            opts["maxshardspertrigger"] = str(cap)
+        r = _R(opts)
+        published: list[str] = []
+        offsets = [r.initialOffset()]
+        floor_established = False
+        for step in range(rng.randint(3, 12)):
+            for _ in range(rng.randint(0, 4)):       # append-only burst
+                name = f"shard-{len(published):05d}.bin"
+                open(os.path.join(d, name), "wb").write(b"x")
+                published.append(name)
+            off = r.latestOffset()
+            assert off["last"] >= offsets[-1]["last"]     # (a) monotone
+            if not floor_established:
+                # (c) unbounded until the first NON-EMPTY answer: an
+                # empty-directory poll must NOT establish the floor
+                # (doing so could answer below a restart's committed
+                # start — the documented watermark-regression hazard)
+                if published:
+                    assert off["last"] == published[-1]
+                    floor_established = True
+            elif cap:
+                lo = offsets[-1]["last"]
+                batch = [n for n in published if lo < n <= off["last"]]
+                pending = [n for n in published if n > lo]
+                if pending:                      # (d) steady-state cap
+                    assert len(batch) <= cap
+            offsets.append(off)
+        # drain any capped backlog to the end
+        for _ in range(len(published) + 1):
+            off = r.latestOffset()
+            if off["last"] == (published[-1] if published else ""):
+                offsets.append(off)
+                break
+            offsets.append(off)
+        seen: list[str] = []
+        for lo, hi in zip(offsets, offsets[1:]):
+            parts = r.partitions(lo, hi)
+            got = [os.path.basename(p.path) for p in parts if p.path]
+            seen.extend(got)
+        assert seen == published, (trial, seen, published)   # (b)
