@@ -177,6 +177,14 @@ def _ld(field_no: int, payload: bytes) -> bytes:
 
 def _encode_feature(kind: str, values: list) -> bytes:
     if kind.startswith("bytes"):
+        for v in values:
+            # an explicit type gate: bytes(int_value) would silently
+            # write that many NUL bytes — corruption, not coercion
+            if not isinstance(v, (bytes, bytearray, memoryview, str)):
+                raise ValueError(
+                    f"bytes feature got a {type(v).__name__} value — "
+                    "declare the column's real kind (int64/float) or "
+                    "cast it to string/binary before exporting")
         body = b"".join(
             _ld(1, v.encode("utf-8") if isinstance(v, str) else bytes(v))
             for v in values)
@@ -185,7 +193,14 @@ def _encode_feature(kind: str, values: list) -> bytes:
         packed = struct.pack(f"<{len(values)}f", *values)
         return _ld(2, _ld(1, packed))               # FloatList packed
     # int64: negative values are 64-bit two's-complement varints
-    packed = b"".join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF)
+    for v in values:
+        # int(1.7) would silently truncate — a DOUBLE column declared
+        # int64 is a schema mistake, not a rounding request
+        if not isinstance(v, int):
+            raise ValueError(
+                f"int64 feature got a {type(v).__name__} value — "
+                "declare the column's real kind or cast it first")
+    packed = b"".join(_varint(v & 0xFFFFFFFFFFFFFFFF)
                       for v in values)
     return _ld(3, _ld(1, packed))                   # Int64List packed
 
@@ -220,6 +235,10 @@ def _decode_list(kind_no: int, payload: bytes) -> tuple[str, list]:
             if wire != 2:
                 raise ValueError("BytesList value must be bytes")
             ln, pos = _read_varint(payload, pos)
+            if pos + ln > len(payload):
+                # a silent short slice would yield truncated data
+                # instead of honoring the corrupt-shard contract
+                raise ValueError("truncated BytesList element")
             values.append(payload[pos:pos + ln])
             pos += ln
         elif kind_no == 2:                          # FloatList
@@ -229,6 +248,10 @@ def _decode_list(kind_no: int, payload: bytes) -> tuple[str, list]:
                 pos += 4
             elif wire == 2:                         # packed
                 ln, pos = _read_varint(payload, pos)
+                if pos + ln > len(payload) or ln % 4:
+                    # short slice or trailing bytes would silently
+                    # drop float elements
+                    raise ValueError("truncated/misaligned FloatList")
                 values.extend(struct.unpack(
                     f"<{ln // 4}f", payload[pos:pos + ln]))
                 pos += ln
@@ -275,6 +298,9 @@ def _fields(data: bytes) -> Iterator[tuple[int, int, bytes]]:
         field, wire = tag >> 3, tag & 7
         if wire == 2:
             ln, pos = _read_varint(data, pos)
+            if pos + ln > len(data):
+                raise ValueError(
+                    "truncated length-delimited protobuf field")
             yield field, wire, data[pos:pos + ln]
             pos += ln
         else:
@@ -353,16 +379,34 @@ def write_tfrecord(df: DataFrame, path: str, n_shards: int,
                    allow_empty: bool = False) -> DataFrame:
     """Export `df` as TFRecord shards at `path`; returns the per-shard
     manifest DataFrame (MANIFEST_SCHEMA). `features` maps COLUMN ->
-    kind (module docstring); default {id_col: "int64", "text":
-    "bytes"} — the id always rides along (default or not) so the
-    export round-trips identity. Deterministic bytes: xxhash64 shard
+    kind (module docstring); default {"text": "bytes"}. The id always
+    rides along (kind inferred from its Spark type — int64 for
+    integrals, bytes for string/binary — unless declared explicitly)
+    so the export round-trips identity. Deterministic bytes: xxhash64 shard
     assignment, id-sorted rows, sorted feature names, packed canonical
     protobuf — re-runs reproduce identical sha256 per shard. Atomic
     staged publication, same as every sink in this package."""
+    from pyspark.sql import types as T
+
     from .webdataset import with_hash_shard
 
     features = dict(features) if features else {"text": "bytes"}
-    features.setdefault(id_col, "int64")
+    if id_col not in features:
+        # infer the ride-along id's kind from the ACTUAL column type —
+        # a forced int64 would int('doc-17') a string id deep inside
+        # the shard task, or silently truncate a float one
+        id_type = df.schema[id_col].dataType
+        if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType)):
+            features[id_col] = "int64"
+        elif isinstance(id_type, (T.StringType, T.BinaryType)):
+            features[id_col] = "bytes"
+        else:
+            raise ValueError(
+                f"cannot infer a TFRecord kind for id column "
+                f"{id_col!r} of type {id_type.simpleString()}: pass "
+                f"it in `features` explicitly (float ids would "
+                f"round-trip through float32)")
     for kind in features.values():
         if kind not in KINDS:
             raise ValueError(f"unknown feature kind {kind!r} "
@@ -406,6 +450,35 @@ _SPARK_TYPES = {"bytes": "binary", "int64": "bigint", "float": "float",
                 "int64_list": "array<bigint>",
                 "float_list": "array<float>"}
 
+ARROW_TYPES = {"bytes": pa.binary(), "int64": pa.int64(),
+               "float": pa.float32(),
+               "bytes_list": pa.list_(pa.binary()),
+               "int64_list": pa.list_(pa.int64()),
+               "float_list": pa.list_(pa.float32())}
+
+
+def _check_features(features: dict[str, str]) -> None:
+    for name, kind in features.items():
+        if kind not in KINDS:
+            raise ValueError(f"unknown feature kind {kind!r} "
+                             f"(expected one of {KINDS})")
+        if name == "shard":
+            # same reservation as the writer: the readers prepend the
+            # shard filename column, and a feature by that name would
+            # silently shadow it / duplicate the schema
+            raise ValueError(
+                "feature name 'shard' is reserved by the readers' "
+                "shard-filename column (request it under another name)")
+
+
+def columns_for(features: dict[str, str] | None) -> list[str]:
+    """Reader column order, derived from the features DICT (never
+    re-parsed out of a DDL string — names may contain spaces, commas,
+    backticks, any UTF-8). Shared by both readers."""
+    if not features:
+        return ["shard", "record"]
+    return ["shard", *sorted(features)]
+
 
 def schema_for(features: dict[str, str] | None) -> str:
     """(shard string, <col> typed ...) — shared with the registered
@@ -413,12 +486,10 @@ def schema_for(features: dict[str, str] | None) -> str:
     one BINARY `record` column of undecoded Example payloads."""
     if not features:
         return "shard string, record binary"
-    for kind in features.values():
-        if kind not in KINDS:
-            raise ValueError(f"unknown feature kind {kind!r} "
-                             f"(expected one of {KINDS})")
+    _check_features(features)
     return "shard string, " + ", ".join(
-        f"`{name}` {_SPARK_TYPES[kind]}"
+        # Spark DDL backtick-escaping: double any backtick in the name
+        f"`{name.replace('`', '``')}` {_SPARK_TYPES[kind]}"
         for name, kind in sorted(features.items()))
 
 
@@ -432,8 +503,19 @@ def rows_from_file(data: bytes, features: dict[str, str] | None,
     detected by magic and decompressed transparently."""
     if data[:2] == b"\x1f\x8b":
         import gzip
+        import zlib
 
-        data = gzip.decompress(data)
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError, zlib.error):
+            # two distinct cases, one safe answer: (a) a VALID
+            # uncompressed shard can start 1f 8b (a first-record
+            # length ≡ 35615 mod 2^64's low bytes) — parsing it as-is
+            # succeeds below; (b) genuinely corrupt gzip — the raw
+            # bytes then fail the CRC framing as ValueError, which IS
+            # the readers' onCorrupt language (gzip's own errors are
+            # OSError/EOFError/zlib.error and would bypass it)
+            pass
     for payload in iter_tfrecords(data, verify_crc=verify_crc):
         if not features:
             yield {"record": payload}
@@ -482,8 +564,7 @@ def read_tfrecord(spark, path: str,
         raise ValueError(
             f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
     schema = schema_for(features)
-    out_cols = [c.split()[0].strip("`")
-                for c in schema.split(", ")]
+    out_cols = columns_for(features)
 
     def parse(batches):
         for pdf in batches:

@@ -41,6 +41,14 @@ record — identical to read_tfrecord.
 At 100 TB: partitions() lists shard files driver-side (one listing of
 ~thousands of names); each read() holds one shard in memory — the
 same ~1 GB bound the writer sizes n_shards for.
+
+Known divergence from the helper reader (deliberate, same as the
+webdataset pair): batch partitions() FAILS FAST (FileNotFoundError)
+on a directory with zero shards — a misconfigured path should stop
+the job — while the binaryFile-based helper returns an empty
+DataFrame. Point an intentionally-empty export (allow_empty=True) at
+the helper, or at the stream reader (an empty directory is a normal
+stream state).
 """
 
 from __future__ import annotations
@@ -108,7 +116,7 @@ class TFRecordReader(DataSourceReader):
 
     def read(self, partition: _ShardPartition
              ) -> Iterator[pa.RecordBatch]:
-        from ..sinks.tfrecord import rows_from_file, schema_for
+        from ..sinks.tfrecord import ARROW_TYPES, columns_for, rows_from_file
 
         with open(partition.path, "rb") as f:
             data = f.read()
@@ -125,18 +133,19 @@ class TFRecordReader(DataSourceReader):
         if not rows:
             return
         shard = os.path.basename(partition.path)
-        schema = schema_for(self._features)
-        names = [c.split()[0].strip("`") for c in schema.split(", ")]
+        # column order/types come from the features DICT (columns_for;
+        # never re-parsed out of the DDL string, whose names may
+        # contain spaces/commas/backticks)
+        names = columns_for(self._features)
         arrays = [pa.array([shard] * len(rows), pa.string())]
-        pa_types = {"binary": pa.binary(), "bigint": pa.int64(),
-                    "float": pa.float32(), "string": pa.string(),
-                    "array<binary>": pa.list_(pa.binary()),
-                    "array<bigint>": pa.list_(pa.int64()),
-                    "array<float>": pa.list_(pa.float32())}
-        for col in schema.split(", ")[1:]:
-            name, typ = col.split()[0].strip("`"), col.split()[1]
-            arrays.append(pa.array([r[name] for r in rows],
-                                   pa_types[typ]))
+        if not self._features:
+            arrays.append(pa.array([r["record"] for r in rows],
+                                   pa.binary()))
+        else:
+            for name in names[1:]:
+                arrays.append(pa.array(
+                    [r[name] for r in rows],
+                    ARROW_TYPES[self._features[name]]))
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 

@@ -106,15 +106,18 @@ def test_stream_throughput_smoke_floor(spark):
     at reduced rows and require a very conservative throughput. The
     committed-history gate above only fires when someone remembers to
     re-measure; this one fails CI the day a per-row Python hot path or
-    driver-side loop slips into the injector pipeline (those regress
-    10-100x; the smoke floor is ~10x below steady-state 150k rec/s at
-    full rows, so startup overhead + host scatter at 200k rows cannot
-    false-positive)."""
+    driver-side loop slips into the injector pipeline. Margins, from
+    measurement (NOT the full-rows 150k number): at reduced rows the
+    run is startup/trigger-dominated — ~23k rec/s at 100k rows, ~40k
+    at 200k — so the floor sits at 8k: ~5x below the expected reduced-
+    rows rate (host scatter on this box is ~2-3x, never 5x), while a
+    real per-row regression lands 10-100x down at 0.4-4k and still
+    trips it."""
     import bench_streaming
 
     res = bench_streaming.run(200_000)
     assert res["delivered"] == 200_000
-    assert res["value"] >= 15_000, res
+    assert res["value"] >= 8_000, res
 
 
 def test_gc_is_gated_on_workload_mode():

@@ -423,5 +423,122 @@ def test_kind_mismatch_and_malformed_payload_speak_valueerror(spark,
     entry = b"\x0a\x01k" + b"\x12" + bytes([len(feature)]) + feature
     features_body = b"\x0a" + bytes([len(entry)]) + entry
     payload = b"\x0a" + bytes([len(features_body)]) + features_body
-    with pytest.raises(ValueError, match="malformed Example"):
+    with pytest.raises(ValueError,
+                       match="misaligned FloatList|malformed Example"):
         list(rows_from_file(frame_record(payload), {"k": "float_list"}))
+    # a BytesList element whose declared length overruns the buffer
+    # must raise, never silently truncate
+    bytes_list = b"\x0a\x7fshort"                 # claims 127, has 5
+    feature = b"\x0a" + bytes([len(bytes_list)]) + bytes_list
+    entry = b"\x0a\x01k" + b"\x12" + bytes([len(feature)]) + feature
+    features_body = b"\x0a" + bytes([len(entry)]) + entry
+    payload = b"\x0a" + bytes([len(features_body)]) + features_body
+    with pytest.raises(ValueError, match="truncated"):
+        list(rows_from_file(frame_record(payload), {"k": "bytes_list"}))
+
+
+def test_writer_kind_column_type_gates(spark, tmp_path):
+    """Kind/column mismatches fail NAMED at write time: bytes(int)
+    would silently write N NUL bytes, int(float) would silently
+    truncate — both are schema mistakes, not coercion requests."""
+    df = _corpus(spark)
+    out = str(tmp_path / "tfr")
+    with pytest.raises(Exception, match="bytes feature got a int"):
+        write_tfrecord(df, out, 2,
+                       features={"doc_id": "bytes"}).collect()
+    with pytest.raises(Exception, match="int64 feature got a float"):
+        write_tfrecord(df, out, 2,
+                       features={"score": "int64"}).collect()
+
+
+def test_writer_infers_id_kind_from_schema(spark, tmp_path):
+    """A STRING id rides along as bytes (not forced int64: int('d-1')
+    would crash deep in the shard task); an unsupported id type asks
+    for an explicit features entry."""
+    df = spark.createDataFrame([("d-1", "x"), ("d-2", "y")],
+                               "doc_id string, text string")
+    out = str(tmp_path / "tfr")
+    write_tfrecord(df, out, 1, features={"text": "bytes"}).collect()
+    got = {bytes(r.doc_id): bytes(r.text) for r in read_tfrecord(
+        spark, out, features={"doc_id": "bytes",
+                              "text": "bytes"}).collect()}
+    assert got == {b"d-1": b"x", b"d-2": b"y"}
+
+    fdf = spark.createDataFrame([(1.5, "x")], "doc_id double, text string")
+    with pytest.raises(ValueError, match="cannot infer"):
+        write_tfrecord(fdf, str(tmp_path / "t2"), 1,
+                       features={"text": "bytes"})
+
+
+def test_reader_reserves_shard_and_handles_exotic_names(spark, tmp_path):
+    """A feature literally named 'shard' would shadow the readers'
+    shard-filename column — reserved, like the writer's check; names
+    with spaces survive both readers (column order comes from the
+    features dict, never re-parsed out of the DDL string)."""
+    from kafka_elasticsearch_injector_spark.sources.tfrecord_source import (
+        register_tfrecord_source,
+    )
+
+    with pytest.raises(ValueError, match="reserved"):
+        read_tfrecord(spark, str(tmp_path), features={"shard": "bytes"})
+
+    out = str(tmp_path / "tfr")
+    os.makedirs(out)
+    rec = frame_record(encode_example({"my col": ("int64", [7]),
+                                       "doc id": ("bytes", [b"seven"])}))
+    with open(os.path.join(out, "shard-00000.tfrecord"), "wb") as f:
+        f.write(rec)
+    feats = {"my col": "int64", "doc id": "bytes"}
+    r = read_tfrecord(spark, out, features=feats).collect()[0]
+    assert r["my col"] == 7 and bytes(r["doc id"]) == b"seven"
+    register_tfrecord_source(spark)
+    s = (spark.read.format("tfrecord")
+         .option("features", json.dumps(feats)).load(out).collect()[0])
+    assert s["my col"] == 7 and bytes(s["doc id"]) == b"seven"
+
+
+def test_corrupt_gzip_shard_honors_on_corrupt(spark, tmp_path):
+    """A truncated GZIP shard must speak the corrupt-shard language
+    (ValueError -> onCorrupt), not leak gzip's own EOFError through
+    the skip contract; and a valid uncompressed shard that happens to
+    start with the gzip magic parses fine (decompress-then-fallback)."""
+    import gzip
+
+    out = str(tmp_path / "tfr")
+    os.makedirs(out)
+    good = frame_record(encode_example({"doc_id": ("int64", [1])}))
+    with open(os.path.join(out, "shard-00000.tfrecord"), "wb") as f:
+        f.write(good)
+    blob = gzip.compress(good * 3)
+    with open(os.path.join(out, "shard-00001.tfrecord"), "wb") as f:
+        f.write(blob[:len(blob) // 2])             # truncated gzip
+
+    feats = {"doc_id": "int64"}
+    with pytest.raises(Exception, match="corrupt TFRecord shard"):
+        read_tfrecord(spark, out, features=feats).count()
+    skiplog = str(tmp_path / "skiplog")
+    assert read_tfrecord(spark, out, features=feats, on_corrupt="skip",
+                         on_corrupt_log_dir=skiplog).count() == 1
+    assert len(os.listdir(skiplog)) == 1
+
+    # magic-collision: an uncompressed record whose framed length low
+    # bytes are 1f 8b — i.e. payload length 0x8b1f = 35615 bytes;
+    # measure the Example overhead once, then pad to hit it exactly
+    def _payload(pad: int) -> bytes:
+        return encode_example({"doc_id": ("int64", [2]),
+                               "pad": ("bytes", [b"p" * pad])})
+
+    pad = 0x8B1F - (len(_payload(1000)) - 1000)
+    for _ in range(6):          # nested varint length prefixes grow
+        diff = len(_payload(pad)) - 0x8B1F   # with size — fixed-point
+        if not diff:
+            break
+        pad -= diff
+    collide = frame_record(_payload(pad))
+    assert collide[:2] == b"\x1f\x8b"
+    d2 = str(tmp_path / "tfr2")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "shard-00000.tfrecord"), "wb") as f:
+        f.write(collide)
+    got = read_tfrecord(spark, d2, features=feats).collect()
+    assert [r.doc_id for r in got] == [2]
