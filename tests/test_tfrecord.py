@@ -542,3 +542,53 @@ def test_corrupt_gzip_shard_honors_on_corrupt(spark, tmp_path):
         f.write(collide)
     got = read_tfrecord(spark, d2, features=feats).collect()
     assert [r.doc_id for r in got] == [2]
+
+
+def test_tfrecord_stream_crash_recovery_no_reread(spark, tmp_path):
+    """Restart-from-checkpoint over format('tfrecord'): stop after the
+    offsets commit, publish during the outage (incl. one name BELOW
+    the watermark, which must stay invisible), restart from the SAME
+    checkpoint - exactly the shards published during the outage
+    arrive, nothing re-read (the webdataset twin of this e2e proves
+    the shared base; this one proves the tfrecord subclass wiring)."""
+    from kafka_elasticsearch_injector_spark.sources.tfrecord_source import (
+        register_tfrecord_source,
+    )
+
+    register_tfrecord_source(spark)
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for i in range(3):
+        _publish_tfrecord_shard(d, f"shard-1000{i}.tfrecord", i,
+                                b"initial")
+    ckpt = str(tmp_path / "ckpt")
+    feats = json.dumps({"doc_id": "int64", "text": "bytes"})
+
+    run1: list = []
+    q1 = (spark.readStream.format("tfrecord")
+          .option("features", feats).load(d)
+          .writeStream.foreachBatch(lambda df, _: run1.extend(df.collect()))
+          .option("checkpointLocation", ckpt).start())
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    q1.awaitTermination(30)
+    assert sorted(r.doc_id for r in run1) == [0, 1, 2]
+
+    # published while DOWN: two above the watermark, one below it
+    _publish_tfrecord_shard(d, "shard-90000.tfrecord", 90, b"outage")
+    _publish_tfrecord_shard(d, "shard-90001.tfrecord", 91, b"outage")
+    _publish_tfrecord_shard(d, "shard-00000.tfrecord", 99, b"late-below")
+
+    run2: list = []
+    q2 = (spark.readStream.format("tfrecord")
+          .option("features", feats).load(d)
+          .writeStream.foreachBatch(lambda df, _: run2.extend(df.collect()))
+          .option("checkpointLocation", ckpt).start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    q2.awaitTermination(30)
+    assert sorted(r.doc_id for r in run2) == [90, 91]   # exactly once
