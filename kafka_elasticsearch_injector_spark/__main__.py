@@ -14,10 +14,12 @@ Go binary didn't have):
 - ``CHECKPOINT_DIR`` (required): streaming checkpoint location — this
   is the offset store (the reference kept offsets in Kafka's consumer
   group; Structured Streaming owns them in the checkpoint).
-- ``PAYLOAD_SCHEMA_DDL`` (required for ``KAFKA_CONSUMER_RECORD_TYPE=
+- ``PAYLOAD_SCHEMA_DDL`` (optional for ``KAFKA_CONSUMER_RECORD_TYPE=
   json``): DDL schema of the JSON payload, e.g. ``"id STRING, value
-  INT"`` — Spark needs a plan-time schema where the Go service decoded
-  dynamically.
+  INT"`` — typed decode with plan-time routing-column checks. Omitted,
+  the pipeline runs SCHEMALESS exactly like the reference (decode into
+  a dynamic map, encode_decode.go:87-113): any JSON object ingests
+  with its fields passed through faithfully via map<string,variant>.
 - ``AVRO_READER_SCHEMA_ID`` / ``AVRO_KEY_READER_SCHEMA_ID``
   (optional): pin plan-time reader schemas instead of resolving from
   the first record's writer id.
@@ -56,9 +58,11 @@ def main(env: dict[str, str] | None = None, source_df=None):
     checkpoint_dir = e.get("CHECKPOINT_DIR")
     if not checkpoint_dir:
         raise SystemExit("CHECKPOINT_DIR is required (offset store)")
-    payload_schema = e.get("PAYLOAD_SCHEMA_DDL")
-    if cfg.record_type == "json" and not payload_schema:
-        raise SystemExit("PAYLOAD_SCHEMA_DDL is required for json records")
+    # PAYLOAD_SCHEMA_DDL is OPTIONAL for json records: without it the
+    # pipeline runs schemaless (map<string,variant> passthrough) — the
+    # reference's default mode, which never declares a schema anywhere
+    # (encode_decode.go:87-113). With it, decode is typed/projected.
+    payload_schema = e.get("PAYLOAD_SCHEMA_DDL") or None
 
     spark = get_spark("kafka-elasticsearch-injector", mode="streaming")
     registry = (SchemaRegistryClient(cfg.schema_registry_url)

@@ -64,6 +64,32 @@ def decode_json(df: DataFrame, schema: T.StructType | str,
     return df.withColumn("decoded", decoded)
 
 
+def decode_json_schemaless(df: DataFrame, payload_col: str = "value",
+                           decoded_col: str = "_decoded_map") -> DataFrame:
+    """Decode arbitrary JSON objects with NO declared schema.
+
+    Reference parity: JsonMessageToRecord unmarshals into
+    ``map[string]interface{}`` (src/kafka/encode_decode.go:87-113) — any
+    top-level JSON object is accepted, field types are whatever the
+    payload carries. The Spark-native equivalent is
+    ``map<string,variant>``: keys are the top-level field names, each
+    value a VARIANT that round-trips numbers/bools/strings/nulls/nested
+    objects/arrays faithfully through ``to_json`` (verified: no
+    string-coercion, unlike ``map<string,string>``).
+
+    Malformed JSON, a top-level array, or a top-level scalar decode to
+    NULL — exactly the inputs Go's unmarshal-into-map rejects
+    (encode_decode_test.go:51-63). Callers distinguish nil payload
+    (``payload_col`` IS NULL) from corrupt (decoded NULL, payload not).
+
+    Entirely JVM-side: from_json + variant ops stay in whole-stage
+    codegen; no Python touches the hot path.
+    """
+    return df.withColumn(
+        decoded_col,
+        F.from_json(F.col(payload_col).cast("string"), "map<string,variant>"))
+
+
 def drop_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record") -> DataFrame:
     """Side-drop malformed records (consumer.go:154-159)."""
     return df.filter(F.col(f"decoded.{corrupt_col}").isNull())

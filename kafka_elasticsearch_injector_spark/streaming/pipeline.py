@@ -84,12 +84,19 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
     if isinstance(payload_schema, str):
         payload_schema = T.StructType.fromDDL(payload_schema)
 
+    # Schemaless mode: json records with NO declared payload schema —
+    # the reference's default deployment (JsonMessageToRecord decodes
+    # into map[string]interface{}, encode_decode.go:87-113, no schema
+    # anywhere in its config surface). Decoded as map<string,variant>;
+    # the enrich/blacklist/route stages below run on map ops instead of
+    # struct fields, with identical semantics.
+    if cfg.record_type == "json" and payload_schema is None:
+        return _build_elastic_records_schemaless(df, cfg, return_drops)
+
     # Decode (ops 5-8): nil payload, PERMISSIVE decode, corrupt marking.
     # Instead of filtering stage by stage, each stage contributes to one
     # _drop_reason when-chain; clean rows have reason NULL.
     if cfg.record_type == "json":
-        if payload_schema is None:
-            raise ValueError("json record_type needs payload_schema")
         df = ops.decode_json(df, payload_schema, payload_col="value")
         reason = (
             F.when(F.col("value").isNull(), F.lit("null_payload"))
@@ -199,6 +206,119 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
         F.when(clean, doc_id).alias("doc_id"),
         F.lit(ops.DOC_TYPE).alias("doc_type"),
         F.when(clean, F.to_json(F.struct(*payload_cols))).alias("payload"),
+    ]
+    if return_drops:
+        return df.select(
+            *out_cols, reason.alias("_drop_reason"),
+            *[F.col(c) for c in SOURCE_COLS])
+    return df.filter(clean).select(*out_cols)
+
+
+def _build_elastic_records_schemaless(df: DataFrame, cfg: InjectorConfig,
+                                      return_drops: bool = False) -> DataFrame:
+    """Schemaless json variant of build_elastic_records (same output
+    contract): decode to map<string,variant>, inject @timestamp/key,
+    drop blacklisted fields, route, serialize.
+
+    Reference parity (encode_decode.go:87-113 + codec.go):
+
+    - any top-level JSON OBJECT is accepted; arrays/scalars/garbage are
+      corrupt (Go unmarshal-into-map fails on them);
+    - ``@timestamp`` is an unconditional map ASSIGNMENT (overwrites a
+      payload field of that name) — here: filter-then-concat, because
+      Spark's map_concat rejects duplicate keys under the default
+      EXCEPTION dedup policy;
+    - with include_key, ``key`` is assigned ONLY when the Kafka key is
+      non-nil (encode_decode.go:98-104) — a payload field named "key"
+      survives a nil-key record, so its removal is per-row conditional;
+    - routing columns are looked up AT RUNTIME (no schema to check at
+      plan time); a missing-or-null routing value fails the batch, the
+      analog of record.go:30-42 erroring per record. try_element_at
+      (not element_at) because ANSI mode raises on absent map keys and
+      we want the curated raise_error message, not MAP_KEY_DOES_NOT_EXIST.
+
+    All map/variant expressions are JVM-side Catalyst ops — the
+    schemaless path costs one from_json per record, same as the typed
+    path, and stays in whole-stage codegen.
+    """
+    df = ops.decode_json_schemaless(df, payload_col="value",
+                                    decoded_col="_decoded_map")
+    reason = (
+        F.when(F.col("value").isNull(), F.lit("null_payload"))
+        .when(F.col("_decoded_map").isNull(), F.lit("corrupt_payload"))
+    )
+
+    # Blacklist + reserved-field removal. "@timestamp" is always
+    # re-injected; "key" is removed only when our key will overwrite it
+    # (include_key and a non-nil Kafka key) — hence the row-dependent
+    # lambda condition.
+    drop_keys = [*cfg.blacklisted_columns, "@timestamp"]
+    if cfg.include_key:
+        def _keep(k, v):
+            return ~k.isin(*drop_keys) & ~(
+                (k == "key") & F.col("key").isNotNull())
+    else:
+        def _keep(k, v):
+            return ~k.isin(*drop_keys)
+    payload_map = F.map_concat(
+        F.map_filter(F.col("_decoded_map"), _keep),
+        F.create_map(
+            F.lit("@timestamp"),
+            F.parse_json(F.unix_millis(F.col("timestamp")).cast("string"))),
+    )
+    if cfg.include_key:
+        # Key must itself be a JSON object (Go unmarshals it into a map,
+        # encode_decode.go:98-104); an undecodable non-nil key fails the
+        # record. Parsed ONCE — validity check and embed share _key_var.
+        df = df.withColumn(
+            "_key_var", F.try_parse_json(F.col("key").cast("string")))
+        key_str = F.col("key").cast("string")
+        bad_key = key_str.isNotNull() & (
+            F.col("_key_var").isNull()
+            | ~F.ltrim(key_str).startswith("{"))
+        reason = reason.when(bad_key, F.lit("bad_key"))
+        payload_map = F.map_concat(
+            payload_map,
+            F.when(F.col("key").isNotNull(),
+                   F.create_map(F.lit("key"), F.col("_key_var")))
+            .otherwise(F.create_map().cast("map<string,variant>")))
+
+    def _required(col: Column, what: str) -> Column:
+        return F.coalesce(col, F.raise_error(F.lit(
+            f"missing or null {what} routing value (reference "
+            "record.go:30-42 fails the record)")))
+
+    def _field_str(name: str) -> Column:
+        # Runtime field lookup, string-cast like record.go:30-42's
+        # GetValueForField (absent key and JSON null both → NULL).
+        return F.try_variant_get(
+            F.try_element_at(F.col("_decoded_map"), F.lit(name)),
+            "$", "string")
+
+    index_base = F.coalesce(
+        F.lit(cfg.es_index) if cfg.es_index else F.lit(None).cast("string"),
+        F.col("topic"))
+    if cfg.es_index_column:
+        suffix = _required(_field_str(cfg.es_index_column),
+                           f"es_index_column={cfg.es_index_column}")
+    else:
+        fmt = "yyyy-MM-dd-HH" if cfg.es_time_suffix == "hour" else "yyyy-MM-dd"
+        suffix = F.date_format(F.col("timestamp"), fmt)
+    index_name = F.concat(F.lit(cfg.es_index_prefix), index_base,
+                          F.lit("-"), suffix)
+
+    if cfg.es_doc_id_column:
+        doc_id = _required(_field_str(cfg.es_doc_id_column),
+                           f"es_doc_id_column={cfg.es_doc_id_column}")
+    else:
+        doc_id = ops.doc_id_default("partition", "offset")
+
+    clean = reason.isNull()
+    out_cols = [
+        F.when(clean, index_name).alias("index_name"),
+        F.when(clean, doc_id).alias("doc_id"),
+        F.lit(ops.DOC_TYPE).alias("doc_type"),
+        F.when(clean, F.to_json(payload_map)).alias("payload"),
     ]
     if return_drops:
         return df.select(

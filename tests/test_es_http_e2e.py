@@ -345,10 +345,50 @@ def test_service_entrypoint_fails_fast_on_missing_config():
         main(env=reg)
     with pytest.raises(SystemExit, match="CHECKPOINT_DIR"):
         main(env={**reg, "KAFKA_TOPICS": "t"})
-    with pytest.raises(SystemExit, match="PAYLOAD_SCHEMA_DDL"):
-        main(env={"KAFKA_TOPICS": "t",
-                  "KAFKA_CONSUMER_RECORD_TYPE": "json",
-                  "CHECKPOINT_DIR": "/tmp/x"})
+    # json WITHOUT PAYLOAD_SCHEMA_DDL is no longer an error: it selects
+    # the schemaless (map<string,variant>) mode — covered end-to-end by
+    # test_service_entrypoint_schemaless below.
+
+
+def test_service_entrypoint_schemaless(spark, tmp_path, fake_es):
+    """The reference's most common deployment through the real main():
+    KAFKA_CONSUMER_RECORD_TYPE=json with NO PAYLOAD_SCHEMA_DDL — the
+    payload is decoded dynamically (encode_decode.go:87-113) and lands
+    in live fake-ES with its original field types intact."""
+    from kafka_elasticsearch_injector_spark.__main__ import main
+
+    es, url = fake_es
+    src_dir = str(tmp_path / "src")
+    _write_source(spark, src_dir, [
+        ("k1", json.dumps({"id": "a", "n": 60, "nest": {"ok": True}}),
+         "my-topic", 0, 7, TS),
+    ])
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir))
+    env = {
+        "KAFKA_TOPICS": "my-topic",
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "ELASTICSEARCH_HOST": url,
+        "ES_BULK_BACKOFF": "10ms",
+        "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        "TRIGGER_SECONDS": "0.2",
+    }
+    q, _probes = main(env=env, source_df=source)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(es.docs) < 1:
+            if not q.isActive:
+                q.awaitTermination(1)
+                break
+            time.sleep(0.2)
+        doc = es.docs[("my-topic-2018-03-10", "0:7")]
+        assert doc["id"] == "a" and doc["n"] == 60
+        assert doc["nest"] == {"ok": True}
+    finally:
+        q.stop()
 
 
 def test_service_entrypoint_avro_full_stack(spark, tmp_path, fake_es):
