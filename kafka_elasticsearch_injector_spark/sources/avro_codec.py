@@ -6,8 +6,20 @@ lives in the external spark-avro artifact, which is not always loaded.
 This module implements the Avro binary encoding from the public spec for
 the types the reference's payload surface uses (SURVEY.md §1.2): null,
 boolean, int, long, float, double, bytes, string, record, enum, array,
-map, union, fixed. Logical types pass through as their underlying type,
-exactly like goavro's native representation.
+map, union, fixed.
+
+Logical types (Avro 1.11 spec §Logical Types) are surfaced as their
+logical Python values, matching what goavro hands the reference
+(encode_decode.go:52-62 inherits goavro's decimal/date/timestamp
+surfacing): ``decimal`` (bytes/fixed) ⇄ `decimal.Decimal`, ``date`` ⇄
+`datetime.date`, ``timestamp-millis``/``timestamp-micros`` ⇄ aware-UTC
+`datetime.datetime`, ``local-timestamp-millis``/``-micros`` ⇄ naive
+`datetime.datetime`, ``uuid`` ⇄ str (no conversion needed). An INVALID
+logical declaration (bad precision/scale, wrong underlying type) is
+ignored and the underlying type used — the spec-mandated fallback.
+``time-millis``/``time-micros`` deliberately pass through as int/long
+(Spark has no stable TIME lane through Arrow batches); documented, not
+silent: the schema still says time-*.
 
 Codecs are compiled once per schema and cached by the caller (mirroring
 the per-schema-id codec cache at encode_decode.go:123-134) — the
@@ -20,11 +32,17 @@ per partition and this codec is only the per-record kernel.
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import struct
+from decimal import Decimal
 from typing import Any, Callable
 
 PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+_EPOCH_DATE = dt.date(1970, 1, 1)
+_EPOCH_UTC = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+_EPOCH_NAIVE = dt.datetime(1970, 1, 1)
 
 _Reader = Callable[[memoryview, int], tuple[Any, int]]
 _Writer = Callable[[bytearray, Any], None]
@@ -51,6 +69,47 @@ def _schema_type(schema) -> str:
     if isinstance(schema, list):
         return "union"
     return schema["type"]
+
+
+#: logical name → underlying type(s) it is valid on (Avro 1.11 spec).
+_LOGICAL_UNDERLYING = {
+    "decimal": ("bytes", "fixed"),
+    "date": ("int",),
+    "timestamp-millis": ("long",),
+    "timestamp-micros": ("long",),
+    "local-timestamp-millis": ("long",),
+    "local-timestamp-micros": ("long",),
+    "uuid": ("string",),
+}
+
+
+def logical_type(schema) -> tuple[str, dict] | None:
+    """Return ``(name, attrs)`` when `schema` declares a logical type
+    this codec surfaces, else None. Invalid declarations (unknown name,
+    wrong underlying type, bad decimal precision/scale) return None —
+    the Avro spec mandates falling back to the underlying type, not
+    erroring."""
+    if not isinstance(schema, dict):
+        return None
+    name = schema.get("logicalType")
+    if name not in _LOGICAL_UNDERLYING:
+        return None
+    if schema.get("type") not in _LOGICAL_UNDERLYING[name]:
+        return None
+    if name == "decimal":
+        p, s = schema.get("precision"), schema.get("scale", 0)
+        if not (isinstance(p, int) and not isinstance(p, bool) and p >= 1
+                and isinstance(s, int) and not isinstance(s, bool)
+                and 0 <= s <= p):
+            return None
+        if schema["type"] == "fixed":
+            # precision must fit the fixed size: max = digits of
+            # 2^(8*size-1)-1 (spec's stated bound).
+            size = schema.get("size", 0)
+            if len(str((1 << (8 * size - 1)) - 1)) < p:
+                return None
+        return name, {"precision": p, "scale": s}
+    return name, {}
 
 
 # ------------------------------------------------------------ varint/zigzag
@@ -83,6 +142,128 @@ def _write_varint(out: bytearray, n: int) -> None:
             return
 
 
+# ---------------------------------------------------------- logical types
+
+
+def _strip_logical(schema: dict) -> dict:
+    return {k: v for k, v in schema.items() if k != "logicalType"}
+
+
+def _logical_reader(name: str, attrs: dict, schema: dict, named) -> _Reader:
+    """Wrap the underlying reader with the logical-value conversion.
+
+    goavro parity (the reference's decode surface, encode_decode.go:52-62):
+    decimal → exact unscaled/10^scale (big.Rat there, Decimal here), date
+    → civil date, timestamp-* → instants. Conversions are exact — the
+    Decimal is built from the digit string, never through float or a
+    rounding context.
+    """
+    base = _make_reader(_strip_logical(schema), named)
+    if name == "decimal":
+        scale = attrs["scale"]
+
+        def read_decimal(buf, pos):
+            raw, pos = base(buf, pos)
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return Decimal(f"{unscaled}E-{scale}"), pos
+
+        return read_decimal
+
+    convert = {
+        "date": lambda v: _EPOCH_DATE + dt.timedelta(days=v),
+        "timestamp-millis": lambda v: _EPOCH_UTC + dt.timedelta(milliseconds=v),
+        "timestamp-micros": lambda v: _EPOCH_UTC + dt.timedelta(microseconds=v),
+        "local-timestamp-millis":
+            lambda v: _EPOCH_NAIVE + dt.timedelta(milliseconds=v),
+        "local-timestamp-micros":
+            lambda v: _EPOCH_NAIVE + dt.timedelta(microseconds=v),
+    }[name]
+
+    def read_logical(buf, pos):
+        v, pos = base(buf, pos)
+        return convert(v), pos
+
+    return read_logical
+
+
+def _decimal_unscaled(v: Decimal, scale: int) -> int:
+    """Exact unscaled integer of `v` at `scale`; AvroError if `v` has
+    more fractional digits than the schema's scale (the spec forbids
+    silent rounding — scale is part of the type)."""
+    sign, digits, exponent = v.as_tuple()
+    if not isinstance(exponent, int):
+        raise AvroError(f"non-finite decimal {v}")
+    shift = scale + exponent
+    if shift < 0:
+        raise AvroError(
+            f"decimal {v} does not fit scale {scale} without rounding")
+    unscaled = int("".join(map(str, digits)) or "0") * 10 ** shift
+    return -unscaled if sign else unscaled
+
+
+def _logical_writer(name: str, attrs: dict, schema: dict, named) -> _Writer:
+    base = _make_writer(_strip_logical(schema), named)
+    if name == "decimal":
+        scale = attrs["scale"]
+        fixed_size = schema.get("size") if schema["type"] == "fixed" else None
+
+        def write_decimal(out, v):
+            if isinstance(v, (bytes, bytearray)):  # pre-encoded passthrough
+                base(out, v)
+                return
+            if not isinstance(v, Decimal):
+                raise AvroError(
+                    f"decimal field needs Decimal or bytes, "
+                    f"got {type(v).__name__}")
+            unscaled = _decimal_unscaled(v, scale)
+            if fixed_size is not None:
+                try:
+                    raw = unscaled.to_bytes(fixed_size, "big", signed=True)
+                except OverflowError:
+                    raise AvroError(
+                        f"decimal {v} overflows fixed({fixed_size})") from None
+            else:
+                raw = unscaled.to_bytes(
+                    unscaled.bit_length() // 8 + 1, "big", signed=True)
+            base(out, raw)
+
+        return write_decimal
+
+    def to_days(v):
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v  # goavro-style leniency: underlying value accepted
+        if isinstance(v, dt.datetime) or not isinstance(v, dt.date):
+            raise AvroError(f"date field needs datetime.date, "
+                            f"got {type(v).__name__}")
+        return (v - _EPOCH_DATE).days
+
+    def to_instant(unit_td, epoch_aware):
+        def conv(v):
+            if isinstance(v, int) and not isinstance(v, bool):
+                return v
+            if not isinstance(v, dt.datetime):
+                raise AvroError(f"timestamp field needs datetime, "
+                                f"got {type(v).__name__}")
+            epoch = epoch_aware if v.tzinfo is not None else _EPOCH_NAIVE
+            return (v - epoch) // unit_td  # exact integer division
+        return conv
+
+    convert = {
+        "date": to_days,
+        "timestamp-millis": to_instant(dt.timedelta(milliseconds=1), _EPOCH_UTC),
+        "timestamp-micros": to_instant(dt.timedelta(microseconds=1), _EPOCH_UTC),
+        "local-timestamp-millis":
+            to_instant(dt.timedelta(milliseconds=1), _EPOCH_UTC),
+        "local-timestamp-micros":
+            to_instant(dt.timedelta(microseconds=1), _EPOCH_UTC),
+    }[name]
+
+    def write_logical(out, v):
+        base(out, convert(v))
+
+    return write_logical
+
+
 # ---------------------------------------------------------------- readers
 
 
@@ -90,6 +271,10 @@ def _make_reader(schema, named: dict[str, _Reader] | None = None) -> _Reader:
     named = named if named is not None else {}
     schema = parse_schema(schema)
     t = _schema_type(schema)
+
+    logical = logical_type(schema)
+    if logical is not None and logical[0] != "uuid":  # uuid is already str
+        return _logical_reader(logical[0], logical[1], schema, named)
 
     if t == "null":
         return lambda buf, pos: (None, pos)
@@ -195,6 +380,10 @@ def _make_writer(schema, named: dict[str, _Writer] | None = None) -> _Writer:
     schema = parse_schema(schema)
     t = _schema_type(schema)
 
+    logical = logical_type(schema)
+    if logical is not None and logical[0] != "uuid":
+        return _logical_writer(logical[0], logical[1], schema, named)
+
     if t == "null":
         return lambda out, v: None
     if t == "boolean":
@@ -279,7 +468,18 @@ def _make_writer(schema, named: dict[str, _Writer] | None = None) -> _Writer:
 
 
 def _matches(schema, v) -> bool:
-    t = _schema_type(parse_schema(schema))
+    schema = parse_schema(schema)
+    logical = logical_type(schema)
+    if logical is not None and logical[0] != "uuid":
+        name = logical[0]
+        if name == "decimal":
+            return isinstance(v, (Decimal, bytes, bytearray))
+        if name == "date":
+            return (isinstance(v, dt.date) and not isinstance(v, dt.datetime)
+                    ) or (isinstance(v, int) and not isinstance(v, bool))
+        return isinstance(v, dt.datetime) or (
+            isinstance(v, int) and not isinstance(v, bool))
+    t = _schema_type(schema)
     if t == "null":
         return v is None
     if t == "boolean":

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .avro_codec import AvroError, Codec, parse_schema
+from .avro_codec import AvroError, Codec, logical_type, parse_schema
 from .schema_registry import SchemaRegistryClient
 
 WIRE_HEADER_LEN = 5
@@ -76,6 +76,26 @@ def avro_to_spark_type(schema) -> T.DataType:
             "float": T.FloatType(), "double": T.DoubleType(),
             "bytes": T.BinaryType(), "string": T.StringType(),
         }[schema]
+    # Logical types (Avro 1.11 spec): the codec surfaces logical Python
+    # values (avro_codec._logical_reader), so the Spark type must be the
+    # logical one — a decimal field silently arriving as BinaryType was
+    # exactly the goavro-parity gap this closes (encode_decode.go:52-62).
+    logical = logical_type(schema)
+    if logical is not None:
+        name, attrs = logical
+        if name == "decimal":
+            if attrs["precision"] > 38:
+                raise AvroError(
+                    f"decimal precision {attrs['precision']} exceeds "
+                    "Spark's DecimalType max of 38")
+            return T.DecimalType(attrs["precision"], attrs["scale"])
+        return {
+            "date": T.DateType(), "uuid": T.StringType(),
+            "timestamp-millis": T.TimestampType(),
+            "timestamp-micros": T.TimestampType(),
+            "local-timestamp-millis": T.TimestampNTZType(),
+            "local-timestamp-micros": T.TimestampNTZType(),
+        }[name]
     t = schema["type"]
     if t == "record":
         return T.StructType([

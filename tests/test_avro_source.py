@@ -257,3 +257,212 @@ def test_codec_roundtrip_property(value):
     pure-Python codec earns the same trust by property."""
     codec = Codec(_PROP_SCHEMA)
     assert codec.decode(codec.encode(value)) == value
+
+
+# --- logical types (Avro 1.11 spec; goavro surfaces these to the
+# reference, encode_decode.go:52-62) ----------------------------------------
+
+DEC_BYTES = json.dumps({"type": "bytes", "logicalType": "decimal",
+                        "precision": 4, "scale": 2})
+DEC_FIXED = json.dumps({"type": "fixed", "name": "d3", "size": 3,
+                        "logicalType": "decimal", "precision": 5, "scale": 2})
+from decimal import Decimal  # noqa: E402
+
+
+def test_decimal_bytes_spec_vectors():
+    """Hand-derived wire bytes: unscaled two's-complement big-endian in
+    an avro bytes value (length varint + payload)."""
+    codec = Codec(DEC_BYTES)
+    # 12.34 → unscaled 1234 = 0x04D2 → len 2 (zigzag varint 0x04) + bytes
+    assert codec.encode(Decimal("12.34")) == b"\x04\x04\xd2"
+    assert codec.decode(b"\x04\x04\xd2") == Decimal("12.34")
+    # -0.01 → unscaled -1 → single byte 0xFF
+    assert codec.encode(Decimal("-0.01")) == b"\x02\xff"
+    assert codec.decode(b"\x02\xff") == Decimal("-0.01")
+    # trailing-zero scale normalization: 1 ≡ 1.00 at scale 2
+    assert codec.decode(codec.encode(Decimal("1"))) == Decimal("1.00")
+
+
+def test_decimal_fixed_spec_vectors():
+    codec = Codec(DEC_FIXED)
+    # fixed(3): no length prefix, sign-extended to exactly 3 bytes
+    assert codec.encode(Decimal("12.34")) == b"\x00\x04\xd2"
+    assert codec.decode(b"\x00\x04\xd2") == Decimal("12.34")
+    assert codec.encode(Decimal("-0.01")) == b"\xff\xff\xff"
+    assert codec.decode(b"\xff\xff\xff") == Decimal("-0.01")
+
+
+def test_decimal_scale_mismatch_raises():
+    codec = Codec(DEC_BYTES)
+    with pytest.raises(AvroError, match="scale"):
+        codec.encode(Decimal("1.234"))     # 3 fractional digits at scale 2
+    with pytest.raises(AvroError, match="overflow"):
+        Codec(DEC_FIXED).encode(Decimal("99999999.99"))
+
+
+def test_date_timestamp_vectors():
+    date_codec = Codec(json.dumps({"type": "int", "logicalType": "date"}))
+    assert date_codec.decode(date_codec.encode(dt.date(2020, 1, 1))) == \
+        dt.date(2020, 1, 1)
+    # day 0 is the epoch; encoding is plain zigzag varint of the day count
+    assert date_codec.encode(dt.date(1970, 1, 1)) == b"\x00"
+    assert date_codec.decode(b"\x02") == dt.date(1970, 1, 2)
+
+    ms_codec = Codec(json.dumps(
+        {"type": "long", "logicalType": "timestamp-millis"}))
+    t = dt.datetime(2009, 2, 13, 23, 31, 30, 123000, tzinfo=dt.timezone.utc)
+    assert ms_codec.decode(ms_codec.encode(t)) == t
+    assert ms_codec.decode(ms_codec.encode(1234567890123)) == t  # int accepted
+
+    us_codec = Codec(json.dumps(
+        {"type": "long", "logicalType": "timestamp-micros"}))
+    t_us = t.replace(microsecond=123456)
+    assert us_codec.decode(us_codec.encode(t_us)) == t_us
+
+    # naive datetime on write = UTC instant (session convention)
+    naive = dt.datetime(2009, 2, 13, 23, 31, 30, 123000)
+    assert ms_codec.decode(ms_codec.encode(naive)) == t
+
+    local_codec = Codec(json.dumps(
+        {"type": "long", "logicalType": "local-timestamp-micros"}))
+    assert local_codec.decode(local_codec.encode(naive)) == naive
+
+
+def test_invalid_logical_declarations_fall_back():
+    """The spec mandates IGNORING invalid logical declarations: decode
+    must surface the underlying type, not error."""
+    # scale > precision → plain bytes
+    bad = json.dumps({"type": "bytes", "logicalType": "decimal",
+                      "precision": 2, "scale": 3})
+    assert Codec(bad).decode(b"\x04\x04\xd2") == b"\x04\xd2"
+    assert avro_to_spark_type(bad).simpleString() == "binary"
+    # decimal on a non-bytes underlying → underlying wins
+    bad2 = json.dumps({"type": "string", "logicalType": "decimal",
+                       "precision": 4, "scale": 2})
+    assert Codec(bad2).decode(b"\x02a") == "a"
+    # unknown logical name → underlying
+    bad3 = json.dumps({"type": "int", "logicalType": "no-such-type"})
+    assert Codec(bad3).decode(b"\x02") == 1
+    # fixed too small for the declared precision → plain fixed
+    bad4 = json.dumps({"type": "fixed", "name": "f1", "size": 1,
+                       "logicalType": "decimal", "precision": 5, "scale": 0})
+    assert Codec(bad4).decode(b"\x07") == b"\x07"
+
+
+def test_logical_spark_type_mapping():
+    schema = json.dumps({
+        "type": "record", "name": "lt", "fields": [
+            {"name": "price", "type": {"type": "bytes",
+                                       "logicalType": "decimal",
+                                       "precision": 10, "scale": 2}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "at", "type": {"type": "long",
+                                    "logicalType": "timestamp-millis"}},
+            {"name": "at_us", "type": {"type": "long",
+                                       "logicalType": "timestamp-micros"}},
+            {"name": "local", "type": {
+                "type": "long", "logicalType": "local-timestamp-micros"}},
+            {"name": "uid", "type": {"type": "string",
+                                     "logicalType": "uuid"}},
+            {"name": "tod", "type": {"type": "int",
+                                     "logicalType": "time-millis"}},
+        ]})
+    assert avro_to_spark_type(schema).simpleString() == (
+        "struct<price:decimal(10,2),day:date,at:timestamp,at_us:timestamp,"
+        "local:timestamp_ntz,uid:string,tod:int>")  # time-* pass through
+    with pytest.raises(AvroError, match="38"):
+        avro_to_spark_type(json.dumps({
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 40, "scale": 2}))
+
+
+def test_decode_confluent_logical_end_to_end(spark):
+    """Logical values cross the mapInPandas/Arrow boundary into real
+    Spark DECIMAL/DATE/TIMESTAMP columns — the full goavro-parity lane."""
+    schema = json.dumps({
+        "type": "record", "name": "lt", "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "price", "type": {"type": "bytes",
+                                       "logicalType": "decimal",
+                                       "precision": 10, "scale": 2}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "at", "type": ["null", {
+                "type": "long", "logicalType": "timestamp-micros"}]},
+        ]})
+    registry = dict_registry({5: schema})
+    codec = Codec(schema)
+    t = dt.datetime(2021, 6, 1, 12, 0, 0, 250000, tzinfo=dt.timezone.utc)
+    rows = [
+        (wire_encode(5, codec.encode({
+            "id": 1, "price": Decimal("1234.56"),
+            "day": dt.date(2021, 6, 1), "at": t})),),
+        (wire_encode(5, codec.encode({
+            "id": 2, "price": Decimal("-0.01"),
+            "day": dt.date(1969, 12, 31), "at": None})),),
+    ]
+    df = spark.createDataFrame(rows, "value binary")
+    out = decode_confluent(df, registry, reader_schema_id=5)
+    assert out.schema["decoded"].dataType.simpleString() == (
+        "struct<id:int,price:decimal(10,2),day:date,at:timestamp>")
+    got = {r.id: r for r in out.select("decoded.*").collect()}
+    assert got[1].price == Decimal("1234.56")
+    assert got[1].day == dt.date(2021, 6, 1)
+    assert got[1].at == t.replace(tzinfo=None)   # session tz is UTC
+    assert got[2].price == Decimal("-0.01")
+    assert got[2].day == dt.date(1969, 12, 31)
+    assert got[2].at is None
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(-10**9, 10**9), st.integers(0, 6),
+       st.integers(-100_000, 100_000),
+       st.integers(-2**50, 2**50))
+def test_logical_roundtrip_property(unscaled, scale, days, micros):
+    dec = Codec(json.dumps({"type": "bytes", "logicalType": "decimal",
+                            "precision": 16, "scale": scale}))
+    v = Decimal(f"{unscaled}E-{scale}")
+    assert dec.decode(dec.encode(v)) == v
+    datec = Codec(json.dumps({"type": "int", "logicalType": "date"}))
+    d = dt.date(1970, 1, 1) + dt.timedelta(days=days)
+    assert datec.decode(datec.encode(d)) == d
+    usc = Codec(json.dumps({"type": "long",
+                            "logicalType": "timestamp-micros"}))
+    ts = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + \
+        dt.timedelta(microseconds=micros)
+    assert usc.decode(usc.encode(ts)) == ts
+
+
+def test_encode_confluent_logical_roundtrip(spark):
+    """Producer side: real Spark DECIMAL/DATE/TIMESTAMP columns encode
+    through the logical writer and decode back identical."""
+    from kafka_elasticsearch_injector_spark.sources import encode_confluent
+
+    schema = json.dumps({
+        "type": "record", "name": "lt", "fields": [
+            {"name": "price", "type": {"type": "bytes",
+                                       "logicalType": "decimal",
+                                       "precision": 10, "scale": 2}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "at", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+        ]})
+    registry = dict_registry({9: schema})
+    src = spark.createDataFrame(
+        [(Decimal("99.95"), dt.date(2022, 2, 2),
+          dt.datetime(2022, 2, 2, 3, 4, 5, 678901)),
+         (Decimal("-0.01"), dt.date(1969, 12, 31),
+          dt.datetime(1970, 1, 1, 0, 0, 0, 1))],
+        "price decimal(10,2), day date, at timestamp")
+    framed = encode_confluent(
+        src.select(__import__("pyspark.sql.functions", fromlist=["struct"])
+                   .struct("price", "day", "at").alias("rec")),
+        registry, schema_id=9, struct_col="rec")
+    back = decode_confluent(framed, registry, reader_schema_id=9)
+    got = sorted((r.price, r.day, r.at)
+                 for r in back.select("decoded.*").collect())
+    assert got == [
+        (Decimal("-0.01"), dt.date(1969, 12, 31),
+         dt.datetime(1970, 1, 1, 0, 0, 0, 1)),
+        (Decimal("99.95"), dt.date(2022, 2, 2),
+         dt.datetime(2022, 2, 2, 3, 4, 5, 678901)),
+    ]
