@@ -28,6 +28,12 @@ import time
 from collections.abc import Iterable, Iterator
 from dataclasses import dataclass, field
 
+try:  # CPython's C JSON string quoter (full escaping incl. non-ASCII)
+    from json.encoder import encode_basestring_ascii as _quote
+except ImportError:  # pragma: no cover - stdlib always has it
+    def _quote(s: str) -> str:
+        return json.dumps(s)
+
 
 @dataclass
 class BulkItemResult:
@@ -102,11 +108,17 @@ class HttpTransport:
         import urllib.error
         import urllib.request
 
+        # Action lines via the C-accelerated string quoter (correct JSON
+        # escaping for arbitrary index names / doc ids) instead of
+        # dict-build + json.dumps per action — the bulk-body assembly is
+        # the per-record Python left on this path, so it gets the
+        # cheapest correct encoding available.
         lines = []
+        append = lines.append
         for index_name, doc_id, payload in actions:
-            lines.append(json.dumps(
-                {"create": {"_index": index_name, "_id": doc_id}}))
-            lines.append(payload)
+            append('{"create":{"_index":' + _quote(index_name)
+                   + ',"_id":' + _quote(doc_id) + "}}")
+            append(payload)
         body = ("\n".join(lines) + "\n").encode()
         req = urllib.request.Request(
             f"{self.es_host}/_bulk", data=body, headers=self._headers())
@@ -329,8 +341,62 @@ class ElasticBulkWriter:
             pending = retry
 
 
+#: Output schema of the Arrow sink tasks: one counters row per task.
+STATS_SCHEMA = ("created long, already_exists long, bad_request long, "
+                "retried long")
+
+
+def write_arrow_factory(cfg, transport_factory, sink_acc=None):
+    """Build the Arrow-batched executor sink for `DataFrame.mapInArrow`.
+
+    The 100×-scale encode path (SURVEY §4.1 watch-item closed in r11):
+    records cross JVM→Python as Arrow RecordBatches — no per-row pickle,
+    no Row object construction — and each column lands as plain Python
+    strings via one C-side `to_pylist()` per batch. The bulk/triage/
+    retry protocol is the same ElasticBulkWriter the row path uses
+    (create-only + 409/400/429 triage, store.go:23-48 parity).
+
+    Tasks yield ONE counters row each (STATS_SCHEMA); the driver action
+    that runs the sink collects only those counters, never record data.
+    `sink_acc` accumulators flow back exactly as under foreachPartition.
+    """
+    batch_size = cfg.batch_size
+    backoff_s = cfg.bulk_backoff_s
+    max_retries = cfg.max_retries if cfg.max_retries is not None else 10
+
+    def write_arrow(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        writer = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                writer = ElasticBulkWriter(
+                    transport_factory(), batch_size=batch_size,
+                    backoff_s=backoff_s, max_retries=max_retries)
+            writer.write(list(zip(
+                batch.column("index_name").to_pylist(),
+                batch.column("doc_id").to_pylist(),
+                batch.column("payload").to_pylist())))
+        stats = writer.stats if writer is not None else BulkStats()
+        if sink_acc is not None:
+            sink_acc.add_stats(stats)
+        yield pa.RecordBatch.from_pylist([{
+            "created": stats.created,
+            "already_exists": stats.already_exists,
+            "bad_request": stats.bad_request,
+            "retried": stats.retried,
+        }])
+
+    return write_arrow
+
+
 def write_partition_factory(cfg, transport_factory, sink_acc=None):
     """Build the picklable per-partition writer used by foreachBatch.
+
+    Row-at-a-time legacy path (kept for API compatibility and as the
+    semantics twin in tests); the pipeline now uses write_arrow_factory.
 
     Only (cfg scalars, transport_factory, sink_acc) are captured — all
     picklable; the transport itself is constructed ON the executor.

@@ -366,7 +366,7 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
     returns — the reference's mark-after-write loop (consumer.go:163-173)
     for free.
     """
-    from .es_sink import write_partition_factory
+    from .es_sink import STATS_SCHEMA, write_arrow_factory
 
     src = source_df if source_df is not None else read_kafka_stream(spark, cfg)
     records = build_elastic_records(
@@ -382,13 +382,18 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
         if not getattr(metrics, "_listener_registered", False):
             spark.streams.addListener(metrics.listener)
             metrics._listener_registered = True
-    writer = write_partition_factory(cfg, transport_factory, sink_acc)
+    writer = write_arrow_factory(cfg, transport_factory, sink_acc)
+
+    def run_sink(df: DataFrame) -> None:
+        # Executor-side bulk writes over Arrow batches (no per-row
+        # pickle, no Row objects); the driver action collects ONE
+        # counters row per task — never record data.
+        (df.select("index_name", "doc_id", "payload")
+         .mapInArrow(writer, STATS_SCHEMA).collect())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # Executor-side bulk writes: each partition posts its own bulks —
-        # the driver never sees record data (no collect).
         if dead_letter_dir is None:
-            batch_df.foreachPartition(writer)
+            run_sink(batch_df)
             return
         # Dead-letter mode: one shared batch feeds both outputs. The
         # quarantine keeps the raw Kafka envelope + reason as parquet
@@ -398,9 +403,7 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
             (batch_df.filter(F.col("_drop_reason").isNotNull())
              .select(*SOURCE_COLS, "_drop_reason")
              .write.mode("append").parquet(dead_letter_dir))
-            (batch_df.filter(F.col("_drop_reason").isNull())
-             .select("index_name", "doc_id", "doc_type", "payload")
-             .foreachPartition(writer))
+            run_sink(batch_df.filter(F.col("_drop_reason").isNull()))
         finally:
             batch_df.unpersist()
 
