@@ -1126,6 +1126,13 @@ def _minhash_calibration_sql() -> str:
     """
 
 
+#: Pin F.broadcast on the calibration's per-doc signature tables only
+#: below this corpus size (~100 B/row → ≤~200 MB broadcast); above it
+#: the join strategy is left to Catalyst/AQE. Tests monkeypatch this to
+#: exercise the degrade regime.
+_CALIBRATION_BROADCAST_MAX_DOCS = 2_000_000
+
+
 @register(
     "q_minhash_calibration",
     _minhash_calibration_sql(),
@@ -1172,9 +1179,18 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
         for i in range(8))
+    # Size-guarded broadcast (token_familiarity's degrade pattern): the
+    # signature table is ~100 B/row (id + 8 longs), so pinning the hint
+    # is right only while it provably fits executor memory; past the
+    # cap the hint disappears and Catalyst/AQE picks the join (shuffled
+    # hash / sort-merge on doc ids). An unconditional F.broadcast here
+    # would OOM a full-corpus calibration run at 100 TB.
+    n_docs = parquet_row_count(sf_dir, "documents")
+    hint = (F.broadcast if n_docs <= _CALIBRATION_BROADCAST_MAX_DOCS
+            else (lambda d: d))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(hint(sa), "doc_a")
+        .join(hint(sb), "doc_b")
         .select("doc_a", "doc_b",
                 (est.cast("double") / 8).alias("est_jac"),
                 "exact_jac")

@@ -721,3 +721,47 @@ def test_q11_grand_total_scans_lineitem_once(spark, sf_dir):
     final = (df._jdf.queryExecution().executedPlan().toString()
              .split("== Initial Plan ==")[0])
     assert final.count("lineitem.parquet") == 1, final
+
+
+def test_minhash_calibration_broadcast_size_guard(spark, sf_dir, monkeypatch):
+    """q_minhash_calibration pins F.broadcast on the per-doc signature
+    tables only under _CALIBRATION_BROADCAST_MAX_DOCS (~100 B/row); past
+    the cap the hint must vanish so Catalyst/AQE picks the join — an
+    unconditional pin would OOM a full-corpus calibration at 100 TB.
+    Exercise BOTH regimes and prove identical results."""
+    from kafka_elasticsearch_injector_spark.plans import part_d3
+
+    q = plans.queries()["q_minhash_calibration"]
+
+    def hint_count(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count(
+            "broadcast")
+
+    pinned = q(spark, sf_dir)
+    pinned_hints = hint_count(pinned)
+
+    monkeypatch.setattr(part_d3, "_CALIBRATION_BROADCAST_MAX_DOCS", 0)
+    degraded = q(spark, sf_dir)
+    # Exactly the two signature-table pins disappear; the candidate
+    # path's own (size-safe) hints stay. At tiny SF Catalyst may STILL
+    # broadcast by size — that's the point of the guard: strategy
+    # becomes Catalyst's call, not a pin.
+    assert hint_count(degraded) == pinned_hints - 2, (
+        pinned_hints, hint_count(degraded))
+
+    # Past the broadcast threshold the unhinted sig joins must fall
+    # back to a shuffle join (the token_familiarity degrade shape).
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        fallback = q(spark, sf_dir)
+        plan = fallback._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]  # AQE appends a copy
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), plan
+    finally:
+        spark.conf.set(key, old)
+
+    got_p = sorted(map(tuple, pinned.collect()))
+    got_d = sorted(map(tuple, degraded.collect()))
+    assert got_p == got_d and got_p
