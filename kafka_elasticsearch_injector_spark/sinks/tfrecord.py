@@ -190,6 +190,15 @@ def _encode_feature(kind: str, values: list) -> bytes:
             for v in values)
         return _ld(1, body)                         # BytesList
     if kind.startswith("float"):
+        for v in values:
+            # same explicit gate as bytes/int64: struct.pack on a
+            # non-numeric value raises an opaque struct.error deep in
+            # the shard task — name the remedy instead
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ValueError(
+                    f"float feature got a {type(v).__name__} value — "
+                    "declare the column's real kind (bytes/int64) or "
+                    "cast it to float before exporting")
         packed = struct.pack(f"<{len(values)}f", *values)
         return _ld(2, _ld(1, packed))               # FloatList packed
     # int64: negative values are 64-bit two's-complement varints
@@ -384,8 +393,14 @@ def write_tfrecord(df: DataFrame, path: str, n_shards: int,
     integrals, bytes for string/binary — unless declared explicitly)
     so the export round-trips identity. Deterministic bytes: xxhash64 shard
     assignment, id-sorted rows, sorted feature names, packed canonical
-    protobuf — re-runs reproduce identical sha256 per shard. Atomic
-    staged publication, same as every sink in this package."""
+    protobuf — re-runs reproduce identical sha256 per shard. PRECONDITION
+    for the byte-reproducibility claim: ids are unique. Rows sharing an
+    id still all land (correctness holds, and they hash to the same
+    shard), but their relative order after the id sort follows upstream
+    arrival — Arrow's sort stability across versions is not a documented
+    contract — so duplicate-id exports may produce run-to-run differing
+    shard bytes. Atomic staged publication, same as every sink in this
+    package."""
     from pyspark.sql import types as T
 
     from .webdataset import with_hash_shard
@@ -497,8 +512,11 @@ def rows_from_file(data: bytes, features: dict[str, str] | None,
                    verify_crc: bool = True) -> Iterator[dict]:
     """Decode one TFRecord file's bytes into reader rows (no `shard`
     column — the caller knows the file). Shared by both readers.
-    Scalar kinds surface element 0 (None when the feature is absent
-    or empty); list kinds surface the whole list. GZIP-compressed
+    Scalar kinds surface the single element (None when the feature is
+    absent or empty; MORE than one value raises, directing the caller
+    to the *_list kind — TF's FixedLenFeature([]) raises there too,
+    and silently surfacing element 0 would be interop data loss);
+    list kinds surface the whole list. GZIP-compressed
     shards (tf.data compression_type="GZIP" keeps the extension) are
     detected by magic and decompressed transparently."""
     if data[:2] == b"\x1f\x8b":
@@ -543,6 +561,14 @@ def rows_from_file(data: bytes, features: dict[str, str] | None,
             if kind.endswith("_list"):
                 row[name] = None if values is None else values
             else:
+                if values and len(values) > 1:
+                    # TF's FixedLenFeature([]) raises here too —
+                    # silently surfacing element 0 of an externally-
+                    # produced multi-value feature would be data loss
+                    raise ValueError(
+                        f"feature {name!r} holds {len(values)} values "
+                        f"but was requested as scalar kind {kind!r} — "
+                        f"request '{kind}_list' instead")
                 row[name] = values[0] if values else None
         yield row
 

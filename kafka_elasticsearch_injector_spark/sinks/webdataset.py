@@ -142,6 +142,12 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     replaced — so a crash or job failure at any point leaves the old
     export untouched. Requires a driver/executor-shared filesystem
     (see module docstring).
+
+    PRECONDITION for the manifest's byte-reproducibility claim: ids
+    are unique. Duplicate-id rows all land (same shard, correctness
+    holds) but their relative order after the id sort follows upstream
+    arrival — Arrow sort stability across versions is not a documented
+    contract — so re-runs may produce differing shard bytes/sha256.
     """
     members = members or {"txt": "text"}
     # de-dup against id_col too: members may legitimately export the key

@@ -31,7 +31,10 @@ first batch is unbounded — the Python stream API gives latestOffset
 no view of the committed start (verified empirically: it even fires
 BEFORE initialOffset), and answering below a restart's committed
 start regresses the watermark into re-delivery, so the cap engages
-only once this reader has answered once. Bound a large FIRST import
+only once this run has PLANNED a batch (partitions()/commit() advance
+the cap's floor; latestOffset never does, so an engine that polls it
+several times before planning gets idempotent answers instead of one
+batch widened by a cap-width per poll). Bound a large FIRST import
 by starting the stream before bulk-publishing, or ingest the backlog
 with the batch reader first.
 
@@ -78,9 +81,14 @@ class AppendedShardStreamReader(DataSourceStreamReader):
         if self._max_shards is not None and self._max_shards < 1:
             raise ValueError("maxShardsPerTrigger must be >= 1, got "
                              f"{raw!r}")
-        # Backpressure floor = the highest offset THIS reader has
-        # already returned (module docstring: the first latestOffset
-        # of a run must answer unbounded).
+        # Backpressure floor = the end of the last batch this RUN has
+        # PLANNED (partitions()) or committed — NOT the last
+        # latestOffset answer: if the engine polls latestOffset more
+        # than once before planning a batch, an answer-advanced floor
+        # would widen that batch by another cap-width per poll
+        # (over-delivery). Repeated polls between plans are idempotent
+        # instead. The first poll of a run still answers unbounded
+        # (module docstring).
         self._floor: str | None = None
 
     def _names(self) -> list[str]:
@@ -96,25 +104,35 @@ class AppendedShardStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         names = self._names()
         if not names:
-            # deliberately does NOT establish the floor: on a restart
-            # whose committed start this reader cannot see, a floor of
-            # "" would let the cap answer below that start and regress
-            # the watermark (property-tested: unbounded until the
-            # first NON-EMPTY answer)
+            # latestOffset never establishes the floor (only planned
+            # batches do) — in particular an empty-directory poll on a
+            # restart whose committed start this reader cannot see
+            # must answer unbounded, never below that start
+            # (property-tested watermark-regression hazard)
             return {"last": ""}
         # maxShardsPerTrigger: bound each batch to the first N names
-        # above the floor (unbounded on the run's first answer).
+        # above the floor (unbounded until this run plans a batch).
         end = names[-1]
         if self._max_shards is not None and self._floor is not None:
             pending = [n for n in names if n > self._floor]
             if pending:
                 end = pending[min(self._max_shards, len(pending)) - 1]
-        if self._floor is None or end > self._floor:
-            self._floor = end
+        if self._floor is not None and end < self._floor:
+            # never answer below an already-planned end (a late file
+            # sorting under the watermark must not regress the offset)
+            end = self._floor
         return {"last": end}
+
+    def _advance_floor(self, hi: str) -> None:
+        if hi and (self._floor is None or hi > self._floor):
+            self._floor = hi
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("last", ""), end.get("last", "")
+        # The floor tracks PLANNED ends — this is where a batch becomes
+        # real, so this (not latestOffset) is where the cap's window
+        # advances.
+        self._advance_floor(hi)
         new = [n for n in self._names() if lo < n <= hi]
         # An empty batch still needs one no-op partition: the API
         # requires a non-empty sequence.
@@ -134,4 +152,6 @@ class AppendedShardStreamReader(DataSourceStreamReader):
         raise NotImplementedError   # subclass responsibility
 
     def commit(self, end: dict) -> None:
-        pass
+        # Defensive twin of partitions(): a committed end is by
+        # definition a planned one.
+        self._advance_floor(end.get("last", ""))

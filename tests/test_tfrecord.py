@@ -592,3 +592,35 @@ def test_tfrecord_stream_crash_recovery_no_reread(spark, tmp_path):
         q2.stop()
     q2.awaitTermination(30)
     assert sorted(r.doc_id for r in run2) == [90, 91]   # exactly once
+
+
+def test_scalar_kind_rejects_multivalue_feature():
+    """An externally-produced file whose Int64List holds >1 values,
+    read with a scalar kind, must raise toward the *_list kind —
+    surfacing element 0 silently would be interop data loss (TF's
+    FixedLenFeature([]) raises in this case too). r10 ADVICE item."""
+    from kafka_elasticsearch_injector_spark.sinks.tfrecord import (
+        rows_from_file,
+    )
+
+    payload = encode_example({"k": ("int64_list", [1, 2, 3])})
+    with pytest.raises(ValueError, match="int64_list"):
+        list(rows_from_file(frame_record(payload), {"k": "int64"}))
+    # a single-value list under a scalar kind remains fine
+    payload1 = encode_example({"k": ("int64_list", [7])})
+    assert list(rows_from_file(frame_record(payload1),
+                               {"k": "int64"})) == [{"k": 7}]
+
+
+def test_float_kind_type_gate_names_remedy():
+    """A non-numeric value under a float kind raises the same curated
+    ValueError shape as the bytes/int64 gates instead of an opaque
+    struct.error deep in the shard task. r10 ADVICE item."""
+    with pytest.raises(ValueError, match="float feature got a str"):
+        encode_example({"k": ("float", ["oops"])})
+    with pytest.raises(ValueError, match="float feature got a bool"):
+        encode_example({"k": ("float_list", [True])})
+    # ints are fine under float kinds (widening, not a schema lie);
+    # the wire has only FloatList, so decode reports the _list kind
+    assert decode_example(
+        encode_example({"k": ("float", [2])}))["k"] == ("float_list", [2.0])

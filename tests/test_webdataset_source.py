@@ -374,10 +374,14 @@ def test_appended_shards_offset_model_property(tmp_path):
     (sources/appended_shards.AppendedShardStreamReader): under random
     interleavings of publishes and latestOffset polls with a random
     maxShardsPerTrigger, (a) the returned watermark is monotone, (b)
-    replaying partitions() over consecutive offset pairs yields every
+    planning partitions() over consecutive offset pairs yields every
     published shard EXACTLY once, (c) the first poll answers unbounded
-    (the restart-safety invariant), and (d) steady-state batches never
-    exceed the cap."""
+    (the restart-safety invariant), (d) once a batch has been planned,
+    batches never exceed the cap, and (e) REPEATED polls with no batch
+    planned in between are idempotent — the floor advances in
+    partitions()/commit(), not per latestOffset answer, so a
+    multi-poll engine cannot widen one batch by a cap-width per poll
+    (the r10 ADVICE over-delivery hazard)."""
     import os
     import random
 
@@ -399,40 +403,48 @@ def test_appended_shards_offset_model_property(tmp_path):
             opts["maxshardspertrigger"] = str(cap)
         r = _R(opts)
         published: list[str] = []
-        offsets = [r.initialOffset()]
-        floor_established = False
+        seen: list[str] = []
+        last = r.initialOffset()
+        planned_once = False
+
+        def plan(lo, hi):
+            return [os.path.basename(p.path)
+                    for p in r.partitions(lo, hi) if p.path]
+
         for step in range(rng.randint(3, 12)):
             for _ in range(rng.randint(0, 4)):       # append-only burst
                 name = f"shard-{len(published):05d}.bin"
                 open(os.path.join(d, name), "wb").write(b"x")
                 published.append(name)
             off = r.latestOffset()
-            assert off["last"] >= offsets[-1]["last"]     # (a) monotone
-            if not floor_established:
-                # (c) unbounded until the first NON-EMPTY answer: an
-                # empty-directory poll must NOT establish the floor
+            assert off["last"] >= last["last"]            # (a) monotone
+            # (e) idempotent until a batch is planned: extra engine
+            # polls must not widen the upcoming batch
+            for _ in range(rng.randint(0, 2)):
+                assert r.latestOffset() == off
+            if not planned_once:
+                # (c) unbounded until this run plans a batch: an
+                # empty-directory poll must not establish the floor
                 # (doing so could answer below a restart's committed
                 # start — the documented watermark-regression hazard)
                 if published:
                     assert off["last"] == published[-1]
-                    floor_established = True
             elif cap:
-                lo = offsets[-1]["last"]
-                batch = [n for n in published if lo < n <= off["last"]]
-                pending = [n for n in published if n > lo]
+                batch = [n for n in published
+                         if last["last"] < n <= off["last"]]
+                pending = [n for n in published if n > last["last"]]
                 if pending:                      # (d) steady-state cap
                     assert len(batch) <= cap
-            offsets.append(off)
+            seen.extend(plan(last, off))
+            planned_once = planned_once or bool(published)
+            if rng.random() < 0.5:
+                r.commit(off)                    # commit also advances
+            last = off
         # drain any capped backlog to the end
         for _ in range(len(published) + 1):
             off = r.latestOffset()
+            seen.extend(plan(last, off))
+            last = off
             if off["last"] == (published[-1] if published else ""):
-                offsets.append(off)
                 break
-            offsets.append(off)
-        seen: list[str] = []
-        for lo, hi in zip(offsets, offsets[1:]):
-            parts = r.partitions(lo, hi)
-            got = [os.path.basename(p.path) for p in parts if p.path]
-            seen.extend(got)
         assert seen == published, (trial, seen, published)   # (b)
