@@ -71,6 +71,7 @@ class HttpTransport:
         self.user = user
         self.password = password
         self.ignore_cert = ignore_cert
+        self._server_major: int | None = None  # sniffed lazily, cached
 
     @classmethod
     def from_config(cls, cfg) -> "HttpTransport":
@@ -166,12 +167,39 @@ class HttpTransport:
         except Exception:
             return False
 
+    def server_major(self) -> int | None:
+        """Sniffed ES major version (GET /, cached), None when the node
+        is unreachable or the answer has no version — callers then
+        assume the reference's ES 7 behavior. The bulk path needs no
+        version branching (the action line is already typeless: _index
+        + _id, no _type — valid on 6.x through current); only the
+        template API split (legacy /_template vs 8.x composable
+        /_index_template) keys off this."""
+        if self._server_major is None:
+            import urllib.request
+
+            try:
+                req = urllib.request.Request(
+                    self.es_host, headers=self._headers())
+                with self._open(req) as resp:
+                    info = json.loads(resp.read())
+                self._server_major = int(
+                    info["version"]["number"].split(".")[0])
+            except Exception:
+                return None
+        return self._server_major
+
+    def _template_url(self, name: str) -> str:
+        api = ("_index_template" if (self.server_major() or 7) >= 8
+               else "_template")
+        return f"{self.es_host}/{api}/{name}"
+
     def template_exists(self, name: str) -> bool:
         import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
-            f"{self.es_host}/_template/{name}", headers=self._headers(),
+            self._template_url(name), headers=self._headers(),
             method="HEAD")
         try:
             with self._open(req):
@@ -185,7 +213,7 @@ class HttpTransport:
         import urllib.request
 
         req = urllib.request.Request(
-            f"{self.es_host}/_template/{name}",
+            self._template_url(name),
             data=json.dumps(body).encode(),
             headers={**self._headers(),
                      "Content-Type": "application/json"},
@@ -219,15 +247,39 @@ DEFAULT_INDEX_TEMPLATE = {
 }
 
 
+def composable_template(legacy: dict, pattern: str) -> dict:
+    """Re-shape a legacy (ES ≤7) index template body into the ES 8
+    composable form: {"index_patterns": [...], "template": {settings,
+    mappings}} (public index-template API migration)."""
+    out = {"index_patterns": [pattern], "template": {}}
+    for k in ("settings", "mappings"):
+        if k in legacy:
+            out["template"][k] = legacy[k]
+    return out
+
+
 def ensure_index_template(transport, name: str,
                           template: dict | None = None) -> bool:
     """Create the index template if absent (reference
     elasticsearch_test.go:136-143: IndexTemplateExists → IndexPutTemplate;
     operationally Makefile:17's curl). Returns True when created, False
     when it already existed. Driver-side, once per deploy — never in the
-    per-batch path."""
-    body = template if template is not None else {
-        **DEFAULT_INDEX_TEMPLATE, "template": f"{name}-*"}
+    per-batch path.
+
+    The default body is version-aware: the reference targets ES 7
+    legacy templates; against an ES 8+ node (version sniffed via
+    transport.server_major) the same settings/mappings are sent in the
+    composable /_index_template shape instead. An explicit `template`
+    is sent verbatim — the caller owns its shape."""
+    if template is not None:
+        body = template
+    else:
+        pattern = f"{name}-*"
+        major = getattr(transport, "server_major", lambda: None)() or 7
+        if major >= 8:
+            body = composable_template(DEFAULT_INDEX_TEMPLATE, pattern)
+        else:
+            body = {**DEFAULT_INDEX_TEMPLATE, "template": pattern}
     if transport.template_exists(name):
         return False
     transport.put_template(name, body)

@@ -43,9 +43,11 @@ class FakeES:
     write.
     """
 
-    def __init__(self):
+    def __init__(self, version: str = "7.17.0"):
+        self.version = version              # advertised by GET /
         self.docs: dict[tuple[str, str], dict] = {}
         self.templates: dict[str, dict] = {}
+        self.template_endpoints: list[str] = []   # which API each op hit
         self.bulk_requests = 0
         self.throttle_bulks = 0
         self.reject_bulks = 0
@@ -69,16 +71,32 @@ class FakeES:
                 if body:
                     self.wfile.write(body)
 
-            def do_GET(self):  # noqa: N802 — ping
-                self._reply(200, b'{"tagline":"fake"}')
+            def _template_name(self):
+                # both template APIs, like real ES (legacy /_template is
+                # deprecated-but-alive in 8.x; /_index_template is the
+                # composable API the client must pick on 8+)
+                for prefix in ("/_index_template/", "/_template/"):
+                    if self.path.startswith(prefix):
+                        with fake._lock:
+                            fake.template_endpoints.append(prefix)
+                        return self.path.removeprefix(prefix)
+                return None
+
+            def do_GET(self):  # noqa: N802 — ping / version sniff
+                self._reply(200, json.dumps(
+                    {"version": {"number": fake.version},
+                     "tagline": "fake"}).encode())
 
             def do_HEAD(self):  # noqa: N802 — template_exists
-                name = self.path.removeprefix("/_template/")
+                name = self._template_name()
                 self._reply(200 if name in fake.templates else 404)
 
             def do_PUT(self):  # noqa: N802 — put_template
                 body = self.rfile.read(int(self.headers["Content-Length"]))
-                name = self.path.removeprefix("/_template/")
+                name = self._template_name()
+                if name is None:
+                    self._reply(404)
+                    return
                 with fake._lock:
                     fake.templates[name] = json.loads(body)
                 self._reply(200)

@@ -499,3 +499,45 @@ def test_service_entrypoint_dead_letter_quarantine(spark, tmp_path, fake_es):
     dropped = {(r.offset, r._drop_reason)
                for r in spark.read.parquet(dlq).collect()}
     assert dropped == {(8, "null_payload"), (9, "corrupt_payload")}
+
+
+def test_es8_template_api_version_sniffed():
+    """Against an ES 8 node (version sniffed from GET /), the template
+    bootstrap must use the composable /_index_template API with the
+    migrated body shape — the legacy /_template the reference targets
+    is deprecated on 8.x. Bulk needs no branching: the action line is
+    already typeless (_index + _id, no _type)."""
+    from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+        ensure_index_template,
+    )
+
+    es = FakeES(version="8.11.3")
+    url = es.start()
+    try:
+        t = HttpTransport(url)
+        assert t.server_major() == 8
+        assert ensure_index_template(t, "my-topic") is True
+        assert ensure_index_template(t, "my-topic") is False
+        assert set(es.template_endpoints) == {"/_index_template/"}
+        body = es.templates["my-topic"]
+        assert body["index_patterns"] == ["my-topic-*"]
+        props = body["template"]["mappings"]["properties"]
+        assert props["@timestamp"]["format"] == "epoch_millis"
+        assert "settings" in body["template"]
+    finally:
+        es.stop()
+
+
+def test_es7_template_api_stays_legacy(fake_es):
+    """Reference parity on 7.x (the fake's default version): legacy
+    /_template endpoint, legacy body shape."""
+    from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+        ensure_index_template,
+    )
+
+    es, url = fake_es
+    t = HttpTransport(url)
+    assert t.server_major() == 7
+    assert ensure_index_template(t, "my-topic") is True
+    assert set(es.template_endpoints) == {"/_template/"}
+    assert es.templates["my-topic"]["template"] == "my-topic-*"
