@@ -78,10 +78,14 @@ CONTRACTS: dict[str, tuple[float, str]] = {
     "q_semdedup_prune": (2.0, "SemDeDup Σ|cluster|² with fixed k"),
     "q_candidate_jac_histogram": (1.5, "banded candidates + histogram agg"),
     "q_curation_pipeline": (1.15, "scan-shaped curation chain"),
-    "q_dedup_recall": (1.5, "exact + LSH twin pipelines"),
+    "q_dedup_recall": (2.0, "the exact-truth side IS the blocked tile "
+                       "kernel (quadratic verify baseline by its own "
+                       "declaration); the LSH side is linear"),
     "q_dedup_minhash": (1.5, "banded equi-join candidates"),
     "q_lsh_band_tuning": (1.5, "banded candidates across band grids"),
-    "q_dedup_recall_sampled": (1.5, "hash-sampled twin pipelines"),
+    "q_dedup_recall_sampled": (2.0, "hash-sampled truth, same blocked "
+                               "exact side until the sample filter "
+                               "applies at pair formation"),
     "q_ann_recall": (2.0, "brute-force exact side is N_q×N when the "
                      "query sample scales with the corpus"),
     "q_dsir_weights": (1.15, "hashed features + broadcast profiles"),
@@ -89,7 +93,8 @@ CONTRACTS: dict[str, tuple[float, str]] = {
     "q_percentile": (1.15, "partial-aggregable sketch"),
     "q_ann_ivf": (1.5, "k-means build linear; probe reads pruned cells"),
     "q_crosslingual_dups": (1.5, "blocked cross-lang candidates"),
-    "q_dedup_ngram": (1.5, "banded n-gram candidates"),
+    "q_dedup_ngram": (2.0, "its own docstring: 'quadratic verify "
+                      "baseline; at scale runs only after LSH blocking'"),
     "q_decontaminate": (1.15, "broadcast-probe against eval grams"),
     "q_dedup_embcos": (2.0, "blocked cosine tile kernel, post-LSH at scale"),
 }
