@@ -71,6 +71,7 @@ SLOW_TEST_PREFIXES = (
     "test_group_median_grid_matches",
     "test_drift_ks_bucket_mode",
     "test_stream_",
+    "test_schemaless_roundtrip_property",
     "test_approx_percentile_certified",
     "test_approx_distinct_certified",
     "test_lsh_single_table",

@@ -159,3 +159,52 @@ def _write_lake(tmp_path) -> str:
     write_ocf(str(d / "a.avro"), EVENT_SCHEMA, RECORDS[:12])
     write_ocf(str(d / "b.avro"), EVENT_SCHEMA, RECORDS[12:])
     return str(d)
+
+
+def test_ocf_logical_types_full_circle(spark, tmp_path):
+    """Logical types through the OCF lane (r11): write an OCF file with
+    decimal/date/timestamp fields, read it as real Spark
+    DECIMAL/DATE/TIMESTAMP columns, export back via df_to_ocf, re-read
+    — values identical both hops. Shares the codec with the Confluent
+    path, so this pins the whole goavro-parity surface on files too."""
+    import datetime as dt
+    from decimal import Decimal
+
+    schema = json.dumps({
+        "type": "record", "name": "lt", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "price", "type": {"type": "bytes",
+                                       "logicalType": "decimal",
+                                       "precision": 10, "scale": 2}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "at", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+        ]})
+    rows = [
+        {"id": 1, "price": Decimal("19.99"), "day": dt.date(2023, 5, 4),
+         "at": dt.datetime(2023, 5, 4, 1, 2, 3, 456789,
+                           tzinfo=dt.timezone.utc)},
+        {"id": 2, "price": Decimal("-0.01"), "day": dt.date(1969, 12, 31),
+         "at": dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)},
+    ]
+    lake = tmp_path / "lt_lake"
+    lake.mkdir()
+    write_ocf(str(lake / "a.avro"), schema, rows)
+
+    df = drop_malformed_ocf(read_ocf(spark, str(lake), schema))
+    assert dict(df.dtypes)["price"] == "decimal(10,2)"
+    assert dict(df.dtypes)["day"] == "date"
+    assert dict(df.dtypes)["at"] == "timestamp"
+    got = {r.id: r for r in df.collect()}
+    assert got[1].price == Decimal("19.99")
+    assert got[1].day == dt.date(2023, 5, 4)
+    assert got[1].at == dt.datetime(2023, 5, 4, 1, 2, 3, 456789)
+
+    dest = str(tmp_path / "lt_out")
+    df_to_ocf(df, dest, schema)
+    back = {r.id: r for r in
+            drop_malformed_ocf(read_ocf(spark, dest, schema)).collect()}
+    for i in (1, 2):
+        assert back[i].price == got[i].price
+        assert back[i].day == got[i].day
+        assert back[i].at == got[i].at

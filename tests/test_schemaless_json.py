@@ -234,3 +234,47 @@ def test_stream_schemaless_end_to_end(spark, tmp_path):
     assert doc["id"] == "a" and doc["value"] == 1 and doc["tags"] == ["x", "y"]
     assert isinstance(doc["@timestamp"], int)
     assert docs[("my-topic-2018-03-10", "1:3")]["other_shape"] is True
+
+
+# --- generative fidelity guard ----------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_scalars = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(-2**63, 2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=16))
+_values = st.recursive(
+    _scalars,
+    lambda c: st.one_of(st.lists(c, max_size=4),
+                        st.dictionaries(st.text(max_size=8), c, max_size=4)),
+    max_leaves=8)
+# "@timestamp"/"key" overwrite semantics are pinned by the unit tests
+# above; the property concerns FIELD FIDELITY, so reserved names are
+# excluded from the generated objects.
+_payload_objs = st.dictionaries(
+    st.text(max_size=10).filter(lambda k: k not in ("@timestamp", "key")),
+    _values, min_size=0, max_size=6)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_payload_objs, min_size=1, max_size=8))
+def test_schemaless_roundtrip_property(spark, objs):
+    """Arbitrary JSON objects survive the schemaless pipeline exactly:
+    decode → enrich → to_json re-serialization loses nothing and
+    coerces nothing (ints stay ints — including past 2^53, where the
+    reference's float64 unmarshal actually LOSES precision; nested
+    structure, bools, nulls, unicode all intact). One Spark job per
+    example (the objects ride as one batch)."""
+    rows = [("k", json.dumps(o), "t", 0, i, TS) for i, o in enumerate(objs)]
+    out = build_elastic_records(
+        kafka_df(spark, rows), cfg(), None, return_drops=True).collect()
+    by_offset = {r.offset: r for r in out}
+    for i, o in enumerate(objs):
+        r = by_offset[i]
+        assert r._drop_reason is None, (o, r._drop_reason)
+        doc = json.loads(r.payload)
+        doc.pop("@timestamp")
+        assert doc == o
