@@ -28,6 +28,7 @@ from .files import (  # noqa: F401
     malformed_only,
     read_csv,
     read_json,
+    read_json_schemaless,
     read_parquet,
     split_malformed,
 )

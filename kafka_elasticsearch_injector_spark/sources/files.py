@@ -62,6 +62,34 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str,
     )
 
 
+def read_json_schemaless(spark: SparkSession, path: str,
+                         **options) -> DataFrame:
+    """JSON-lines scan with NO declared schema and NO inference pass.
+
+    The file twin of the Kafka pipeline's schemaless mode
+    (operators/injector.decode_json_schemaless): each line decodes to
+    ``doc map<string,variant>`` — field types survive faithfully
+    (numbers/bools/nested/arrays/JSON-null) — plus the raw line in
+    ``_corrupt_record`` when it is not a JSON object, the same
+    PERMISSIVE side channel the typed readers expose (works with
+    drop_malformed / split_malformed / malformed_only).
+
+    Why not ``spark.read.json`` inference: at 100 TB inference is a
+    FULL extra scan before the real one, and the inferred struct
+    freezes whichever fields the sampled files happened to carry. This
+    is ONE scan of `text` + a from_json per line, whole-stage codegen,
+    schema-drift-proof.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.options(**options).text(path)
+    doc = F.from_json(F.col("value"), "map<string,variant>")
+    return raw.select(
+        doc.alias("doc"),
+        F.when(doc.isNull() & F.col("value").isNotNull(),
+               F.col("value")).alias(CORRUPT_COL))
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan — the only format here that serves pushdown/pruning;
     the query substrate (io.table adds the nanos-timestamp shim)."""

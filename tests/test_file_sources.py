@@ -88,3 +88,38 @@ def test_explicit_schema_prevents_inference_scan(spark, tmp_path):
     df = FS.drop_malformed(FS.read_csv(spark, p, SCHEMA))
     assert dict(df.dtypes) == {"id": "int", "name": "string",
                                "score": "double"}
+
+
+def test_read_json_schemaless(spark, tmp_path):
+    """No schema, no inference pass: each line lands as
+    map<string,variant> with types intact; non-object lines take the
+    PERMISSIVE corrupt side channel like the typed readers."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_injector_spark.sources import (
+        read_json_schemaless,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join([
+        _json.dumps({"id": 1, "nest": {"ok": True}, "tags": ["a", "b"]}),
+        _json.dumps({"other": 2.5, "id": "two"}),   # drifted shape: fine
+        '{"broken',                                  # malformed
+        "[1,2]",                                     # non-object
+    ]))
+    df = read_json_schemaless(spark, str(p))
+    assert dict(df.dtypes) == {"doc": "map<string,variant>",
+                               "_corrupt_record": "string"}
+    good = df.filter(F.col("doc").isNotNull())
+    docs = sorted((_json.loads(r) for r in
+                   good.select(F.to_json("doc")).toPandas().iloc[:, 0]),
+                  key=lambda d: str(d.get("id")))
+    assert docs == [{"id": 1, "nest": {"ok": True}, "tags": ["a", "b"]},
+                    {"id": "two", "other": 2.5}] or docs == [
+        {"id": 1, "nest": {"ok": True}, "tags": ["a", "b"]},
+        {"other": 2.5, "id": "two"}]
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r._corrupt_record for r in bad.collect()) == \
+        ["[1,2]", '{"broken']
