@@ -68,6 +68,12 @@ class InjectorConfig:
     blacklisted_columns: tuple[str, ...] = ()  # ES_BLACKLISTED_COLUMNS
     bulk_timeout_s: float = 1.0          # ES_BULK_TIMEOUT
     bulk_backoff_s: float = 1.0          # ES_BULK_BACKOFF
+    # ES_BULK_COMPRESS: gzip the _bulk bodies (Content-Encoding: gzip;
+    # ES honors it when http.compression is enabled, its default).
+    # Spark-side addition — NDJSON compresses 5-10x, and wide-area bulk
+    # ingest is usually network-bound; off by default for reference
+    # parity (the Go client sends identity bodies).
+    es_bulk_compress: bool = False
     max_retries: int | None = None       # reference retries FOREVER (store.go:33-46);
                                          # bounded here by default-able override
 
@@ -110,6 +116,8 @@ class InjectorConfig:
             es_password=e.get("ELASTICSEARCH_PASSWORD"),
             es_ignore_cert=get("ELASTICSEARCH_IGNORE_CERT",
                                "false").lower() == "true",
+            es_bulk_compress=get("ES_BULK_COMPRESS",
+                                 "false").lower() == "true",
             es_disable_sniffing=get("ELASTICSEARCH_DISABLE_SNIFFING",
                                     "true").lower() == "true",
             probes_port=(int(e["PROBES_PORT"])

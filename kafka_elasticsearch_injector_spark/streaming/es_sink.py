@@ -65,19 +65,21 @@ class HttpTransport:
 
     def __init__(self, es_host: str, timeout_s: float = 1.0,
                  user: str | None = None, password: str | None = None,
-                 ignore_cert: bool = False):
+                 ignore_cert: bool = False, compress: bool = False):
         self.es_host = es_host.rstrip("/")
         self.timeout_s = timeout_s
         self.user = user
         self.password = password
         self.ignore_cert = ignore_cert
+        self.compress = compress            # gzip _bulk bodies
         self._server_major: int | None = None  # sniffed lazily, cached
 
     @classmethod
     def from_config(cls, cfg) -> "HttpTransport":
         return cls(cfg.es_host, timeout_s=cfg.bulk_timeout_s,
                    user=cfg.es_user, password=cfg.es_password,
-                   ignore_cert=cfg.es_ignore_cert)
+                   ignore_cert=cfg.es_ignore_cert,
+                   compress=getattr(cfg, "es_bulk_compress", False))
 
     def _headers(self) -> dict[str, str]:
         h = {"Content-Type": "application/x-ndjson"}
@@ -121,8 +123,17 @@ class HttpTransport:
                    + ',"_id":' + _quote(doc_id) + "}}")
             append(payload)
         body = ("\n".join(lines) + "\n").encode()
+        headers = self._headers()
+        if self.compress:
+            # ES honors Content-Encoding: gzip on _bulk when
+            # http.compression is on (its default); NDJSON compresses
+            # 5-10x and bulk ingest is usually network-bound.
+            import gzip
+
+            body = gzip.compress(body, compresslevel=1)
+            headers["Content-Encoding"] = "gzip"
         req = urllib.request.Request(
-            f"{self.es_host}/_bulk", data=body, headers=self._headers())
+            f"{self.es_host}/_bulk", data=body, headers=headers)
         # Real ES can refuse the WHOLE request, not just items: HTTP 429
         # when the bulk queue is full, 5xx during node restarts, and
         # connection-level failures during rolling upgrades. Those are

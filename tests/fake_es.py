@@ -48,6 +48,7 @@ class FakeES:
         self.docs: dict[tuple[str, str], dict] = {}
         self.templates: dict[str, dict] = {}
         self.template_endpoints: list[str] = []   # which API each op hit
+        self.gzip_bulks = 0               # _bulk requests that arrived gzipped
         self.bulk_requests = 0
         self.throttle_bulks = 0
         self.reject_bulks = 0
@@ -103,6 +104,13 @@ class FakeES:
 
             def do_POST(self):  # noqa: N802 — _bulk
                 body = self.rfile.read(int(self.headers["Content-Length"]))
+                if self.headers.get("Content-Encoding") == "gzip":
+                    # real ES decompresses when http.compression is on
+                    import gzip
+
+                    body = gzip.decompress(body)
+                    with fake._lock:
+                        fake.gzip_bulks += 1
                 if self.path != "/_bulk":
                     self._reply(404)
                     return

@@ -541,3 +541,22 @@ def test_es7_template_api_stays_legacy(fake_es):
     assert ensure_index_template(t, "my-topic") is True
     assert set(es.template_endpoints) == {"/_template/"}
     assert es.templates["my-topic"]["template"] == "my-topic-*"
+
+
+def test_gzip_bulk_bodies(fake_es):
+    """ES_BULK_COMPRESS=true gzips the _bulk NDJSON (Content-Encoding:
+    gzip, honored by ES's default http.compression) — same triage
+    semantics over the wire, ~network-bound ingest win."""
+    es, url = fake_es
+    w = ElasticBulkWriter(HttpTransport(url, compress=True), batch_size=2,
+                          backoff_s=0.01, max_retries=2)
+    stats = w.write([("idx", str(i), json.dumps({"v": i}))
+                     for i in range(5)])
+    assert stats.created == 5
+    assert es.gzip_bulks == 3            # every chunk arrived gzipped
+    assert es.docs[("idx", "3")] == {"v": 3}
+    # env knob flows through from_config
+    cfg = InjectorConfig.from_env({"ES_BULK_COMPRESS": "true",
+                                   "KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                   "KAFKA_TOPICS": "t"})
+    assert HttpTransport.from_config(cfg).compress is True

@@ -278,3 +278,20 @@ def test_schemaless_roundtrip_property(spark, objs):
         doc = json.loads(r.payload)
         doc.pop("@timestamp")
         assert doc == o
+
+
+def test_schemaless_arbitrary_precision_numbers(spark):
+    """JSON numbers beyond IEEE double survive EXACTLY (variant holds
+    them as decimals): the reference's json.Unmarshal puts every number
+    in a float64 and silently loses them — faithful-or-better parity,
+    pinned here so a decode-path change can't regress it."""
+    val = ('{"big": 123456789012345678901234567890, '
+           '"i64max": 9223372036854775807, '
+           '"frac": 0.1234567890123456789012345, "id": "x"}')
+    out = build_elastic_records(
+        kafka_df(spark, [("k", val, "my-topic", 0, 7, TS)]), cfg(), None)
+    [row] = out.collect()
+    p = row.payload
+    assert '"big":123456789012345678901234567890' in p
+    assert '"i64max":9223372036854775807' in p
+    assert '"frac":0.1234567890123456789012345' in p
