@@ -47,6 +47,12 @@ class InjectorConfig:
     concurrency: int = 1                 # KAFKA_CONSUMER_CONCURRENCY → minPartitions
     buffer_size: int | None = None       # KAFKA_CONSUMER_BUFFER_SIZE (default batch×concurrency,
                                          # injector.go:31-34) → maxOffsetsPerTrigger
+    # KAFKA_STARTING_OFFSETS: where a FRESH checkpoint starts —
+    # "latest" (reference parity: sarama's OffsetNewest default),
+    # "earliest" (full-topic backfill), or a per-partition JSON object
+    # (the Spark connector's startingOffsets syntax). Once the
+    # checkpoint exists it owns the offsets and this is ignored.
+    starting_offsets: str = "latest"
     metrics_interval_s: float = 30.0     # KAFKA_CONSUMER_METRICS_UPDATE_INTERVAL
     schema_registry_url: str | None = None
 
@@ -88,6 +94,11 @@ class InjectorConfig:
                 f"ES_TIME_SUFFIX must be day|hour, got {self.es_time_suffix!r}")
         if self.record_type == "avro" and not self.schema_registry_url:
             raise ValueError("SCHEMA_REGISTRY_URL required for avro records")
+        if (self.starting_offsets not in ("latest", "earliest")
+                and not self.starting_offsets.strip().startswith("{")):
+            raise ValueError(
+                "KAFKA_STARTING_OFFSETS must be latest|earliest or a "
+                f"per-partition JSON object, got {self.starting_offsets!r}")
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "InjectorConfig":
@@ -104,6 +115,7 @@ class InjectorConfig:
             include_key=get("KAFKA_CONSUMER_INCLUDE_KEY", "false").lower() == "true",
             batch_size=int(get("KAFKA_CONSUMER_BATCH_SIZE", "100")),
             concurrency=int(get("KAFKA_CONSUMER_CONCURRENCY", "1")),
+            starting_offsets=get("KAFKA_STARTING_OFFSETS", "latest"),
             buffer_size=(int(e["KAFKA_CONSUMER_BUFFER_SIZE"])
                          if "KAFKA_CONSUMER_BUFFER_SIZE" in e else None),
             metrics_interval_s=_parse_duration_seconds(

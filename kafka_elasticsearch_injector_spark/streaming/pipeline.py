@@ -44,7 +44,9 @@ def read_kafka_stream(spark: SparkSession, cfg: InjectorConfig) -> DataFrame:
         .option("kafka.bootstrap.servers", cfg.kafka_address)
         .option("subscribe", ",".join(cfg.topics))
         .option("kafka.group.id", cfg.consumer_group)
-        .option("startingOffsets", "latest")
+        # Fresh-checkpoint start position (config.starting_offsets);
+        # an existing checkpoint owns the offsets and ignores this.
+        .option("startingOffsets", cfg.starting_offsets)
         .option("maxOffsetsPerTrigger", buffer)
         .option("minPartitions", max(cfg.concurrency, 1))
         .load()

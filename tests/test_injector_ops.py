@@ -321,3 +321,20 @@ def test_jvm_avro_path_fails_fast_without_artifact(spark):
         return
     # Artifact present in this deployment: the plan must analyze cleanly.
     assert "decoded" in out.columns
+
+
+def test_starting_offsets_config():
+    """KAFKA_STARTING_OFFSETS: latest (reference parity default) /
+    earliest (backfill) / per-partition JSON; anything else fails fast."""
+    from kafka_elasticsearch_injector_spark.config import InjectorConfig
+
+    base = {"KAFKA_TOPICS": "t", "KAFKA_CONSUMER_RECORD_TYPE": "json"}
+    assert InjectorConfig.from_env(base).starting_offsets == "latest"
+    assert InjectorConfig.from_env(
+        {**base, "KAFKA_STARTING_OFFSETS": "earliest"}
+    ).starting_offsets == "earliest"
+    j = '{"t": {"0": 23, "1": -2}}'
+    assert InjectorConfig.from_env(
+        {**base, "KAFKA_STARTING_OFFSETS": j}).starting_offsets == j
+    with pytest.raises(ValueError, match="KAFKA_STARTING_OFFSETS"):
+        InjectorConfig.from_env({**base, "KAFKA_STARTING_OFFSETS": "newest"})
