@@ -30,6 +30,10 @@ SLOW_MODULES = frozenset({
     "test_registry_http",
     "test_avro_ocf",
     "test_avro_source",
+    # r11: schemaless-ingest parity suite runs full decode→route plans
+    # per test (integration-flavored; the streaming e2e inside is
+    # already slow by prefix)
+    "test_schemaless_json",
     "test_posting_ops",
     "test_bitwise_parity",
 })
