@@ -28,6 +28,16 @@ def _parse_duration_seconds(s: str) -> float:
     return val * {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}[unit]
 
 
+def _parse_size_bytes(s: str) -> int:
+    """'5mb', '512kb', '1gb', or plain bytes ('5242880')."""
+    m = re.fullmatch(r"(\d+)\s*(kb|mb|gb)?", s.strip().lower())
+    if not m:
+        raise ValueError(
+            f"bad size {s!r} (want e.g. '5mb', '512kb', or plain bytes)")
+    return int(m.group(1)) * {None: 1, "kb": 1 << 10, "mb": 1 << 20,
+                              "gb": 1 << 30}[m.group(2)]
+
+
 def _compose_host(host: str, scheme: str) -> str:
     """ELASTICSEARCH_SCHEME applies only when the host has no scheme of
     its own (reference src/elasticsearch/config.go builds url from
@@ -80,6 +90,10 @@ class InjectorConfig:
     # ingest is usually network-bound; off by default for reference
     # parity (the Go client sends identity bodies).
     es_bulk_compress: bool = False
+    # ES_BULK_MAX_BYTES: additional per-bulk BODY size cap ("5mb",
+    # "512kb", or plain bytes). ES sizes bulk guidance in MB, not rows;
+    # None keeps the reference's pure row-count batching.
+    bulk_max_bytes: int | None = None
     max_retries: int | None = None       # reference retries FOREVER (store.go:33-46);
                                          # bounded here by default-able override
 
@@ -130,6 +144,8 @@ class InjectorConfig:
                                "false").lower() == "true",
             es_bulk_compress=get("ES_BULK_COMPRESS",
                                  "false").lower() == "true",
+            bulk_max_bytes=(_parse_size_bytes(e["ES_BULK_MAX_BYTES"])
+                            if "ES_BULK_MAX_BYTES" in e else None),
             es_disable_sniffing=get("ELASTICSEARCH_DISABLE_SNIFFING",
                                     "true").lower() == "true",
             probes_port=(int(e["PROBES_PORT"])

@@ -357,19 +357,48 @@ class NullTransport:
 
 
 class ElasticBulkWriter:
-    """Batch → bulk calls of cfg.batch_size with triage + bounded retry."""
+    """Batch → bulk calls of cfg.batch_size with triage + bounded retry.
+
+    `max_bytes` additionally caps each bulk's approximate BODY size
+    (action line + payload per record): ES sizes its bulk guidance in
+    megabytes, not rows — a row-count-only chunking under-fills bulks
+    on skinny records and blows `http.max_content_length` (100 MB
+    default) on wide ones. None (default) keeps the reference's pure
+    row-count behavior (store.go:23-48 batches by count)."""
 
     def __init__(self, transport, batch_size: int = 100,
-                 backoff_s: float = 1.0, max_retries: int | None = 10):
+                 backoff_s: float = 1.0, max_retries: int | None = 10,
+                 max_bytes: int | None = None):
         self.transport = transport
         self.batch_size = batch_size
         self.backoff_s = backoff_s
         self.max_retries = max_retries
+        self.max_bytes = max_bytes
         self.stats = BulkStats()
 
+    def _chunks(self, actions: list[tuple[str, str, str]]):
+        if self.max_bytes is None:
+            for i in range(0, len(actions), self.batch_size):
+                yield actions[i:i + self.batch_size]
+            return
+        chunk: list[tuple[str, str, str]] = []
+        size = 0
+        for a in actions:
+            # ~body contribution: action line (fixed frame + index +
+            # id) + payload + newlines
+            a_size = 40 + len(a[0]) + len(a[1]) + len(a[2])
+            if chunk and (len(chunk) >= self.batch_size
+                          or size + a_size > self.max_bytes):
+                yield chunk
+                chunk, size = [], 0
+            chunk.append(a)
+            size += a_size
+        if chunk:
+            yield chunk
+
     def write(self, actions: list[tuple[str, str, str]]) -> BulkStats:
-        for i in range(0, len(actions), self.batch_size):
-            self._write_chunk(actions[i:i + self.batch_size])
+        for chunk in self._chunks(actions):
+            self._write_chunk(chunk)
         return self.stats
 
     def _write_chunk(self, chunk: list[tuple[str, str, str]]) -> None:
@@ -426,6 +455,7 @@ def write_arrow_factory(cfg, transport_factory, sink_acc=None):
     batch_size = cfg.batch_size
     backoff_s = cfg.bulk_backoff_s
     max_retries = cfg.max_retries if cfg.max_retries is not None else 10
+    max_bytes = getattr(cfg, "bulk_max_bytes", None)
 
     def write_arrow(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -437,7 +467,8 @@ def write_arrow_factory(cfg, transport_factory, sink_acc=None):
             if writer is None:
                 writer = ElasticBulkWriter(
                     transport_factory(), batch_size=batch_size,
-                    backoff_s=backoff_s, max_retries=max_retries)
+                    backoff_s=backoff_s, max_retries=max_retries,
+                    max_bytes=max_bytes)
             writer.write(list(zip(
                 batch.column("index_name").to_pylist(),
                 batch.column("doc_id").to_pylist(),
@@ -469,6 +500,7 @@ def write_partition_factory(cfg, transport_factory, sink_acc=None):
     batch_size = cfg.batch_size
     backoff_s = cfg.bulk_backoff_s
     max_retries = cfg.max_retries if cfg.max_retries is not None else 10
+    max_bytes = getattr(cfg, "bulk_max_bytes", None)
 
     def write_partition(rows: Iterator) -> None:
         actions = [(r.index_name, r.doc_id, r.payload) for r in rows]
@@ -476,7 +508,8 @@ def write_partition_factory(cfg, transport_factory, sink_acc=None):
             return
         writer = ElasticBulkWriter(
             transport_factory(), batch_size=batch_size,
-            backoff_s=backoff_s, max_retries=max_retries)
+            backoff_s=backoff_s, max_retries=max_retries,
+            max_bytes=max_bytes)
         stats = writer.write(actions)
         if sink_acc is not None:
             sink_acc.add_stats(stats)

@@ -560,3 +560,29 @@ def test_gzip_bulk_bodies(fake_es):
                                    "KAFKA_CONSUMER_RECORD_TYPE": "json",
                                    "KAFKA_TOPICS": "t"})
     assert HttpTransport.from_config(cfg).compress is True
+
+
+def test_bulk_max_bytes_chunking(fake_es):
+    """ES_BULK_MAX_BYTES caps each bulk's approximate body size on top
+    of the row cap: wide records flush early (no http.max_content_length
+    blowups), skinny records still fill up to batch_size rows."""
+    es, url = fake_es
+    wide = "x" * 400
+    w = ElasticBulkWriter(HttpTransport(url), batch_size=100,
+                          backoff_s=0.01, max_retries=2, max_bytes=1000)
+    stats = w.write([("idx", str(i), json.dumps({"v": wide}))
+                     for i in range(6)])
+    assert stats.created == 6
+    assert es.bulk_requests == 3        # ~2 wide records per 1000-byte bulk
+    # row cap still applies when records are tiny
+    es.bulk_requests = 0
+    w2 = ElasticBulkWriter(HttpTransport(url), batch_size=2,
+                           backoff_s=0.01, max_retries=2, max_bytes=10**6)
+    stats2 = w2.write([("idx", f"t{i}", "{}") for i in range(5)])
+    assert stats2.created == 5
+    assert es.bulk_requests == 3        # ceil(5/2)
+    # env knob parses sizes
+    cfg = InjectorConfig.from_env({"ES_BULK_MAX_BYTES": "5mb",
+                                   "KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                   "KAFKA_TOPICS": "t"})
+    assert cfg.bulk_max_bytes == 5 << 20
