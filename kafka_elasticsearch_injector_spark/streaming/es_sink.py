@@ -438,7 +438,7 @@ STATS_SCHEMA = ("created long, already_exists long, bad_request long, "
                 "retried long")
 
 
-def write_arrow_factory(cfg, transport_factory, sink_acc=None):
+def write_arrow_factory(cfg, transport_factory):
     """Build the Arrow-batched executor sink for `DataFrame.mapInArrow`.
 
     The 100×-scale encode path (SURVEY §4.1 watch-item closed in r11):
@@ -450,7 +450,14 @@ def write_arrow_factory(cfg, transport_factory, sink_acc=None):
 
     Tasks yield ONE counters row each (STATS_SCHEMA); the driver action
     that runs the sink collects only those counters, never record data.
-    `sink_acc` accumulators flow back exactly as under foreachPartition.
+
+    Metrics flow back through the COLLECTED rows, not executor-side
+    accumulator updates: mapInArrow is a transformation, and Spark's
+    exactly-once accumulator guarantee holds only for actions — a
+    retried/speculated task would double-count. The caller folds the
+    collected rows into `sink_acc` on the driver (collect deduplicates
+    retries by construction). The function takes no sink_acc anymore
+    for exactly that reason.
     """
     batch_size = cfg.batch_size
     backoff_s = cfg.bulk_backoff_s
@@ -474,8 +481,6 @@ def write_arrow_factory(cfg, transport_factory, sink_acc=None):
                 batch.column("doc_id").to_pylist(),
                 batch.column("payload").to_pylist())))
         stats = writer.stats if writer is not None else BulkStats()
-        if sink_acc is not None:
-            sink_acc.add_stats(stats)
         yield pa.RecordBatch.from_pylist([{
             "created": stats.created,
             "already_exists": stats.already_exists,

@@ -384,14 +384,25 @@ def start_pipeline(spark: SparkSession, cfg: InjectorConfig,
         if not getattr(metrics, "_listener_registered", False):
             spark.streams.addListener(metrics.listener)
             metrics._listener_registered = True
-    writer = write_arrow_factory(cfg, transport_factory, sink_acc)
+    writer = write_arrow_factory(cfg, transport_factory)
 
     def run_sink(df: DataFrame) -> None:
         # Executor-side bulk writes over Arrow batches (no per-row
         # pickle, no Row objects); the driver action collects ONE
-        # counters row per task — never record data.
-        (df.select("index_name", "doc_id", "payload")
-         .mapInArrow(writer, STATS_SCHEMA).collect())
+        # counters row per task — never record data. Metrics fold in
+        # HERE, from the collected rows: collect() deduplicates task
+        # retries, where an executor-side accumulator update inside a
+        # transformation would double-count (exactly-once accumulators
+        # are an action-only guarantee).
+        rows = (df.select("index_name", "doc_id", "payload")
+                .mapInArrow(writer, STATS_SCHEMA).collect())
+        if sink_acc is not None:
+            from .es_sink import BulkStats
+
+            for r in rows:
+                sink_acc.add_stats(BulkStats(
+                    created=r.created, already_exists=r.already_exists,
+                    bad_request=r.bad_request, retried=r.retried))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if dead_letter_dir is None:
