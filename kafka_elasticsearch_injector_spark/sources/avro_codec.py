@@ -104,8 +104,12 @@ def logical_type(schema) -> tuple[str, dict] | None:
             return None
         if schema["type"] == "fixed":
             # precision must fit the fixed size: max = digits of
-            # 2^(8*size-1)-1 (spec's stated bound).
-            size = schema.get("size", 0)
+            # 2^(8*size-1)-1 (spec's stated bound). A non-positive or
+            # non-int size is itself invalid → same ignore-fallback.
+            size = schema.get("size")
+            if not (isinstance(size, int) and not isinstance(size, bool)
+                    and size >= 1):
+                return None
             if len(str((1 << (8 * size - 1)) - 1)) < p:
                 return None
         return name, {"precision": p, "scale": s}
