@@ -108,6 +108,11 @@ class InjectorConfig:
                 f"ES_TIME_SUFFIX must be day|hour, got {self.es_time_suffix!r}")
         if self.record_type == "avro" and not self.schema_registry_url:
             raise ValueError("SCHEMA_REGISTRY_URL required for avro records")
+        if self.bulk_max_bytes is not None and self.bulk_max_bytes < 1:
+            # 0 would silently flush one record per bulk — a ~batch_size×
+            # throughput collapse, not a plausible intent
+            raise ValueError(
+                f"ES_BULK_MAX_BYTES must be >= 1, got {self.bulk_max_bytes}")
         if (self.starting_offsets not in ("latest", "earliest")
                 and not self.starting_offsets.strip().startswith("{")):
             raise ValueError(

@@ -1164,9 +1164,10 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A hand-rolled candidate join + array_intersect verify re-paid the
     # costs that path exists to kill — measured 13-15 s at sf0.1 vs
     # ~2 s this way.
+    n_docs = parquet_row_count(sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, k=8, rows_per_band=2, shingle_n=1, threshold=0.0,
-        size_hint=parquet_row_count(sf_dir, "documents"),
+        size_hint=n_docs,
         vocab_hint=small_vocab_probe(sf_dir, "documents"),
     ).withColumnRenamed("jac", "exact_jac")
     sigs = docs.select(
@@ -1185,7 +1186,6 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap the hint disappears and Catalyst/AQE picks the join (shuffled
     # hash / sort-merge on doc ids). An unconditional F.broadcast here
     # would OOM a full-corpus calibration run at 100 TB.
-    n_docs = parquet_row_count(sf_dir, "documents")
     hint = (F.broadcast if n_docs <= _CALIBRATION_BROADCAST_MAX_DOCS
             else (lambda d: d))
     return (

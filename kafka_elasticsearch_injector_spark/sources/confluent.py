@@ -118,7 +118,20 @@ def avro_to_spark_type(schema) -> T.DataType:
 def _conform(value: Any, dtype: T.DataType) -> Any:
     """Project a decoded value onto the reader type by field name —
     missing fields → null, extra fields dropped (name-based resolution;
-    full Avro aliases/defaults are out of scope and documented so)."""
+    full Avro aliases/defaults are out of scope and documented so).
+
+    Atomic values are TYPE-CHECKED against the reader column: decode
+    surfaces values per the WRITER schema (incl. its logical types), so
+    a writer/reader logical-type divergence (say the producer adds
+    ``timestamp-millis`` to a long the pinned reader still declares
+    plain) would otherwise sail through here and crash the pandas→Arrow
+    conversion OUTSIDE decode_one's try/except — failing the whole
+    micro-batch instead of side-dropping the record
+    (consumer.go:154-159 parity). The AvroError raised here is caught
+    per record."""
+    import datetime as dt
+    from decimal import Decimal
+
     if value is None:
         return None
     if isinstance(dtype, T.StructType):
@@ -130,6 +143,29 @@ def _conform(value: Any, dtype: T.DataType) -> Any:
         return [_conform(v, dtype.elementType) for v in value]
     if isinstance(dtype, T.MapType):
         return {k: _conform(v, dtype.valueType) for k, v in value.items()}
+    ok = True
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType,
+                          T.ByteType)):
+        ok = isinstance(value, int) and not isinstance(value, bool)
+    elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+        ok = isinstance(value, (int, float)) and not isinstance(value, bool)
+    elif isinstance(dtype, T.BooleanType):
+        ok = isinstance(value, bool)
+    elif isinstance(dtype, T.StringType):
+        ok = isinstance(value, str)
+    elif isinstance(dtype, T.BinaryType):
+        ok = isinstance(value, (bytes, bytearray))
+    elif isinstance(dtype, T.DecimalType):
+        ok = isinstance(value, Decimal)
+    elif isinstance(dtype, T.DateType):
+        ok = isinstance(value, dt.date) and not isinstance(value, dt.datetime)
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        ok = isinstance(value, dt.datetime)
+    if not ok:
+        raise AvroError(
+            f"writer value of type {type(value).__name__} does not fit "
+            f"reader column type {dtype.simpleString()} (logical-type "
+            "divergence between writer and reader schemas?)")
     return value
 
 

@@ -119,8 +119,11 @@ class HttpTransport:
         lines = []
         append = lines.append
         for index_name, doc_id, payload in actions:
-            append('{"create":{"_index":' + _quote(index_name)
-                   + ',"_id":' + _quote(doc_id) + "}}")
+            # str() first: callers historically passed e.g. int doc ids
+            # (json.dumps serialized them; ES coerces _id to string
+            # anyway) — the C quoter itself accepts only str.
+            append('{"create":{"_index":' + _quote(str(index_name))
+                   + ',"_id":' + _quote(str(doc_id)) + "}}")
             append(payload)
         body = ("\n".join(lines) + "\n").encode()
         headers = self._headers()
@@ -282,11 +285,18 @@ def ensure_index_template(transport, name: str,
     transport.server_major) the same settings/mappings are sent in the
     composable /_index_template shape instead. An explicit `template`
     is sent verbatim — the caller owns its shape."""
+    # Sniff ONCE and pin the answer on the transport for the endpoint
+    # choice too: body shape and URL must agree. Without the pin, a
+    # transient sniff failure here (assume-7 legacy body) followed by a
+    # successful sniff inside _template_url (→ /_index_template) would
+    # PUT a legacy body at the composable endpoint — a guaranteed 400.
+    major = getattr(transport, "server_major", lambda: None)() or 7
+    if hasattr(transport, "_server_major") and transport._server_major is None:
+        transport._server_major = major
     if template is not None:
         body = template
     else:
         pattern = f"{name}-*"
-        major = getattr(transport, "server_major", lambda: None)() or 7
         if major >= 8:
             body = composable_template(DEFAULT_INDEX_TEMPLATE, pattern)
         else:
@@ -385,8 +395,13 @@ class ElasticBulkWriter:
         size = 0
         for a in actions:
             # ~body contribution: action line (fixed frame + index +
-            # id) + payload + newlines
-            a_size = 40 + len(a[0]) + len(a[1]) + len(a[2])
+            # id) + payload + newlines — in ENCODED bytes, not Python
+            # chars (a CJK-heavy payload is 3 UTF-8 bytes per char; a
+            # char count would let the body blow the cap 3x and trip
+            # the http.max_content_length this cap exists to respect)
+            a_size = (40 + len(str(a[0]).encode("utf-8"))
+                      + len(str(a[1]).encode("utf-8"))
+                      + len(a[2].encode("utf-8")))
             if chunk and (len(chunk) >= self.batch_size
                           or size + a_size > self.max_bytes):
                 yield chunk

@@ -57,6 +57,78 @@ def read_kafka_stream(spark: SparkSession, cfg: InjectorConfig) -> DataFrame:
 SOURCE_COLS = ("key", "value", "topic", "partition", "offset", "timestamp")
 
 
+def _required(col: Column, what: str) -> Column:
+    """A NULL routing value fails the batch explicitly — the reference's
+    GetValueForField errors on missing/unparseable values
+    (record.go:30-42) and the codec propagates it (codec.go:62-68,
+    82-88); silently shipping ``"_index": null`` or a "None" doc id is
+    worse than failing loudly."""
+    return F.coalesce(col, F.raise_error(F.lit(
+        f"missing or null {what} routing value (reference "
+        "record.go:30-42 fails the record)")))
+
+
+def _routing(cfg: InjectorConfig, field_str) -> tuple[Column, Column]:
+    """Index-name + doc-id expressions (ops 12-17), shared by the typed
+    and schemaless paths; ``field_str(name)`` resolves a payload field
+    as a string column (struct access typed, variant lookup
+    schemaless)."""
+    index_base = F.coalesce(
+        F.lit(cfg.es_index) if cfg.es_index else F.lit(None).cast("string"),
+        F.col("topic"))
+    if cfg.es_index_column:
+        suffix = _required(field_str(cfg.es_index_column),
+                           f"es_index_column={cfg.es_index_column}")
+    else:
+        fmt = "yyyy-MM-dd-HH" if cfg.es_time_suffix == "hour" else "yyyy-MM-dd"
+        suffix = F.date_format(F.col("timestamp"), fmt)
+    index_name = F.concat(F.lit(cfg.es_index_prefix), index_base,
+                          F.lit("-"), suffix)
+    if cfg.es_doc_id_column:
+        doc_id = _required(field_str(cfg.es_doc_id_column),
+                           f"es_doc_id_column={cfg.es_doc_id_column}")
+    else:
+        doc_id = ops.doc_id_default("partition", "offset")
+    return index_name, doc_id
+
+
+def _parse_json_key(df: DataFrame, reason: Column
+                    ) -> tuple[DataFrame, Column]:
+    """Shared json-key validation: parse ONCE into ``_key_var``
+    (variant) — both the validity check and the payload embed read it.
+    A non-null key must be a JSON OBJECT (Go unmarshals it into a map,
+    encode_decode.go:98-104); anything else drops the record as
+    bad_key."""
+    df = df.withColumn(
+        "_key_var", F.try_parse_json(F.col("key").cast("string")))
+    key_str = F.col("key").cast("string")
+    bad_key = key_str.isNotNull() & (
+        F.col("_key_var").isNull()
+        | ~F.ltrim(key_str).startswith("{"))
+    return df, reason.when(bad_key, F.lit("bad_key"))
+
+
+def _assemble(df: DataFrame, reason: Column, index_name: Column,
+              doc_id: Column, payload_json: Column,
+              return_drops: bool) -> DataFrame:
+    """Shared output contract: (index_name, doc_id, doc_type, payload)
+    — routing/payload expressions when()-guarded so raise_error never
+    fires on dropped rows; return_drops adds _drop_reason + the raw
+    envelope."""
+    clean = reason.isNull()
+    out_cols = [
+        F.when(clean, index_name).alias("index_name"),
+        F.when(clean, doc_id).alias("doc_id"),
+        F.lit(ops.DOC_TYPE).alias("doc_type"),
+        F.when(clean, payload_json).alias("payload"),
+    ]
+    if return_drops:
+        return df.select(
+            *out_cols, reason.alias("_drop_reason"),
+            *[F.col(c) for c in SOURCE_COLS])
+    return df.filter(clean).select(*out_cols)
+
+
 def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
                           payload_schema: T.StructType | str | None = None,
                           registry=None, reader_schema_id: int | None = None,
@@ -126,7 +198,15 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
 
     # Enrich + blacklist (ops 9-11): payload = decoded fields minus
     # blacklist, plus @timestamp (epoch millis) and optionally the key.
-    kept = [f for f in payload_fields if f not in set(cfg.blacklisted_columns)]
+    # "@timestamp" is excluded from the passthrough unconditionally, and
+    # "key" whenever include_key claims the name: the reference's map
+    # ASSIGNMENT overwrites those fields (encode_decode.go:96-104) —
+    # keeping them in the struct would emit duplicate JSON keys, which
+    # ES rejects with 400.
+    dropped = set(cfg.blacklisted_columns) | {"@timestamp"}
+    if cfg.include_key:
+        dropped.add("key")
+    kept = [f for f in payload_fields if f not in dropped]
     payload_cols: list[Column] = [F.col(f"decoded.{f}").alias(f) for f in kept]
     payload_cols.append(F.unix_millis(F.col("timestamp")).alias("@timestamp"))
     if cfg.include_key:
@@ -136,17 +216,17 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
         # map (encode_decode.go:98-104); an undecodable non-null key
         # fails the record. A nil key is fine — the field is omitted.
         if cfg.record_type == "json":
-            # Parse ONCE into a column; both the validity check and the
-            # payload embed read it (try_parse_json per use would double
-            # the per-record parse cost — it dominates this hot path).
-            df = df.withColumn(
-                "_key_var", F.try_parse_json(F.col("key").cast("string")))
-            key_str = F.col("key").cast("string")
-            bad_key = key_str.isNotNull() & (
-                F.col("_key_var").isNull()
-                | ~F.ltrim(key_str).startswith("{"))  # must be an object
-            reason = reason.when(bad_key, F.lit("bad_key"))
-            payload_cols.append(F.col("_key_var").alias("key"))
+            df, reason = _parse_json_key(df, reason)
+            key_field = F.col("_key_var")
+            if "key" in payload_fields:
+                # Go assigns Json["key"] only for a NON-NIL Kafka key:
+                # nil-key records keep the payload's own "key" field.
+                # Both sides ride the VARIANT lane so the struct field
+                # has one type regardless of the declared payload type.
+                key_field = (
+                    F.when(F.col("key").isNotNull(), key_field)
+                    .otherwise(F.col("decoded.key").cast("variant")))
+            payload_cols.append(key_field.alias("key"))
         else:
             if key_reader_schema_id is None:
                 raise ValueError(
@@ -162,6 +242,12 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
                 F.col("key").isNotNull()
                 & F.col("_key_decode_error").isNotNull(),
                 F.concat(F.lit("bad_key: "), F.col("_key_decode_error")))
+            # Avro + a payload field literally named "key": the embedded
+            # key OWNS the name (to_json omits it on nil-key records).
+            # Documented divergence: the reference would keep the
+            # payload's field for nil-key records, but mixing the two
+            # requires one struct type and the payload field's type is
+            # arbitrary — a duplicate JSON key would be strictly worse.
             payload_cols.append(F.col("decoded_key").alias("key"))
 
     # Routing (ops 12-17). Missing routing columns fail HERE, at plan
@@ -172,48 +258,10 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
                 f"routing column {routing_col!r} not in payload schema "
                 f"{payload_fields}")
 
-    def _required(col: Column, what: str) -> Column:
-        # A NULL routing value fails the batch explicitly — the
-        # reference's GetValueForField errors on missing/unparseable
-        # values (record.go:30-42) and the codec propagates it
-        # (codec.go:62-68, 82-88); silently shipping "_index": null or
-        # a "None" doc id is worse than failing loudly.
-        return F.coalesce(col, F.raise_error(F.lit(
-            f"null {what} routing value (reference record.go:30-42 "
-            "fails the record)")))
-
-    index_base = F.coalesce(
-        F.lit(cfg.es_index) if cfg.es_index else F.lit(None).cast("string"),
-        F.col("topic"))
-    if cfg.es_index_column:
-        suffix = _required(
-            F.col(f"decoded.{cfg.es_index_column}").cast("string"),
-            f"es_index_column={cfg.es_index_column}")
-    else:
-        fmt = "yyyy-MM-dd-HH" if cfg.es_time_suffix == "hour" else "yyyy-MM-dd"
-        suffix = F.date_format(F.col("timestamp"), fmt)
-    index_name = F.concat(F.lit(cfg.es_index_prefix), index_base,
-                          F.lit("-"), suffix)
-
-    if cfg.es_doc_id_column:
-        doc_id = _required(
-            F.col(f"decoded.{cfg.es_doc_id_column}").cast("string"),
-            f"es_doc_id_column={cfg.es_doc_id_column}")
-    else:
-        doc_id = ops.doc_id_default("partition", "offset")
-
-    clean = reason.isNull()
-    out_cols = [
-        F.when(clean, index_name).alias("index_name"),
-        F.when(clean, doc_id).alias("doc_id"),
-        F.lit(ops.DOC_TYPE).alias("doc_type"),
-        F.when(clean, F.to_json(F.struct(*payload_cols))).alias("payload"),
-    ]
-    if return_drops:
-        return df.select(
-            *out_cols, reason.alias("_drop_reason"),
-            *[F.col(c) for c in SOURCE_COLS])
-    return df.filter(clean).select(*out_cols)
+    index_name, doc_id = _routing(
+        cfg, lambda name: F.col(f"decoded.{name}").cast("string"))
+    return _assemble(df, reason, index_name, doc_id,
+                     F.to_json(F.struct(*payload_cols)), return_drops)
 
 
 def _build_elastic_records_schemaless(df: DataFrame, cfg: InjectorConfig,
@@ -269,26 +317,12 @@ def _build_elastic_records_schemaless(df: DataFrame, cfg: InjectorConfig,
             F.parse_json(F.unix_millis(F.col("timestamp")).cast("string"))),
     )
     if cfg.include_key:
-        # Key must itself be a JSON object (Go unmarshals it into a map,
-        # encode_decode.go:98-104); an undecodable non-nil key fails the
-        # record. Parsed ONCE — validity check and embed share _key_var.
-        df = df.withColumn(
-            "_key_var", F.try_parse_json(F.col("key").cast("string")))
-        key_str = F.col("key").cast("string")
-        bad_key = key_str.isNotNull() & (
-            F.col("_key_var").isNull()
-            | ~F.ltrim(key_str).startswith("{"))
-        reason = reason.when(bad_key, F.lit("bad_key"))
+        df, reason = _parse_json_key(df, reason)
         payload_map = F.map_concat(
             payload_map,
             F.when(F.col("key").isNotNull(),
                    F.create_map(F.lit("key"), F.col("_key_var")))
             .otherwise(F.create_map().cast("map<string,variant>")))
-
-    def _required(col: Column, what: str) -> Column:
-        return F.coalesce(col, F.raise_error(F.lit(
-            f"missing or null {what} routing value (reference "
-            "record.go:30-42 fails the record)")))
 
     def _field_str(name: str) -> Column:
         # Runtime field lookup, string-cast like record.go:30-42's
@@ -297,36 +331,9 @@ def _build_elastic_records_schemaless(df: DataFrame, cfg: InjectorConfig,
             F.try_element_at(F.col("_decoded_map"), F.lit(name)),
             "$", "string")
 
-    index_base = F.coalesce(
-        F.lit(cfg.es_index) if cfg.es_index else F.lit(None).cast("string"),
-        F.col("topic"))
-    if cfg.es_index_column:
-        suffix = _required(_field_str(cfg.es_index_column),
-                           f"es_index_column={cfg.es_index_column}")
-    else:
-        fmt = "yyyy-MM-dd-HH" if cfg.es_time_suffix == "hour" else "yyyy-MM-dd"
-        suffix = F.date_format(F.col("timestamp"), fmt)
-    index_name = F.concat(F.lit(cfg.es_index_prefix), index_base,
-                          F.lit("-"), suffix)
-
-    if cfg.es_doc_id_column:
-        doc_id = _required(_field_str(cfg.es_doc_id_column),
-                           f"es_doc_id_column={cfg.es_doc_id_column}")
-    else:
-        doc_id = ops.doc_id_default("partition", "offset")
-
-    clean = reason.isNull()
-    out_cols = [
-        F.when(clean, index_name).alias("index_name"),
-        F.when(clean, doc_id).alias("doc_id"),
-        F.lit(ops.DOC_TYPE).alias("doc_type"),
-        F.when(clean, F.to_json(payload_map)).alias("payload"),
-    ]
-    if return_drops:
-        return df.select(
-            *out_cols, reason.alias("_drop_reason"),
-            *[F.col(c) for c in SOURCE_COLS])
-    return df.filter(clean).select(*out_cols)
+    index_name, doc_id = _routing(cfg, _field_str)
+    return _assemble(df, reason, index_name, doc_id,
+                     F.to_json(payload_map), return_drops)
 
 
 def enrich_static(stream: DataFrame, dim: DataFrame, on: str | list,

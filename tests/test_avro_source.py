@@ -466,3 +466,30 @@ def test_encode_confluent_logical_roundtrip(spark):
         (Decimal("99.95"), dt.date(2022, 2, 2),
          dt.datetime(2022, 2, 2, 3, 4, 5, 678901)),
     ]
+
+
+def test_logical_type_divergence_side_drops(spark):
+    """Producer evolves the writer schema's field to timestamp-millis
+    while the pinned reader still declares plain long: the mismatched
+    record must SIDE-DROP with a decode error (consumer.go:154-159
+    parity), not crash the micro-batch in the Arrow conversion."""
+    plain = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "at", "type": "long"}]})
+    evolved = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "at", "type": {"type": "long",
+                                "logicalType": "timestamp-millis"}}]})
+    registry = dict_registry({1: plain, 2: evolved})
+    t = dt.datetime(2021, 6, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (wire_encode(1, Codec(plain).encode({"at": 1000})),),
+        (wire_encode(2, Codec(evolved).encode({"at": t})),),  # divergent
+    ]
+    out = decode_confluent(
+        spark.createDataFrame(rows, "value binary"), registry,
+        reader_schema_id=1)
+    got = [(r["at"], r["err"]) for r in
+           out.selectExpr("decoded.at as at", "_decode_error as err")
+           .collect()]
+    assert (1000, None) in got
+    [(bad_at, err)] = [g for g in got if g[1] is not None]
+    assert bad_at is None and "does not fit reader column" in err

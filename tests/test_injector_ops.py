@@ -338,3 +338,34 @@ def test_starting_offsets_config():
         {**base, "KAFKA_STARTING_OFFSETS": j}).starting_offsets == j
     with pytest.raises(ValueError, match="KAFKA_STARTING_OFFSETS"):
         InjectorConfig.from_env({**base, "KAFKA_STARTING_OFFSETS": "newest"})
+
+
+def test_typed_timestamp_field_collision_overwritten(spark):
+    """A declared payload field named @timestamp is OVERWRITTEN by the
+    injected epoch-ms (Go map assignment, encode_decode.go:96) — a
+    duplicate JSON key would be a 400 at the ES parser."""
+    rows = [("k", json.dumps({"id": "a", "@timestamp": 42}),
+             "my-topic", 0, 7, TS)]
+    out = build_elastic_records(
+        kafka_df(spark, rows), cfg(), "`@timestamp` INT, id STRING")
+    [doc] = [json.loads(r.payload) for r in out.collect()]
+    assert doc["id"] == "a"
+    assert doc["@timestamp"] == int(TS.timestamp() * 1000) != 42
+    assert json.dumps(doc).count("@timestamp") == 1
+
+
+def test_typed_key_field_collision_per_row(spark):
+    """include_key + a declared payload field named "key": Go assigns
+    Json["key"] only for NON-NIL Kafka keys, so the payload's own field
+    survives nil-key records and is overwritten otherwise."""
+    rows = [
+        (json.dumps({"k": "theirs"}), json.dumps({"key": "mine", "id": "a"}),
+         "my-topic", 0, 1, TS),
+        (None, json.dumps({"key": "mine", "id": "b"}), "my-topic", 0, 2, TS),
+    ]
+    out = build_elastic_records(
+        kafka_df(spark, rows), cfg(include_key=True), "key STRING, id STRING")
+    docs = {json.loads(r.payload)["id"]: json.loads(r.payload)
+            for r in out.collect()}
+    assert docs["a"]["key"] == {"k": "theirs"}   # non-nil key overwrites
+    assert docs["b"]["key"] == "mine"            # nil key: payload field kept
