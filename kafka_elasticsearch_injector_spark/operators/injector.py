@@ -90,6 +90,34 @@ def decode_json_schemaless(df: DataFrame, payload_col: str = "value",
         F.from_json(F.col(payload_col).cast("string"), "map<string,variant>"))
 
 
+def profile_schemaless(df: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """Field-shape profile of a schemaless corpus: for a
+    ``map<string,variant>`` column, the observed (field, variant_type)
+    histogram — ``(field, vtype, n_rows, fraction)``, fraction over the
+    non-null documents.
+
+    The operational bridge OUT of schemaless mode: run a topic
+    schemaless first (the reference's deployment), profile what
+    actually arrives, then author the PAYLOAD_SCHEMA_DDL for the typed
+    path from the dominant shapes — instead of guessing a schema
+    upfront or paying spark.read.json's full inference scan.
+
+    Shape: one explode + schema_of_variant (JVM-side) + one
+    partial-aggregable groupBy of (field, vtype) — tiny result
+    cardinality regardless of corpus size; the one-row total count
+    broadcast-joins back.
+    """
+    docs = df.filter(F.col(doc_col).isNotNull())
+    fields = docs.select(F.explode(doc_col).alias("field", "v")).select(
+        "field", F.schema_of_variant("v").alias("vtype"))
+    counts = fields.groupBy("field", "vtype").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    total = docs.select(F.count(F.lit(1)).alias("_total"))
+    return (counts.join(F.broadcast(total))
+            .select("field", "vtype", "n_rows",
+                    (F.col("n_rows") / F.col("_total")).alias("fraction")))
+
+
 def drop_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record") -> DataFrame:
     """Side-drop malformed records (consumer.go:154-159)."""
     return df.filter(F.col(f"decoded.{corrupt_col}").isNull())
