@@ -1,7 +1,23 @@
-from .es_sink import ElasticBulkWriter, FileTransport, HttpTransport
-from .pipeline import build_elastic_records, read_kafka_stream, start_pipeline
+from .es_sink import (
+    STATS_SCHEMA,
+    ElasticBulkWriter,
+    FileTransport,
+    HttpTransport,
+    NullTransport,
+    composable_template,
+    ensure_index_template,
+    write_arrow_factory,
+)
+from .pipeline import (
+    build_elastic_records,
+    enrich_static,
+    read_kafka_stream,
+    start_pipeline,
+)
 
 __all__ = [
-    "ElasticBulkWriter", "FileTransport", "HttpTransport",
-    "build_elastic_records", "read_kafka_stream", "start_pipeline",
+    "STATS_SCHEMA", "ElasticBulkWriter", "FileTransport", "HttpTransport",
+    "NullTransport", "composable_template", "ensure_index_template",
+    "write_arrow_factory", "build_elastic_records", "enrich_static",
+    "read_kafka_stream", "start_pipeline",
 ]
