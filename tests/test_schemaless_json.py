@@ -324,3 +324,19 @@ def test_profile_schemaless(spark, tmp_path):
     assert prof[("amount", "DECIMAL(2,1)")][0] == 2
     [tags_key] = [k for k in prof if k[0] == "tags"]
     assert tags_key[1].startswith("ARRAY")
+
+
+def test_schemaless_plan_is_jvm_side(spark):
+    """The docstring claims the whole schemaless path is JVM-side
+    Catalyst expressions (from_json + variant/map ops, zero Python) —
+    gate it like the relational surface: no Python eval nodes anywhere
+    in the physical plan (whole-stage codegen spans depend on the
+    input relation — variant exprs are CodegenFallback over a local
+    relation — so the Python-free property is the invariant)."""
+    out = build_elastic_records(
+        kafka_df(spark), cfg(include_key=True,
+                             blacklisted_columns=("secret",)), None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                 "MapInPandas", "FlatMapsInPandas"):
+        assert node not in plan, (node, plan)
