@@ -25,8 +25,8 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections.abc import Iterable, Iterator
-from dataclasses import dataclass, field
+from collections.abc import Iterator
+from dataclasses import dataclass
 
 try:  # CPython's C JSON string quoter (full escaping incl. non-ASCII)
     from json.encoder import encode_basestring_ascii as _quote
