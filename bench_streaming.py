@@ -117,8 +117,16 @@ def run(n_rows: int = N_ROWS) -> dict:
             es_index_prefix="bench-",
             batch_size=500,
         )
-        payload_schema = ("user_id bigint, event_type string, amount double, "
-                          "session string, debug_tag string")
+        # SPARK_GRAFT_STREAM_MODE=schemaless measures the reference's
+        # default no-schema deployment (map<string,variant> decode)
+        # through the same corpus + sink; default stays typed so the
+        # recorded per-round history compares like with like.
+        if os.environ.get("SPARK_GRAFT_STREAM_MODE") == "schemaless":
+            payload_schema = None
+        else:
+            payload_schema = ("user_id bigint, event_type string, "
+                              "amount double, session string, "
+                              "debug_tag string")
 
         from kafka_elasticsearch_injector_spark.streaming.metrics import (
             InjectorMetrics,
