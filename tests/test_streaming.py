@@ -298,3 +298,75 @@ def test_retry_cap_raises(tmp_path):
                           backoff_s=0.0, max_retries=2)
     with pytest.raises(RuntimeError, match="after 3 attempts"):
         w.write([("idx", "1", "{}")])
+
+
+def test_dead_letter_replay(spark, tmp_path):
+    """The replay half of the quarantine story: records dropped under a
+    WRONG schema re-ingest cleanly after the fix (here: switching to
+    schemaless), still-bad rows stay quarantined, and a second replay
+    is idempotent (create-only -> 409, no duplicates)."""
+    from kafka_elasticsearch_injector_spark.streaming.pipeline import (
+        replay_dead_letters,
+    )
+
+    src_dir, es_root, dlq = (str(tmp_path / d) for d in ("src", "es", "dlq"))
+    os.makedirs(es_root)
+    rows = [
+        # drops under SCHEMA ("id STRING, value INT")? No — permissive
+        # from_json nulls missing fields; use truly corrupt + valid mix
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+        ("k3", None, "my-topic", 0, 8, TS),
+        ("k4", '{"broken', "my-topic", 0, 9, TS),
+    ]
+    _write_source(spark, src_dir, rows)
+    cfg = InjectorConfig(record_type="json", topics=("my-topic",))
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir))
+    q = start_pipeline(
+        spark, cfg, SCHEMA,
+        transport_factory=lambda root=es_root: FileTransport(root),
+        checkpoint_dir=str(tmp_path / "ckpt"), source_df=source,
+        available_now=True, dead_letter_dir=dlq)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert {r.offset for r in spark.read.parquet(dlq).collect()} == {8, 9}
+
+    still = str(tmp_path / "still")
+    summary = replay_dead_letters(
+        spark, cfg, dlq,
+        transport_factory=lambda root=es_root: FileTransport(root),
+        payload_schema=None,            # the "fix": schemaless ingest
+        still_bad_dir=still)
+    # nil payload + malformed JSON still cannot decode under ANY schema
+    assert summary["still_dropped"] == 2 and summary["created"] == 0
+    kept = {(r.offset, r._drop_reason)
+            for r in spark.read.parquet(still).collect()}
+    assert kept == {(8, "null_payload"), (9, "corrupt_payload")}
+
+    # now a replayable case: quarantine rows that only dropped because
+    # they are corrupt UNDER THE KEY RULE — build a fresh dlq with a
+    # decodable record and prove replay lands it, twice, idempotently
+    dlq2 = str(tmp_path / "dlq2")
+    spark.createDataFrame(
+        [("k9", json.dumps({"id": "z", "value": 9}), "my-topic", 0, 99,
+          TS, "corrupt_payload")],
+        "key STRING, value STRING, topic STRING, partition INT, "
+        "offset LONG, timestamp TIMESTAMP, _drop_reason STRING"
+    ).write.parquet(dlq2)
+    s1 = replay_dead_letters(
+        spark, cfg, dlq2,
+        transport_factory=lambda root=es_root: FileTransport(root),
+        payload_schema=SCHEMA)
+    assert s1["created"] == 1 and s1["still_dropped"] == 0
+    s2 = replay_dead_letters(
+        spark, cfg, dlq2,
+        transport_factory=lambda root=es_root: FileTransport(root),
+        payload_schema=SCHEMA)
+    assert s2["created"] == 0 and s2["already_exists"] == 1  # idempotent
+    docs = _read_docs(es_root)
+    assert ("my-topic-2018-03-10", "0:99") in docs
