@@ -14,12 +14,13 @@ logical Python values, matching what goavro hands the reference
 surfacing): ``decimal`` (bytes/fixed) ⇄ `decimal.Decimal`, ``date`` ⇄
 `datetime.date`, ``timestamp-millis``/``timestamp-micros`` ⇄ aware-UTC
 `datetime.datetime`, ``local-timestamp-millis``/``-micros`` ⇄ naive
-`datetime.datetime`, ``uuid`` ⇄ str (no conversion needed). An INVALID
-logical declaration (bad precision/scale, wrong underlying type) is
-ignored and the underlying type used — the spec-mandated fallback.
-``time-millis``/``time-micros`` deliberately pass through as int/long
-(Spark has no stable TIME lane through Arrow batches); documented, not
-silent: the schema still says time-*.
+`datetime.datetime`, ``time-millis``/``time-micros`` ⇄ `datetime.time`
+(Spark 4.1's TimeType rides the Arrow time64 lane; goavro surfaces a
+duration, which has no Spark analog — a civil time is the faithful
+time-of-day mapping, and out-of-range values side-drop per record),
+``uuid`` ⇄ str (no conversion needed). An INVALID logical declaration
+(bad precision/scale, wrong underlying type) is ignored and the
+underlying type used — the spec-mandated fallback.
 
 Codecs are compiled once per schema and cached by the caller (mirroring
 the per-schema-id codec cache at encode_decode.go:123-134) — the
@@ -75,6 +76,8 @@ def _schema_type(schema) -> str:
 _LOGICAL_UNDERLYING = {
     "decimal": ("bytes", "fixed"),
     "date": ("int",),
+    "time-millis": ("int",),
+    "time-micros": ("long",),
     "timestamp-millis": ("long",),
     "timestamp-micros": ("long",),
     "local-timestamp-millis": ("long",),
@@ -175,6 +178,8 @@ def _logical_reader(name: str, attrs: dict, schema: dict, named) -> _Reader:
 
     convert = {
         "date": lambda v: _EPOCH_DATE + dt.timedelta(days=v),
+        "time-millis": lambda v: _time_of_day(v * 1000),
+        "time-micros": _time_of_day,
         "timestamp-millis": lambda v: _EPOCH_UTC + dt.timedelta(milliseconds=v),
         "timestamp-micros": lambda v: _EPOCH_UTC + dt.timedelta(microseconds=v),
         "local-timestamp-millis":
@@ -188,6 +193,19 @@ def _logical_reader(name: str, attrs: dict, schema: dict, named) -> _Reader:
         return convert(v), pos
 
     return read_logical
+
+
+def _time_of_day(micros: int) -> dt.time:
+    """Surface a ``time-millis``/``time-micros`` value as a civil
+    `datetime.time`. The Avro spec defines the value as time since
+    midnight — anything outside [0, 24h) is a malformed record, raised
+    as AvroError so `decode_confluent` side-drops it per record rather
+    than producing a wrapped wall clock. (goavro surfaces time-of-day
+    as a Go duration, encode_decode.go:52-62 inheritance; a civil time
+    maps onto Spark's TimeType, which a duration cannot.)"""
+    if not 0 <= micros < 86_400_000_000:
+        raise AvroError(f"time-of-day out of range: {micros} µs")
+    return (dt.datetime.min + dt.timedelta(microseconds=micros)).time()
 
 
 def _decimal_unscaled(v: Decimal, scale: int) -> int:
@@ -241,25 +259,52 @@ def _logical_writer(name: str, attrs: dict, schema: dict, named) -> _Writer:
                             f"got {type(v).__name__}")
         return (v - _EPOCH_DATE).days
 
-    def to_instant(unit_td, epoch_aware):
+    def to_instant(unit_td, epoch_aware, local=False):
         def conv(v):
             if isinstance(v, int) and not isinstance(v, bool):
                 return v
             if not isinstance(v, dt.datetime):
                 raise AvroError(f"timestamp field needs datetime, "
                                 f"got {type(v).__name__}")
+            if local and v.tzinfo is not None:
+                # local-timestamp-* stores WALL-CLOCK time (Avro spec:
+                # "timestamp ... in a local timezone, regardless of
+                # what specific time zone"). Converting an aware value
+                # against the UTC epoch would store the UTC instant —
+                # silently shifting the wall-clock and asymmetric with
+                # the reader (which returns naive datetimes). Strip the
+                # tz to keep the wall-clock digits the caller wrote.
+                v = v.replace(tzinfo=None)
             epoch = epoch_aware if v.tzinfo is not None else _EPOCH_NAIVE
             return (v - epoch) // unit_td  # exact integer division
         return conv
 
+    def to_time(unit_micros):
+        def conv(v):
+            if isinstance(v, int) and not isinstance(v, bool):
+                return v  # underlying value accepted (goavro leniency)
+            if not isinstance(v, dt.time) or isinstance(v, dt.datetime):
+                raise AvroError(f"time field needs datetime.time, "
+                                f"got {type(v).__name__}")
+            # Wall-clock fields only — a tzinfo on the time is ignored
+            # (Avro time-of-day is zone-less, same wall-clock contract
+            # as local-timestamp-*). Sub-unit digits truncate toward
+            # zero, matching to_instant's floor division.
+            micros = ((v.hour * 60 + v.minute) * 60
+                      + v.second) * 1_000_000 + v.microsecond
+            return micros // unit_micros
+        return conv
+
     convert = {
         "date": to_days,
+        "time-millis": to_time(1000),
+        "time-micros": to_time(1),
         "timestamp-millis": to_instant(dt.timedelta(milliseconds=1), _EPOCH_UTC),
         "timestamp-micros": to_instant(dt.timedelta(microseconds=1), _EPOCH_UTC),
         "local-timestamp-millis":
-            to_instant(dt.timedelta(milliseconds=1), _EPOCH_UTC),
+            to_instant(dt.timedelta(milliseconds=1), _EPOCH_UTC, local=True),
         "local-timestamp-micros":
-            to_instant(dt.timedelta(microseconds=1), _EPOCH_UTC),
+            to_instant(dt.timedelta(microseconds=1), _EPOCH_UTC, local=True),
     }[name]
 
     def write_logical(out, v):
@@ -481,6 +526,10 @@ def _matches(schema, v) -> bool:
         if name == "date":
             return (isinstance(v, dt.date) and not isinstance(v, dt.datetime)
                     ) or (isinstance(v, int) and not isinstance(v, bool))
+        if name in ("time-millis", "time-micros"):
+            return (isinstance(v, dt.time)
+                    and not isinstance(v, dt.datetime)) or (
+                isinstance(v, int) and not isinstance(v, bool))
         return isinstance(v, dt.datetime) or (
             isinstance(v, int) and not isinstance(v, bool))
     t = _schema_type(schema)

@@ -91,6 +91,8 @@ def avro_to_spark_type(schema) -> T.DataType:
             return T.DecimalType(attrs["precision"], attrs["scale"])
         return {
             "date": T.DateType(), "uuid": T.StringType(),
+            "time-millis": T.TimeType(),
+            "time-micros": T.TimeType(),
             "timestamp-millis": T.TimestampType(),
             "timestamp-micros": T.TimestampType(),
             "local-timestamp-millis": T.TimestampNTZType(),
@@ -157,8 +159,35 @@ def _conform(value: Any, dtype: T.DataType) -> Any:
         ok = isinstance(value, (bytes, bytearray))
     elif isinstance(dtype, T.DecimalType):
         ok = isinstance(value, Decimal)
+        if ok:
+            # Type alone is not enough: a writer/reader scale or
+            # precision divergence (producer bumps decimal(10,2) to
+            # decimal(10,4)) passes an isinstance gate and then crashes
+            # the pandas→Arrow conversion with a rescaling error —
+            # failing the whole micro-batch instead of side-dropping
+            # the one record. Quantize to the reader's scale with
+            # Inexact trapped: a LOSSLESS rescale (writer scale
+            # differs but the extra digits are zeros) passes — Arrow
+            # accepts that too — while lossy rescale or precision
+            # overflow (InvalidOperation under prec=reader precision)
+            # raises and side-drops the record.
+            import decimal as _dec
+
+            ctx = _dec.Context(
+                prec=dtype.precision,
+                traps=[_dec.Inexact, _dec.InvalidOperation])
+            if not value.is_finite():  # quiet NaN quantizes to NaN
+                ok = False
+            else:
+                try:
+                    return ctx.quantize(
+                        value, Decimal(1).scaleb(-dtype.scale))
+                except _dec.DecimalException:
+                    ok = False
     elif isinstance(dtype, T.DateType):
         ok = isinstance(value, dt.date) and not isinstance(value, dt.datetime)
+    elif isinstance(dtype, T.TimeType):
+        ok = isinstance(value, dt.time) and not isinstance(value, dt.datetime)
     elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         ok = isinstance(value, dt.datetime)
     if not ok:

@@ -203,17 +203,23 @@ class HttpTransport:
                 return None
         return self._server_major
 
-    def _template_url(self, name: str) -> str:
-        api = ("_index_template" if (self.server_major() or 7) >= 8
-               else "_template")
+    def _template_url(self, name: str, major: int | None = None) -> str:
+        """Template endpoint for the given ES major. `major=None` means
+        sniff-now (cached); callers that already sniffed (and chose a
+        body shape accordingly) pass their answer so URL and body can
+        never disagree — even when their sniff failed and a later one
+        inside this call would succeed."""
+        if major is None:
+            major = self.server_major() or 7
+        api = "_index_template" if major >= 8 else "_template"
         return f"{self.es_host}/{api}/{name}"
 
-    def template_exists(self, name: str) -> bool:
+    def template_exists(self, name: str, major: int | None = None) -> bool:
         import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
-            self._template_url(name), headers=self._headers(),
+            self._template_url(name, major), headers=self._headers(),
             method="HEAD")
         try:
             with self._open(req):
@@ -223,11 +229,12 @@ class HttpTransport:
                 return False
             raise
 
-    def put_template(self, name: str, body: dict) -> None:
+    def put_template(self, name: str, body: dict,
+                     major: int | None = None) -> None:
         import urllib.request
 
         req = urllib.request.Request(
-            self._template_url(name),
+            self._template_url(name, major),
             data=json.dumps(body).encode(),
             headers={**self._headers(),
                      "Content-Type": "application/json"},
@@ -285,14 +292,25 @@ def ensure_index_template(transport, name: str,
     transport.server_major) the same settings/mappings are sent in the
     composable /_index_template shape instead. An explicit `template`
     is sent verbatim — the caller owns its shape."""
-    # Sniff ONCE and pin the answer on the transport for the endpoint
-    # choice too: body shape and URL must agree. Without the pin, a
-    # transient sniff failure here (assume-7 legacy body) followed by a
-    # successful sniff inside _template_url (→ /_index_template) would
-    # PUT a legacy body at the composable endpoint — a guaranteed 400.
+    import inspect
+
+    # Sniff ONCE and thread the answer through this call's exists/put:
+    # body shape and URL must agree. Without that, a transient sniff
+    # failure here (assume-7 legacy body) followed by a successful
+    # sniff inside _template_url (→ /_index_template) would PUT a
+    # legacy body at the composable endpoint — a guaranteed 400. The
+    # major is scoped to THIS call (no transport-state mutation), so a
+    # transient sniff failure never pins an ES 8 cluster onto the
+    # deprecated legacy API for the transport's lifetime: the next
+    # call re-sniffs.
     major = getattr(transport, "server_major", lambda: None)() or 7
-    if hasattr(transport, "_server_major") and transport._server_major is None:
-        transport._server_major = major
+
+    def _accepts_major(fn) -> bool:
+        try:
+            return "major" in inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            return False
+
     if template is not None:
         body = template
     else:
@@ -301,9 +319,18 @@ def ensure_index_template(transport, name: str,
             body = composable_template(DEFAULT_INDEX_TEMPLATE, pattern)
         else:
             body = {**DEFAULT_INDEX_TEMPLATE, "template": pattern}
-    if transport.template_exists(name):
+    exists = transport.template_exists
+    if _accepts_major(exists):
+        existed = exists(name, major=major)
+    else:  # duck-typed fake transports that don't version-branch
+        existed = exists(name)
+    if existed:
         return False
-    transport.put_template(name, body)
+    put = transport.put_template
+    if _accepts_major(put):
+        put(name, body, major=major)
+    else:
+        put(name, body)
     return True
 
 

@@ -108,6 +108,45 @@ def _parse_json_key(df: DataFrame, reason: Column
     return df, reason.when(bad_key, F.lit("bad_key"))
 
 
+def _contains_time(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.TimeType):
+        return True
+    if isinstance(dtype, T.StructType):
+        return any(_contains_time(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _contains_time(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _contains_time(dtype.valueType)
+    return False
+
+
+def _json_safe(col: Column, dtype: T.DataType) -> Column:
+    """Make a payload column `to_json`-serializable: Spark 4.1's
+    JacksonGenerator has no TIME writer, so a TimeType field (the Avro
+    ``time-millis``/``time-micros`` surface, sources/avro_codec.py)
+    would crash the whole batch at serialize time. Cast TIME — at any
+    nesting depth — to its ISO HH:MM:SS[.ffffff] string; ES has no
+    time-of-day type either, so the string IS the faithful JSON form.
+    Payloads without TIME fields return the column untouched (identical
+    plan to before this guard existed)."""
+    if isinstance(dtype, T.TimeType):
+        return col.cast("string")
+    if not _contains_time(dtype):
+        return col
+    if isinstance(dtype, T.StructType):
+        rebuilt = F.struct(*[
+            _json_safe(col[f.name], f.dataType).alias(f.name)
+            for f in dtype.fields])
+        return F.when(col.isNotNull(), rebuilt)  # keep null structs null
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(
+            col, lambda x: _json_safe(x, dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return F.transform_values(
+            col, lambda k, v: _json_safe(v, dtype.valueType))
+    return col
+
+
 def _assemble(df: DataFrame, reason: Column, index_name: Column,
               doc_id: Column, payload_json: Column,
               return_drops: bool) -> DataFrame:
@@ -207,7 +246,10 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
     if cfg.include_key:
         dropped.add("key")
     kept = [f for f in payload_fields if f not in dropped]
-    payload_cols: list[Column] = [F.col(f"decoded.{f}").alias(f) for f in kept]
+    field_types = {f.name: f.dataType for f in payload_schema.fields}
+    payload_cols: list[Column] = [
+        _json_safe(F.col(f"decoded.{f}"), field_types[f]).alias(f)
+        for f in kept]
     payload_cols.append(F.unix_millis(F.col("timestamp")).alias("@timestamp"))
     if cfg.include_key:
         # The reference DECODES the key before embedding it, it never
@@ -380,9 +422,9 @@ def replay_dead_letters(spark: SparkSession, cfg: InjectorConfig,
         totals = {k: sum(getattr(r, k) for r in stats_rows)
                   for k in ("created", "already_exists",
                             "bad_request", "retried")}
-        return {"rows": n_bad + sum(
-                    r.created + r.already_exists + r.bad_request
-                    for r in stats_rows),
+        clean = sum(r.created + r.already_exists + r.bad_request
+                    for r in stats_rows)
+        return {"rows": n_bad + clean, "clean": clean,
                 "still_dropped": n_bad, **totals}
     finally:
         records.unpersist()

@@ -369,7 +369,8 @@ def test_logical_spark_type_mapping():
         ]})
     assert avro_to_spark_type(schema).simpleString() == (
         "struct<price:decimal(10,2),day:date,at:timestamp,at_us:timestamp,"
-        "local:timestamp_ntz,uid:string,tod:int>")  # time-* pass through
+        "local:timestamp_ntz,uid:string,tod:time(6)>")  # time-* surfaced
+    # r12: time-millis/micros ride Spark 4.1's TimeType (Arrow time64)
     with pytest.raises(AvroError, match="38"):
         avro_to_spark_type(json.dumps({
             "type": "bytes", "logicalType": "decimal",
@@ -493,3 +494,152 @@ def test_logical_type_divergence_side_drops(spark):
     assert (1000, None) in got
     [(bad_at, err)] = [g for g in got if g[1] is not None]
     assert bad_at is None and "does not fit reader column" in err
+
+
+# --- time-millis / time-micros (round 12: surfaced as datetime.time ⇄
+# Spark TimeType; goavro surfaces a duration, encode_decode.go:52-62,
+# which has no Spark analog — civil time is the faithful mapping) -----------
+
+TIME_MS = json.dumps({"type": "int", "logicalType": "time-millis"})
+TIME_US = json.dumps({"type": "long", "logicalType": "time-micros"})
+
+
+def test_time_logical_wire_vectors():
+    """Hand-derived wire bytes both directions: the underlying int/long
+    is the count since midnight, zigzag-varint encoded."""
+    ms = Codec(TIME_MS)
+    us = Codec(TIME_US)
+    # midnight = 0 → varint 0x00
+    assert ms.encode(dt.time(0, 0)) == b"\x00"
+    assert ms.decode(b"\x00") == dt.time(0, 0)
+    # 00:00:00.001 → 1 ms → zigzag(1) = 0x02
+    assert ms.decode(b"\x02") == dt.time(0, 0, 0, 1000)
+    assert ms.encode(dt.time(0, 0, 0, 1000)) == b"\x02"
+    # 03:04:05.678 → 11_045_678 ms; round-trip + int passthrough
+    t = dt.time(3, 4, 5, 678000)
+    assert ms.decode(ms.encode(t)) == t
+    assert ms.decode(ms.encode(11_045_678)) == t
+    # micros lane keeps full precision
+    t_us = dt.time(3, 4, 5, 678901)
+    assert us.decode(us.encode(t_us)) == t_us
+    assert us.decode(us.encode(11_045_678_901)) == t_us
+    # 23:59:59.999999 — last representable instant
+    last = dt.time(23, 59, 59, 999999)
+    assert us.decode(us.encode(last)) == last
+    # millis lane truncates sub-ms digits toward zero (same floor
+    # contract as timestamp-millis encode)
+    assert ms.decode(ms.encode(dt.time(3, 4, 5, 678901))) == t
+
+
+def test_time_out_of_range_and_bad_type():
+    ms = Codec(TIME_MS)
+    us = Codec(TIME_US)
+    # 24h in millis / micros is out of the spec's time-of-day domain:
+    # decode must raise (→ per-record side-drop in decode_confluent)
+    with pytest.raises(AvroError, match="out of range"):
+        ms.decode(ms.encode(86_400_000))
+    with pytest.raises(AvroError, match="out of range"):
+        us.decode(us.encode(86_400_000_000))
+    with pytest.raises(AvroError, match="out of range"):
+        us.decode(us.encode(-1))
+    # a datetime is NOT a time-of-day
+    with pytest.raises(AvroError, match="time field"):
+        ms.encode(dt.datetime(2020, 1, 1, 3, 4, 5))
+
+
+def test_time_spark_type_mapping_and_invalid_fallback():
+    assert avro_to_spark_type(TIME_MS).typeName().startswith("time")
+    assert avro_to_spark_type(TIME_US).typeName().startswith("time")
+    # wrong underlying type → spec-mandated fallback to the underlying
+    bad = json.dumps({"type": "long", "logicalType": "time-millis"})
+    assert avro_to_spark_type(bad).simpleString() == "bigint"
+    assert Codec(bad).decode(b"\x02") == 1
+    bad2 = json.dumps({"type": "int", "logicalType": "time-micros"})
+    assert avro_to_spark_type(bad2).simpleString() == "int"
+
+
+def test_decode_confluent_time_end_to_end(spark):
+    schema = json.dumps({
+        "type": "record", "name": "tt", "fields": [
+            {"name": "at_ms", "type": {"type": "int",
+                                       "logicalType": "time-millis"}},
+            {"name": "at_us", "type": {"type": "long",
+                                       "logicalType": "time-micros"}}]})
+    registry = dict_registry({11: schema})
+    codec = Codec(schema)
+    rows = [
+        (wire_encode(11, codec.encode(
+            {"at_ms": dt.time(3, 4, 5, 678000),
+             "at_us": dt.time(23, 59, 59, 999999)})),),
+        # out-of-range time-of-day must SIDE-DROP, not fail the batch
+        (wire_encode(11, codec.encode(
+            {"at_ms": 86_400_000, "at_us": 0})),),
+    ]
+    out = decode_confluent(
+        spark.createDataFrame(rows, "value binary"), registry,
+        reader_schema_id=11)
+    got = [(r.at_ms, r.at_us, r.err) for r in out.selectExpr(
+        "decoded.at_ms as at_ms", "decoded.at_us as at_us",
+        "_decode_error as err").collect()]
+    assert (dt.time(3, 4, 5, 678000), dt.time(23, 59, 59, 999999),
+            None) in got
+    [(bad_ms, bad_us, err)] = [g for g in got if g[2] is not None]
+    assert bad_ms is None and "out of range" in err
+
+
+def test_decimal_scale_divergence_side_drops(spark):
+    """Producer bumps decimal(10,2) → decimal(10,4): a record whose
+    extra fraction digits are ZEROS rescales losslessly and passes; a
+    record with real sub-scale digits must SIDE-DROP with a decode
+    error instead of crashing the micro-batch in the pandas→Arrow
+    decimal rescale (ADVICE r11)."""
+    reader = json.dumps({"type": "record", "name": "p", "fields": [
+        {"name": "price", "type": {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 10, "scale": 2}}]})
+    wider = json.dumps({"type": "record", "name": "p", "fields": [
+        {"name": "price", "type": {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 10, "scale": 4}}]})
+    registry = dict_registry({1: reader, 2: wider})
+    rows = [
+        (wire_encode(1, Codec(reader).encode({"price": Decimal("12.34")})),),
+        (wire_encode(2, Codec(wider).encode(
+            {"price": Decimal("12.3400")})),),   # lossless rescale → keep
+        (wire_encode(2, Codec(wider).encode(
+            {"price": Decimal("12.3456")})),),   # lossy → side-drop
+        (wire_encode(2, Codec(wider).encode(
+            {"price": Decimal("123456789.1234")})),),  # precision overflow
+    ]
+    out = decode_confluent(
+        spark.createDataFrame(rows, "value binary"), registry,
+        reader_schema_id=1)
+    got = [(r.price, r.err) for r in out.selectExpr(
+        "decoded.price as price", "_decode_error as err").collect()]
+    clean = sorted(g[0] for g in got if g[1] is None)
+    assert clean == [Decimal("12.34"), Decimal("12.34")]
+    drops = [g for g in got if g[1] is not None]
+    assert len(drops) == 2
+    assert all(g[0] is None and "does not fit reader column" in g[1]
+               for g in drops)
+
+
+def test_local_timestamp_aware_writer_keeps_wall_clock():
+    """local-timestamp-* stores WALL-CLOCK time: an aware non-UTC input
+    must encode its wall-clock digits, not the UTC instant (ADVICE
+    r11) — symmetric with the reader, which returns naive datetimes."""
+    codec = Codec(json.dumps(
+        {"type": "long", "logicalType": "local-timestamp-millis"}))
+    tz = dt.timezone(dt.timedelta(hours=2))
+    aware = dt.datetime(2021, 6, 1, 12, 30, 0, tzinfo=tz)
+    assert codec.decode(codec.encode(aware)) == \
+        dt.datetime(2021, 6, 1, 12, 30, 0)
+    # UTC-aware input: wall clock == UTC digits, same answer either way
+    aware_utc = dt.datetime(2021, 6, 1, 12, 30, 0,
+                            tzinfo=dt.timezone.utc)
+    assert codec.decode(codec.encode(aware_utc)) == \
+        dt.datetime(2021, 6, 1, 12, 30, 0)
+    us_codec = Codec(json.dumps(
+        {"type": "long", "logicalType": "local-timestamp-micros"}))
+    assert us_codec.decode(us_codec.encode(aware)) == \
+        dt.datetime(2021, 6, 1, 12, 30, 0)

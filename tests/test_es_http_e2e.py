@@ -586,3 +586,42 @@ def test_bulk_max_bytes_chunking(fake_es):
                                    "KAFKA_CONSUMER_RECORD_TYPE": "json",
                                    "KAFKA_TOPICS": "t"})
     assert cfg.bulk_max_bytes == 5 << 20
+
+
+def test_transient_sniff_failure_never_pins_version():
+    """A transient version-sniff failure during ensure_index_template
+    must not pin the transport onto the assumed-ES-7 legacy API for its
+    lifetime (ADVICE r11): the sniffed major is scoped to the one call
+    — URL and body stay consistent within it — and the NEXT call
+    re-sniffs and upgrades to the composable /_index_template API."""
+    from kafka_elasticsearch_injector_spark.streaming.es_sink import (
+        HttpTransport, ensure_index_template,
+    )
+
+    class FlakySniff(HttpTransport):
+        def __init__(self, url):
+            super().__init__(url)
+            self.sniffs = 0
+
+        def server_major(self):
+            self.sniffs += 1
+            if self.sniffs == 1:
+                return None  # node briefly unreachable
+            return super().server_major()
+
+    es = FakeES(version="8.11.3")
+    url = es.start()
+    try:
+        t = FlakySniff(url)
+        # Call 1: sniff fails → assume 7; URL and body agree (legacy).
+        assert ensure_index_template(t, "topic-a") is True
+        assert es.template_endpoints == ["/_template/", "/_template/"]
+        assert es.templates["topic-a"]["template"] == "topic-a-*"
+        # The failure was NOT pinned: no cached major on the transport.
+        assert t._server_major is None
+        # Call 2: sniff succeeds → composable API + migrated body.
+        assert ensure_index_template(t, "topic-b") is True
+        assert es.template_endpoints[-1] == "/_index_template/"
+        assert es.templates["topic-b"]["index_patterns"] == ["topic-b-*"]
+    finally:
+        es.stop()

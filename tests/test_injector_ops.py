@@ -369,3 +369,55 @@ def test_typed_key_field_collision_per_row(spark):
             for r in out.collect()}
     assert docs["a"]["key"] == {"k": "theirs"}   # non-nil key overwrites
     assert docs["b"]["key"] == "mine"            # nil key: payload field kept
+
+
+def test_avro_time_logical_payload_serializes(spark):
+    """An Avro time-millis/time-micros field decodes to Spark TimeType
+    (sources/avro_codec.py r12) — which Spark 4.1's to_json cannot
+    serialize. The payload builder must cast TIME (at any nesting
+    depth) to its ISO string instead of crashing the batch
+    (pipeline._json_safe)."""
+    from kafka_elasticsearch_injector_spark.sources import (
+        Codec, dict_registry, wire_encode,
+    )
+
+    val_schema = json.dumps({
+        "type": "record", "name": "v", "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "tod", "type": {"type": "int",
+                                     "logicalType": "time-millis"}},
+            {"name": "nested", "type": {
+                "type": "record", "name": "n", "fields": [
+                    {"name": "tus", "type": ["null", {
+                        "type": "long",
+                        "logicalType": "time-micros"}]}]}},
+            {"name": "laps", "type": {"type": "array", "items": {
+                "type": "int", "logicalType": "time-millis"}}},
+        ]})
+    registry = dict_registry({1: val_schema})
+    vc = Codec(val_schema)
+    rows = [
+        (None, wire_encode(1, vc.encode({
+            "id": "a", "tod": dt.time(3, 4, 5, 678000),
+            "nested": {"tus": dt.time(23, 59, 59, 999999)},
+            "laps": [dt.time(0, 0, 1), dt.time(0, 1, 0)]})),
+         "my-topic", 0, 7, TS),
+        (None, wire_encode(1, vc.encode({
+            "id": "b", "tod": dt.time(12, 0),
+            "nested": {"tus": None}, "laps": []})),
+         "my-topic", 0, 8, TS),
+    ]
+    df = spark.createDataFrame(
+        rows, "key BINARY, value BINARY, topic STRING, partition INT, "
+              "offset LONG, timestamp TIMESTAMP")
+    out = rows_of(build_elastic_records(
+        df, cfg(record_type="avro",
+                schema_registry_url="mem://fixture"), None,
+        registry=registry, reader_schema_id=1))
+    by_id = {r["doc_id"]: json.loads(r["payload"]) for r in out}
+    assert by_id["0:7"]["tod"] == "03:04:05.678"
+    assert by_id["0:7"]["nested"]["tus"] == "23:59:59.999999"
+    assert by_id["0:7"]["laps"] == ["00:00:01", "00:01:00"]
+    assert by_id["0:8"]["tod"] == "12:00:00"
+    assert by_id["0:8"]["nested"] == {}   # null omitted by to_json
+    assert by_id["0:8"]["laps"] == []

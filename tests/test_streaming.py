@@ -344,6 +344,7 @@ def test_dead_letter_replay(spark, tmp_path):
         still_bad_dir=still)
     # nil payload + malformed JSON still cannot decode under ANY schema
     assert summary["still_dropped"] == 2 and summary["created"] == 0
+    assert summary["clean"] == 0 and summary["rows"] == 2
     kept = {(r.offset, r._drop_reason)
             for r in spark.read.parquet(still).collect()}
     assert kept == {(8, "null_payload"), (9, "corrupt_payload")}
@@ -363,6 +364,7 @@ def test_dead_letter_replay(spark, tmp_path):
         transport_factory=lambda root=es_root: FileTransport(root),
         payload_schema=SCHEMA)
     assert s1["created"] == 1 and s1["still_dropped"] == 0
+    assert s1["clean"] == 1 and s1["rows"] == 1
     s2 = replay_dead_letters(
         spark, cfg, dlq2,
         transport_factory=lambda root=es_root: FileTransport(root),
