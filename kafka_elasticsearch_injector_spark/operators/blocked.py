@@ -103,12 +103,47 @@ def _split_tile(pdf: pd.DataFrame, id_col: str, n_blocks: int):
     return pdf[side_left], pdf[~side_left], False
 
 
-def _tile_matrices(lpdf: pd.DataFrame, rpdf: pd.DataFrame, diag: bool,
-                   id_col: str, set_col: str):
+# Tile-local vocabulary width above which the dense 0/1 sgemm encoding
+# switches to the sparse code-aligned accumulation. Dense work and
+# memory are (tile_rows)²·v_tile and tile_rows·v_tile — they grow with
+# EVERY distinct gram in the tile, including grams that can never
+# intersect. On mixed-vocabulary corpora (many shards whose
+# vocabularies are mutually disjoint — the r11 10× rehearsal's Caesar
+# construction, or any multi-language / multi-domain union) v_tile
+# grows with corpus size, so the dense kernel's total cost goes
+# SUPERquadratic (measured exp 2.51 for q_containment_pairs at r11).
+# The sparse path costs nnz·log(nnz) sorting + Σ_g df_l(g)·df_r(g)
+# pair hits — independent of v_tile — restoring the documented
+# O(N²/B²) tile contract, and bounding memory at ~tile_rows² + nnz
+# instead of tile_rows·v_tile. Intersection counts stay EXACT integers
+# (np.bincount of pair hits vs float32 sgemm over 0/1 matrices), so
+# pair output is bit-identical across regimes. 4096 keeps
+# small/shared-vocabulary tiles (where sgemm wins on constant factor)
+# on the dense path.
+SPARSE_TILE_VOCAB = 4096
+
+# Cap on materialized (left-occurrence × right-match) index arrays per
+# sparse accumulation chunk: bounds peak memory to ~3 int64 arrays of
+# this length regardless of gram-frequency skew inside the tile.
+_SPARSE_CHUNK_PAIRS = 8_000_000
+
+
+def _tile_intersections(lpdf: pd.DataFrame, rpdf: pd.DataFrame,
+                        diag: bool, id_col: str, set_col: str,
+                        sparse_cutoff: int = SPARSE_TILE_VOCAB):
     """Shared tile encoding for the set kernels: dictionary-encode the
-    tile-local vocabulary and build the dense 0/1 float32 matrices.
-    Returns (ml, mr, llens, rlens, lid, rid). float32 keeps sgemm
-    intersection counts exact below 2^24 set elements per row."""
+    tile-local vocabulary and compute the FULL pairwise intersection
+    matrix, exact integer counts as float64 of shape (n_left, n_right).
+    Returns (inter, llens, rlens, lid, rid).
+
+    Two regimes, identical output (both produce exact small-integer
+    counts, well below 2^24 where float32 sgemm is exact):
+    - v_tile ≤ sparse_cutoff: dense 0/1 float32 matrices, one BLAS
+      sgemm — the constant-factor winner for small shared vocabularies;
+    - v_tile > sparse_cutoff: right occurrences grouped by gram code,
+      each left occurrence expanded to its right matches, counts
+      accumulated by np.bincount over flattened (l,r) indices — work
+      scales with actual co-occurrence, not vocabulary width."""
     def encode(col):
         sets = list(col)
         lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
@@ -121,17 +156,51 @@ def _tile_matrices(lpdf: pd.DataFrame, rpdf: pd.DataFrame, diag: bool,
             if any(len(s) for s in flat_parts) else np.array([]))
     codes, uniq = pd.factorize(flat)
     v = len(uniq)
-
-    def dense(n, lens, offset_codes):
-        m = np.zeros((n, v), np.float32)
-        m[np.repeat(np.arange(n), lens), offset_codes] = 1.0
-        return m
-
-    ml = dense(len(lsets), llens, codes[: llens.sum()])
-    mr = ml if diag else dense(len(rsets), rlens, codes[llens.sum():])
+    nl, nr = len(lsets), len(rsets)
     lid = lpdf[id_col].to_numpy()
     rid = lid if diag else rpdf[id_col].to_numpy()
-    return ml, mr, llens, rlens, lid, rid
+    lcodes = codes[: llens.sum()]
+    rcodes = lcodes if diag else codes[llens.sum():]
+
+    if v <= sparse_cutoff:
+        def dense(n, lens, offset_codes):
+            m = np.zeros((n, v), np.float32)
+            m[np.repeat(np.arange(n), lens), offset_codes] = 1.0
+            return m
+
+        ml = dense(nl, llens, lcodes)
+        mr = ml if diag else dense(nr, rlens, rcodes)
+        inter = (ml @ mr.T).astype(np.float64)
+        return inter, llens, rlens, lid, rid
+
+    lrows = np.repeat(np.arange(nl), llens)
+    rrows = lrows if diag else np.repeat(np.arange(nr), rlens)
+    r_order = np.argsort(rcodes, kind="stable")
+    r_rows_sorted = rrows[r_order]
+    cr = np.bincount(rcodes, minlength=v)
+    r_start = np.concatenate(([0], np.cumsum(cr)[:-1]))
+    reps = cr[lcodes]                  # right matches per left occurrence
+    counts = np.zeros(nl * nr, np.int64)
+    lo = 0
+    while lo < len(lcodes):
+        hi = lo
+        budget = 0
+        while hi < len(lcodes) and budget + reps[hi] <= _SPARSE_CHUNK_PAIRS:
+            budget += reps[hi]
+            hi += 1
+        hi = max(hi, lo + 1)           # always advance (giant single gram)
+        creps = reps[lo:hi]
+        total = int(creps.sum())
+        if total:
+            out_l = np.repeat(lrows[lo:hi], creps)
+            cum = np.concatenate(([0], np.cumsum(creps)[:-1]))
+            idx = (np.arange(total) - np.repeat(cum, creps)
+                   + np.repeat(r_start[lcodes[lo:hi]], creps))
+            out_r = r_rows_sorted[idx]
+            counts += np.bincount(out_l * nr + out_r, minlength=nl * nr)
+        lo = hi
+    inter = counts.reshape(nl, nr).astype(np.float64)
+    return inter, llens, rlens, lid, rid
 
 
 def jaccard_pairs_blocked(
@@ -141,6 +210,7 @@ def jaccard_pairs_blocked(
     threshold: float = 0.08,
     n_blocks: int | None = None,
     size_hint: int | None = None,
+    sparse_cutoff: int = SPARSE_TILE_VOCAB,
 ) -> DataFrame:
     """Exact set-Jaccard for every pair (doc_a < doc_b, jac ≥ threshold).
 
@@ -168,11 +238,10 @@ def jaccard_pairs_blocked(
             return pd.DataFrame({"doc_a": [], "doc_b": [], "jac": []}).astype(
                 {"doc_a": "int64", "doc_b": "int64", "jac": "float64"})
 
-        ml, mr, llens, rlens, lid, rid = _tile_matrices(
-            lpdf, rpdf, diag, id_col, set_col)
-        inter = ml @ mr.T  # exact integer counts (float32 < 2^24)
+        inter, llens, rlens, lid, rid = _tile_intersections(
+            lpdf, rpdf, diag, id_col, set_col, sparse_cutoff)
         union = (llens[:, None] + rlens[None, :]).astype(np.float64) - inter
-        jac = inter.astype(np.float64) / union
+        jac = inter / union
         mask = jac >= threshold
         if diag:
             mask &= lid[:, None] < rid[None, :]
@@ -281,6 +350,7 @@ def containment_pairs_blocked(
     threshold: float = 0.3,
     n_blocks: int | None = None,
     size_hint: int | None = None,
+    sparse_cutoff: int = SPARSE_TILE_VOCAB,
 ) -> DataFrame:
     """Exact set-containment |A∩B| / |A| for every ORDERED pair
     (doc_a ≠ doc_b, containment ≥ threshold) — the asymmetric variant
@@ -298,18 +368,20 @@ def containment_pairs_blocked(
     and flat (real text + a stop-gram df-ceiling), degenerate when the
     vocabulary is tiny and every gram is common (this repo's synthetic
     corpus: 931 grams, median df 285 ⇒ 73M join rows at sf0.1,
-    measured 58 s). The tile kernel's per-task cost is
-    (N/B)² · v_tile sgemm work and (N/B) · v_tile · 4 B memory for the
-    dense matrices, where v_tile is the TILE-LOCAL distinct-gram
-    count — insensitive to gram frequency SKEW, but not to vocabulary
-    SIZE: large flat vocabularies (real text, ~hundreds of grams per
-    doc) blow the dense tile past memory, and there the posting join
-    + stop-gram df-ceiling (or sparse-matrix tiles) is the right
-    path — implemented as operators/posting.py
-    containment_pairs_posting / jaccard_pairs_posting, same output
-    contract, equivalence-tested against this kernel. Pick by corpus:
-    small/shared vocabulary → this kernel; large flat vocabulary →
-    posting join.
+    measured 58 s). The tile encoding is REGIME-SPLIT per tile
+    (_tile_intersections): small tile-local vocabularies run the dense
+    sgemm ((N/B)² · v_tile work — insensitive to gram-frequency skew);
+    once v_tile crosses SPARSE_TILE_VOCAB the tile switches to the
+    sparse code-aligned accumulation, whose cost is
+    nnz·log(nnz) + Σ_g df_l(g)·df_r(g) — independent of vocabulary
+    width, so mixed-vocabulary corpora (multi-shard, multi-language)
+    keep the documented O(N²/B²) contract instead of drifting
+    superquadratic with v_tile (the r11 rehearsal's 2.51 exponent).
+    Both regimes produce identical exact-integer intersections → pair
+    output is bit-identical. The whole-corpus alternative for large
+    FLAT vocabularies stays operators/posting.py
+    containment_pairs_posting / jaccard_pairs_posting (same output
+    contract, equivalence-tested; auto-routed by jaccard_pairs_auto).
     """
     base = df.select(F.col(id_col), F.col(set_col))
     if n_blocks is None:
@@ -326,9 +398,8 @@ def containment_pairs_blocked(
         if len(lpdf) == 0 or len(rpdf) == 0:
             return empty
 
-        ml, mr, llens, rlens, lid, rid = _tile_matrices(
-            lpdf, rpdf, diag, id_col, set_col)
-        inter = (ml @ mr.T).astype(np.float64)
+        inter, llens, rlens, lid, rid = _tile_intersections(
+            lpdf, rpdf, diag, id_col, set_col, sparse_cutoff)
 
         frames = []
 

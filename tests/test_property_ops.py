@@ -224,3 +224,69 @@ def test_drift_ks_bucket_mode_bounds(spark, rows, buckets):
     span = max(v for v, _ in rows) - min(v for v, _ in rows)
     fine = drift_ks(df, buckets=span + 1 if span else 1).collect()[0].ks_d
     assert fine == exact, (rows,)
+
+
+# --- dense vs sparse tile regimes (r12: SPARSE_TILE_VOCAB split) -----------
+
+_WIDE_VOCAB = [f"w{i}" for i in range(64)]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.sets(st.sampled_from(_WIDE_VOCAB), max_size=10),
+    min_size=2, max_size=10))
+def test_tile_regimes_bit_identical(case):
+    """_tile_intersections' two regimes (dense sgemm vs sparse
+    code-aligned bincount) must produce the SAME exact-integer
+    intersection matrix — the bit-identical-output contract that lets
+    the kernels switch regimes per tile (r12 scale fix). Pure local
+    check (no Spark): the kernels call this function verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_elasticsearch_injector_spark.operators.blocked import (
+        _tile_intersections,
+    )
+
+    sets = [np.array(sorted(s), dtype=object) for s in case]
+    half = max(1, len(sets) // 2)
+    lp = pd.DataFrame({"doc_id": np.arange(half, dtype=np.int64),
+                       "g": sets[:half]})
+    rp = pd.DataFrame(
+        {"doc_id": np.arange(100, 100 + len(sets) - half, dtype=np.int64),
+         "g": sets[half:]})
+    for a, b, diag in ((lp, lp, True), (lp, rp, False)):
+        if len(b) == 0:
+            continue
+        dense = _tile_intersections(a, b, diag, "doc_id", "g",
+                                    sparse_cutoff=10 ** 9)
+        sparse = _tile_intersections(a, b, diag, "doc_id", "g",
+                                     sparse_cutoff=0)
+        assert np.array_equal(dense[0], sparse[0])
+        for d, s in zip(dense[1:], sparse[1:]):
+            assert np.array_equal(d, s)
+
+
+def test_sparse_regime_spark_outputs_match_dense(spark):
+    """End-to-end through Spark: containment and jaccard kernels forced
+    onto the sparse regime (sparse_cutoff=0) return exactly the default
+    dense-regime rows — values compared exactly, not approximately."""
+    import random
+
+    from kafka_elasticsearch_injector_spark.operators.blocked import (
+        jaccard_pairs_blocked,
+    )
+
+    rng = random.Random(12)
+    vocab = [f"t{i}" for i in range(300)]
+    rows = [(i, sorted(rng.sample(vocab, rng.randint(0, 12))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, g array<string>")
+    for fn, val in ((containment_pairs_blocked, "containment"),
+                    (jaccard_pairs_blocked, "jac")):
+        dense = {(r.doc_a, r.doc_b): r[val]
+                 for r in fn(df, threshold=0.0, n_blocks=3).collect()}
+        sparse = {(r.doc_a, r.doc_b): r[val]
+                  for r in fn(df, threshold=0.0, n_blocks=3,
+                              sparse_cutoff=0).collect()}
+        assert dense == sparse and len(dense) > 0
