@@ -79,8 +79,138 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def decode_media(df_media: DataFrame) -> DataFrame:
-    """Run the (stubbed) decoder over Arrow batches, partition-parallel."""
+    """Run the (stubbed) decoder over Arrow batches, partition-parallel.
+
+    This is the FROZEN q_media_meta surface (hash-derived fake dims —
+    deterministic, oracle-replicable). The REAL header decode for
+    actual image bytes is decode_image_dims below (pure-stdlib PNG /
+    GIF / BMP / JPEG header parsing, corrupt side-drop)."""
     return df_media.mapInPandas(decode_media_batch, schema=DECODED_SCHEMA)
+
+
+# --- real image-header decode (r12) ----------------------------------------
+#
+# Pixel DECODE still needs an image lib (PIL/opencv — not in this
+# container; resize_stub below stays the documented stub), but the
+# header fields a curation pipeline actually filters on — format,
+# width, height — are parseable from the first bytes with the stdlib
+# alone. That makes dims-based pruning (min-resolution gates, aspect
+# filters, thumbnail routing) REAL, not faked, while keeping the blob
+# opaque past the header.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions: C0-CF minus the
+# non-SOF C4 (DHT), C8 (JPG extension), CC (DAC).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+# Standalone JPEG markers with NO length word: TEM + RST0-7.
+_JPEG_BARE = {0x01} | set(range(0xD0, 0xD8))
+
+
+def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
+    """Parse (format, width, height) from raw image bytes — PNG IHDR,
+    GIF logical screen descriptor, BMP DIB header (INFO and CORE
+    variants), or a JPEG SOF segment scan. Returns None for anything
+    not recognizably well-formed (truncated header, zero dims, JPEG
+    with no SOF before SOS/EOI): callers side-drop those rows with a
+    reason instead of propagating garbage dims.
+
+    Pure stdlib + O(header) bytes: PNG/GIF/BMP read fixed offsets; the
+    JPEG scan walks segment lengths (never entropy-coded data) so it
+    touches a few hundred bytes even on multi-MB files."""
+    import struct
+
+    if len(buf) >= 24 and buf[:8] == _PNG_SIG and buf[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", buf[16:24])
+        return ("png", w, h) if 0 < w < 1 << 31 and 0 < h < 1 << 31 \
+            else None
+    if len(buf) >= 10 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", buf[6:10])
+        return ("gif", w, h) if w > 0 and h > 0 else None
+    if len(buf) >= 26 and buf[:2] == b"BM":
+        (dib_size,) = struct.unpack("<I", buf[14:18])
+        if dib_size >= 40:  # BITMAPINFOHEADER and successors
+            w, h = struct.unpack("<ii", buf[18:26])
+            h = abs(h)      # negative height = top-down row order
+            return ("bmp", w, h) if w > 0 and h > 0 else None
+        if dib_size == 12 and len(buf) >= 22:  # BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", buf[18:22])
+            return ("bmp", w, h) if w > 0 and h > 0 else None
+        return None
+    if len(buf) >= 4 and buf[:2] == b"\xff\xd8":  # SOI
+        pos = 2
+        while pos + 1 < len(buf):
+            if buf[pos] != 0xFF:
+                return None        # lost sync: not a marker boundary
+            while pos < len(buf) and buf[pos] == 0xFF:
+                pos += 1           # fill bytes before the marker code
+            if pos >= len(buf):
+                return None
+            marker = buf[pos]
+            pos += 1
+            if marker in _JPEG_BARE:
+                continue
+            if marker == 0xD9:     # EOI before any SOF
+                return None
+            if pos + 2 > len(buf):
+                return None
+            (seg_len,) = struct.unpack(">H", buf[pos:pos + 2])
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if pos + 7 > len(buf):
+                    return None
+                h, w = struct.unpack(">HH", buf[pos + 3:pos + 7])
+                return ("jpeg", w, h) if w > 0 and h > 0 else None
+            if marker == 0xDA:     # SOS: entropy data follows, no SOF seen
+                return None
+            pos += seg_len
+        return None
+    return None
+
+
+DIMS_SCHEMA = ("doc_id bigint, media_type string, byte_len int, "
+               "format string, width int, height int, "
+               "decode_error string")
+
+
+def decode_image_dims(df_media: DataFrame,
+                      media_col: str = "media") -> DataFrame:
+    """Real header decode over Arrow batches: (format, width, height)
+    per blob, with the malformed-record side-drop idiom the injector
+    pipeline uses — unparseable headers yield null dims + a
+    decode_error reason, never a task failure (one corrupt blob must
+    not kill a 100 TB scan). Same mapInPandas topology as decode_media:
+    narrow, shuffle-free, partition-parallel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, errs = [], [], [], []
+            for b in pdf[media_col]:
+                buf = b"" if b is None else bytes(b)
+                parsed = parse_image_header(buf)
+                if parsed is None:
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    errs.append("unrecognized_or_corrupt_header")
+                else:
+                    fmt, w, h = parsed
+                    fmts.append(fmt)
+                    ws.append(w)
+                    hs.append(h)
+                    errs.append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": [0 if b is None else len(bytes(b))
+                             for b in pdf[media_col]],
+                "format": fmts,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "decode_error": errs,
+            })
+
+    return df_media.mapInPandas(kernel, schema=DIMS_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"

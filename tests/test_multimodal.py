@@ -171,3 +171,106 @@ def test_audio_features_signed_samples_property(spark):
             assert r.zcr_mean > 0, "signed noise must cross zero"
         else:
             assert (r.rms_mean, r.zcr_mean) == (0.0, 0.0)
+
+
+# --- real image-header decode (r12): hand-authored byte fixtures -----------
+
+import struct
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"junk")
+
+
+def _gif(w, h, ver=b"GIF89a"):
+    return ver + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + b"junk"
+
+
+def _bmp_info(w, h):
+    return (b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24) + b"junk")
+
+
+def _bmp_core(w, h):
+    return (b"BM" + struct.pack("<IHHI", 0, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, w, h, 1, 24) + b"junk")
+
+
+def _jpeg(w, h, sof=0xC0, pre_segments=()):
+    out = b"\xff\xd8"                                 # SOI
+    for marker, payload in pre_segments:
+        out += bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+    out += bytes([0xFF, sof]) + struct.pack(">H", 8 + 3 * 1)
+    out += b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return out + b"\xff\xda\x00\x02" + b"entropy..."  # SOS + data
+
+
+def test_parse_image_header_fixtures():
+    p = M.parse_image_header
+    assert p(_png(640, 480)) == ("png", 640, 480)
+    assert p(_gif(320, 200)) == ("gif", 320, 200)
+    assert p(_gif(1, 1, ver=b"GIF87a")) == ("gif", 1, 1)
+    assert p(_bmp_info(800, 600)) == ("bmp", 800, 600)
+    assert p(_bmp_info(800, -600)) == ("bmp", 800, 600)  # top-down rows
+    assert p(_bmp_core(16, 16)) == ("bmp", 16, 16)
+    # baseline SOF0, APP0/JFIF + comment before the frame header
+    jfif = (0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    com = (0xFE, b"a comment")
+    assert p(_jpeg(1024, 768, pre_segments=(jfif, com))) == \
+        ("jpeg", 1024, 768)
+    # progressive SOF2, DHT (a NON-SOF Cx marker) before it
+    dht = (0xC4, b"\x00" * 5)
+    assert p(_jpeg(333, 222, sof=0xC2, pre_segments=(jfif, dht))) == \
+        ("jpeg", 333, 222)
+    # restart marker (bare, no length) must be skipped, not parsed
+    raw = b"\xff\xd8" + b"\xff\xd0" + _jpeg(9, 7)[2:]
+    assert p(raw) == ("jpeg", 9, 7)
+
+
+def test_parse_image_header_corrupt_cases():
+    p = M.parse_image_header
+    assert p(b"") is None
+    assert p(b"\x89PNG\r\n\x1a\n") is None            # truncated at sig
+    assert p(_png(640, 480)[:20]) is None             # truncated IHDR
+    bad_chunk = _png(1, 1).replace(b"IHDR", b"IDAT")  # wrong first chunk
+    assert p(bad_chunk) is None
+    assert p(_png(0, 480)) is None                    # zero width
+    assert p(_gif(0, 5)) is None
+    assert p(b"GIF88a" + struct.pack("<HH", 3, 3)) is None  # bad version
+    assert p(_bmp_info(0, 10)) is None
+    assert p(b"BM" + b"\x00" * 12 + struct.pack("<I", 20)) is None  # odd DIB
+    # JPEG: SOS before any SOF → no dims
+    assert p(b"\xff\xd8\xff\xda\x00\x02rest") is None
+    # JPEG: EOI before SOF
+    assert p(b"\xff\xd8\xff\xd9") is None
+    # JPEG: lost marker sync
+    assert p(b"\xff\xd8\x00\x00\x00") is None
+    # JPEG: segment length lies past the buffer (truncated SOF)
+    assert p(_jpeg(10, 10)[:6]) is None
+    # not an image at all
+    assert p(b"plain text bytes that look like nothing") is None
+
+
+def test_decode_image_dims_side_drop(spark):
+    rows = [
+        (1, _png(640, 480), "image/png"),
+        (2, _jpeg(32, 64), "image/jpeg"),
+        (3, _gif(5, 6), "image/gif"),
+        (4, _bmp_info(7, 8), "image/bmp"),
+        (5, b"corrupt garbage", "image/png"),
+        (6, None, "image/png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, media_type string")
+    got = {r.doc_id: r for r in M.decode_image_dims(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("png", 640, 480)
+    assert (got[2].format, got[2].width, got[2].height) == ("jpeg", 32, 64)
+    assert (got[3].format, got[3].width, got[3].height) == ("gif", 5, 6)
+    assert (got[4].format, got[4].width, got[4].height) == ("bmp", 7, 8)
+    for bad in (5, 6):
+        assert got[bad].format is None and got[bad].width is None
+        assert got[bad].decode_error == "unrecognized_or_corrupt_header"
+    assert all(got[i].decode_error is None for i in (1, 2, 3, 4))
+    assert got[6].byte_len == 0
