@@ -48,8 +48,10 @@ from .streaming.probes import start_probes
 
 
 def main(env: dict[str, str] | None = None, source_df=None):
-    """Wire config → session → pipeline → probes; returns the running
-    StreamingQuery (tests inject `env`/`source_df`; the CLI blocks on
+    """Wire config → session → pipeline → probes; returns
+    (query, probes, metrics_server) — metrics_server is a separate
+    /metrics HTTP server when METRICS_PORT is set to a distinct port,
+    else None (tests inject `env`/`source_df`; the CLI blocks on
     awaitTermination)."""
     e = dict(os.environ) if env is None else env
     cfg = InjectorConfig.from_env(e)
@@ -64,7 +66,13 @@ def main(env: dict[str, str] | None = None, source_df=None):
     # (encode_decode.go:87-113). With it, decode is typed/projected.
     payload_schema = e.get("PAYLOAD_SCHEMA_DDL") or None
 
+    # LOG_LEVEL (reference logger_builder.go:20-31) drives both the
+    # Python service logs and the Spark driver's log4j level.
+    import logging
+
+    logging.getLogger().setLevel(cfg.python_log_level())
     spark = get_spark("kafka-elasticsearch-injector", mode="streaming")
+    spark.sparkContext.setLogLevel(cfg.spark_log_level())
     registry = (SchemaRegistryClient(cfg.schema_registry_url)
                 if cfg.schema_registry_url else None)
     metrics = InjectorMetrics(spark)
@@ -83,15 +91,30 @@ def main(env: dict[str, str] | None = None, source_df=None):
         metrics=metrics,
         dead_letter_dir=e.get("DEAD_LETTER_DIR"),
     )
+    # METRICS_PORT parity (reference cmd/injector.go:33 + promhttp):
+    # when set and distinct from PROBES_PORT, /metrics gets its own
+    # server on that port (scrape traffic off the probe surface) and
+    # the probes server reverts to probes-only; unset, /metrics stays
+    # on the probes server — one port, same endpoints either way.
+    # (port 0 = ephemeral: two 0s are two DIFFERENT resolved ports,
+    # so 0 always splits; only a literal shared non-zero port means
+    # "one server".)
+    split_metrics = (cfg.metrics_port is not None
+                     and (cfg.metrics_port == 0
+                          or cfg.metrics_port != cfg.probes_port))
     probes = (start_probes(cfg.probes_port,
                            ready_fn=lambda: query.isActive,
-                           metrics_fn=metrics.prometheus_text)
+                           metrics_fn=(None if split_metrics
+                                       else metrics.prometheus_text))
               if cfg.probes_port is not None else None)
-    return query, probes
+    metrics_server = (start_probes(cfg.metrics_port,
+                                   metrics_fn=metrics.prometheus_text)
+                      if split_metrics else None)
+    return query, probes, metrics_server
 
 
 if __name__ == "__main__":  # pragma: no cover - CLI shell
-    q, _probes = main()
+    q, _probes, _metrics_srv = main()
     try:
         q.awaitTermination()
     except KeyboardInterrupt:

@@ -76,6 +76,19 @@ class InjectorConfig:
     # behavior; the field exists for env-surface parity.
     es_disable_sniffing: bool = True
     probes_port: int | None = None       # PROBES_PORT (streaming/probes.py)
+    # METRICS_PORT (reference README.md:35, served by promhttp in
+    # metrics_instrumenter.go:10-14): a dedicated port for the
+    # Prometheus /metrics endpoint. None (default) keeps serving
+    # /metrics on the probes server — same process-shape as the
+    # reference, one port fewer to wire; set it to split scrape
+    # traffic from the k8s probe surface exactly like the Go binary.
+    metrics_port: int | None = None
+    # LOG_LEVEL (reference README.md:34, logger_builder.go:20-31):
+    # DEBUG | INFO | WARN | NONE. The reference silently treats any
+    # other value as INFO; we fail fast instead (same divergence as
+    # ES_TIME_SUFFIX — a typo'd DEBUG that quietly runs at INFO hides
+    # exactly the evidence you set it for).
+    log_level: str = "INFO"
     es_index: str | None = None          # ES_INDEX (None → topic name)
     es_index_prefix: str = ""            # ES_INDEX_PREFIX
     es_index_column: str | None = None   # ES_INDEX_COLUMN
@@ -118,6 +131,28 @@ class InjectorConfig:
             raise ValueError(
                 "KAFKA_STARTING_OFFSETS must be latest|earliest or a "
                 f"per-partition JSON object, got {self.starting_offsets!r}")
+        if self.log_level not in ("DEBUG", "INFO", "WARN", "NONE"):
+            raise ValueError(
+                f"LOG_LEVEL must be DEBUG|INFO|WARN|NONE, "
+                f"got {self.log_level!r}")
+        if self.metrics_port is not None and not 0 <= self.metrics_port <= 65535:
+            raise ValueError(
+                f"METRICS_PORT must be a port number, got {self.metrics_port}")
+
+    def python_log_level(self) -> int:
+        """The stdlib-logging level for LOG_LEVEL (logger_builder.go's
+        level.Allow* filters): NONE maps above CRITICAL so nothing
+        passes the filter, matching level.AllowNone()."""
+        import logging
+
+        return {"DEBUG": logging.DEBUG, "INFO": logging.INFO,
+                "WARN": logging.WARNING,
+                "NONE": logging.CRITICAL + 1}[self.log_level]
+
+    def spark_log_level(self) -> str:
+        """The log4j level string for SparkContext.setLogLevel."""
+        return {"DEBUG": "DEBUG", "INFO": "INFO",
+                "WARN": "WARN", "NONE": "OFF"}[self.log_level]
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "InjectorConfig":
@@ -155,6 +190,9 @@ class InjectorConfig:
                                     "true").lower() == "true",
             probes_port=(int(e["PROBES_PORT"])
                          if "PROBES_PORT" in e else None),
+            metrics_port=(int(e["METRICS_PORT"])
+                          if "METRICS_PORT" in e else None),
+            log_level=get("LOG_LEVEL", "INFO"),
             es_index=e.get("ES_INDEX"),
             es_index_prefix=get("ES_INDEX_PREFIX", ""),
             es_index_column=e.get("ES_INDEX_COLUMN"),

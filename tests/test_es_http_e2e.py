@@ -313,7 +313,7 @@ def test_service_entrypoint_end_to_end(spark, tmp_path, fake_es):
         "PROBES_PORT": "0",
         "TRIGGER_SECONDS": "0.2",
     }
-    q, probes = main(env=env, source_df=source)
+    q, probes, _metrics_srv = main(env=env, source_df=source)
     try:
         deadline = time.time() + 60
         while time.time() < deadline and len(es.docs) < 2:
@@ -376,7 +376,7 @@ def test_service_entrypoint_schemaless(spark, tmp_path, fake_es):
         "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
         "TRIGGER_SECONDS": "0.2",
     }
-    q, _probes = main(env=env, source_df=source)
+    q, _probes, _metrics_srv = main(env=env, source_df=source)
     try:
         deadline = time.time() + 60
         while time.time() < deadline and len(es.docs) < 1:
@@ -435,7 +435,7 @@ def test_service_entrypoint_avro_full_stack(spark, tmp_path, fake_es):
         "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
         "TRIGGER_SECONDS": "0.2",
     }
-    q, probes = main(env=env, source_df=source)
+    q, probes, _metrics_srv = main(env=env, source_df=source)
     try:
         deadline = time.time() + 60
         while time.time() < deadline and len(es.docs) < 2:
@@ -483,7 +483,7 @@ def test_service_entrypoint_dead_letter_quarantine(spark, tmp_path, fake_es):
         "DEAD_LETTER_DIR": dlq,
         "TRIGGER_SECONDS": "0.2",
     }
-    q, probes = main(env=env, source_df=source)
+    q, probes, _metrics_srv = main(env=env, source_df=source)
     try:
         deadline = time.time() + 60
         while time.time() < deadline and len(es.docs) < 1:
@@ -625,3 +625,63 @@ def test_transient_sniff_failure_never_pins_version():
         assert es.templates["topic-b"]["index_patterns"] == ["topic-b-*"]
     finally:
         es.stop()
+
+
+def test_metrics_port_splits_scrape_surface(spark, tmp_path, fake_es):
+    """METRICS_PORT parity (reference README:35, promhttp on its own
+    port): with METRICS_PORT set, /metrics is served on THAT port and
+    the probes server stops exposing it — probe and scrape surfaces
+    split exactly like the Go binary's. LOG_LEVEL flows through to the
+    service logger."""
+    import logging
+    import urllib.error
+    import urllib.request
+
+    from kafka_elasticsearch_injector_spark.__main__ import main
+
+    es, url = fake_es
+    src_dir = str(tmp_path / "src")
+    _write_source(spark, src_dir, [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+    ])
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir))
+    env = {
+        "KAFKA_TOPICS": "my-topic",
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "ELASTICSEARCH_HOST": url,
+        "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        "PAYLOAD_SCHEMA_DDL": SCHEMA,
+        "PROBES_PORT": "0",
+        "METRICS_PORT": "0",
+        "LOG_LEVEL": "WARN",
+        "TRIGGER_SECONDS": "0.2",
+    }
+    prior_level = logging.getLogger().level
+    q, probes, msrv = main(env=env, source_df=source)
+    try:
+        assert msrv is not None and msrv.port != probes.port
+        assert logging.getLogger().level == logging.WARNING
+        deadline = time.time() + 60
+        while time.time() < deadline and len(es.docs) < 1:
+            if not q.isActive:
+                q.awaitTermination(1)
+                break
+            time.sleep(0.2)
+        mbase = f"http://127.0.0.1:{msrv.port}"
+        body = urllib.request.urlopen(f"{mbase}/metrics").read().decode()
+        assert body  # prometheus text exposition
+        pbase = f"http://127.0.0.1:{probes.port}"
+        assert urllib.request.urlopen(f"{pbase}/healthz").status == 200
+        with pytest.raises(urllib.error.HTTPError) as ex:
+            urllib.request.urlopen(f"{pbase}/metrics")
+        assert ex.value.code == 404  # moved off the probe surface
+    finally:
+        logging.getLogger().setLevel(prior_level)
+        q.stop()
+        probes.stop()
+        if msrv is not None:
+            msrv.stop()

@@ -421,3 +421,31 @@ def test_avro_time_logical_payload_serializes(spark):
     assert by_id["0:8"]["tod"] == "12:00:00"
     assert by_id["0:8"]["nested"] == {}   # null omitted by to_json
     assert by_id["0:8"]["laps"] == []
+
+
+def test_config_metrics_port_and_log_level_from_env():
+    c = InjectorConfig.from_env({
+        "KAFKA_TOPICS": "t", "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "METRICS_PORT": "9102", "LOG_LEVEL": "WARN",
+    })
+    assert c.metrics_port == 9102 and c.log_level == "WARN"
+    import logging
+
+    assert c.python_log_level() == logging.WARNING
+    assert c.spark_log_level() == "WARN"
+    # defaults: no dedicated metrics port, INFO (reference README:34-35)
+    d = InjectorConfig.from_env(
+        {"KAFKA_TOPICS": "t", "KAFKA_CONSUMER_RECORD_TYPE": "json"})
+    assert d.metrics_port is None and d.log_level == "INFO"
+    assert d.python_log_level() == logging.INFO
+    # NONE passes nothing (level.AllowNone() parity) and maps to log4j OFF
+    n = InjectorConfig(record_type="json", log_level="NONE")
+    assert n.python_log_level() > logging.CRITICAL
+    assert n.spark_log_level() == "OFF"
+
+
+def test_config_rejects_bad_log_level_and_metrics_port():
+    with pytest.raises(ValueError, match="LOG_LEVEL"):
+        InjectorConfig(record_type="json", log_level="TRACE")
+    with pytest.raises(ValueError, match="METRICS_PORT"):
+        InjectorConfig(record_type="json", metrics_port=70000)
