@@ -175,6 +175,19 @@ def _tile_intersections(lpdf: pd.DataFrame, rpdf: pd.DataFrame,
 
     lrows = np.repeat(np.arange(nl), llens)
     rrows = lrows if diag else np.repeat(np.arange(nr), rlens)
+    # Dedupe (row, code) occurrence pairs: the dense 0/1 assignment
+    # (m[...] = 1.0) naturally collapses a duplicate element within one
+    # set, so the sparse accumulation must too or the regimes would
+    # diverge on inputs that violate the documented distinct-elements
+    # precondition. (lens stay len(s) with duplicates counted — same as
+    # the dense path's, so union/containment denominators also match.)
+
+    def _uniq(rows, codes_):
+        keys = np.unique(rows.astype(np.int64) * v + codes_)
+        return keys // v, keys % v
+
+    lrows, lcodes = _uniq(lrows, lcodes)
+    rrows, rcodes = (lrows, lcodes) if diag else _uniq(rrows, rcodes)
     r_order = np.argsort(rcodes, kind="stable")
     r_rows_sorted = rrows[r_order]
     cr = np.bincount(rcodes, minlength=v)

@@ -21,6 +21,7 @@ and the mapInPandas partition-parallel execution path.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -117,8 +118,6 @@ def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
     Pure stdlib + O(header) bytes: PNG/GIF/BMP read fixed offsets; the
     JPEG scan walks segment lengths (never entropy-coded data) so it
     touches a few hundred bytes even on multi-MB files."""
-    import struct
-
     if len(buf) >= 24 and buf[:8] == _PNG_SIG and buf[12:16] == b"IHDR":
         w, h = struct.unpack(">II", buf[16:24])
         return ("png", w, h) if 0 < w < 1 << 31 and 0 < h < 1 << 31 \
@@ -184,9 +183,12 @@ def decode_image_dims(df_media: DataFrame,
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fmts, ws, hs, errs = [], [], [], []
+            fmts, ws, hs, errs, lens = [], [], [], [], []
             for b in pdf[media_col]:
+                # one bytes() materialization per blob — header parsing
+                # only reads the first bytes, but the copy is the cost
                 buf = b"" if b is None else bytes(b)
+                lens.append(len(buf))
                 parsed = parse_image_header(buf)
                 if parsed is None:
                     fmts.append(None)
@@ -202,8 +204,7 @@ def decode_image_dims(df_media: DataFrame,
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "byte_len": [0 if b is None else len(bytes(b))
-                             for b in pdf[media_col]],
+                "byte_len": lens,
                 "format": fmts,
                 "width": pd.array(ws, dtype="Int32"),
                 "height": pd.array(hs, dtype="Int32"),

@@ -116,7 +116,8 @@ def _contains_time(dtype: T.DataType) -> bool:
     if isinstance(dtype, T.ArrayType):
         return _contains_time(dtype.elementType)
     if isinstance(dtype, T.MapType):
-        return _contains_time(dtype.valueType)
+        return (_contains_time(dtype.keyType)
+                or _contains_time(dtype.valueType))
     return False
 
 
@@ -142,8 +143,16 @@ def _json_safe(col: Column, dtype: T.DataType) -> Column:
         return F.transform(
             col, lambda x: _json_safe(x, dtype.elementType))
     if isinstance(dtype, T.MapType):
-        return F.transform_values(
-            col, lambda k, v: _json_safe(v, dtype.valueType))
+        out = col
+        if _contains_time(dtype.keyType):
+            # a TIME map key would serialize as raw internal nanos;
+            # JSON object keys are strings anyway, so ISO-cast it
+            out = F.transform_keys(
+                out, lambda k, v: _json_safe(k, dtype.keyType))
+        if _contains_time(dtype.valueType):
+            out = F.transform_values(
+                out, lambda k, v: _json_safe(v, dtype.valueType))
+        return out
     return col
 
 
@@ -290,7 +299,13 @@ def build_elastic_records(df: DataFrame, cfg: InjectorConfig,
             # payload's field for nil-key records, but mixing the two
             # requires one struct type and the payload field's type is
             # arbitrary — a duplicate JSON key would be strictly worse.
-            payload_cols.append(F.col("decoded_key").alias("key"))
+            # The key struct needs the same TIME→string JSON guard as
+            # the payload fields (a time-millis field in the KEY schema
+            # would otherwise crash to_json for the whole batch).
+            key_type = avro_to_spark_type(
+                registry.get_schema(key_reader_schema_id))
+            payload_cols.append(
+                _json_safe(F.col("decoded_key"), key_type).alias("key"))
 
     # Routing (ops 12-17). Missing routing columns fail HERE, at plan
     # time (the reference failed per-batch at runtime, record.go:30-42).

@@ -449,3 +449,55 @@ def test_config_rejects_bad_log_level_and_metrics_port():
         InjectorConfig(record_type="json", log_level="TRACE")
     with pytest.raises(ValueError, match="METRICS_PORT"):
         InjectorConfig(record_type="json", metrics_port=70000)
+
+
+def test_avro_time_in_key_schema_serializes(spark):
+    """r12 review: the DECODED KEY struct takes the same TIME→string
+    JSON guard as payload fields — a time-millis field in the key
+    schema must serialize, not crash the batch at to_json."""
+    from kafka_elasticsearch_injector_spark.sources import (
+        Codec, dict_registry, wire_encode,
+    )
+
+    val_schema = json.dumps({
+        "type": "record", "name": "v",
+        "fields": [{"name": "id", "type": "string"}]})
+    key_schema = json.dumps({
+        "type": "record", "name": "k", "fields": [
+            {"name": "uid", "type": "string"},
+            {"name": "at", "type": {"type": "int",
+                                    "logicalType": "time-millis"}}]})
+    registry = dict_registry({1: val_schema, 5: key_schema})
+    vc, kc = Codec(val_schema), Codec(key_schema)
+    rows = [(wire_encode(5, kc.encode(
+                {"uid": "u1", "at": dt.time(3, 4, 5, 678000)})),
+             wire_encode(1, vc.encode({"id": "a"})),
+             "my-topic", 0, 7, TS)]
+    df = spark.createDataFrame(
+        rows, "key BINARY, value BINARY, topic STRING, partition INT, "
+              "offset LONG, timestamp TIMESTAMP")
+    out = rows_of(build_elastic_records(
+        df, cfg(record_type="avro", include_key=True,
+                schema_registry_url="mem://fixture"), None,
+        registry=registry, reader_schema_id=1, key_reader_schema_id=5))
+    payload = json.loads(out[0]["payload"])
+    assert payload["key"] == {"uid": "u1", "at": "03:04:05.678"}
+
+
+def test_time_map_key_serializes_iso(spark):
+    """r12 review: a TIME map KEY would otherwise serialize as raw
+    internal nanoseconds; the JSON guard ISO-casts keys too."""
+    import pyspark.sql.types as T
+
+    from kafka_elasticsearch_injector_spark.streaming.pipeline import (
+        _json_safe,
+    )
+
+    schema = T.StructType([T.StructField(
+        "m", T.MapType(T.TimeType(), T.StringType()), True)])
+    df = spark.createDataFrame(
+        [({dt.time(3, 4, 5): "x"},)], schema)
+    got = df.select(F.to_json(F.struct(
+        _json_safe(F.col("m"), schema["m"].dataType).alias("m")
+    )).alias("j")).collect()[0].j
+    assert json.loads(got) == {"m": {"03:04:05": "x"}}

@@ -233,7 +233,10 @@ _WIDE_VOCAB = [f"w{i}" for i in range(64)]
 
 @settings(**_SETTINGS)
 @given(st.lists(
-    st.sets(st.sampled_from(_WIDE_VOCAB), max_size=10),
+    st.lists(st.sampled_from(_WIDE_VOCAB), max_size=12),  # dups allowed:
+    # the dense 0/1 assignment collapses duplicate elements, so the
+    # sparse accumulation dedupes (row, code) pairs to stay identical
+    # even on inputs violating the distinct-elements precondition
     min_size=2, max_size=10))
 def test_tile_regimes_bit_identical(case):
     """_tile_intersections' two regimes (dense sgemm vs sparse
@@ -248,7 +251,7 @@ def test_tile_regimes_bit_identical(case):
         _tile_intersections,
     )
 
-    sets = [np.array(sorted(s), dtype=object) for s in case]
+    sets = [np.array(s, dtype=object) for s in case]
     half = max(1, len(sets) // 2)
     lp = pd.DataFrame({"doc_id": np.arange(half, dtype=np.int64),
                        "g": sets[:half]})

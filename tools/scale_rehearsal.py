@@ -281,7 +281,8 @@ def main() -> None:
         merged = {r["query"]: r for r in out.get("results", [])}
         for r in results:
             merged[r["query"]] = r
-        out["results"] = [merged[q] for q in list(CONTRACTS) if q in merged]
+        ordered = [merged.pop(q) for q in list(CONTRACTS) if q in merged]
+        out["results"] = ordered + list(merged.values())  # keep unknowns
     else:
         out = {
             "source_sf": SRC,
