@@ -179,13 +179,17 @@ def test_ocf_logical_types_full_circle(spark, tmp_path):
             {"name": "day", "type": {"type": "int", "logicalType": "date"}},
             {"name": "at", "type": {"type": "long",
                                     "logicalType": "timestamp-micros"}},
+            {"name": "tod", "type": {"type": "long",
+                                     "logicalType": "time-micros"}},
         ]})
     rows = [
         {"id": 1, "price": Decimal("19.99"), "day": dt.date(2023, 5, 4),
          "at": dt.datetime(2023, 5, 4, 1, 2, 3, 456789,
-                           tzinfo=dt.timezone.utc)},
+                           tzinfo=dt.timezone.utc),
+         "tod": dt.time(23, 59, 59, 999999)},
         {"id": 2, "price": Decimal("-0.01"), "day": dt.date(1969, 12, 31),
-         "at": dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)},
+         "at": dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc),
+         "tod": dt.time(0, 0)},
     ]
     lake = tmp_path / "lt_lake"
     lake.mkdir()
@@ -195,10 +199,13 @@ def test_ocf_logical_types_full_circle(spark, tmp_path):
     assert dict(df.dtypes)["price"] == "decimal(10,2)"
     assert dict(df.dtypes)["day"] == "date"
     assert dict(df.dtypes)["at"] == "timestamp"
+    assert dict(df.dtypes)["tod"].startswith("time")  # TimeType (r12)
     got = {r.id: r for r in df.collect()}
     assert got[1].price == Decimal("19.99")
     assert got[1].day == dt.date(2023, 5, 4)
     assert got[1].at == dt.datetime(2023, 5, 4, 1, 2, 3, 456789)
+    assert got[1].tod == dt.time(23, 59, 59, 999999)
+    assert got[2].tod == dt.time(0, 0)
 
     dest = str(tmp_path / "lt_out")
     df_to_ocf(df, dest, schema)
@@ -208,3 +215,4 @@ def test_ocf_logical_types_full_circle(spark, tmp_path):
         assert back[i].price == got[i].price
         assert back[i].day == got[i].day
         assert back[i].at == got[i].at
+        assert back[i].tod == got[i].tod

@@ -417,8 +417,9 @@ def test_decode_confluent_logical_end_to_end(spark):
 @settings(max_examples=150, deadline=None)
 @given(st.integers(-10**9, 10**9), st.integers(0, 6),
        st.integers(-100_000, 100_000),
-       st.integers(-2**50, 2**50))
-def test_logical_roundtrip_property(unscaled, scale, days, micros):
+       st.integers(-2**50, 2**50),
+       st.integers(0, 86_399_999_999))
+def test_logical_roundtrip_property(unscaled, scale, days, micros, tod_us):
     dec = Codec(json.dumps({"type": "bytes", "logicalType": "decimal",
                             "precision": 16, "scale": scale}))
     v = Decimal(f"{unscaled}E-{scale}")
@@ -431,6 +432,15 @@ def test_logical_roundtrip_property(unscaled, scale, days, micros):
     ts = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + \
         dt.timedelta(microseconds=micros)
     assert usc.decode(usc.encode(ts)) == ts
+    todc = Codec(json.dumps({"type": "long",
+                             "logicalType": "time-micros"}))
+    tod = (dt.datetime.min + dt.timedelta(microseconds=tod_us)).time()
+    assert todc.decode(todc.encode(tod)) == tod
+    # millis lane: truncate to the representable grid, then exact
+    msc = Codec(json.dumps({"type": "int", "logicalType": "time-millis"}))
+    tod_ms = (dt.datetime.min
+              + dt.timedelta(microseconds=(tod_us // 1000) * 1000)).time()
+    assert msc.decode(msc.encode(tod_ms)) == tod_ms
 
 
 def test_encode_confluent_logical_roundtrip(spark):
