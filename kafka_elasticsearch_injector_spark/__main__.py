@@ -113,10 +113,38 @@ def main(env: dict[str, str] | None = None, source_df=None):
     return query, probes, metrics_server
 
 
+def install_signal_handlers(query) -> "object":
+    """SIGTERM/SIGINT → graceful drain (reference cmd/injector.go:63-77:
+    signal.Notify feeds the consumer loop's `case <-signals: return`,
+    and the deferred consumer.Close() finishes the in-flight work). The
+    Spark analog: StreamingQuery.stop() lets the current micro-batch
+    COMPLETE — its offsets commit to the checkpoint and its bulk
+    create()s land — then awaitTermination returns; nothing is
+    replayed on the next start. Without this, k8s pod termination
+    (SIGTERM) hard-kills the driver mid-batch: still EFFECTIVELY-once
+    thanks to checkpoint replay + create-only 409 idempotence, but the
+    whole batch re-runs on restart.
+
+    stop() is dispatched on a fresh daemon thread, NOT inline in the
+    handler: Python signal handlers run on the main thread, which is
+    usually blocked inside the awaitTermination Py4J call — issuing a
+    second Py4J call on that thread's gateway connection mid-call is a
+    protocol violation. A new thread gets its own connection.
+
+    Returns the handler (tests invoke it directly — delivering real
+    signals to a shared test process would kill the runner)."""
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        threading.Thread(target=query.stop, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
+    return _drain
+
+
 if __name__ == "__main__":  # pragma: no cover - CLI shell
     q, _probes, _metrics_srv = main()
-    try:
-        q.awaitTermination()
-    except KeyboardInterrupt:
-        q.stop()
-        sys.exit(130)
+    install_signal_handlers(q)
+    q.awaitTermination()   # returns after a signal-triggered stop()

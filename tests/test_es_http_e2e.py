@@ -685,3 +685,60 @@ def test_metrics_port_splits_scrape_surface(spark, tmp_path, fake_es):
         probes.stop()
         if msrv is not None:
             msrv.stop()
+
+
+def test_sigterm_graceful_drain(spark, tmp_path, fake_es):
+    """k8s lifecycle parity (reference cmd/injector.go:63-77): the
+    installed SIGTERM handler drains the streaming query — the running
+    micro-batch completes (its docs land, its offsets commit) and
+    awaitTermination returns — instead of hard-killing the driver. The
+    handler is invoked directly (a real signal would hit the test
+    runner); signal registration itself is asserted via getsignal."""
+    import signal as _signal
+
+    from kafka_elasticsearch_injector_spark.__main__ import (
+        install_signal_handlers, main,
+    )
+
+    es, url = fake_es
+    src_dir = str(tmp_path / "src")
+    _write_source(spark, src_dir, [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+    ])
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir))
+    env = {
+        "KAFKA_TOPICS": "my-topic",
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "ELASTICSEARCH_HOST": url,
+        "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        "PAYLOAD_SCHEMA_DDL": SCHEMA,
+        "TRIGGER_SECONDS": "0.2",
+    }
+    prev_term = _signal.getsignal(_signal.SIGTERM)
+    prev_int = _signal.getsignal(_signal.SIGINT)
+    q, probes, msrv = main(env=env, source_df=source)
+    try:
+        handler = install_signal_handlers(q)
+        assert _signal.getsignal(_signal.SIGTERM) is handler
+        assert _signal.getsignal(_signal.SIGINT) is handler
+        # let the first batch land, then "SIGTERM"
+        deadline = time.time() + 60
+        while time.time() < deadline and len(es.docs) < 1:
+            time.sleep(0.2)
+        assert ("my-topic-2018-03-10", "0:7") in es.docs
+        handler(_signal.SIGTERM, None)
+        q.awaitTermination(60)
+        deadline = time.time() + 30
+        while time.time() < deadline and q.isActive:
+            time.sleep(0.2)
+        assert not q.isActive          # drained, not killed
+        assert q.exception() is None   # clean stop, no error
+    finally:
+        _signal.signal(_signal.SIGTERM, prev_term)
+        _signal.signal(_signal.SIGINT, prev_int)
+        if q.isActive:
+            q.stop()
