@@ -114,16 +114,19 @@ def main(env: dict[str, str] | None = None, source_df=None):
 
 
 def install_signal_handlers(query) -> "object":
-    """SIGTERM/SIGINT → graceful drain (reference cmd/injector.go:63-77:
-    signal.Notify feeds the consumer loop's `case <-signals: return`,
-    and the deferred consumer.Close() finishes the in-flight work). The
-    Spark analog: StreamingQuery.stop() lets the current micro-batch
-    COMPLETE — its offsets commit to the checkpoint and its bulk
-    create()s land — then awaitTermination returns; nothing is
-    replayed on the next start. Without this, k8s pod termination
-    (SIGTERM) hard-kills the driver mid-batch: still EFFECTIVELY-once
-    thanks to checkpoint replay + create-only 409 idempotence, but the
-    whole batch re-runs on restart.
+    """SIGTERM/SIGINT → orderly stop (reference cmd/injector.go:63-77:
+    signal.Notify feeds the consumer loop's `case <-signals: return` —
+    prompt loop exit, NOT a drain; in-flight goroutine batches die with
+    the process there too). The Spark analog: StreamingQuery.stop()
+    cancels the run's job group and interrupts the execution thread, so
+    a mid-batch signal ABANDONS that batch — its offsets never commit
+    and it replays from the checkpoint on the next start, where
+    create-only 409 idempotence absorbs the duplicates
+    (effectively-once either way). What stop() buys over a hard kill is
+    the ORDERLY part: the checkpoint/WAL closes cleanly, Py4J/JVM
+    shut down, probes report not-ready, and awaitTermination returns
+    so the process exits by itself within the k8s grace period instead
+    of eating the SIGKILL.
 
     stop() is dispatched on a fresh daemon thread, NOT inline in the
     handler: Python signal handlers run on the main thread, which is
@@ -131,20 +134,38 @@ def install_signal_handlers(query) -> "object":
     second Py4J call on that thread's gateway connection mid-call is a
     protocol violation. A new thread gets its own connection.
 
+    A SECOND signal force-exits with the conventional 128+signum
+    status (stop() can block indefinitely — spark.sql.streaming.
+    stopTimeout waits for the execution thread by default — and an
+    operator mashing Ctrl-C must still be able to kill the process).
+    The first signal's number is recorded on the returned handler
+    (`handler.state["fired"]`) so the CLI can exit 128+signum, keeping
+    the shell convention (130 on interrupt) the bare KeyboardInterrupt
+    path used to provide.
+
     Returns the handler (tests invoke it directly — delivering real
     signals to a shared test process would kill the runner)."""
+    import os
     import signal
     import threading
 
-    def _drain(signum, frame):
+    state = {"fired": None}
+
+    def _stop_query(signum, frame):
+        if state["fired"] is not None:
+            os._exit(128 + signum)  # second signal: force quit
+        state["fired"] = signum
         threading.Thread(target=query.stop, daemon=True).start()
 
-    signal.signal(signal.SIGTERM, _drain)
-    signal.signal(signal.SIGINT, _drain)
-    return _drain
+    _stop_query.state = state
+    signal.signal(signal.SIGTERM, _stop_query)
+    signal.signal(signal.SIGINT, _stop_query)
+    return _stop_query
 
 
 if __name__ == "__main__":  # pragma: no cover - CLI shell
     q, _probes, _metrics_srv = main()
-    install_signal_handlers(q)
+    _handler = install_signal_handlers(q)
     q.awaitTermination()   # returns after a signal-triggered stop()
+    if _handler.state["fired"] is not None:
+        sys.exit(128 + _handler.state["fired"])

@@ -154,7 +154,14 @@ def _tile_intersections(lpdf: pd.DataFrame, rpdf: pd.DataFrame,
     flat_parts = lsets + ([] if diag else rsets)
     flat = (np.concatenate(flat_parts)
             if any(len(s) for s in flat_parts) else np.array([]))
-    codes, uniq = pd.factorize(flat)
+    # use_na_sentinel=False: a null element inside a set gets its OWN
+    # dictionary code instead of factorize's -1 sentinel. With the
+    # sentinel, the dense encoding silently aliased nulls onto the
+    # last real gram's column (m[row, -1] = 1) and the sparse
+    # row*v+code key arithmetic mis-attributed the occurrence to the
+    # previous row — two different corruptions. One real code keeps
+    # both regimes identical and null∩null counting consistent.
+    codes, uniq = pd.factorize(flat, use_na_sentinel=False)
     v = len(uniq)
     nl, nr = len(lsets), len(rsets)
     lid = lpdf[id_col].to_numpy()
