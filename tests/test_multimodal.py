@@ -274,3 +274,33 @@ def test_decode_image_dims_side_drop(spark):
         assert got[bad].decode_error == "unrecognized_or_corrupt_header"
     assert all(got[i].decode_error is None for i in (1, 2, 3, 4))
     assert got[6].byte_len == 0
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_parse_image_header_never_raises(buf):
+    """Fuzz: arbitrary bytes — including truncations of valid headers
+    and random junk behind real magics — must yield None or a
+    well-formed (format, w>0, h>0), never an exception (one corrupt
+    blob must not kill a 100 TB scan task)."""
+    out = M.parse_image_header(buf)
+    if out is not None:
+        fmt, w, h = out
+        assert fmt in ("png", "gif", "bmp", "jpeg") and w > 0 and h > 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(["png", "gif", "bmp", "jpeg"]),
+       st.integers(0, 40), st.binary(max_size=8))
+def test_parse_image_header_truncation_and_tail_noise(kind, cut, noise):
+    """Prefixes of VALID headers (cut anywhere) never raise; a full
+    valid header keeps parsing no matter what bytes follow it."""
+    full = {"png": _png(12, 34), "gif": _gif(12, 34),
+            "bmp": _bmp_info(12, 34), "jpeg": _jpeg(12, 34)}[kind]
+    out = M.parse_image_header(full[:cut])
+    assert out is None or out == (kind, 12, 34)
+    assert M.parse_image_header(full + noise) == (kind, 12, 34)
