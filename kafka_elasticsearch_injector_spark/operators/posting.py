@@ -91,6 +91,18 @@ def estimate_tile_vocab(df: DataFrame, id_col: str, set_col: str,
     return tile_rows, int(row["v"] or 0)
 
 
+def _pair_path_stats(df: DataFrame, id_col: str, set_col: str,
+                     size_hint: int | None,
+                     tile_budget_bytes: int) -> tuple[str, int]:
+    """(path, measured_row_count) — the row count is surfaced so the
+    auto router can reuse it as the tile branch's size_hint instead of
+    paying a second full-scan count at plan time."""
+    n = size_hint if size_hint is not None else df.count()
+    tile_rows, v_tile = estimate_tile_vocab(df, id_col, set_col, n)
+    dense_bytes = 2 * tile_rows * max(v_tile, 1) * 4
+    return ("tile" if dense_bytes <= tile_budget_bytes else "posting"), n
+
+
 def choose_pair_path(df: DataFrame, id_col: str = "doc_id",
                      set_col: str = "g",
                      size_hint: int | None = None,
@@ -99,10 +111,22 @@ def choose_pair_path(df: DataFrame, id_col: str = "doc_id",
     module docstring describes. Tile footprint ≈ 2 sides ×
     rows_per_tile × tile-local vocabulary × 4 bytes; small shared
     vocabularies fit (→ dense kernel, skew-immune), large flat ones
-    don't (→ inverted index)."""
-    tile_rows, v_tile = estimate_tile_vocab(df, id_col, set_col, size_hint)
-    dense_bytes = 2 * tile_rows * max(v_tile, 1) * 4
-    return "tile" if dense_bytes <= tile_budget_bytes else "posting"
+    route to the inverted index.
+
+    Since r12 the tile kernels carry a sparse regime
+    (blocked.SPARSE_TILE_VOCAB), so exceeding this budget no longer
+    means the tile path would OOM — it switches encodings and stays
+    memory-bounded (and on mid-size mixed-vocabulary corpora it
+    measured ~2× faster than the ceilinged posting join at 10×,
+    SCALE_REHEARSAL). The budget still routes large-flat to posting
+    because the decisive cost at corpus scale is SHUFFLE, not tile
+    memory: the tile topology replicates every row to B block-pairs
+    (B grows with N), i.e. ~N²/TARGET_TILE_ROWS shuffled rows, while
+    the posting join ships each posting once. Callers who know their
+    corpus is verify-scale (post-LSH) can pass path='tile' to take the
+    faster kernel above the budget."""
+    return _pair_path_stats(
+        df, id_col, set_col, size_hint, tile_budget_bytes)[0]
 
 
 def jaccard_pairs_auto(
@@ -115,9 +139,17 @@ def jaccard_pairs_auto(
     path: str | None = None,
 ) -> DataFrame:
     """Exact jaccard pairs via whichever discovery path fits the
-    corpus (choose_pair_path); both paths share the output contract,
-    so callers never see which ran. `df_ceiling` applies only when the
+    corpus (choose_pair_path); both paths share the output contract —
+    (doc_a bigint, doc_b bigint, jac double) for integral ids — so
+    callers never see which ran. `df_ceiling` applies only when the
     posting path is chosen.
+
+    Non-integral id columns (string doc ids) route to the posting path
+    unconditionally: the tile kernels require integral ids
+    (blocked.replicate_block_pairs rejects anything else at plan
+    time), and there the ids keep their own type in the output. An
+    EXPLICIT path='tile' with string ids still raises — hash the ids
+    first, per the blocked-module guidance.
 
     EAGER PLANNING COST: unlike every other operator in this package,
     the default (``path=None``) runs up to two small Spark jobs AT
@@ -131,8 +163,17 @@ def jaccard_pairs_auto(
     needs a row count to size its tiles (blocked.choose_blocks) and
     will run a plan-time ``df.count()`` unless ``size_hint`` is also
     given — pass both for a job-free tile plan."""
+    from .blocked import _INTEGRAL_TYPES
+
+    integral_id = dict(df.dtypes).get(id_col) in _INTEGRAL_TYPES
     if path is None:
-        path = choose_pair_path(df, id_col, set_col, size_hint)
+        if not integral_id:
+            path = "posting"  # tile kernels need integral ids
+        else:
+            path, measured_n = _pair_path_stats(
+                df, id_col, set_col, size_hint, TILE_BUDGET_BYTES)
+            if size_hint is None:
+                size_hint = measured_n  # no second plan-time count
     elif path not in ("tile", "posting"):
         raise ValueError(f"path must be 'tile', 'posting' or None, "
                          f"got {path!r}")
@@ -142,9 +183,15 @@ def jaccard_pairs_auto(
         return jaccard_pairs_blocked(
             df, id_col=id_col, set_col=set_col, threshold=threshold,
             size_hint=size_hint)
-    return jaccard_pairs_posting(
+    out = jaccard_pairs_posting(
         df, id_col=id_col, set_col=set_col, threshold=threshold,
         df_ceiling=df_ceiling)
+    if integral_id:
+        # schema contract alignment with the tile branch, which emits
+        # bigint ids from its Arrow kernel regardless of input width
+        out = out.withColumn("doc_a", F.col("doc_a").cast("bigint")) \
+                 .withColumn("doc_b", F.col("doc_b").cast("bigint"))
+    return out
 
 
 def posting_jaccard_ratio(shared: Column, sza: Column,
@@ -178,7 +225,13 @@ def _postings(df: DataFrame, id_col: str, set_col: str,
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") > df_ceiling)
                 .select("_g"))
-        posts = posts.join(F.broadcast(drop), "_g", "left_anti")
+        # The ≤ n_postings/ceiling bound only keeps the dropped set
+        # broadcast-sized for reasonable ceilings; a tiny ceiling (say
+        # 10 on 1e9 postings) permits 1e8 dropped grams, and forcing
+        # that through the driver is an OOM. Below 64 the hint comes
+        # off and AQE decides from the measured size.
+        anti = F.broadcast(drop) if df_ceiling >= 64 else drop
+        posts = posts.join(anti, "_g", "left_anti")
     return posts
 
 

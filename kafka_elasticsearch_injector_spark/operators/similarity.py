@@ -34,11 +34,21 @@ from .scale import fill_cluster
 
 
 def label_centroids(emb: DataFrame, label_col: str = "label",
-                    vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+                    vec_col: str = "embedding", dim: int = 64,
+                    prefilled: bool = False) -> DataFrame:
     """Per-cell centroid as `dim` per-dimension exact decimal means in ONE
     map-side-combinable aggregation. Decimal summation keeps the mean
     order-independent (bit-stable under shuffle), so downstream cosine
     scores are deterministic.
+
+    Precondition (same as every vector lane here): embeddings are
+    non-null, fixed-`dim`, no null elements. The per-dimension mean
+    divides by the cell's ROW count; a null element or short array
+    would silently deflate that dimension's mean (sum skips nulls, the
+    count doesn't) — quantize/ingest lanes are responsible for
+    quarantining such vectors before indexing. `prefilled=True` skips
+    the fill_cluster rebalance when the caller already ran it (saves a
+    plan→RDD partition probe).
 
     Plan shape: no explode — a posexplode formulation shuffles N·dim rows
     through two aggregations (per-(cell,pos) mean, then collect_list
@@ -51,7 +61,7 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
         return (F.element_at(F.col(vec_col), d + 1)
                 .cast("double").cast("decimal(30,10)"))
 
-    sums = fill_cluster(emb).groupBy(label_col).agg(
+    sums = (emb if prefilled else fill_cluster(emb)).groupBy(label_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(xd(d)).alias(f"_s{d}") for d in range(dim)],
     )
@@ -77,7 +87,8 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
     # Per-candidate cosine is interpreted-HOF work below any exchange —
     # spread the corpus scan before it.
     emb = fill_cluster(emb)
-    cents = label_centroids(emb, label_col, vec_col, dim=dim)
+    cents = label_centroids(emb, label_col, vec_col, dim=dim,
+                            prefilled=True)
     probes = (
         emb.filter(F.col(id_col).isin(probe_ids))
         .select(F.col(id_col).alias("probe_id"),
@@ -192,28 +203,42 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
     q_i = floor(x_i·scale + 0.5) clamped to [-127, 127] — the 4×
     storage reduction step an embedding pipeline runs before
     petabyte-scale ANN serving. Returns (id, scale, qvec
-    array<tinyint>); dequantize as q_i / scale.
+    array<tinyint>); dequantize as q_i / scale WHEN scale > 0.
 
     floor(x + 0.5) spells out round-half-up explicitly so the engine
     and any oracle agree at .5 boundaries regardless of their round()
-    dialect. The zero vector gets scale 0 and an all-zero qvec. One
-    narrow projection — no shuffle, no state; max|x| is computed once
+    dialect. The zero vector gets scale 0 and an all-zero qvec —
+    scale == 0 is the zero-vector marker (pinned by the
+    q_embed_quantize oracle): recover it as all-zeros directly, never
+    divide by the zero scale. Null/NaN elements pass through as null
+    qvec entries and are excluded from max|x|. One narrow projection
+    — no shuffle, no state; max|x| is computed once
     per row into a column the quantize lambda references (inlining it
     into the per-element lambda would recompute an O(dim) reduction
     dim times, interpreted).
     """
     v = V.to_double(F.col(vec_col))
+    # null/NaN elements: excluded from the max (array_max skips nulls)
+    # and emitted as null in qvec. Without the guards, Spark's
+    # null-skipping greatest/least turn floor(null) into a clamp at
+    # +127 — a null element would silently become the max positive
+    # quantized magnitude — and NaN (which Spark orders above every
+    # number) would poison the scale for the whole vector.
     with_mx = emb.select(
         F.col(id_col), v.alias("_v"),
-        F.array_max(F.transform(v, F.abs)).alias("_mx"))
+        F.array_max(F.transform(
+            v, lambda x: F.when(~F.isnan(x), F.abs(x)))).alias("_mx"))
     scale = F.when(F.col("_mx") > 0,
                    F.lit(127.0) / F.col("_mx")).otherwise(F.lit(0.0))
     q = F.transform(
         F.col("_v"),
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(F.lit(127),
-                    F.floor(x * F.col("_scale") + F.lit(0.5)).cast("int")))
+        lambda x: F.when(
+            x.isNotNull() & ~F.isnan(x),
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127),
+                        F.floor(x * F.col("_scale")
+                                + F.lit(0.5)).cast("int"))))
         .cast("tinyint"))
     return (
         with_mx.withColumn("_scale", scale)
@@ -339,11 +364,13 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
     (nearest_neighbor_pairs) verifies against: per (table, bucket)
     equi-join, first-matching-table emission (no distinct() shuffle),
     cosine computed only on candidates. Recall: a pair at angle θ
-    collides in one table with P = (1-θ/π)^planes; tables union
-    independently, so for genuine near-dups (cos ≥ 0.9, θ ≤ 26°)
-    two 8-plane tables already catch ~2/3 of pairs and recall rises
-    exponentially with `n_tables` — while wide-angle pairs stay
-    cheaply unexamined. At 100 TB partition the corpus by (table 0's)
+    collides in one table with P = (1-θ/π)^planes; T tables union as
+    1-(1-P)^T. Worked: at cos ≥ 0.95 (θ ≤ 18°) P ≈ 0.43, so two
+    8-plane tables catch ~2/3 of pairs; at the cos ≥ 0.9 boundary
+    (θ ≤ 26°) P ≈ 0.29 and two tables catch only ~49% — size
+    `n_tables` from THIS formula against the target recall at the
+    LOOSEST threshold you care about, not from the tight-pair number.
+    Wide-angle pairs stay cheaply unexamined either way. At 100 TB partition the corpus by (table 0's)
     bucket so the self-join is co-located.
     """
     bucket_cols = [f"bucket_{t}" for t in range(n_tables)]

@@ -190,3 +190,42 @@ def test_ivf_persist_tolerates_preexisting_label_column(spark, tmp_path):
     back = S.ivf_read_cells(spark, path)
     got = {(r.vec_id, r.label) for r in back.select("vec_id", "label").collect()}
     assert got == {(r[0], r[2] + 1) for r in rows}
+
+
+def test_quantize_int8_null_and_nan_elements(spark):
+    """r12 review: Spark's null-skipping greatest/least turned a null
+    element into +127 (max positive magnitude) and a NaN element
+    poisoned the whole vector's scale. Nulls/NaNs now pass through as
+    null qvec entries and are excluded from max|x|."""
+    df = spark.createDataFrame(
+        [(0, [1.0, None, -2.0]), (1, [float("nan"), 4.0])],
+        "vec_id int, embedding array<double>")
+    out = {r.vec_id: r for r in S.quantize_int8(df).collect()}
+    assert list(out[0].qvec) == [64, None, -127]   # scale 127/2
+    assert out[0].scale == 127.0 / 2.0
+    assert list(out[1].qvec) == [None, 127]        # NaN out of the max
+    assert out[1].scale == 127.0 / 4.0
+
+
+def test_jaccard_auto_string_ids_route_to_posting(spark):
+    """r12 review: the auto router must not crash on string doc ids
+    (the tile branch rejects them at plan time); it routes to posting,
+    which preserves the id type. Integral ids emit bigint from BOTH
+    branches (schema contract alignment)."""
+    from kafka_elasticsearch_injector_spark.operators.posting import (
+        jaccard_pairs_auto,
+    )
+
+    rows = [("a", ["x", "y"]), ("b", ["x", "y"]), ("c", ["z"])]
+    df = spark.createDataFrame(rows, "doc_id string, g array<string>")
+    got = {(r.doc_a, r.doc_b): r.jac
+           for r in jaccard_pairs_auto(df, threshold=0.5).collect()}
+    assert got == {("a", "b"): 1.0}
+    ints = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["x", "y"])],
+        "doc_id int, g array<string>")
+    for forced in ("tile", "posting"):
+        out = jaccard_pairs_auto(ints, threshold=0.5, path=forced,
+                                 size_hint=2)
+        assert dict(out.dtypes)["doc_a"] == "bigint", forced
+        assert {(r.doc_a, r.doc_b) for r in out.collect()} == {(1, 2)}
