@@ -105,7 +105,9 @@ def main(env: dict[str, str] | None = None, source_df=None):
     probes = (start_probes(cfg.probes_port,
                            ready_fn=lambda: query.isActive,
                            metrics_fn=(None if split_metrics
-                                       else metrics.prometheus_text))
+                                       else metrics.prometheus_text),
+                           liveness_route=cfg.liveness_route,
+                           readiness_route=cfg.readiness_route)
               if cfg.probes_port is not None else None)
     metrics_server = (start_probes(cfg.metrics_port,
                                    metrics_fn=metrics.prometheus_text)

@@ -76,6 +76,15 @@ class InjectorConfig:
     # behavior; the field exists for env-surface parity.
     es_disable_sniffing: bool = True
     probes_port: int | None = None       # PROBES_PORT (streaming/probes.py)
+    # K8S_LIVENESS_ROUTE / K8S_READINESS_ROUTE (reference README.md:23-24,
+    # both REQUIRED there; src/probes/probes.go:9-10 reads them raw and
+    # registers the mux handlers at whatever paths they hold). Existing
+    # k8s manifests carry custom probe paths — porting one must not
+    # require rewriting it. Unset here falls back to /healthz and
+    # /readiness (this repo's documented defaults) instead of the
+    # reference's crash-on-empty-route, a strict superset.
+    liveness_route: str = "/healthz"
+    readiness_route: str = "/readiness"
     # METRICS_PORT (reference README.md:35, served by promhttp in
     # metrics_instrumenter.go:10-14): a dedicated port for the
     # Prometheus /metrics endpoint. None (default) keeps serving
@@ -138,6 +147,18 @@ class InjectorConfig:
         if self.metrics_port is not None and not 0 <= self.metrics_port <= 65535:
             raise ValueError(
                 f"METRICS_PORT must be a port number, got {self.metrics_port}")
+        for var, route in (("K8S_LIVENESS_ROUTE", self.liveness_route),
+                           ("K8S_READINESS_ROUTE", self.readiness_route)):
+            # The Go mux silently never matches a pattern without a
+            # leading "/" (http.ServeMux panics on "" and ignores bare
+            # names) — fail fast instead of serving 404s to kubelet.
+            if not route.startswith("/"):
+                raise ValueError(
+                    f"{var} must start with '/', got {route!r}")
+        if self.liveness_route == self.readiness_route:
+            raise ValueError(
+                "K8S_LIVENESS_ROUTE and K8S_READINESS_ROUTE must differ, "
+                f"both are {self.liveness_route!r}")
 
     def python_log_level(self) -> int:
         """The stdlib-logging level for LOG_LEVEL (logger_builder.go's
@@ -190,6 +211,8 @@ class InjectorConfig:
                                     "true").lower() == "true",
             probes_port=(int(e["PROBES_PORT"])
                          if "PROBES_PORT" in e else None),
+            liveness_route=get("K8S_LIVENESS_ROUTE", "/healthz"),
+            readiness_route=get("K8S_READINESS_ROUTE", "/readiness"),
             metrics_port=(int(e["METRICS_PORT"])
                           if "METRICS_PORT" in e else None),
             log_level=get("LOG_LEVEL", "INFO"),

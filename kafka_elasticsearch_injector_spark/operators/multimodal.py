@@ -156,7 +156,12 @@ def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
             if seg_len < 2:
                 return None
             if marker in _JPEG_SOF:
-                if pos + 7 > len(buf):
+                # A real SOF payload is ≥ 8 bytes: 2 length + 1
+                # precision + 2 height + 2 width + 1 component count.
+                # A shorter declared length means the dim bytes at
+                # pos+3..pos+7 belong to the NEXT segment — reject
+                # rather than return plausible-but-wrong dims.
+                if seg_len < 8 or pos + 7 > len(buf):
                     return None
                 h, w = struct.unpack(">HH", buf[pos + 3:pos + 7])
                 return ("jpeg", w, h) if w > 0 and h > 0 else None

@@ -210,8 +210,16 @@ def posting_containment_ratio(shared: Column, sza: Column) -> Column:
     return shared.cast("double") / sza
 
 
+# Force-broadcast the dropped-gram anti-join side only while its
+# estimated cardinality stays under this many grams (~tens of MB of
+# short strings — comfortably driver-safe). Above it, the hint comes
+# off and AQE decides from the measured size.
+DROPPED_GRAMS_BROADCAST_CAP = 4_000_000
+
+
 def _postings(df: DataFrame, id_col: str, set_col: str,
-              df_ceiling: int | None) -> DataFrame:
+              df_ceiling: int | None,
+              postings_hint: int | None = None) -> DataFrame:
     posts = df.select(F.col(id_col).alias("_id"),
                       F.explode(set_col).alias("_g"))
     if df_ceiling is not None:
@@ -228,9 +236,16 @@ def _postings(df: DataFrame, id_col: str, set_col: str,
         # The ≤ n_postings/ceiling bound only keeps the dropped set
         # broadcast-sized for reasonable ceilings; a tiny ceiling (say
         # 10 on 1e9 postings) permits 1e8 dropped grams, and forcing
-        # that through the driver is an OOM. Below 64 the hint comes
-        # off and AQE decides from the measured size.
-        anti = F.broadcast(drop) if df_ceiling >= 64 else drop
+        # that through the driver is an OOM. With `postings_hint`
+        # (total |set_col| elements, e.g. from catalog stats) the
+        # decision sizes off that actual bound; without it, fall back
+        # to the ceiling constant — a heuristic, not a bound, so it
+        # stays conservative (≥ 64) and AQE owns the rest.
+        if postings_hint is not None:
+            force = postings_hint // df_ceiling <= DROPPED_GRAMS_BROADCAST_CAP
+        else:
+            force = df_ceiling >= 64
+        anti = F.broadcast(drop) if force else drop
         posts = posts.join(anti, "_g", "left_anti")
     return posts
 
@@ -255,6 +270,7 @@ def jaccard_pairs_posting(
     set_col: str = "g",
     threshold: float = 0.08,
     df_ceiling: int | None = None,
+    postings_hint: int | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard pairs (doc_a < doc_b, jac ≥ threshold) via the
     inverted index. `set_col` must hold distinct-element arrays.
@@ -263,11 +279,14 @@ def jaccard_pairs_posting(
     exact-integer-ratio `jac`); choose by corpus regime (module
     docstring). With `df_ceiling`, candidate discovery ignores grams
     above the ceiling but the emitted jaccard is computed on the FULL
-    sets of each surviving pair.
+    sets of each surviving pair. `postings_hint` (total element count
+    across `set_col`, e.g. from catalog stats) sizes the dropped-gram
+    broadcast decision off its actual n_postings/ceiling bound.
     """
     sizes = df.select(F.col(id_col), F.size(set_col).alias("_sz"),
                       F.col(set_col).alias("_set"))
-    cand = _candidate_counts(_postings(df, id_col, set_col, df_ceiling))
+    cand = _candidate_counts(
+        _postings(df, id_col, set_col, df_ceiling, postings_hint))
     sa = sizes.select(F.col(id_col).alias("doc_a"),
                       F.col("_sz").alias("_sza"), F.col("_set").alias("_seta"))
     sb = sizes.select(F.col(id_col).alias("doc_b"),
@@ -289,15 +308,18 @@ def containment_pairs_posting(
     set_col: str = "g",
     threshold: float = 0.3,
     df_ceiling: int | None = None,
+    postings_hint: int | None = None,
 ) -> DataFrame:
     """Exact set-containment |A∩B| / |A| for every ORDERED pair
     (doc_a ≠ doc_b, containment ≥ threshold) via the inverted index —
     the posting-join counterpart of blocked.containment_pairs_blocked,
     same output contract (unrounded exact ratio, both directions
-    emitted). Empty sets emit nothing (containment undefined)."""
+    emitted). Empty sets emit nothing (containment undefined).
+    `postings_hint` as in jaccard_pairs_posting."""
     sizes = df.select(F.col(id_col), F.size(set_col).alias("_sz"),
                       F.col(set_col).alias("_set"))
-    cand = _candidate_counts(_postings(df, id_col, set_col, df_ceiling))
+    cand = _candidate_counts(
+        _postings(df, id_col, set_col, df_ceiling, postings_hint))
     # Each unordered candidate expands to both directions before the
     # size join, so one aggregation serves both A-in-B and B-in-A.
     both = cand.unionByName(

@@ -282,7 +282,16 @@ def _logical_writer(name: str, attrs: dict, schema: dict, named) -> _Writer:
     def to_time(unit_micros):
         def conv(v):
             if isinstance(v, int) and not isinstance(v, bool):
-                return v  # underlying value accepted (goavro leniency)
+                # Underlying value accepted (goavro leniency on TYPE),
+                # but range-checked to the same [0, 24h) window the
+                # reader enforces (_time_of_day) — otherwise the codec
+                # would happily write a value its own reader then
+                # rejects as malformed (asymmetric round-trip).
+                if not 0 <= v * unit_micros < 86_400_000_000:
+                    raise AvroError(
+                        f"time value {v} outside [0, 24h) for the "
+                        f"declared unit")
+                return v
             if not isinstance(v, dt.time) or isinstance(v, dt.datetime):
                 raise AvroError(f"time field needs datetime.time, "
                                 f"got {type(v).__name__}")

@@ -291,25 +291,21 @@ def ensure_index_template(transport, name: str,
     legacy templates; against an ES 8+ node (version sniffed via
     transport.server_major) the same settings/mappings are sent in the
     composable /_index_template shape instead. An explicit `template`
-    is sent verbatim — the caller owns its shape."""
-    import inspect
+    is sent verbatim — the caller owns its shape.
 
-    # Sniff ONCE and thread the answer through this call's exists/put:
-    # body shape and URL must agree. Without that, a transient sniff
-    # failure here (assume-7 legacy body) followed by a successful
-    # sniff inside _template_url (→ /_index_template) would PUT a
-    # legacy body at the composable endpoint — a guaranteed 400. The
-    # major is scoped to THIS call (no transport-state mutation), so a
-    # transient sniff failure never pins an ES 8 cluster onto the
-    # deprecated legacy API for the transport's lifetime: the next
-    # call re-sniffs.
+    `major` is part of the transport protocol: every transport's
+    template_exists/put_template take `major: int | None = None`
+    (version-agnostic backends like FileTransport may ignore it).
+    Sniff ONCE here and thread the answer through this call's
+    exists/put so body shape and URL always agree — without that, a
+    transient sniff failure here (assume-7 legacy body) followed by a
+    successful sniff inside _template_url (→ /_index_template) would
+    PUT a legacy body at the composable endpoint, a guaranteed 400.
+    The major is scoped to THIS call (no transport-state mutation), so
+    a transient sniff failure never pins an ES 8 cluster onto the
+    deprecated legacy API for the transport's lifetime: the next call
+    re-sniffs."""
     major = getattr(transport, "server_major", lambda: None)() or 7
-
-    def _accepts_major(fn) -> bool:
-        try:
-            return "major" in inspect.signature(fn).parameters
-        except (TypeError, ValueError):
-            return False
 
     if template is not None:
         body = template
@@ -319,18 +315,9 @@ def ensure_index_template(transport, name: str,
             body = composable_template(DEFAULT_INDEX_TEMPLATE, pattern)
         else:
             body = {**DEFAULT_INDEX_TEMPLATE, "template": pattern}
-    exists = transport.template_exists
-    if _accepts_major(exists):
-        existed = exists(name, major=major)
-    else:  # duck-typed fake transports that don't version-branch
-        existed = exists(name)
-    if existed:
+    if transport.template_exists(name, major=major):
         return False
-    put = transport.put_template
-    if _accepts_major(put):
-        put(name, body, major=major)
-    else:
-        put(name, body)
+    transport.put_template(name, body, major=major)
     return True
 
 
@@ -370,10 +357,13 @@ class FileTransport:
     def _template_path(self, name: str) -> str:
         return os.path.join(self.root, "_templates", f"{name}.json")
 
-    def template_exists(self, name: str) -> bool:
+    def template_exists(self, name: str, major: int | None = None) -> bool:
+        # `major` is protocol (see ensure_index_template); a filesystem
+        # store has no legacy-vs-composable split, so it is ignored.
         return os.path.exists(self._template_path(name))
 
-    def put_template(self, name: str, body: dict) -> None:
+    def put_template(self, name: str, body: dict,
+                     major: int | None = None) -> None:
         path = self._template_path(name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:

@@ -8,8 +8,12 @@ src/elasticsearch/elasticsearch.go:142-150).
 
 Runs a daemon-thread stdlib HTTP server next to the Spark driver — no
 executor involvement. Endpoints: /healthz (always 200) and /readiness
-(200 when `ready_fn()` is truthy, else 503). `ready_fn` is typically
-`transport.ping` (es_sink.HttpTransport) or, once a query is running,
+(200 when `ready_fn()` is truthy, else 503) by default; both paths are
+configurable (K8S_LIVENESS_ROUTE / K8S_READINESS_ROUTE, reference
+README.md:23-24 — probes.go:9-10 registers its mux handlers at exactly
+the env-var paths, so existing k8s manifests with custom probe routes
+port unchanged). `ready_fn` is typically `transport.ping`
+(es_sink.HttpTransport) or, once a query is running,
 `lambda: query.isActive`.
 """
 
@@ -22,16 +26,20 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 class ProbeServer:
     def __init__(self, port: int, ready_fn: Callable[[], bool] | None = None,
-                 metrics_fn: Callable[[], str] | None = None):
+                 metrics_fn: Callable[[], str] | None = None,
+                 liveness_route: str = "/healthz",
+                 readiness_route: str = "/readiness"):
         self.ready_fn = ready_fn or (lambda: True)
         self.metrics_fn = metrics_fn
+        self.liveness_route = liveness_route
+        self.readiness_route = readiness_route
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (stdlib casing)
-                if self.path == "/healthz":
+                if self.path == outer.liveness_route:
                     self._reply(200, b"ok")
-                elif self.path == "/readiness":
+                elif self.path == outer.readiness_route:
                     try:
                         ready = bool(outer.ready_fn())
                     except Exception:
@@ -78,8 +86,13 @@ class ProbeServer:
 
 def start_probes(port: int,
                  ready_fn: Callable[[], bool] | None = None,
-                 metrics_fn: Callable[[], str] | None = None) -> ProbeServer:
+                 metrics_fn: Callable[[], str] | None = None,
+                 liveness_route: str = "/healthz",
+                 readiness_route: str = "/readiness") -> ProbeServer:
     """Start the probe server (port 0 → ephemeral, see `.port`).
     Pass `metrics_fn` (e.g. InjectorMetrics.prometheus_text) to also
-    serve /metrics."""
-    return ProbeServer(port, ready_fn, metrics_fn).start()
+    serve /metrics; route overrides come from K8S_LIVENESS_ROUTE /
+    K8S_READINESS_ROUTE via InjectorConfig."""
+    return ProbeServer(port, ready_fn, metrics_fn,
+                       liveness_route=liveness_route,
+                       readiness_route=readiness_route).start()

@@ -545,13 +545,30 @@ def test_time_out_of_range_and_bad_type():
     ms = Codec(TIME_MS)
     us = Codec(TIME_US)
     # 24h in millis / micros is out of the spec's time-of-day domain:
-    # decode must raise (→ per-record side-drop in decode_confluent)
+    # decode must raise (→ per-record side-drop in decode_confluent).
+    # The malformed wire bytes come from a RAW int/long codec — the
+    # time writer itself now refuses to produce them (below).
+    raw_int, raw_long = Codec('"int"'), Codec('"long"')
     with pytest.raises(AvroError, match="out of range"):
-        ms.decode(ms.encode(86_400_000))
+        ms.decode(raw_int.encode(86_400_000))
     with pytest.raises(AvroError, match="out of range"):
-        us.decode(us.encode(86_400_000_000))
+        us.decode(raw_long.encode(86_400_000_000))
     with pytest.raises(AvroError, match="out of range"):
-        us.decode(us.encode(-1))
+        us.decode(raw_long.encode(-1))
+    # r13: the writer's int pass-through enforces the same [0, 24h)
+    # window the reader does — goavro leniency is about TYPE, and an
+    # accepted write the codec's own reader then rejects would be an
+    # asymmetric round-trip
+    with pytest.raises(AvroError, match="24h"):
+        ms.encode(86_400_000)
+    with pytest.raises(AvroError, match="24h"):
+        us.encode(86_400_000_000)
+    with pytest.raises(AvroError, match="24h"):
+        us.encode(-1)
+    # last representable count still passes through both lanes
+    assert ms.decode(ms.encode(86_399_999)) == dt.time(23, 59, 59, 999000)
+    assert us.decode(us.encode(86_399_999_999)) == \
+        dt.time(23, 59, 59, 999999)
     # a datetime is NOT a time-of-day
     with pytest.raises(AvroError, match="time field"):
         ms.encode(dt.datetime(2020, 1, 1, 3, 4, 5))
@@ -581,8 +598,14 @@ def test_decode_confluent_time_end_to_end(spark):
         (wire_encode(11, codec.encode(
             {"at_ms": dt.time(3, 4, 5, 678000),
              "at_us": dt.time(23, 59, 59, 999999)})),),
-        # out-of-range time-of-day must SIDE-DROP, not fail the batch
-        (wire_encode(11, codec.encode(
+        # out-of-range time-of-day must SIDE-DROP, not fail the batch.
+        # The writer now refuses to produce such bytes (r13 range
+        # check), so the hostile producer is simulated with a
+        # binary-compatible twin schema that drops the logical types.
+        (wire_encode(11, Codec(json.dumps({
+            "type": "record", "name": "tt", "fields": [
+                {"name": "at_ms", "type": "int"},
+                {"name": "at_us", "type": "long"}]})).encode(
             {"at_ms": 86_400_000, "at_us": 0})),),
     ]
     out = decode_confluent(

@@ -334,6 +334,57 @@ def test_service_entrypoint_end_to_end(spark, tmp_path, fake_es):
             probes.stop()
 
 
+def test_service_entrypoint_custom_probe_routes(spark, tmp_path, fake_es):
+    """K8S_LIVENESS_ROUTE / K8S_READINESS_ROUTE through the real
+    main(): kubelet hits the manifest's custom paths and the default
+    paths are gone (probes.go:9-10 + README.md:23-24 — the reference
+    mux serves ONLY the env-var routes). The sibling e2e above covers
+    the unset-env default paths."""
+    import urllib.error
+    import urllib.request
+
+    from kafka_elasticsearch_injector_spark.__main__ import main
+
+    es, url = fake_es
+    src_dir = str(tmp_path / "src")
+    _write_source(spark, src_dir, [
+        ("k1", json.dumps({"id": "a", "value": 1}), "my-topic", 0, 7, TS),
+    ])
+    source = (
+        spark.readStream.schema(
+            "key STRING, value STRING, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP")
+        .parquet(src_dir))
+
+    env = {
+        "KAFKA_TOPICS": "my-topic",
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "ELASTICSEARCH_HOST": url,
+        "ES_BULK_BACKOFF": "10ms",
+        "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        "PAYLOAD_SCHEMA_DDL": SCHEMA,
+        "PROBES_PORT": "0",
+        "TRIGGER_SECONDS": "0.2",
+        "K8S_LIVENESS_ROUTE": "/k8s/alive",
+        "K8S_READINESS_ROUTE": "/k8s/ready",
+    }
+    q, probes, _metrics_srv = main(env=env, source_df=source)
+    try:
+        base = f"http://127.0.0.1:{probes.port}"
+        assert urllib.request.urlopen(f"{base}/k8s/alive").status == 200
+        assert urllib.request.urlopen(f"{base}/k8s/ready").status == 200
+        for stale in ("/healthz", "/readiness"):
+            try:
+                urllib.request.urlopen(f"{base}{stale}")
+                raise AssertionError(f"expected 404 at {stale}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        q.stop()
+        if probes is not None:
+            probes.stop()
+
+
 def test_service_entrypoint_fails_fast_on_missing_config():
     from kafka_elasticsearch_injector_spark.__main__ import main
 

@@ -309,6 +309,65 @@ def test_probe_server_liveness_and_readiness():
         srv.stop()
 
 
+def test_config_probe_routes_matrix():
+    """K8S_LIVENESS_ROUTE / K8S_READINESS_ROUTE (reference
+    README.md:23-24, probes.go:9-10): custom paths pass through, unset
+    falls back to this repo's documented defaults, and malformed or
+    colliding routes fail fast at config time (the Go ServeMux would
+    panic on "" and silently 404 a pattern without a leading slash —
+    kubelet then kills a healthy pod)."""
+    import pytest
+
+    c = InjectorConfig.from_env({
+        "KAFKA_CONSUMER_RECORD_TYPE": "json",
+        "K8S_LIVENESS_ROUTE": "/alive",
+        "K8S_READINESS_ROUTE": "/ready",
+    })
+    assert c.liveness_route == "/alive"
+    assert c.readiness_route == "/ready"
+    d = InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json"})
+    assert d.liveness_route == "/healthz"
+    assert d.readiness_route == "/readiness"
+    with pytest.raises(ValueError, match="K8S_LIVENESS_ROUTE"):
+        InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                 "K8S_LIVENESS_ROUTE": "alive"})
+    with pytest.raises(ValueError, match="K8S_READINESS_ROUTE"):
+        InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                 "K8S_READINESS_ROUTE": ""})
+    with pytest.raises(ValueError, match="must differ"):
+        InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                 "K8S_LIVENESS_ROUTE": "/probe",
+                                 "K8S_READINESS_ROUTE": "/probe"})
+
+
+def test_probe_server_custom_routes():
+    """Custom probe routes answer, and the default paths 404 when
+    overridden (probes.go registers ONLY the env-var paths)."""
+    import urllib.error
+    import urllib.request
+
+    from kafka_elasticsearch_injector_spark.streaming.probes import (
+        start_probes,
+    )
+
+    srv = start_probes(0, ready_fn=lambda: True,
+                       liveness_route="/alive", readiness_route="/ready")
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/alive") as r:
+            assert r.status == 200
+        with urllib.request.urlopen(f"{base}/ready") as r:
+            assert r.status == 200
+        for stale in ("/healthz", "/readiness"):
+            try:
+                urllib.request.urlopen(f"{base}{stale}")
+                raise AssertionError(f"expected 404 at {stale}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        srv.stop()
+
+
 def test_jvm_avro_path_fails_fast_without_artifact(spark):
     # decode_confluent_avro needs the spark-avro artifact; without it,
     # the error must fire at plan time with guidance to the Arrow path,

@@ -249,6 +249,15 @@ def test_parse_image_header_corrupt_cases():
     assert p(b"\xff\xd8\x00\x00\x00") is None
     # JPEG: segment length lies past the buffer (truncated SOF)
     assert p(_jpeg(10, 10)[:6]) is None
+    # JPEG: SOF whose declared length is under the 8-byte minimum
+    # (2 len + 1 precision + 4 dims + 1 components) — the bytes at the
+    # dim offsets belong to the NEXT segment, so returning (99, 77)
+    # here would be plausible-but-wrong dims, not a parse
+    short_sof = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 4)
+                 + b"\x08" + struct.pack(">HH", 99, 77) + b"\x01\x11\x00")
+    assert p(short_sof) is None
+    assert p(b"\xff\xd8\xff\xc0" + struct.pack(">H", 7) + b"\x08"
+             + struct.pack(">HH", 12, 34) + b"\x01") is None
     # not an image at all
     assert p(b"plain text bytes that look like nothing") is None
 

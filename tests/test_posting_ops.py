@@ -83,6 +83,36 @@ def test_df_ceiling_cuts_candidate_volume(spark, grams):
     assert capped_n < exact_n
 
 
+def test_postings_hint_sizes_broadcast_off_dropped_gram_bound(spark, grams):
+    """The dropped-gram anti-join force-broadcasts only while the
+    n_postings/ceiling bound stays driver-safe: a postings_hint that
+    puts the estimate over DROPPED_GRAMS_BROADCAST_CAP takes the hint
+    OFF even for a large ceiling (the r12 heuristic would have forced
+    a driver OOM there), and results are hint-independent."""
+    from kafka_elasticsearch_injector_spark.operators.posting import (
+        DROPPED_GRAMS_BROADCAST_CAP,
+        _postings,
+    )
+
+    def hinted(posts_hint):
+        return (_postings(grams, "doc_id", "g", 128, posts_hint)
+                ._jdf.queryExecution().optimizedPlan().toString())
+
+    # tiny corpus estimate → forced broadcast survives optimization
+    assert "ResolvedHint" in hinted(1000) or "broadcast" in \
+        hinted(1000).lower()
+    # estimate over the cap → no forced-broadcast hint in the plan
+    over = (DROPPED_GRAMS_BROADCAST_CAP + 1) * 128
+    assert "broadcast" not in hinted(over).lower()
+    # correctness is hint-independent: same surviving pairs and values
+    base = _pairs(jaccard_pairs_posting(grams, threshold=0.08,
+                                        df_ceiling=20), "jac")
+    capped = _pairs(jaccard_pairs_posting(grams, threshold=0.08,
+                                          df_ceiling=20,
+                                          postings_hint=over), "jac")
+    assert base == capped
+
+
 def test_posting_plan_is_equi_join_with_partial_agg(spark, grams):
     plan = (jaccard_pairs_posting(grams, threshold=0.08)
             ._jdf.queryExecution().executedPlan().toString())
