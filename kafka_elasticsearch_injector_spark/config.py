@@ -155,6 +155,15 @@ class InjectorConfig:
             if not route.startswith("/"):
                 raise ValueError(
                     f"{var} must start with '/', got {route!r}")
+            # /metrics is the Prometheus surface on the same server
+            # (probes.py serves it when METRICS_PORT is unset); the
+            # probe handler matches liveness/readiness FIRST, so a
+            # probe route at /metrics would silently shadow the scrape
+            # endpoint with a bare 200 "ok" — zero samples, no error.
+            if route == "/metrics":
+                raise ValueError(
+                    f"{var} must not be /metrics (reserved for the "
+                    "Prometheus exposition endpoint)")
         if self.liveness_route == self.readiness_route:
             raise ValueError(
                 "K8S_LIVENESS_ROUTE and K8S_READINESS_ROUTE must differ, "

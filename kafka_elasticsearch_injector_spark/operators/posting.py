@@ -137,12 +137,17 @@ def jaccard_pairs_auto(
     size_hint: int | None = None,
     df_ceiling: int | None = None,
     path: str | None = None,
+    postings_hint: int | None = None,
 ) -> DataFrame:
     """Exact jaccard pairs via whichever discovery path fits the
     corpus (choose_pair_path); both paths share the output contract —
     (doc_a bigint, doc_b bigint, jac double) for integral ids — so
-    callers never see which ran. `df_ceiling` applies only when the
-    posting path is chosen.
+    callers never see which ran. `df_ceiling` and `postings_hint`
+    apply only when the posting path is chosen: the hint (total
+    element count across `set_col`, e.g. docs × mean set size from
+    catalog stats) sizes the dropped-gram broadcast decision off its
+    actual n_postings/ceiling bound instead of the fallback heuristic
+    — at 1e9-posting scale, pass it whenever a ceiling is in play.
 
     Non-integral id columns (string doc ids) route to the posting path
     unconditionally: the tile kernels require integral ids
@@ -185,7 +190,7 @@ def jaccard_pairs_auto(
             size_hint=size_hint)
     out = jaccard_pairs_posting(
         df, id_col=id_col, set_col=set_col, threshold=threshold,
-        df_ceiling=df_ceiling)
+        df_ceiling=df_ceiling, postings_hint=postings_hint)
     if integral_id:
         # schema contract alignment with the tile branch, which emits
         # bigint ids from its Arrow kernel regardless of input width
@@ -220,6 +225,11 @@ DROPPED_GRAMS_BROADCAST_CAP = 4_000_000
 def _postings(df: DataFrame, id_col: str, set_col: str,
               df_ceiling: int | None,
               postings_hint: int | None = None) -> DataFrame:
+    if df_ceiling is not None and df_ceiling < 1:
+        # 0 would silently drop EVERY gram (filter _df > 0) and return
+        # an empty pair set; negative is nonsense. Fail at plan time —
+        # and before the hint division below can hit a zero divisor.
+        raise ValueError(f"df_ceiling must be >= 1, got {df_ceiling}")
     posts = df.select(F.col(id_col).alias("_id"),
                       F.explode(set_col).alias("_g"))
     if df_ceiling is not None:

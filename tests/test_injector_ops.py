@@ -338,6 +338,14 @@ def test_config_probe_routes_matrix():
         InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
                                  "K8S_LIVENESS_ROUTE": "/probe",
                                  "K8S_READINESS_ROUTE": "/probe"})
+    # /metrics is the Prometheus surface on the same server; a probe
+    # route there would shadow the scrape endpoint with a bare 200
+    with pytest.raises(ValueError, match="reserved"):
+        InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                 "K8S_LIVENESS_ROUTE": "/metrics"})
+    with pytest.raises(ValueError, match="reserved"):
+        InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                 "K8S_READINESS_ROUTE": "/metrics"})
 
 
 def test_probe_server_custom_routes():

@@ -99,8 +99,8 @@ def test_postings_hint_sizes_broadcast_off_dropped_gram_bound(spark, grams):
                 ._jdf.queryExecution().optimizedPlan().toString())
 
     # tiny corpus estimate → forced broadcast survives optimization
-    assert "ResolvedHint" in hinted(1000) or "broadcast" in \
-        hinted(1000).lower()
+    small = hinted(1000)
+    assert "ResolvedHint" in small or "broadcast" in small.lower()
     # estimate over the cap → no forced-broadcast hint in the plan
     over = (DROPPED_GRAMS_BROADCAST_CAP + 1) * 128
     assert "broadcast" not in hinted(over).lower()
@@ -111,6 +111,20 @@ def test_postings_hint_sizes_broadcast_off_dropped_gram_bound(spark, grams):
                                           df_ceiling=20,
                                           postings_hint=over), "jac")
     assert base == capped
+    # the hint threads through the auto router's posting branch too —
+    # the 1e9-posting caller reaches the guard without bypassing auto
+    from kafka_elasticsearch_injector_spark.operators.posting import (
+        jaccard_pairs_auto,
+    )
+
+    routed = _pairs(jaccard_pairs_auto(grams, threshold=0.08,
+                                       path="posting", df_ceiling=20,
+                                       postings_hint=over), "jac")
+    assert routed == base
+    # df_ceiling=0 would silently drop every gram (and zero-divide the
+    # hint estimate): rejected at plan time
+    with pytest.raises(ValueError, match="df_ceiling"):
+        jaccard_pairs_posting(grams, df_ceiling=0, postings_hint=100)
 
 
 def test_posting_plan_is_equi_join_with_partial_agg(spark, grams):
