@@ -155,15 +155,24 @@ class InjectorConfig:
             if not route.startswith("/"):
                 raise ValueError(
                     f"{var} must start with '/', got {route!r}")
-            # /metrics is the Prometheus surface on the same server
-            # (probes.py serves it when METRICS_PORT is unset); the
-            # probe handler matches liveness/readiness FIRST, so a
-            # probe route at /metrics would silently shadow the scrape
-            # endpoint with a bare 200 "ok" — zero samples, no error.
-            if route == "/metrics":
+            # /metrics is the Prometheus surface on the SAME server
+            # whenever METRICS_PORT doesn't split it off (__main__.py:
+            # split iff metrics_port set and distinct from probes_port;
+            # port 0 is ephemeral so two 0s are two ports). In the
+            # folded topology the probe handler matches liveness/
+            # readiness FIRST, so a probe route at /metrics would
+            # silently shadow the scrape endpoint with a bare 200 "ok"
+            # — zero samples, no error. With a split metrics server the
+            # probes server has no /metrics branch and the reference
+            # (promhttp on its own port) allows the route — so do we.
+            metrics_folded = (self.metrics_port is None
+                              or (self.metrics_port == self.probes_port
+                                  and self.metrics_port != 0))
+            if route == "/metrics" and metrics_folded:
                 raise ValueError(
-                    f"{var} must not be /metrics (reserved for the "
-                    "Prometheus exposition endpoint)")
+                    f"{var} must not be /metrics while the Prometheus "
+                    "endpoint is served on the probes server (set a "
+                    "distinct METRICS_PORT to free the path)")
         if self.liveness_route == self.readiness_route:
             raise ValueError(
                 "K8S_LIVENESS_ROUTE and K8S_READINESS_ROUTE must differ, "

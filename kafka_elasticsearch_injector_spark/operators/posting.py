@@ -216,10 +216,15 @@ def posting_containment_ratio(shared: Column, sza: Column) -> Column:
 
 
 # Force-broadcast the dropped-gram anti-join side only while its
-# estimated cardinality stays under this many grams (~tens of MB of
-# short strings — comfortably driver-safe). Above it, the hint comes
-# off and AQE decides from the measured size.
-DROPPED_GRAMS_BROADCAST_CAP = 4_000_000
+# estimated cardinality stays under this many grams. Sized in HASH-
+# RELATION bytes, not raw string bytes: a broadcast side materializes
+# UnsafeRows + relation overhead (~150 B per short-string entry) on
+# the driver and every executor, so 500k entries ≈ 75 MB — inside a
+# modest driver, and still 7× above AQE's 10 MB auto-broadcast
+# threshold, so the forced hint only covers the window where plan-time
+# stats mislead AQE. Above the cap the hint comes off and AQE decides
+# from the measured size.
+DROPPED_GRAMS_BROADCAST_CAP = 500_000
 
 
 def _postings(df: DataFrame, id_col: str, set_col: str,
@@ -230,6 +235,13 @@ def _postings(df: DataFrame, id_col: str, set_col: str,
         # an empty pair set; negative is nonsense. Fail at plan time —
         # and before the hint division below can hit a zero divisor.
         raise ValueError(f"df_ceiling must be >= 1, got {df_ceiling}")
+    if postings_hint is not None and postings_hint < 1:
+        # A zero/negative hint (a catalog-stats lookup that defaulted
+        # to 0 instead of None) would estimate 0 dropped grams and
+        # FORCE the broadcast — the exact driver OOM the cap prevents.
+        raise ValueError(
+            f"postings_hint must be >= 1 (pass None when the posting "
+            f"count is unknown), got {postings_hint}")
     posts = df.select(F.col(id_col).alias("_id"),
                       F.explode(set_col).alias("_g"))
     if df_ceiling is not None:

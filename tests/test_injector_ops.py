@@ -338,14 +338,25 @@ def test_config_probe_routes_matrix():
         InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
                                  "K8S_LIVENESS_ROUTE": "/probe",
                                  "K8S_READINESS_ROUTE": "/probe"})
-    # /metrics is the Prometheus surface on the same server; a probe
-    # route there would shadow the scrape endpoint with a bare 200
-    with pytest.raises(ValueError, match="reserved"):
+    # /metrics folded onto the probes server (METRICS_PORT unset or
+    # equal): a probe route there would shadow the scrape endpoint
+    # with a bare 200 — rejected
+    with pytest.raises(ValueError, match="METRICS_PORT"):
         InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
                                  "K8S_LIVENESS_ROUTE": "/metrics"})
-    with pytest.raises(ValueError, match="reserved"):
+    with pytest.raises(ValueError, match="METRICS_PORT"):
         InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
-                                 "K8S_READINESS_ROUTE": "/metrics"})
+                                 "K8S_READINESS_ROUTE": "/metrics",
+                                 "PROBES_PORT": "9102",
+                                 "METRICS_PORT": "9102"})
+    # split topology (distinct METRICS_PORT): the probes server has no
+    # /metrics branch, so the route is legal — reference parity
+    # (promhttp on its own port never collides with the probe mux)
+    split = InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                     "K8S_LIVENESS_ROUTE": "/metrics",
+                                     "PROBES_PORT": "5000",
+                                     "METRICS_PORT": "9102"})
+    assert split.liveness_route == "/metrics"
 
 
 def test_probe_server_custom_routes():

@@ -125,6 +125,10 @@ def test_postings_hint_sizes_broadcast_off_dropped_gram_bound(spark, grams):
     # hint estimate): rejected at plan time
     with pytest.raises(ValueError, match="df_ceiling"):
         jaccard_pairs_posting(grams, df_ceiling=0, postings_hint=100)
+    # a zero hint (stats lookup defaulted to 0 instead of None) would
+    # estimate 0 dropped grams and force the broadcast — rejected too
+    with pytest.raises(ValueError, match="postings_hint"):
+        jaccard_pairs_posting(grams, df_ceiling=128, postings_hint=0)
 
 
 def test_posting_plan_is_equi_join_with_partial_agg(spark, grams):
