@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode/resize/frame-sample kernels are STUBBED (no image/audio libs
-in this container — clearly marked below); everything Spark-side is real
-and tested: schema contracts, binary column handling, Arrow batch shape,
-and the mapInPandas partition-parallel execution path.
+Real kernels by lane: header dims decode for PNG/GIF/BMP/JPEG lives
+here (parse_image_header, r12); PIXEL decode + resize for PNG/BMP is
+operators/pixels.py (r13 — pure stdlib zlib + numpy, no image libs
+needed for those formats); PCM16 audio features are real below. Only
+the entropy-coded lanes stay stubbed (JPEG/GIF pixels, compressed
+audio — resize_stub marks the boundary); everything Spark-side is real
+and tested: schema contracts, binary column handling, Arrow batch
+shape, and the mapInPandas partition-parallel execution path.
 
 100 TB design:
 - media bytes live in the parquet as binary columns (or as object-store
@@ -91,13 +95,15 @@ def decode_media(df_media: DataFrame) -> DataFrame:
 
 # --- real image-header decode (r12) ----------------------------------------
 #
-# Pixel DECODE still needs an image lib (PIL/opencv — not in this
-# container; resize_stub below stays the documented stub), but the
-# header fields a curation pipeline actually filters on — format,
-# width, height — are parseable from the first bytes with the stdlib
-# alone. That makes dims-based pruning (min-resolution gates, aspect
-# filters, thumbnail routing) REAL, not faked, while keeping the blob
-# opaque past the header.
+# The header fields a curation pipeline filters on — format, width,
+# height — are parseable from the first bytes with the stdlib alone
+# for all four formats. That makes dims-based pruning (min-resolution
+# gates, aspect filters, thumbnail routing) REAL, not faked, while
+# keeping the blob opaque past the header. Pixel decode is format-
+# split since r13: PNG/BMP pixels are fully decodable with stdlib
+# zlib + numpy (operators/pixels.py); only the entropy-coded JPEG/GIF
+# pixel lanes still need an image lib (resize_stub marks that
+# boundary).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # JPEG start-of-frame markers that carry dimensions: C0-CF minus the
@@ -279,14 +285,18 @@ def extract_features(df_media: DataFrame, n_bins: int = 16) -> DataFrame:
 
 
 def resize_stub(df_media: DataFrame, width: int, height: int) -> DataFrame:
-    """Plumbing for image resize. The kernel is NOT implemented (no image
-    libs here); calling collect on the result raises NotImplementedError
-    from the executors, by design."""
+    """Plumbing-only resize marking the ENTROPY-CODED boundary: JPEG
+    and GIF pixels need a real codec (PIL/opencv — not in this
+    container), so this kernel raises from the executors, by design.
+    For PNG and uncompressed BMP the REAL path exists:
+    operators/pixels.resize_images decodes, resamples, and re-encodes
+    deterministic PNG thumbnails with pure stdlib + numpy."""
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
-            "image resize requires PIL/opencv; not available in this "
-            "container — Spark-side plumbing only")
+            "image resize for entropy-coded formats requires PIL/opencv "
+            "(not in this container); PNG/BMP resize is implemented in "
+            "operators/pixels.resize_images")
         yield  # pragma: no cover
 
     return df_media.mapInPandas(_kernel, schema=MEDIA_SCHEMA)

@@ -1,0 +1,414 @@
+"""Real pixel decode/resize for image binary columns — pure stdlib +
+numpy, no image libraries.
+
+The container has no PIL/opencv, but that never blocked PIXELS for the
+formats whose codecs the stdlib already ships: PNG is zlib (stdlib)
+plus five byte-level scanline filters (public spec, RFC 2083 /
+ISO 15948), and uncompressed BMP is a raw pixel grid behind the DIB
+header multimodal.parse_image_header already walks. This module
+implements both ends to the spec — a CRC-verifying PNG reader (all
+five filters, 8-bit gray/RGB/RGBA/gray+alpha, palette at depths
+1/2/4/8, sub-byte grayscale), a BI_RGB BMP reader (24/32-bit, top-down
+and bottom-up), a deterministic PNG writer (for thumbnail output and
+byte-stable fixtures), and numpy nearest/bilinear resize — then wires
+them into the same Arrow-batched mapInPandas shape the rest of the
+multimodal lane uses (operators/multimodal.py), with the injector's
+malformed-record side-drop idiom: undecodable rows carry a reason, the
+batch never fails.
+
+JPEG and GIF pixel decode stay out of scope (entropy/LZW decoders are
+real codec work the curation gates don't need — header dims already
+come from parse_image_header); those rows side-drop with a reason.
+
+100 TB design: decode runs where the bytes already are — one Python
+worker per core per executor, Arrow batch at a time, no shuffle (the
+kernels are row-local projections). Python-loop filters (Average/Paeth
+rows) make this a correctness-first decoder; a production deployment
+at full pixel volume swaps `_decode_png`'s unfilter loop for a native
+codec behind the SAME column contract, which is the part that matters
+at plan level. Sub/Up/None filters — what our own writer and most
+encoders' default heuristics emit for synthetic corpora — are fully
+vectorized.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .multimodal import _PNG_SIG
+
+
+class PixelDecodeError(ValueError):
+    """Raised with a human-readable reason; the Spark kernels convert
+    it into the side-drop reason column instead of failing the batch."""
+
+
+# --- PNG reader -------------------------------------------------------------
+
+# color type → samples per pixel (before palette expansion)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(buf: bytes) -> Iterator[tuple[bytes, bytes]]:
+    pos = 8
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        ctype = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise PixelDecodeError("png: truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", buf[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise PixelDecodeError(f"png: bad CRC in {ctype!r}")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise PixelDecodeError("png: no IEND")
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (spec §6): returns (h, stride)
+    uint8. None/Up are whole-row numpy (uint8 wraps = the spec's
+    mod-256); Sub is an exact per-lane prefix sum mod 256; Average and
+    Paeth carry a left-neighbor dependency and run as per-byte loops."""
+    if len(raw) != h * (stride + 1):
+        raise PixelDecodeError("png: decompressed size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=pos + 1).copy()
+        pos += stride + 1
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            rec = line
+            for c in range(bpp):   # prefix sum per byte lane, mod 256
+                lane = rec[c::bpp]
+                rec[c::bpp] = np.cumsum(lane, dtype=np.uint64) & 0xFF
+        elif ft == 2:  # Up
+            rec = line + prev      # uint8 addition wraps mod 256
+        elif ft == 3:  # Average
+            rec = line
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(rec[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(rec[x]) + pr) & 0xFF
+        else:
+            raise PixelDecodeError(f"png: unknown filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _expand_subbyte(rows: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(h, stride_bytes) packed MSB-first samples → (h, width) sample
+    values (spec §7.2: pixels packed high-bit-first, rows padded to a
+    byte boundary)."""
+    bits = np.unpackbits(rows, axis=1)[:, :width * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return bits.reshape(rows.shape[0], width, depth).dot(weights) \
+        .astype(np.uint8)
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8, C ∈ {1, 2, 3, 4} (gray, gray+alpha,
+    RGB, RGBA; palette expands to RGB, or RGBA when a tRNS chunk is
+    present). CRC-verified per chunk. Raises PixelDecodeError with the
+    reason for anything outside the supported subset: 16-bit depth and
+    Adam7 interlace side-drop (documented), as does any corruption."""
+    if buf[:8] != _PNG_SIG:
+        raise PixelDecodeError("png: bad signature")
+    ihdr = None
+    plte = trns = None
+    idat = bytearray()
+    for ctype, data in _chunks(buf):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None or len(ihdr) != 13:
+        raise PixelDecodeError("png: missing IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if not (0 < w < 1 << 24 and 0 < h < 1 << 24):
+        raise PixelDecodeError("png: bad dimensions")
+    if comp != 0 or filt != 0:
+        raise PixelDecodeError("png: unknown compression/filter method")
+    if interlace != 0:
+        raise PixelDecodeError("png: Adam7 interlace unsupported")
+    if ctype_n not in _PNG_SAMPLES:
+        raise PixelDecodeError(f"png: unknown color type {ctype_n}")
+    if depth == 16:
+        raise PixelDecodeError("png: 16-bit depth unsupported")
+    if depth not in (1, 2, 4, 8) or (
+            depth != 8 and ctype_n not in (0, 3)):
+        raise PixelDecodeError(
+            f"png: depth {depth} invalid for color type {ctype_n}")
+    samples = _PNG_SAMPLES[ctype_n]
+    stride = (w * samples * depth + 7) // 8
+    bpp = max(1, samples * depth // 8)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise PixelDecodeError(f"png: zlib {ex}") from None
+    rows = _unfilter(raw, h, stride, bpp)
+    if depth < 8:
+        vals = _expand_subbyte(rows, depth, w)
+        if ctype_n == 0:  # sub-byte grayscale scales to full 8-bit range
+            vals = (vals.astype(np.uint16)
+                    * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            return vals.reshape(h, w, 1)
+        rows = vals  # palette indices, one per sample
+        arr = rows.reshape(h, w)
+    else:
+        arr = rows.reshape(h, w, samples)
+    if ctype_n == 3:
+        if plte is None or len(plte) % 3:
+            raise PixelDecodeError("png: palette image without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = arr.reshape(h, w)
+        if int(idx.max()) >= pal.shape[0]:
+            raise PixelDecodeError("png: palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return arr
+
+
+# --- PNG writer (deterministic; thumbnails + fixtures) ----------------------
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W) or (H, W, C) uint8 with C ∈ {1, 2, 3, 4} → PNG bytes.
+    Filter 0 scanlines + one zlib stream at a fixed level: byte-stable
+    across runs (zlib is deterministic for a given level/input), so
+    thumbnail re-runs reproduce identical content hashes — the same
+    determinism contract as the dataset sinks (sinks/_staging.py)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"encode_png wants (H,W,C<=4), got {arr.shape}")
+    h, w, c = a.shape
+    ctype_n = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+    body = bytearray()
+    for y in range(h):
+        body.append(0)                      # filter type 0 per scanline
+        body.extend(a[y].tobytes())
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(body), 6))
+            + _chunk(b"IEND", b""))
+
+
+# --- BMP reader -------------------------------------------------------------
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (H, W, 3|4) uint8 in RGB
+    channel order (file order is BGR(A); rows are 4-byte padded and
+    bottom-up unless the height is negative). Other bit depths and
+    compressions raise PixelDecodeError — parse_image_header still
+    serves their dims."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise PixelDecodeError("bmp: bad header")
+    (off,) = struct.unpack("<I", buf[10:14])
+    (dib,) = struct.unpack("<I", buf[14:18])
+    if dib < 40:
+        raise PixelDecodeError("bmp: only BITMAPINFOHEADER+ supported")
+    w, h_signed = struct.unpack("<ii", buf[18:26])
+    bits, comp = struct.unpack("<HI", buf[28:34])
+    if comp != 0:
+        raise PixelDecodeError(f"bmp: compression {comp} unsupported")
+    if bits not in (24, 32):
+        raise PixelDecodeError(f"bmp: {bits}-bit unsupported")
+    if w <= 0 or h_signed == 0:
+        raise PixelDecodeError("bmp: bad dimensions")
+    h = abs(h_signed)
+    nch = bits // 8
+    stride = (w * nch + 3) & ~3
+    need = off + stride * h
+    if need > len(buf):
+        raise PixelDecodeError("bmp: truncated pixel data")
+    rows = np.frombuffer(buf, np.uint8, count=stride * h, offset=off) \
+        .reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
+    if h_signed > 0:                         # bottom-up storage
+        rows = rows[::-1]
+    # BGR(A) → RGB(A)
+    out = rows[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
+    return np.ascontiguousarray(out)
+
+
+def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
+    """Dispatch by magic: ('png'|'bmp', (H, W, C) uint8). JPEG/GIF and
+    unknown magics raise PixelDecodeError (dims-only formats here —
+    use multimodal.parse_image_header for their metadata)."""
+    if buf[:8] == _PNG_SIG:
+        return "png", decode_png(buf)
+    if buf[:2] == b"BM":
+        return "bmp", decode_bmp(buf)
+    if buf[:2] == b"\xff\xd8":
+        raise PixelDecodeError("jpeg: pixel decode unsupported "
+                               "(entropy codec; header dims only)")
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        raise PixelDecodeError("gif: pixel decode unsupported "
+                               "(LZW; header dims only)")
+    raise PixelDecodeError("unknown image format")
+
+
+# --- resize kernels ---------------------------------------------------------
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width): pixel-center
+    mapping (the standard (i+0.5)*scale-0.5 grid, clamped)."""
+    h, w = arr.shape[:2]
+    ys = np.clip(((np.arange(height) + 0.5) * h / height - 0.5).round()
+                 .astype(np.int64), 0, h - 1)
+    xs = np.clip(((np.arange(width) + 0.5) * w / width - 0.5).round()
+                 .astype(np.int64), 0, w - 1)
+    return arr[ys][:, xs]
+
+
+def resize_bilinear(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Bilinear resample to (height, width), pixel-center grid, edge
+    clamp; float64 lerp rounded half-up to uint8 — deterministic across
+    platforms (no SIMD reassociation: pure numpy elementwise)."""
+    h, w = arr.shape[:2]
+    a = arr if arr.ndim == 3 else arr[:, :, None]
+    fy = np.clip((np.arange(height) + 0.5) * h / height - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(width) + 0.5) * w / width - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.floor(out + 0.5).astype(np.uint8)
+    return out if arr.ndim == 3 else out[:, :, 0]
+
+
+# --- Spark kernels (mapInPandas, side-drop on undecodable) ------------------
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, channels int, "
+    "channel_mean array<double>, channel_std array<double>, "
+    "decode_error string"
+)
+
+
+def image_pixel_stats(df_media: DataFrame,
+                      media_col: str = "media") -> DataFrame:
+    """Per-image pixel statistics over Arrow batches: real decode
+    (PNG/BMP), per-channel mean/std — the numeric gate a curation
+    pipeline puts in front of training (near-black/near-white frames,
+    dead channels). Undecodable rows side-drop with a reason, batch
+    never fails; shuffle-free (row-local projection)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "format", "width", "height",
+                                    "channels", "channel_mean",
+                                    "channel_std", "decode_error")}
+            for doc_id, media in zip(pdf["doc_id"], pdf[media_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    fmt, arr = decode_pixels(bytes(media))
+                except Exception as ex:  # noqa: BLE001 — side-drop idiom
+                    reason = (str(ex) if isinstance(ex, PixelDecodeError)
+                              else f"decode failed: {ex}")
+                    for k in ("format", "width", "height", "channels",
+                              "channel_mean", "channel_std"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(reason)
+                    continue
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                flat = arr.reshape(-1, arr.shape[2]).astype(np.float64)
+                rows["format"].append(fmt)
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["channels"].append(arr.shape[2])
+                rows["channel_mean"].append(flat.mean(axis=0).tolist())
+                rows["channel_std"].append(flat.std(axis=0).tolist())
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df_media.mapInPandas(kernel, schema=PIXEL_STATS_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = ("doc_id bigint, thumb binary, width int, height int, "
+                    "decode_error string")
+
+
+def resize_images(df_media: DataFrame, width: int, height: int,
+                  method: str = "bilinear",
+                  media_col: str = "media") -> DataFrame:
+    """REAL image resize (the capability resize_stub documents as
+    needing an image lib — true only for JPEG/GIF): decode PNG/BMP
+    pixels, resample to (width, height), re-encode as a deterministic
+    PNG thumbnail. Byte-stable across re-runs (decode and encode are
+    both exact), so downstream content-hash dedup of thumbnails is
+    meaningful. Undecodable rows side-drop with a reason."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"method must be nearest|bilinear, got {method!r}")
+    if width < 1 or height < 1:
+        raise ValueError(f"bad thumbnail dims {width}x{height}")
+    resample = resize_nearest if method == "nearest" else resize_bilinear
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "thumb", "width", "height",
+                                    "decode_error")}
+            for doc_id, media in zip(pdf["doc_id"], pdf[media_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    _, arr = decode_pixels(bytes(media))
+                    thumb = encode_png(resample(arr, width, height))
+                except Exception as ex:  # noqa: BLE001 — side-drop idiom
+                    reason = (str(ex) if isinstance(ex, PixelDecodeError)
+                              else f"decode failed: {ex}")
+                    rows["thumb"].append(None)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["decode_error"].append(reason)
+                    continue
+                rows["thumb"].append(thumb)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df_media.mapInPandas(kernel, schema=THUMBNAIL_SCHEMA)
