@@ -9,16 +9,20 @@ header multimodal.parse_image_header already walks. This module
 implements both ends to the spec — a CRC-verifying PNG reader (all
 five filters, 8-bit gray/RGB/RGBA/gray+alpha, palette at depths
 1/2/4/8, sub-byte grayscale), a BI_RGB BMP reader (24/32-bit, top-down
-and bottom-up), a deterministic PNG writer (for thumbnail output and
-byte-stable fixtures), and numpy nearest/bilinear resize — then wires
-them into the same Arrow-batched mapInPandas shape the rest of the
-multimodal lane uses (operators/multimodal.py), with the injector's
-malformed-record side-drop idiom: undecodable rows carry a reason, the
-batch never fails.
+and bottom-up), a first-frame GIF reader (pure-Python LZW per the
+public GIF89a spec appendix F, interlace, local color tables,
+transparency → alpha, sub-rectangle compositing), a deterministic PNG
+writer (for thumbnail output and byte-stable fixtures), and numpy
+nearest/bilinear resize — then wires them into the same Arrow-batched
+mapInPandas shape the rest of the multimodal lane uses
+(operators/multimodal.py), with the injector's malformed-record
+side-drop idiom: undecodable rows carry a reason, the batch never
+fails.
 
-JPEG and GIF pixel decode stay out of scope (entropy/LZW decoders are
-real codec work the curation gates don't need — header dims already
-come from parse_image_header); those rows side-drop with a reason.
+Only JPEG pixel decode stays out of scope (a baseline huffman+IDCT
+decoder is real codec work the curation gates don't need — JPEG header
+dims already come from parse_image_header); those rows side-drop with
+a reason.
 
 100 TB design: decode runs where the bytes already are — one Python
 worker per core per executor, Arrow batch at a time, no shuffle (the
@@ -269,20 +273,192 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
+# --- GIF reader (LZW is fully specified in the public GIF89a spec) ---------
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW: variable-width codes 3..12 bits, LSB-first bit
+    packing, clear/EOI control codes, table grows by one entry per
+    emitted code until the 12-bit ceiling (then holds until a clear).
+    Returns exactly n_pixels index bytes (spec appendix F)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise PixelDecodeError("gif: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                # first code after clear must be a literal root
+                raise PixelDecodeError("gif: bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:          # table freezes when full
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise PixelDecodeError("gif: LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < n_pixels:
+        raise PixelDecodeError("gif: LZW ended before raster complete")
+    return bytes(out[:n_pixels])
+
+
+# Adam-style GIF interlace passes: (first row, step) per spec.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """GIF87a/89a FIRST frame → (H, W, 3) uint8, or (H, W, 4) when the
+    frame's graphic-control extension marks a transparent index. Full
+    logical-screen compositing (sub-rectangle frames paste over the
+    background color), local color tables override the global one, and
+    interlaced rasters are de-interlaced. Later animation frames are
+    out of scope for curation gates — the first frame is the image."""
+    if len(buf) < 13 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise PixelDecodeError("gif: bad signature")
+    sw, sh = struct.unpack("<HH", buf[6:10])
+    packed, bg_idx = buf[10], buf[11]
+    if sw == 0 or sh == 0:
+        raise PixelDecodeError("gif: bad screen dimensions")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        if len(buf) < pos + 3 * n:
+            raise PixelDecodeError("gif: truncated color table")
+        pos += 3 * n
+    transparent = None
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:                      # trailer before any image
+            raise PixelDecodeError("gif: no image descriptor")
+        if block == 0x21:                      # extension
+            if pos + 1 > len(buf):
+                raise PixelDecodeError("gif: truncated extension")
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9 and pos + 5 <= len(buf) and buf[pos] == 4:
+                flags = buf[pos + 1]
+                if flags & 1:
+                    transparent = buf[pos + 4]
+            # skip sub-blocks (incl. the GCE's own)
+            while pos < len(buf) and buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1                           # block terminator
+            continue
+        if block != 0x2C:
+            raise PixelDecodeError(f"gif: unknown block 0x{block:02x}")
+        if pos + 9 > len(buf):
+            raise PixelDecodeError("gif: truncated image descriptor")
+        fx, fy, fw, fh = struct.unpack("<HHHH", buf[pos:pos + 8])
+        ipacked = buf[pos + 8]
+        pos += 9
+        if fw == 0 or fh == 0 or fx + fw > sw or fy + fh > sh:
+            raise PixelDecodeError("gif: frame outside logical screen")
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if len(buf) < pos + 3 * n:
+                raise PixelDecodeError("gif: truncated color table")
+            lct = np.frombuffer(buf, np.uint8, count=3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if lct is None:
+            raise PixelDecodeError("gif: no color table")
+        if pos >= len(buf):
+            raise PixelDecodeError("gif: missing LZW minimum code size")
+        min_code = buf[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise PixelDecodeError(f"gif: bad LZW min code {min_code}")
+        sub = bytearray()
+        while True:
+            if pos >= len(buf):
+                raise PixelDecodeError("gif: unterminated data sub-blocks")
+            ln = buf[pos]
+            pos += 1
+            if ln == 0:
+                break
+            sub.extend(buf[pos:pos + ln])
+            if len(buf) < pos + ln:
+                raise PixelDecodeError("gif: truncated data sub-block")
+            pos += ln
+        idx = np.frombuffer(
+            _lzw_decode(min_code, bytes(sub), fw * fh), np.uint8)
+        if int(idx.max()) >= lct.shape[0]:
+            raise PixelDecodeError("gif: color index out of range")
+        frame = idx.reshape(fh, fw)
+        if ipacked & 0x40:                     # interlaced: reorder rows
+            ordered = np.empty_like(frame)
+            src = 0
+            for first, step in _GIF_PASSES:
+                rows = range(first, fh, step)
+                ordered[list(rows)] = frame[src:src + len(rows)]
+                src += len(rows)
+            frame = ordered
+        # composite in RGB space: the frame indexes its own (local)
+        # table while the background color indexes the global one —
+        # index spaces must not mix
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        if gct is not None and bg_idx < gct.shape[0]:
+            canvas[:] = gct[bg_idx]
+        canvas[fy:fy + fh, fx:fx + fw] = lct[frame]
+        if transparent is not None:
+            alpha = np.full((sh, sw), 255, np.uint8)
+            alpha[fy:fy + fh, fx:fx + fw] = np.where(
+                frame == transparent, 0, 255).astype(np.uint8)
+            return np.dstack([canvas, alpha])
+        return np.ascontiguousarray(canvas)
+    raise PixelDecodeError("gif: no image descriptor")
+
+
 def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
-    """Dispatch by magic: ('png'|'bmp', (H, W, C) uint8). JPEG/GIF and
-    unknown magics raise PixelDecodeError (dims-only formats here —
-    use multimodal.parse_image_header for their metadata)."""
+    """Dispatch by magic: ('png'|'bmp'|'gif', (H, W, C) uint8). JPEG
+    and unknown magics raise PixelDecodeError (dims-only there — use
+    multimodal.parse_image_header for JPEG metadata)."""
     if buf[:8] == _PNG_SIG:
         return "png", decode_png(buf)
     if buf[:2] == b"BM":
         return "bmp", decode_bmp(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", decode_gif(buf)
     if buf[:2] == b"\xff\xd8":
         raise PixelDecodeError("jpeg: pixel decode unsupported "
                                "(entropy codec; header dims only)")
-    if buf[:6] in (b"GIF87a", b"GIF89a"):
-        raise PixelDecodeError("gif: pixel decode unsupported "
-                               "(LZW; header dims only)")
     raise PixelDecodeError("unknown image format")
 
 

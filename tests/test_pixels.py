@@ -1,6 +1,7 @@
 """Real pixel decode/resize (operators/pixels.py): spec wire vectors
-with an INDEPENDENT forward-filter implementation (the module only
-implements the reverse direction, so agreement is a real cross-check),
+with INDEPENDENT forward implementations (PNG scanline filters and the
+GIF LZW encoder are both re-implemented here in the forward direction,
+so decoder agreement is a real cross-check, not self-validation),
 hypothesis encode⇄decode round-trips, corrupt side-drops, resize math,
 and the Spark mapInPandas e2e with the injector's side-drop idiom."""
 
@@ -204,6 +205,141 @@ def test_encode_decode_roundtrip_property(seed, h, w, c):
     assert np.array_equal(P.decode_png(P.encode_png(img)), img)
 
 
+# --- GIF: independent forward LZW encoder + hand-built containers ----------
+
+def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    """Forward GIF-LZW (spec appendix F), the test-side twin of the
+    module's decoder: LSB-first packing, leading clear code, code size
+    grows in lockstep with the table."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = bytes([data[0]])
+    for byte in data[1:]:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        w = c
+    emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(sw, sh, palette: bytes, indices: bytes, min_code=2, fx=0, fy=0,
+         fw=None, fh=None, interlace=False, transparent=None,
+         ver=b"GIF89a") -> bytes:
+    fw = sw if fw is None else fw
+    fh = sh if fh is None else fh
+    n = len(palette) // 3
+    gct_bits = max(1, (n - 1).bit_length()) - 1
+    pad = (2 << gct_bits) * 3 - len(palette)
+    out = ver + struct.pack("<HH", sw, sh) \
+        + bytes([0x80 | gct_bits, 0, 0]) + palette + bytes(pad)
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    ipacked = 0x40 if interlace else 0
+    out += bytes([0x2C]) + struct.pack("<HHHH", fx, fy, fw, fh) \
+        + bytes([ipacked, min_code])
+    lzw = _lzw_encode(min_code, indices)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    return out + bytes([0, 0x3B])
+
+
+PAL4 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])  # R G B gray
+
+
+def test_gif_basic_full_frame_and_kwkwk():
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    got = P.decode_gif(_gif(4, 2, PAL4, idx.tobytes()))
+    expect = np.frombuffer(PAL4, np.uint8).reshape(4, 3)[idx]
+    assert np.array_equal(got, expect)
+    # a run of identical pixels exercises the KwKwK code path
+    run = bytes([1] * 9 + [2] * 7)
+    got = P.decode_gif(_gif(16, 1, PAL4, run))
+    assert np.array_equal(got[0, :, 1], np.where(
+        np.frombuffer(run, np.uint8) == 1, 255, 0))
+
+
+def test_gif_code_size_growth_roundtrip():
+    # 8-color palette, 600 pseudo-random pixels: the LZW table crosses
+    # several code-width boundaries — decoder must stay bit-synced
+    rng = np.random.default_rng(7)
+    pal = bytes(range(24))                       # 8 colors
+    idx = rng.integers(0, 8, 600, dtype=np.uint8)
+    got = P.decode_gif(_gif(30, 20, pal, idx.tobytes(), min_code=3))
+    expect = np.frombuffer(pal, np.uint8).reshape(8, 3)[
+        idx.reshape(20, 30)]
+    assert np.array_equal(got, expect)
+
+
+def test_gif_interlaced_rows_restored():
+    h, w = 9, 3
+    img = np.arange(h, dtype=np.uint8)[:, None].repeat(w, 1)  # row = its y
+    # store rows in the spec's 4-pass order
+    order = [y for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(first, h, step)]
+    stored = img[order]
+    pal = bytes(v for y in range(16) for v in (y, y, y))
+    got = P.decode_gif(_gif(w, h, pal, stored.tobytes(), min_code=4,
+                            interlace=True))
+    assert np.array_equal(got[:, :, 0], img)
+
+
+def test_gif_transparency_and_subrect_composite():
+    idx = np.array([[1, 2]], dtype=np.uint8)
+    buf = _gif(4, 3, PAL4, idx.tobytes(), fx=1, fy=1, fw=2, fh=1,
+               transparent=2)
+    got = P.decode_gif(buf)
+    assert got.shape == (3, 4, 4)
+    assert list(got[1, 1, :3]) == [0, 255, 0]    # palette 1 at (1,1)
+    assert got[1, 1, 3] == 255
+    assert got[1, 2, 3] == 0                     # transparent index 2
+    assert list(got[0, 0, :3]) == [255, 0, 0]    # bg = global index 0
+    assert got[0, 0, 3] == 255
+
+
+def test_gif_corrupt_reasons():
+    idx = bytes([0, 1, 2, 3])
+    good = _gif(4, 1, PAL4, idx)
+    with pytest.raises(P.PixelDecodeError, match="signature"):
+        P.decode_gif(b"GIF88a" + good[6:])
+    with pytest.raises(P.PixelDecodeError, match="truncated|unterminated"):
+        P.decode_gif(good[:-6])
+    with pytest.raises(P.PixelDecodeError, match="no image"):
+        P.decode_gif(good[:13 + 12] + bytes([0x3B]))
+    # frame rectangle outside the logical screen
+    with pytest.raises(P.PixelDecodeError, match="outside"):
+        P.decode_gif(_gif(2, 1, PAL4, idx, fw=4, fh=1))
+    # index beyond the palette: 2-entry palette, index 3 in the data
+    with pytest.raises(P.PixelDecodeError, match="index out of range"):
+        P.decode_gif(_gif(4, 1, bytes(6), idx))
+
+
 def test_decode_pixels_dispatch_and_dims_agree_with_header_parse():
     from kafka_elasticsearch_injector_spark.operators.multimodal import (
         parse_image_header,
@@ -247,9 +383,11 @@ def test_image_pixel_stats_spark_e2e(spark):
         (2, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
         (3, bytearray(b"garbage bytes")),
         (4, bytearray(P.encode_png(np.full((2, 2), 9, np.uint8)))),
+        (5, bytearray(_gif(4, 2, PAL4, bytes([0, 1, 2, 3, 3, 2, 1, 0])))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     got = {r.doc_id: r for r in P.image_pixel_stats(df).collect()}
+    assert got[5].format == "gif" and (got[5].width, got[5].height) == (4, 2)
     assert got[1].format == "png" and (got[1].width, got[1].height) == (3, 5)
     assert got[1].channels == 3
     exp_mean = RGB.reshape(-1, 3).astype(np.float64).mean(axis=0)
