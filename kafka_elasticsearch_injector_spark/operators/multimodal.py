@@ -2,14 +2,14 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Real kernels by lane: header dims decode for PNG/GIF/BMP/JPEG lives
-here (parse_image_header, r12); PIXEL decode + resize for PNG, BMP,
-and GIF is operators/pixels.py (r13 — pure stdlib zlib + numpy + a
-spec LZW decoder, no image libs needed for those formats); PCM16
-audio features are real below. Only the JPEG pixel lane and compressed
-audio stay stubbed (resize_stub marks the boundary); everything
-Spark-side is real and tested: schema contracts, binary column
-handling, Arrow batch shape, and the mapInPandas partition-parallel
-execution path.
+here (parse_image_header, r12); PIXEL decode + resize for all four —
+PNG, BMP, GIF (spec LZW), baseline JPEG (huffman + IDCT) — is
+operators/pixels.py + operators/jpeg_codec.py (r13, pure stdlib +
+numpy, no image libs); PCM16 audio features are real below. Only
+out-of-scope encodings stay stubbed (progressive JPEG, compressed
+audio — resize_stub marks the boundary); everything Spark-side is real
+and tested: schema contracts, binary column handling, Arrow batch
+shape, and the mapInPandas partition-parallel execution path.
 
 100 TB design:
 - media bytes live in the parquet as binary columns (or as object-store
@@ -100,11 +100,11 @@ def decode_media(df_media: DataFrame) -> DataFrame:
 # height — are parseable from the first bytes with the stdlib alone
 # for all four formats. That makes dims-based pruning (min-resolution
 # gates, aspect filters, thumbnail routing) REAL, not faked, while
-# keeping the blob opaque past the header. Pixel decode is format-
-# split since r13: PNG/BMP/GIF pixels are fully decodable with stdlib
-# zlib + numpy + a spec LZW decoder (operators/pixels.py); only the
-# JPEG pixel lane still needs an image lib (resize_stub marks that
-# boundary).
+# keeping the blob opaque past the header. Since r13 pixel decode is
+# real for all four formats too (operators/pixels.py + jpeg_codec.py:
+# stdlib zlib + numpy + spec LZW/huffman/IDCT); header-only parsing
+# here stays the cheap path for dims-only gates — it reads a few
+# hundred bytes where full decode touches every pixel.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # JPEG start-of-frame markers that carry dimensions: C0-CF minus the
@@ -286,17 +286,19 @@ def extract_features(df_media: DataFrame, n_bins: int = 16) -> DataFrame:
 
 
 def resize_stub(df_media: DataFrame, width: int, height: int) -> DataFrame:
-    """Plumbing-only resize marking the remaining codec boundary: JPEG
-    pixels need a real huffman+IDCT decoder (PIL/opencv — not in this
+    """Plumbing-only resize marking the remaining codec boundary —
+    formats outside the pure-Python decoders' scope (progressive JPEG,
+    video frames) need a native codec (PIL/opencv/ffmpeg, not in this
     container), so this kernel raises from the executors, by design.
-    For PNG, uncompressed BMP, and GIF the REAL path exists:
+    For PNG, BMP, GIF, and baseline JPEG the REAL path exists:
     operators/pixels.resize_images decodes, resamples, and re-encodes
     deterministic PNG thumbnails with pure stdlib + numpy."""
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
-            "image resize for JPEG requires PIL/opencv (not in this "
-            "container); PNG/BMP/GIF resize is implemented in "
+            "resize for codecs outside the pure-Python scope requires "
+            "PIL/opencv (not available in this container); "
+            "PNG/BMP/GIF/baseline-JPEG resize is implemented in "
             "operators/pixels.resize_images")
         yield  # pragma: no cover
 

@@ -17,12 +17,10 @@ nearest/bilinear resize — then wires them into the same Arrow-batched
 mapInPandas shape the rest of the multimodal lane uses
 (operators/multimodal.py), with the injector's malformed-record
 side-drop idiom: undecodable rows carry a reason, the batch never
-fails.
-
-Only JPEG pixel decode stays out of scope (a baseline huffman+IDCT
-decoder is real codec work the curation gates don't need — JPEG header
-dims already come from parse_image_header); those rows side-drop with
-a reason.
+fails. Baseline JPEG decode (huffman + dequant + IDCT + YCbCr,
+ITU T.81) lives in the sibling operators/jpeg_codec.py and rides the
+same dispatch; progressive JPEG and other out-of-scope encodings
+side-drop with a reason.
 
 100 TB design: decode runs where the bytes already are — one Python
 worker per core per executor, Arrow batch at a time, no shuffle (the
@@ -355,10 +353,10 @@ def decode_gif(buf: bytes) -> np.ndarray:
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        gct = np.frombuffer(buf, np.uint8, count=3 * n,
-                            offset=pos).reshape(n, 3)
         if len(buf) < pos + 3 * n:
             raise PixelDecodeError("gif: truncated color table")
+        gct = np.frombuffer(buf, np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
         pos += 3 * n
     transparent = None
     while pos < len(buf):
@@ -403,7 +401,8 @@ def decode_gif(buf: bytes) -> np.ndarray:
             raise PixelDecodeError("gif: missing LZW minimum code size")
         min_code = buf[pos]
         pos += 1
-        if not 2 <= min_code <= 11:
+        # roots are palette indices (single bytes), so 2..8 only
+        if not 2 <= min_code <= 8:
             raise PixelDecodeError(f"gif: bad LZW min code {min_code}")
         sub = bytearray()
         while True:
@@ -447,9 +446,10 @@ def decode_gif(buf: bytes) -> np.ndarray:
 
 
 def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
-    """Dispatch by magic: ('png'|'bmp'|'gif', (H, W, C) uint8). JPEG
-    and unknown magics raise PixelDecodeError (dims-only there — use
-    multimodal.parse_image_header for JPEG metadata)."""
+    """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg', pixels) — (H, W, C)
+    uint8, or (H, W) for grayscale JPEG. Unknown magics and
+    out-of-scope encodings (progressive JPEG, 16-bit PNG, ...) raise
+    PixelDecodeError with the reason."""
     if buf[:8] == _PNG_SIG:
         return "png", decode_png(buf)
     if buf[:2] == b"BM":
@@ -457,8 +457,9 @@ def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return "gif", decode_gif(buf)
     if buf[:2] == b"\xff\xd8":
-        raise PixelDecodeError("jpeg: pixel decode unsupported "
-                               "(entropy codec; header dims only)")
+        from .jpeg_codec import decode_jpeg
+
+        return "jpeg", decode_jpeg(buf)
     raise PixelDecodeError("unknown image format")
 
 

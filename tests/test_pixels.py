@@ -340,6 +340,42 @@ def test_gif_corrupt_reasons():
         P.decode_gif(_gif(4, 1, bytes(6), idx))
 
 
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.sampled_from(["png", "bmp", "gif",
+                                                   "rand"]),
+       st.integers(0, 3))
+def test_decode_pixels_fuzz_never_crashes(seed, kind, n_mut):
+    """Malformed bytes must surface as PixelDecodeError (the side-drop
+    reason), never IndexError/struct.error/zlib tracebacks: random
+    buffers and bit-flipped valid images through every decoder."""
+    rng = np.random.default_rng(seed)
+    if kind == "rand":
+        buf = bytes(rng.integers(0, 256, rng.integers(0, 200),
+                                 dtype=np.uint8))
+        # steer some samples into each parser's magic
+        magic = [b"", _SIG, b"BM", b"GIF89a", b"\xff\xd8"][seed % 5]
+        buf = magic + buf
+    else:
+        img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        if kind == "png":
+            buf = P.encode_png(img)
+        elif kind == "gif":
+            buf = _gif(4, 2, PAL4, bytes([0, 1, 2, 3, 3, 2, 1, 0]))
+        else:
+            buf = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+                   + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 24, 0,
+                                 24, 0, 0, 0, 0) + bytes(24))
+        buf = bytearray(buf)
+        for _ in range(n_mut):
+            buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
+        buf = bytes(buf)
+    try:
+        fmt, arr = P.decode_pixels(buf)
+        assert arr.dtype == np.uint8 and arr.shape[0] > 0
+    except P.PixelDecodeError:
+        pass  # the side-drop contract
+
+
 def test_decode_pixels_dispatch_and_dims_agree_with_header_parse():
     from kafka_elasticsearch_injector_spark.operators.multimodal import (
         parse_image_header,
