@@ -129,8 +129,13 @@ class _BitReader:
         raise _err("jpeg: invalid huffman code")
 
     def align_and_expect_rst(self, n: int) -> None:
-        """Byte-align and consume the next RSTn marker (T.81 E.2.4)."""
+        """Byte-align and consume the next RSTn marker (T.81 E.2.4);
+        0xFF fill bytes before the marker code are skipped."""
         self.nbits = 0
+        while self.pos + 1 < len(self.buf) \
+                and self.buf[self.pos] == 0xFF \
+                and self.buf[self.pos + 1] == 0xFF:
+            self.pos += 1
         if self.pos + 2 > len(self.buf) \
                 or self.buf[self.pos] != 0xFF \
                 or self.buf[self.pos + 1] != 0xD0 + (n & 7):
@@ -161,6 +166,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise _err("jpeg: lost marker sync")
+        # 0xFF fill bytes before a marker are legal padding
+        # (T.81 B.1.1.2): the marker code is the first non-FF byte
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
@@ -211,6 +220,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise _err("jpeg: bad dimensions")
             if ncomp not in (1, 3):
                 raise _err(f"jpeg: {ncomp} components unsupported")
+            from .pixels import MAX_PIXELS
+
+            if w * h > MAX_PIXELS:
+                raise _err(f"jpeg: {w}x{h} exceeds the decode pixel cap")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -218,6 +231,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 if hs not in (1, 2, 4) or vs not in (1, 2, 4):
                     raise _err(f"jpeg: sampling {hs}x{vs} unsupported")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            if ncomp == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved
+                # — one 8x8 unit per MCU in raster order, sampling
+                # factors ignored (grayscale files routinely declare
+                # the color default 2x2)
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"w": w, "h": h, "comps": comps}
         elif marker == 0xC2:
             raise _err("jpeg: progressive (SOF2) unsupported")

@@ -51,6 +51,13 @@ class PixelDecodeError(ValueError):
     it into the side-drop reason column instead of failing the batch."""
 
 
+# Header-declared dimensions cap every allocation: a ~100-byte crafted
+# file can otherwise declare 65535x65535 and OOM-kill the executor
+# BEFORE any decode error can fire — a process kill is not a catchable
+# side-drop. 64 MP ≈ 256 MB of RGBA, comfortably inside a worker.
+MAX_PIXELS = 64_000_000
+
+
 # --- PNG reader -------------------------------------------------------------
 
 # color type → samples per pixel (before palette expansion)
@@ -156,7 +163,7 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise PixelDecodeError("png: missing IHDR")
     w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if not (0 < w < 1 << 24 and 0 < h < 1 << 24):
+    if not (0 < w < 1 << 24 and 0 < h < 1 << 24) or w * h > MAX_PIXELS:
         raise PixelDecodeError("png: bad dimensions")
     if comp != 0 or filt != 0:
         raise PixelDecodeError("png: unknown compression/filter method")
@@ -174,20 +181,28 @@ def decode_png(buf: bytes) -> np.ndarray:
     stride = (w * samples * depth + 7) // 8
     bpp = max(1, samples * depth // 8)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: the exact raster size is known from IHDR, so
+        # a zlib bomb (KBs inflating to GBs) stops at expected+1 bytes
+        # and fails the size check instead of exhausting memory
+        expected = h * (stride + 1)
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error as ex:
         raise PixelDecodeError(f"png: zlib {ex}") from None
     rows = _unfilter(raw, h, stride, bpp)
+    raw_gray = None                      # pre-scale samples for tRNS
     if depth < 8:
         vals = _expand_subbyte(rows, depth, w)
         if ctype_n == 0:  # sub-byte grayscale scales to full 8-bit range
-            vals = (vals.astype(np.uint16)
-                    * (255 // ((1 << depth) - 1))).astype(np.uint8)
-            return vals.reshape(h, w, 1)
-        rows = vals  # palette indices, one per sample
-        arr = rows.reshape(h, w)
+            raw_gray = vals.reshape(h, w)
+            arr = (raw_gray.astype(np.uint16)
+                   * (255 // ((1 << depth) - 1))).astype(np.uint8) \
+                .reshape(h, w, 1)
+        else:
+            arr = vals.reshape(h, w)     # palette indices
     else:
         arr = rows.reshape(h, w, samples)
+        if ctype_n == 0:
+            raw_gray = arr.reshape(h, w)
     if ctype_n == 3:
         if plte is None or len(plte) % 3:
             raise PixelDecodeError("png: palette image without PLTE")
@@ -197,10 +212,27 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise PixelDecodeError("png: palette index out of range")
         rgb = pal[idx]
         if trns is not None:
+            if len(trns) > pal.shape[0]:
+                raise PixelDecodeError("png: tRNS longer than palette")
             alpha = np.full(pal.shape[0], 255, np.uint8)
             alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
             return np.dstack([rgb, alpha[idx]])
         return rgb
+    if trns is not None and ctype_n in (0, 2):
+        # tRNS for gray (one key) / truecolor (RGB key): 16-bit
+        # big-endian sample values, compared PRE-scaling (spec §11.3.2;
+        # for depth ≤ 8 the value lives in the low byte)
+        nkeys = 1 if ctype_n == 0 else 3
+        if len(trns) < 2 * nkeys:
+            raise PixelDecodeError("png: tRNS too short")
+        keys = [struct.unpack(">H", trns[2 * i:2 * i + 2])[0] & 0xFF
+                for i in range(nkeys)]
+        if ctype_n == 0:
+            match = raw_gray == keys[0]
+        else:
+            match = (arr == np.array(keys, np.uint8)).all(axis=2)
+        alpha = np.where(match, 0, 255).astype(np.uint8)
+        return np.dstack([arr, alpha])
     return arr
 
 
@@ -237,11 +269,15 @@ def encode_png(arr: np.ndarray) -> bytes:
 # --- BMP reader -------------------------------------------------------------
 
 def decode_bmp(buf: bytes) -> np.ndarray:
-    """Uncompressed (BI_RGB) 24/32-bit BMP → (H, W, 3|4) uint8 in RGB
-    channel order (file order is BGR(A); rows are 4-byte padded and
-    bottom-up unless the height is negative). Other bit depths and
-    compressions raise PixelDecodeError — parse_image_header still
-    serves their dims."""
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (H, W, 3) uint8 in RGB
+    channel order (file order is BGR, rows 4-byte padded, bottom-up
+    unless the height is negative). The 4th byte of 32-bit BI_RGB
+    pixels is RESERVED, not alpha (alpha needs BI_BITFIELDS/V4+
+    headers, out of scope) — real files zero it, so surfacing it would
+    render every thumbnail fully transparent; it is dropped, matching
+    what PIL does for this case. Other bit depths and compressions
+    raise PixelDecodeError — parse_image_header still serves their
+    dims."""
     if len(buf) < 54 or buf[:2] != b"BM":
         raise PixelDecodeError("bmp: bad header")
     (off,) = struct.unpack("<I", buf[10:14])
@@ -257,6 +293,9 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     if w <= 0 or h_signed == 0:
         raise PixelDecodeError("bmp: bad dimensions")
     h = abs(h_signed)
+    if w * h > MAX_PIXELS:
+        raise PixelDecodeError(f"bmp: {w}x{h} exceeds the decode "
+                               "pixel cap")
     nch = bits // 8
     stride = (w * nch + 3) & ~3
     need = off + stride * h
@@ -266,9 +305,7 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         .reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
     if h_signed > 0:                         # bottom-up storage
         rows = rows[::-1]
-    # BGR(A) → RGB(A)
-    out = rows[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
-    return np.ascontiguousarray(out)
+    return np.ascontiguousarray(rows[:, :, [2, 1, 0]])  # BGR(X) → RGB
 
 
 # --- GIF reader (LZW is fully specified in the public GIF89a spec) ---------
@@ -347,7 +384,7 @@ def decode_gif(buf: bytes) -> np.ndarray:
         raise PixelDecodeError("gif: bad signature")
     sw, sh = struct.unpack("<HH", buf[6:10])
     packed, bg_idx = buf[10], buf[11]
-    if sw == 0 or sh == 0:
+    if sw == 0 or sh == 0 or sw * sh > MAX_PIXELS:
         raise PixelDecodeError("gif: bad screen dimensions")
     pos = 13
     gct = None
@@ -508,8 +545,9 @@ PIXEL_STATS_SCHEMA = (
 
 def image_pixel_stats(df_media: DataFrame,
                       media_col: str = "media") -> DataFrame:
-    """Per-image pixel statistics over Arrow batches: real decode
-    (PNG/BMP), per-channel mean/std — the numeric gate a curation
+    """Per-image pixel statistics over Arrow batches: real decode of
+    every supported format (PNG/BMP/GIF/baseline JPEG via
+    decode_pixels), per-channel mean/std — the numeric gate a curation
     pipeline puts in front of training (near-black/near-white frames,
     dead channels). Undecodable rows side-drop with a reason, batch
     never fails; shuffle-free (row-local projection)."""
@@ -553,12 +591,13 @@ THUMBNAIL_SCHEMA = ("doc_id bigint, thumb binary, width int, height int, "
 def resize_images(df_media: DataFrame, width: int, height: int,
                   method: str = "bilinear",
                   media_col: str = "media") -> DataFrame:
-    """REAL image resize (the capability resize_stub documents as
-    needing an image lib — true only for JPEG/GIF): decode PNG/BMP
-    pixels, resample to (width, height), re-encode as a deterministic
-    PNG thumbnail. Byte-stable across re-runs (decode and encode are
-    both exact), so downstream content-hash dedup of thumbnails is
-    meaningful. Undecodable rows side-drop with a reason."""
+    """REAL image resize for every supported format (PNG/BMP/GIF/
+    baseline JPEG via decode_pixels — multimodal.resize_stub now marks
+    only the out-of-scope codecs): decode, resample to (width, height),
+    re-encode as a deterministic PNG thumbnail. Byte-stable across
+    re-runs (decode and encode are both exact), so downstream
+    content-hash dedup of thumbnails is meaningful. Undecodable rows
+    side-drop with a reason."""
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"method must be nearest|bilinear, got {method!r}")
     if width < 1 or height < 1:

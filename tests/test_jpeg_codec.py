@@ -317,6 +317,30 @@ def test_lossy_quantizer_matches_spec_reconstruction():
     assert int(np.abs(got.astype(int) - expect.astype(int)).max()) <= 1
 
 
+def test_gray_scan_is_noninterleaved_regardless_of_sampling():
+    """T.81 A.2.2: an Ns=1 scan ignores sampling factors (one 8x8 unit
+    per MCU, raster order). Grayscale files routinely keep the color
+    default 2x2 in SOF — patching our 1x1 fixture to declare 2x2 must
+    not change the decode."""
+    img = GRAD[:10, :13]                        # non-multiple-of-8 dims
+    buf = _encode_jpeg(img)
+    i = buf.index(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1) cid(1) samp(1) ...
+    samp_off = i + 2 + 2 + 1 + 4 + 1 + 1
+    assert buf[samp_off] == 0x11
+    patched = buf[:samp_off] + bytes([0x22]) + buf[samp_off + 1:]
+    assert np.array_equal(J.decode_jpeg(patched), J.decode_jpeg(buf))
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """0xFF fill bytes between segments are legal padding
+    (T.81 B.1.1.2) — conformant files must not spuriously side-drop."""
+    buf = _encode_jpeg(GRAD[:8, :8])
+    i = buf.index(b"\xff\xda")                  # pad before SOS
+    padded = buf[:i] + b"\xff\xff\xff" + buf[i + 1:]
+    assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(buf))
+
+
 def test_unsupported_and_corrupt_reasons():
     good = _encode_jpeg(GRAD)
     with pytest.raises(P.PixelDecodeError, match="progressive"):

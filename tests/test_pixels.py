@@ -185,9 +185,12 @@ def test_bmp_24_and_32_bit_bottom_up_and_top_down():
 
     got24 = P.decode_bmp(bmp(img, 24, flip=True))
     assert np.array_equal(got24, img)
+    # the 4th byte of 32-bit BI_RGB is RESERVED, not alpha — it must be
+    # dropped (surfacing it would make zeroed-reserved files, the
+    # common case, fully transparent)
     got32 = P.decode_bmp(bmp(img, 32, flip=False))
-    assert np.array_equal(got32[:, :, :3], img)
-    assert (got32[:, :, 3] == 0xAB).all()
+    assert got32.shape == img.shape
+    assert np.array_equal(got32, img)
     with pytest.raises(P.PixelDecodeError, match="unsupported"):
         P.decode_bmp(bmp(img, 24, flip=True)[:28]
                      + struct.pack("<HI", 8, 0)
@@ -203,6 +206,57 @@ def test_encode_decode_roundtrip_property(seed, h, w, c):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
     assert np.array_equal(P.decode_png(P.encode_png(img)), img)
+
+
+def test_png_trns_gray_and_truecolor_keys():
+    # truecolor: the keyed RGB becomes alpha 0, everything else 255
+    img = RGB[:2, :3]
+    key = img[0, 1]                              # (250, 5, 100)
+    trns = b"".join(struct.pack(">H", int(v)) for v in key)
+    got = P.decode_png(_png(3, 2, 8, 2, _filter_forward(img, [0, 0]),
+                            trns=trns))
+    assert got.shape == (2, 3, 4)
+    assert got[0, 1, 3] == 0 and got[0, 0, 3] == 255
+    assert np.array_equal(got[:, :, :3], img)
+    # grayscale: single 16-bit key, compared pre-scaling
+    gray = np.array([[[7], [9], [7]]], dtype=np.uint8)
+    got = P.decode_png(_png(3, 1, 8, 0, _filter_forward(gray, [0]),
+                            trns=struct.pack(">H", 7)))
+    assert got.shape == (1, 3, 2)
+    assert list(got[0, :, 1]) == [0, 255, 0]
+    # tRNS longer than the palette is malformed, not a numpy traceback
+    pal = bytes(6)
+    with pytest.raises(P.PixelDecodeError, match="tRNS"):
+        P.decode_png(_png(2, 1, 8, 3, b"\x00\x00\x01", plte=pal,
+                          trns=bytes(5)))
+
+
+def test_allocation_caps_and_zlib_bomb():
+    # header-declared dims beyond the pixel cap must fail BEFORE any
+    # allocation, for every decoder
+    huge_png = _SIG + _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)) + _chunk(b"IEND", b"")
+    with pytest.raises(P.PixelDecodeError, match="dimensions"):
+        P.decode_png(huge_png)
+    with pytest.raises(P.PixelDecodeError, match="dimensions"):
+        P.decode_gif(b"GIF89a" + struct.pack("<HH", 65535, 65535)
+                     + bytes(3))
+    with pytest.raises(P.PixelDecodeError, match="pixel cap"):
+        from kafka_elasticsearch_injector_spark.operators.jpeg_codec \
+            import decode_jpeg
+
+        sof = bytes([8]) + struct.pack(">HH", 65535, 65535) + bytes(
+            [1, 1, 0x11, 0])
+        decode_jpeg(b"\xff\xd8\xff\xc0" + struct.pack(
+            ">H", len(sof) + 2) + sof + b"\xff\xd9\x00\x00")
+    # zlib bomb: a few-KB IDAT declaring a 1x1 image must stop at the
+    # bounded inflate, not materialize the payload
+    bomb = zlib.compress(bytes(10_000_000), 9)
+    buf = _SIG + _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)) + _chunk(b"IDAT", bomb) \
+        + _chunk(b"IEND", b"")
+    with pytest.raises(P.PixelDecodeError, match="size mismatch"):
+        P.decode_png(buf)
 
 
 # --- GIF: independent forward LZW encoder + hand-built containers ----------
