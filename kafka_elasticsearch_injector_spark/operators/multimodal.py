@@ -333,6 +333,106 @@ def attach_audio(df: DataFrame, text_col: str = "text",
     )
 
 
+class AudioDecodeError(ValueError):
+    """WAV container errors — the Spark kernel converts these into the
+    side-drop reason column (same idiom as pixels.PixelDecodeError)."""
+
+
+def parse_wav(buf: bytes) -> tuple[int, int, "object"]:
+    """RIFF/WAVE (PCM16) container → (sample_rate, n_channels,
+    (n_frames, n_channels) int16 samples). Public container format,
+    pure stdlib+numpy: walks word-aligned RIFF chunks, requires a
+    PCM (format 1) 16-bit 'fmt ' chunk before 'data', ignores other
+    chunks (LIST/fact/cue). Float/ADPCM/extensible formats and other
+    bit widths raise AudioDecodeError with the reason — compressed
+    AUDIO codecs (mp3/aac) stay out of scope entirely."""
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise AudioDecodeError("wav: bad RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        body_at = pos + 8
+        if body_at + size > len(buf):
+            raise AudioDecodeError(f"wav: truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise AudioDecodeError("wav: fmt chunk too short")
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", buf[body_at:body_at + 16])
+            if audio_fmt != 1:
+                raise AudioDecodeError(
+                    f"wav: format {audio_fmt} unsupported (PCM only)")
+            if bits != 16:
+                raise AudioDecodeError(
+                    f"wav: {bits}-bit unsupported (16-bit PCM only)")
+            if ch < 1 or rate < 1:
+                raise AudioDecodeError("wav: bad fmt fields")
+            fmt = (rate, ch)
+        elif cid == b"data":
+            if fmt is None:
+                raise AudioDecodeError("wav: data before fmt")
+            rate, ch = fmt
+            n = size // (2 * ch)
+            data = np.frombuffer(buf, "<i2", count=n * ch,
+                                 offset=body_at).reshape(n, ch)
+            return rate, ch, data
+        pos = body_at + size + (size & 1)    # chunks are word-aligned
+    raise AudioDecodeError("wav: no data chunk")
+
+
+WAV_SCHEMA = ("doc_id bigint, audio binary, media_type string, "
+              "sample_rate int, n_channels int, n_samples int, "
+              "content_md5 string, decode_error string")
+
+
+def decode_wav(df_media: DataFrame, media_col: str = "media") -> DataFrame:
+    """WAV container decode over Arrow batches: emits the mono PCM16
+    lane audio_features consumes (multi-channel mixes down by integer
+    mean — deterministic, no float) plus rate/channel metadata;
+    undecodable rows side-drop with a reason. Shuffle-free row-local
+    projection, same contract as pixels.image_pixel_stats."""
+    import hashlib as _hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "audio", "media_type",
+                                    "sample_rate", "n_channels",
+                                    "n_samples", "content_md5",
+                                    "decode_error")}
+            for doc_id, media in zip(pdf["doc_id"], pdf[media_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    rate, ch, data = parse_wav(bytes(media))
+                except Exception as ex:  # noqa: BLE001 — side-drop idiom
+                    reason = (str(ex) if isinstance(ex, AudioDecodeError)
+                              else f"decode failed: {ex}")
+                    for k in ("audio", "media_type", "sample_rate",
+                              "n_channels", "n_samples", "content_md5"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(reason)
+                    continue
+                mono = (data.astype(np.int32).sum(axis=1) // ch) \
+                    .astype("<i2") if ch > 1 else data[:, 0]
+                pcm = mono.tobytes()
+                rows["audio"].append(pcm)
+                rows["media_type"].append("audio/pcm16le")
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["n_samples"].append(len(mono))
+                rows["content_md5"].append(
+                    _hashlib.md5(pcm).hexdigest())
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df_media.mapInPandas(kernel, schema=WAV_SCHEMA)
+
+
 def audio_features(df_audio: DataFrame, frame: int = 64) -> DataFrame:
     """Windowed audio features over raw PCM: per-frame RMS and
     zero-crossing rate, averaged per clip, plus integer-exact framing

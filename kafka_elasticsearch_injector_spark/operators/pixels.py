@@ -139,12 +139,32 @@ def _expand_subbyte(rows: np.ndarray, depth: int, width: int) -> np.ndarray:
         .astype(np.uint8)
 
 
+# Adam7 pass grid (spec §8.2): x-origin, y-origin, x-step, y-step.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _rows_to_samples(rows: np.ndarray, wp: int, depth: int,
+                     samples: int) -> np.ndarray:
+    """(hp, stride) unfiltered bytes → (hp, wp, samples) uint8 RAW
+    sample values: 16-bit reduces to the high byte (the standard 8-bit
+    view), sub-byte depths unpack MSB-first (always 1 sample/pixel)."""
+    hp = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(hp, wp, samples)
+    if depth == 16:
+        return rows.reshape(hp, wp, samples, 2)[..., 0]
+    return _expand_subbyte(rows, depth, wp).reshape(hp, wp, 1)
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes → (H, W, C) uint8, C ∈ {1, 2, 3, 4} (gray, gray+alpha,
     RGB, RGBA; palette expands to RGB, or RGBA when a tRNS chunk is
-    present). CRC-verified per chunk. Raises PixelDecodeError with the
-    reason for anything outside the supported subset: 16-bit depth and
-    Adam7 interlace side-drop (documented), as does any corruption."""
+    present). CRC-verified per chunk; Adam7 interlace is de-interlaced;
+    16-bit samples reduce to the high byte (the standard 8-bit view —
+    tRNS keyed on a 16-bit image side-drops rather than approximate the
+    key on reduced samples). Raises PixelDecodeError with the reason
+    for anything outside the supported subset, as for any corruption."""
     if buf[:8] != _PNG_SIG:
         raise PixelDecodeError("png: bad signature")
     ihdr = None
@@ -167,42 +187,61 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise PixelDecodeError("png: bad dimensions")
     if comp != 0 or filt != 0:
         raise PixelDecodeError("png: unknown compression/filter method")
-    if interlace != 0:
-        raise PixelDecodeError("png: Adam7 interlace unsupported")
+    if interlace not in (0, 1):
+        raise PixelDecodeError(f"png: unknown interlace {interlace}")
     if ctype_n not in _PNG_SAMPLES:
         raise PixelDecodeError(f"png: unknown color type {ctype_n}")
-    if depth == 16:
-        raise PixelDecodeError("png: 16-bit depth unsupported")
-    if depth not in (1, 2, 4, 8) or (
-            depth != 8 and ctype_n not in (0, 3)):
+    ok_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}[ctype_n]
+    if depth not in ok_depths:
         raise PixelDecodeError(
             f"png: depth {depth} invalid for color type {ctype_n}")
+    if depth == 16 and trns is not None:
+        raise PixelDecodeError(
+            "png: tRNS with 16-bit depth unsupported (samples reduce "
+            "to 8-bit, the 16-bit key cannot be matched faithfully)")
     samples = _PNG_SAMPLES[ctype_n]
-    stride = (w * samples * depth + 7) // 8
     bpp = max(1, samples * depth // 8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    plan = []                            # (x0, y0, dx, dy, wp, hp, stride)
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+        hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if wp == 0 or hp == 0:
+            continue                     # empty pass (small images)
+        stride = (wp * samples * depth + 7) // 8
+        plan.append((x0, y0, dx, dy, wp, hp, stride))
+        expected += hp * (stride + 1)
     try:
         # bounded inflate: the exact raster size is known from IHDR, so
         # a zlib bomb (KBs inflating to GBs) stops at expected+1 bytes
         # and fails the size check instead of exhausting memory
-        expected = h * (stride + 1)
         raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error as ex:
         raise PixelDecodeError(f"png: zlib {ex}") from None
-    rows = _unfilter(raw, h, stride, bpp)
+    if len(raw) != expected:
+        raise PixelDecodeError("png: decompressed size mismatch")
+    vals = np.zeros((h, w, samples), np.uint8)  # RAW sample values
+    off = 0
+    for x0, y0, dx, dy, wp, hp, stride in plan:
+        n = hp * (stride + 1)
+        rows = _unfilter(raw[off:off + n], hp, stride, bpp)
+        off += n
+        vals[y0::dy, x0::dx] = _rows_to_samples(rows, wp, depth, samples)
     raw_gray = None                      # pre-scale samples for tRNS
-    if depth < 8:
-        vals = _expand_subbyte(rows, depth, w)
-        if ctype_n == 0:  # sub-byte grayscale scales to full 8-bit range
-            raw_gray = vals.reshape(h, w)
+    if ctype_n == 0:
+        raw_gray = vals[:, :, 0]
+        if depth < 8:                    # scale to the full 8-bit range
             arr = (raw_gray.astype(np.uint16)
                    * (255 // ((1 << depth) - 1))).astype(np.uint8) \
                 .reshape(h, w, 1)
         else:
-            arr = vals.reshape(h, w)     # palette indices
+            arr = vals
+    elif ctype_n == 3:
+        arr = vals.reshape(h, w)         # palette indices
     else:
-        arr = rows.reshape(h, w, samples)
-        if ctype_n == 0:
-            raw_gray = arr.reshape(h, w)
+        arr = vals
     if ctype_n == 3:
         if plte is None or len(plte) % 3:
             raise PixelDecodeError("png: palette image without PLTE")

@@ -313,3 +313,84 @@ def test_parse_image_header_truncation_and_tail_noise(kind, cut, noise):
     out = M.parse_image_header(full[:cut])
     assert out is None or out == (kind, 12, 34)
     assert M.parse_image_header(full + noise) == (kind, 12, 34)
+
+
+# --- WAV container decode (r13) ---------------------------------------------
+
+def _wav(rate, samples, extra_chunk=None, fmt_code=1, bits=16):
+    """Hand-built RIFF/WAVE: samples is an (n, ch) int16 array."""
+    import numpy as np
+
+    ch = samples.shape[1]
+    data = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * 2 * ch,
+                      2 * ch, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk is not None:
+        chunks += extra_chunk
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_wav_mono_stereo_and_word_alignment():
+    import numpy as np
+
+    mono = np.array([[100], [-200], [32767], [-32768]], np.int16)
+    rate, ch, data = M.parse_wav(_wav(16000, mono))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(data, mono)
+    # odd-size chunk between fmt and data must be skipped with its
+    # pad byte (RIFF word alignment)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    rate, ch, data = M.parse_wav(_wav(8000, mono, extra_chunk=odd))
+    assert rate == 8000 and np.array_equal(data, mono)
+    stereo = np.array([[100, 300], [-100, -301]], np.int16)
+    rate, ch, data = M.parse_wav(_wav(44100, stereo))
+    assert ch == 2 and np.array_equal(data, stereo)
+
+
+def test_parse_wav_rejects_with_reasons():
+    import numpy as np
+
+    mono = np.array([[1]], np.int16)
+    with pytest.raises(M.AudioDecodeError, match="RIFF"):
+        M.parse_wav(b"RIFX" + _wav(8000, mono)[4:])
+    with pytest.raises(M.AudioDecodeError, match="PCM only"):
+        M.parse_wav(_wav(8000, mono, fmt_code=3))       # IEEE float
+    with pytest.raises(M.AudioDecodeError, match="16-bit"):
+        M.parse_wav(_wav(8000, mono, bits=8))
+    with pytest.raises(M.AudioDecodeError, match="truncated"):
+        M.parse_wav(_wav(8000, mono)[:-1])
+    with pytest.raises(M.AudioDecodeError, match="no data"):
+        M.parse_wav(_wav(8000, mono)[:36])     # ends after the fmt chunk
+    buf = _wav(8000, mono)
+    with pytest.raises(M.AudioDecodeError, match="data before fmt"):
+        M.parse_wav(buf[:12] + buf[buf.index(b"data"):])
+
+
+def test_decode_wav_feeds_audio_features(spark):
+    import numpy as np
+
+    t = np.arange(800)
+    tone = (8000 * np.sin(2 * np.pi * t / 80)).astype(np.int16)
+    stereo = np.stack([tone, tone], axis=1)
+    rows = [
+        (1, bytearray(_wav(16000, tone[:, None]))),
+        (2, bytearray(_wav(16000, stereo))),      # mixes down to ~tone
+        (3, bytearray(b"not a wav at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r for r in M.decode_wav(df).collect()}
+    assert got[1].sample_rate == 16000 and got[1].n_samples == 800
+    assert got[1].n_channels == 1 and got[1].decode_error is None
+    assert bytes(got[1].audio) == tone.astype("<i2").tobytes()
+    # stereo mixdown of two identical channels is the mono signal
+    assert bytes(got[2].audio) == bytes(got[1].audio)
+    assert got[2].n_channels == 2
+    assert "wav" in got[3].decode_error and got[3].audio is None
+    # the decoded lane feeds the existing feature kernel unchanged
+    feats = {r.doc_id: r for r in M.audio_features(
+        M.decode_wav(df).filter("decode_error is null")).collect()}
+    assert feats[1].n_samples == 800 and feats[1].rms_mean > 0
+    assert feats[1].energy == int((tone.astype(np.int64) ** 2)
+                                  [:800 // 64 * 64].sum())

@@ -146,11 +146,15 @@ def test_png_corrupt_and_unsupported_side_drop_reasons():
         P.decode_png(b"not a png at all")
     with pytest.raises(P.PixelDecodeError, match="truncated"):
         P.decode_png(good[:30])
-    with pytest.raises(P.PixelDecodeError, match="interlace"):
+    with pytest.raises(P.PixelDecodeError, match="unknown interlace"):
+        P.decode_png(_png(3, 5, 8, 2,
+                          _filter_forward(RGB, [0] * 5), interlace=2))
+    # an Adam7 flag on a sequential-layout body is a size lie
+    with pytest.raises(P.PixelDecodeError, match="size mismatch"):
         P.decode_png(_png(3, 5, 8, 2,
                           _filter_forward(RGB, [0] * 5), interlace=1))
-    with pytest.raises(P.PixelDecodeError, match="16-bit"):
-        P.decode_png(_png(1, 1, 16, 0, b"\x00\x00\x00"))
+    with pytest.raises(P.PixelDecodeError, match="invalid for color"):
+        P.decode_png(_png(1, 1, 16, 3, b"\x00\x00\x00"))
     with pytest.raises(P.PixelDecodeError, match="zlib"):
         P.decode_png(_SIG + _chunk(
             b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
@@ -206,6 +210,58 @@ def test_encode_decode_roundtrip_property(seed, h, w, c):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
     assert np.array_equal(P.decode_png(P.encode_png(img)), img)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_body(img: np.ndarray, ftype: int = 0) -> bytes:
+    """Forward Adam7: each pass is an independent sub-image with its
+    own scanline filtering (spec §8.2) — the test-side twin."""
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = np.ascontiguousarray(img[y0::dy, x0::dx])
+        if sub.size == 0:
+            continue
+        out += _filter_forward(sub, [ftype] * sub.shape[0])
+    return bytes(out)
+
+
+def test_png_adam7_interlace_roundtrip():
+    got = P.decode_png(_png(3, 5, 8, 2, _adam7_body(RGB), interlace=1))
+    assert np.array_equal(got, RGB)
+    # with non-trivial per-pass filtering (Up needs the pass-local
+    # previous row, not the image row)
+    got = P.decode_png(_png(3, 5, 8, 2, _adam7_body(RGB, ftype=2),
+                            interlace=1))
+    assert np.array_equal(got, RGB)
+    # large enough that every one of the 7 passes is non-empty
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, (10, 9, 4), dtype=np.uint8)
+    got = P.decode_png(_png(9, 10, 8, 6, _adam7_body(big), interlace=1))
+    assert np.array_equal(got, big)
+    # tiny 1x1: six of seven passes are empty
+    one = np.array([[[1, 2, 3]]], dtype=np.uint8)
+    got = P.decode_png(_png(1, 1, 8, 2, _adam7_body(one), interlace=1))
+    assert np.array_equal(got, one)
+
+
+def test_png_16bit_reduces_to_high_byte():
+    rng = np.random.default_rng(5)
+    img16 = rng.integers(0, 1 << 16, (3, 4), dtype=np.uint16)
+    body = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in img16)
+    got = P.decode_png(_png(4, 3, 16, 0, body))
+    assert got.shape == (3, 4, 1)
+    assert np.array_equal(got[:, :, 0], (img16 >> 8).astype(np.uint8))
+    rgb16 = rng.integers(0, 1 << 16, (2, 3, 3), dtype=np.uint16)
+    body = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in rgb16)
+    got = P.decode_png(_png(3, 2, 16, 2, body))
+    assert np.array_equal(got, (rgb16 >> 8).astype(np.uint8))
+    # 16-bit + tRNS: the key cannot be matched on reduced samples
+    with pytest.raises(P.PixelDecodeError, match="tRNS with 16-bit"):
+        P.decode_png(_png(3, 2, 16, 2, body,
+                          trns=struct.pack(">HHH", 1, 2, 3)))
 
 
 def test_png_trns_gray_and_truecolor_keys():
