@@ -395,7 +395,6 @@ def decode_wav(df_media: DataFrame, media_col: str = "media") -> DataFrame:
     mean — deterministic, no float) plus rate/channel metadata;
     undecodable rows side-drop with a reason. Shuffle-free row-local
     projection, same contract as pixels.image_pixel_stats."""
-    import hashlib as _hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -425,8 +424,7 @@ def decode_wav(df_media: DataFrame, media_col: str = "media") -> DataFrame:
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(ch)
                 rows["n_samples"].append(len(mono))
-                rows["content_md5"].append(
-                    _hashlib.md5(pcm).hexdigest())
+                rows["content_md5"].append(hashlib.md5(pcm).hexdigest())
                 rows["decode_error"].append(None)
             yield pd.DataFrame(rows)
 

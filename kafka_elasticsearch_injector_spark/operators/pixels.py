@@ -7,8 +7,9 @@ plus five byte-level scanline filters (public spec, RFC 2083 /
 ISO 15948), and uncompressed BMP is a raw pixel grid behind the DIB
 header multimodal.parse_image_header already walks. This module
 implements both ends to the spec — a CRC-verifying PNG reader (all
-five filters, 8-bit gray/RGB/RGBA/gray+alpha, palette at depths
-1/2/4/8, sub-byte grayscale), a BI_RGB BMP reader (24/32-bit, top-down
+five filters, gray/RGB/RGBA/gray+alpha, palette at depths 1/2/4/8,
+sub-byte grayscale, Adam7 de-interlacing, 16-bit reduced to the 8-bit
+high-byte view), a BI_RGB BMP reader (24/32-bit, top-down
 and bottom-up), a first-frame GIF reader (pure-Python LZW per the
 public GIF89a spec appendix F, interlace, local color tables,
 transparency → alpha, sub-rectangle compositing), a deterministic PNG
@@ -183,7 +184,7 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise PixelDecodeError("png: missing IHDR")
     w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if not (0 < w < 1 << 24 and 0 < h < 1 << 24) or w * h > MAX_PIXELS:
+    if not (0 < w < 1 << 24 and 0 < h < 1 << 24):
         raise PixelDecodeError("png: bad dimensions")
     if comp != 0 or filt != 0:
         raise PixelDecodeError("png: unknown compression/filter method")
@@ -201,6 +202,12 @@ def decode_png(buf: bytes) -> np.ndarray:
             "png: tRNS with 16-bit depth unsupported (samples reduce "
             "to 8-bit, the 16-bit key cannot be matched faithfully)")
     samples = _PNG_SAMPLES[ctype_n]
+    # the decode budget is RASTER BYTES, not pixels: 16-bit rasters
+    # weigh double, so halve the allowed pixel count there — otherwise
+    # a crafted 16-bit file doubles the worst-case memory the cap
+    # bounds
+    if w * h * (2 if depth == 16 else 1) > MAX_PIXELS:
+        raise PixelDecodeError("png: bad dimensions")
     bpp = max(1, samples * depth // 8)
     passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
     plan = []                            # (x0, y0, dx, dy, wp, hp, stride)
@@ -222,13 +229,21 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise PixelDecodeError(f"png: zlib {ex}") from None
     if len(raw) != expected:
         raise PixelDecodeError("png: decompressed size mismatch")
-    vals = np.zeros((h, w, samples), np.uint8)  # RAW sample values
-    off = 0
-    for x0, y0, dx, dy, wp, hp, stride in plan:
-        n = hp * (stride + 1)
-        rows = _unfilter(raw[off:off + n], hp, stride, bpp)
-        off += n
-        vals[y0::dy, x0::dx] = _rows_to_samples(rows, wp, depth, samples)
+    if not interlace:
+        _, _, _, _, wp, hp, stride = plan[0]
+        vals = _rows_to_samples(_unfilter(raw, hp, stride, bpp),
+                                wp, depth, samples)
+    else:
+        # every pixel belongs to exactly one Adam7 pass, so the canvas
+        # needs no zero-fill
+        vals = np.empty((h, w, samples), np.uint8)  # RAW sample values
+        off = 0
+        for x0, y0, dx, dy, wp, hp, stride in plan:
+            n = hp * (stride + 1)
+            rows = _unfilter(raw[off:off + n], hp, stride, bpp)
+            off += n
+            vals[y0::dy, x0::dx] = _rows_to_samples(
+                rows, wp, depth, samples)
     raw_gray = None                      # pre-scale samples for tRNS
     if ctype_n == 0:
         raw_gray = vals[:, :, 0]
@@ -524,8 +539,8 @@ def decode_gif(buf: bytes) -> np.ndarray:
 def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
     """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg', pixels) — (H, W, C)
     uint8, or (H, W) for grayscale JPEG. Unknown magics and
-    out-of-scope encodings (progressive JPEG, 16-bit PNG, ...) raise
-    PixelDecodeError with the reason."""
+    out-of-scope encodings (progressive JPEG, 16-bit PNG with tRNS,
+    non-PCM codecs, ...) raise PixelDecodeError with the reason."""
     if buf[:8] == _PNG_SIG:
         return "png", decode_png(buf)
     if buf[:2] == b"BM":
