@@ -165,9 +165,13 @@ class InjectorConfig:
             # — zero samples, no error. With a split metrics server the
             # probes server has no /metrics branch and the reference
             # (promhttp on its own port) allows the route — so do we.
-            metrics_folded = (self.metrics_port is None
-                              or (self.metrics_port == self.probes_port
-                                  and self.metrics_port != 0))
+            # With NO probes server at all (PROBES_PORT unset) the
+            # routes are never served, so nothing can be shadowed —
+            # the check only applies when a probes server exists.
+            metrics_folded = (self.probes_port is not None
+                              and (self.metrics_port is None
+                                   or (self.metrics_port == self.probes_port
+                                       and self.metrics_port != 0)))
             if route == "/metrics" and metrics_folded:
                 raise ValueError(
                     f"{var} must not be /metrics while the Prometheus "

@@ -352,6 +352,11 @@ def decode_bmp(buf: bytes) -> np.ndarray:
                                "pixel cap")
     nch = bits // 8
     stride = (w * nch + 3) & ~3
+    # bfOffBits below the end of the headers would reinterpret header
+    # bytes as pixels — plausible-looking garbage instead of a
+    # side-drop; reject it like every other malformed case
+    if off < 14 + dib or off > len(buf):
+        raise PixelDecodeError("bmp: pixel-data offset inside header")
     need = off + stride * h
     if need > len(buf):
         raise PixelDecodeError("bmp: truncated pixel data")

@@ -343,12 +343,20 @@ def test_config_probe_routes_matrix():
     # with a bare 200 — rejected
     with pytest.raises(ValueError, match="METRICS_PORT"):
         InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
-                                 "K8S_LIVENESS_ROUTE": "/metrics"})
+                                 "K8S_LIVENESS_ROUTE": "/metrics",
+                                 "PROBES_PORT": "9102"})
     with pytest.raises(ValueError, match="METRICS_PORT"):
         InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
                                  "K8S_READINESS_ROUTE": "/metrics",
                                  "PROBES_PORT": "9102",
                                  "METRICS_PORT": "9102"})
+    # no probes server at all (PROBES_PORT unset): the routes are
+    # never served, so nothing can shadow the scrape endpoint — a
+    # /metrics route is inert, not an error
+    no_srv = InjectorConfig.from_env({"KAFKA_CONSUMER_RECORD_TYPE": "json",
+                                      "K8S_LIVENESS_ROUTE": "/metrics"})
+    assert no_srv.liveness_route == "/metrics"
+    assert no_srv.probes_port is None
     # split topology (distinct METRICS_PORT): the probes server has no
     # /metrics branch, so the route is legal — reference parity
     # (promhttp on its own port never collides with the probe mux)

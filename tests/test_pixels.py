@@ -201,6 +201,16 @@ def test_bmp_24_and_32_bit_bottom_up_and_top_down():
                      + bmp(img, 24, flip=True)[34:])
     with pytest.raises(P.PixelDecodeError, match="truncated"):
         P.decode_bmp(bmp(img, 24, flip=True)[:-4])
+    # bfOffBits pointing back into the headers would silently decode
+    # header bytes as pixels — must side-drop, not return garbage
+    good = bmp(img, 24, flip=True)
+    for bad_off in (0, 13, 53):
+        with pytest.raises(P.PixelDecodeError, match="offset"):
+            P.decode_bmp(good[:10] + struct.pack("<I", bad_off)
+                         + good[14:] + bytes(64))
+    with pytest.raises(P.PixelDecodeError, match="offset"):
+        P.decode_bmp(good[:10] + struct.pack("<I", len(good) + 1)
+                     + good[14:])
 
 
 @settings(max_examples=60, deadline=None)
