@@ -1,22 +1,35 @@
-"""Baseline JPEG pixel decode — pure Python + numpy, public ITU T.81
-spec only (no libjpeg).
+"""Baseline + progressive JPEG pixel decode — pure Python + numpy,
+public ITU T.81 spec only (no libjpeg).
 
-Scope (the curation-gate subset): baseline and extended-sequential
-huffman JPEG (SOF0/SOF1), 8-bit samples, grayscale or YCbCr with
-sampling factors 1-2 in each axis (4:4:4, 4:2:2, 4:2:0, 4:1:1),
-restart markers, multiple DQT/DHT segments, 16-bit quantizer entries.
-Progressive (SOF2), arithmetic coding (SOF9+), hierarchical, and
+Scope (the curation-gate subset): huffman-coded JPEG with 8-bit
+samples — baseline and extended-sequential (SOF0/SOF1) and
+progressive (SOF2, spectral selection + successive approximation,
+T.81 Annex G) — grayscale or YCbCr with sampling factors 1-2 in each
+axis (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart markers, multiple DQT/DHT
+segments (including redefinition between progressive scans), 16-bit
+quantizer entries. Arithmetic coding (SOF9+), hierarchical, and
 12-bit precision raise PixelDecodeError with the reason — the Spark
 kernels in operators/pixels.py turn that into the side-drop column.
 
-Faithfulness: huffman decode and dequantization are exact; the inverse
-DCT runs in float64 (a separable orthonormal DCT-III matrix product)
-with round-half-up to uint8 — the same math every conformant decoder
-approximates (T.81 Annex A leaves IDCT precision to the
-implementation, so decoders legitimately differ by ±1 count; tests
-bound the error against an independent forward encoder instead of
-byte-comparing against another library). Chroma upsampling is pixel
-replication (the nearest-neighbor upsample JFIF permits).
+Faithfulness: huffman decode and dequantization are exact; both frame
+types accumulate exact integer coefficients (progressive scans refine
+them bit-by-bit per Annex G) and share one reconstruction: a
+vectorized float64 inverse DCT (separable orthonormal DCT-III as one
+einsum over all blocks) with round-half-up to uint8 — the same math
+every conformant decoder approximates (T.81 Annex A leaves IDCT
+precision to the implementation, so decoders legitimately differ by
+±1 count; tests bound the error against independent forward encoders
+instead of byte-comparing against another library). Chroma upsampling
+is pixel replication (the nearest-neighbor upsample JFIF permits).
+
+Allocation safety: every buffer is bounded by a BYTE budget checked
+against the header before anything is allocated — w*h*ncomp at 8
+bytes per sample must stay within 4x MAX_PIXELS (the ~256 MB RGBA
+budget pixels.py documents), so a crafted 3-component 8000x8000
+header is rejected up front instead of zero-filling ~1.5 GB of
+planes. Worst-case transient during reconstruction is ~40 B/pixel
+(coefficient planes + float64 IDCT intermediates), ~430 MB at the
+cap, a few MB at real web-image sizes.
 
 Throughput: the entropy decoder is a per-bit Python loop — honest and
 correct, sized for curation-gate thumbnails and tests, not bulk pixel
@@ -54,12 +67,6 @@ _ZIGZAG = np.array([
 _DCT = np.array([[ (1 / np.sqrt(8)) if k == 0 else
                    0.5 * np.cos((2 * n + 1) * k * np.pi / 16)
                    for n in range(8)] for k in range(8)])
-
-
-def _idct2(block: np.ndarray) -> np.ndarray:
-    """2-D inverse DCT of an 8x8 coefficient block (orthonormal
-    convention matching the forward A @ b @ A.T)."""
-    return _DCT.T @ block @ _DCT
 
 
 class _Huff:
@@ -129,13 +136,15 @@ class _BitReader:
         raise _err("jpeg: invalid huffman code")
 
     def align_and_expect_rst(self, n: int) -> None:
-        """Byte-align and consume the next RSTn marker (T.81 E.2.4);
-        0xFF fill bytes before the marker code are skipped."""
+        """Byte-align and consume the next RSTn marker (T.81 E.2.4).
+        Unconsumed pad bytes before the marker are skipped: 0xFF fill
+        bytes, and an all-ones pad byte — which the encoder emits as a
+        stuffed 0xFF 0x00 pair like any other 0xFF data byte."""
         self.nbits = 0
         while self.pos + 1 < len(self.buf) \
                 and self.buf[self.pos] == 0xFF \
-                and self.buf[self.pos + 1] == 0xFF:
-            self.pos += 1
+                and self.buf[self.pos + 1] in (0x00, 0xFF):
+            self.pos += 2 if self.buf[self.pos + 1] == 0x00 else 1
         if self.pos + 2 > len(self.buf) \
                 or self.buf[self.pos] != 0xFF \
                 or self.buf[self.pos + 1] != 0xD0 + (n & 7):
@@ -151,10 +160,50 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _resync(buf: bytes, pos: int) -> int:
+    """Position of the next marker after a progressive scan's entropy
+    data: skips pad bits/bytes and stuffed 0xFF 0x00 pairs — any 0xFF
+    followed by a non-zero byte IS a marker (T.81 B.1.1.2)."""
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise _err("jpeg: truncated after scan")
+
+
+def _geometry(frame) -> tuple[int, int, int, int]:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _ni_blocks(frame, c, hmax, vmax) -> tuple[int, int]:
+    """Non-interleaved block grid (T.81 A.2.2): raster over the
+    component's OWN downsampled dimensions ceil(w*h_i/hmax) x
+    ceil(h*v_i/vmax), one 8x8 unit per MCU."""
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)              # (nby, nbx)
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """Natural-order coefficient grids, one (nby, nbx, 64) int32 array
+    per component at the interleaved (MCU-padded) block counts —
+    progressive scans refine these across the whole stream; the
+    byte-budget check at SOF bounds the allocation."""
+    _, _, mcux, mcuy = _geometry(frame)
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+            for c in frame["comps"]]
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline/extended-sequential huffman JPEG → (H, W) gray or
-    (H, W, 3) RGB uint8. Raises PixelDecodeError (reason included) for
-    anything outside the documented scope or malformed streams."""
+    """Huffman JPEG (baseline, extended-sequential, or progressive) →
+    (H, W) gray or (H, W, 3) RGB uint8. Raises PixelDecodeError
+    (reason included) for anything outside the documented scope or
+    malformed streams."""
     if buf[:2] != b"\xff\xd8":
         raise _err("jpeg: bad SOI")
     pos = 2
@@ -162,8 +211,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    coefs = None
+    scans_done = 0
     restart_interval = 0
-    while pos + 4 <= len(buf):
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise _err("jpeg: lost marker sync")
         # 0xFF fill bytes before a marker are legal padding
@@ -174,8 +225,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
             continue
-        if marker == 0xD9:
+        if marker == 0xD9:                       # EOI
+            if frame is not None and frame["progressive"] and scans_done:
+                return _reconstruct(frame, coefs, qt)
             raise _err("jpeg: EOI before scan")
+        if pos + 2 > len(buf):
+            raise _err("jpeg: truncated segment")
         (seg_len,) = struct.unpack(">H", buf[pos:pos + 2])
         if seg_len < 2 or pos + seg_len > len(buf):
             raise _err("jpeg: truncated segment")
@@ -208,7 +263,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 (huff_dc if cls == 0 else huff_ac)[tid] = \
                     _Huff(counts, values)
                 p += 17 + nval
-        elif marker in (0xC0, 0xC1):                     # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):               # SOF0/SOF1/SOF2
+            if frame is not None:
+                raise _err("jpeg: multiple SOF frames")
             if len(seg) < 6:
                 raise _err("jpeg: SOF truncated")
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -222,8 +279,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise _err(f"jpeg: {ncomp} components unsupported")
             from .pixels import MAX_PIXELS
 
-            if w * h > MAX_PIXELS:
-                raise _err(f"jpeg: {w}x{h} exceeds the decode pixel cap")
+            # the decode budget is BYTES, not pixels: every component
+            # costs an int32 coefficient grid plus float64 IDCT
+            # intermediates (8 B/sample worst case), so a 3-component
+            # frame weighs 3x a grayscale one — a flat pixel cap would
+            # admit a crafted 8000x8000x3 header that zero-fills ~1.5
+            # GB before any entropy decode can fail
+            if w * h * ncomp * 8 > 4 * MAX_PIXELS:
+                raise _err(f"jpeg: {w}x{h}x{ncomp} exceeds the decode "
+                           "byte budget")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -237,9 +301,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 # factors ignored (grayscale files routinely declare
                 # the color default 2x2)
                 comps[0]["h"] = comps[0]["v"] = 1
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise _err("jpeg: progressive (SOF2) unsupported")
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise _err(f"jpeg: SOF{marker - 0xC0} coding unsupported")
@@ -253,35 +316,76 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise _err("jpeg: SOS truncated")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise _err("jpeg: partial-scan SOS unsupported")
-            scan = {}
+            comps = frame["comps"]
+            by_id = {c["id"]: i for i, c in enumerate(comps)}
+            scomps = []                 # (comp_idx, dc_tid, ac_tid)
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cid] = (tabs >> 4, tabs & 0x0F)
-            return _decode_scan(buf, pos + seg_len, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+                ci = by_id.get(cid)
+                if ci is None:
+                    raise _err("jpeg: SOS references unknown component")
+                if any(s[0] == ci for s in scomps):
+                    raise _err("jpeg: duplicate component in SOS")
+                scomps.append((ci, tabs >> 4, tabs & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            data_pos = pos + seg_len
+            if not frame["progressive"]:
+                if ns != len(comps):
+                    raise _err("jpeg: partial-scan SOS unsupported")
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise _err("jpeg: bad sequential scan header")
+                _decode_baseline_scan(buf, data_pos, frame, scomps,
+                                      coefs, huff_dc, huff_ac,
+                                      restart_interval)
+                return _reconstruct(frame, coefs, qt)
+            # progressive scan (T.81 Annex G): spectral band Ss..Se,
+            # successive-approximation step Ah -> Al
+            if al > 13 or ah > 13:
+                raise _err("jpeg: progressive point transform out of "
+                           "range")
+            if ah != 0 and ah != al + 1:
+                raise _err("jpeg: progressive successive approximation "
+                           "must refine one bit at a time")
+            r = _BitReader(buf, data_pos)
+            if ss == 0:
+                if se != 0:
+                    raise _err("jpeg: progressive scan header invalid "
+                               "(DC band must be Ss=Se=0)")
+                _decode_dc_scan(r, frame, scomps, ah, al, coefs,
+                                huff_dc, restart_interval)
+            else:
+                if ns != 1:
+                    raise _err("jpeg: progressive AC scan must be "
+                               "single-component")
+                if se > 63 or ss > se:
+                    raise _err("jpeg: progressive spectral band invalid")
+                _decode_ac_scan(r, frame, scomps[0], ss, se, ah, al,
+                                coefs, huff_ac, restart_interval)
+            scans_done += 1
+            pos = _resync(buf, r.pos)
+            continue
         # all other segments (APPn, COM, ...) skip
         pos += seg_len
     raise _err("jpeg: no scan found")
 
 
-def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval) -> np.ndarray:
+def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
+                          huff_ac, restart_interval) -> None:
+    """Sequential interleaved scan (T.81 F.2): full-band DC+AC per
+    block, components in SOS order within each MCU (T.81 B.2.3 — the
+    scan header, not SOF, defines the interleave order)."""
     comps = frame["comps"]
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), np.float64))
-        if c["tq"] not in qt:
-            raise _err(f"jpeg: missing quant table {c['tq']}")
+    _, _, mcux, mcuy = _geometry(frame)
+    tabs = []
+    for ci, dct_t, act_t in scomps:
+        if dct_t not in huff_dc or act_t not in huff_ac:
+            raise _err("jpeg: missing huffman table for scan")
+        tabs.append((huff_dc[dct_t], huff_ac[act_t]))
     r = _BitReader(buf, pos)
-    pred = [0] * len(comps)
+    pred = [0] * len(scomps)
     rst = 0
     mcu_count = 0
     for my in range(mcuy):
@@ -290,22 +394,20 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac,
                     and mcu_count % restart_interval == 0:
                 r.align_and_expect_rst(rst)
                 rst = (rst + 1) & 7
-                pred = [0] * len(comps)
+                pred = [0] * len(scomps)
             mcu_count += 1
-            for ci, c in enumerate(comps):
-                dct_t, act_t = scan.get(c["id"], (None, None))
-                if dct_t not in huff_dc or act_t not in huff_ac:
-                    raise _err("jpeg: missing huffman table for scan")
-                dc_tab, ac_tab = huff_dc[dct_t], huff_ac[act_t]
-                q = qt[c["tq"]]
+            for si, (ci, _, _) in enumerate(scomps):
+                c = comps[ci]
+                dc_tab, ac_tab = tabs[si]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, np.int64)
+                        blk = coefs[ci][my * c["v"] + by,
+                                        mx * c["h"] + bx]
                         size = r.huff(dc_tab)
                         if size > 11:
                             raise _err("jpeg: bad DC size")
-                        pred[ci] += _extend(r.bits(size), size)
-                        zz[0] = pred[ci]
+                        pred[si] += _extend(r.bits(size), size)
+                        blk[0] = pred[si]
                         k = 1
                         while k < 64:
                             rs = r.huff(ac_tab)
@@ -318,25 +420,196 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac,
                             k += run
                             if k > 63:
                                 raise _err("jpeg: AC run past block")
-                            zz[k] = _extend(r.bits(size), size)
+                            blk[_ZIGZAG[k]] = _extend(r.bits(size), size)
                             k += 1
-                        coef = np.zeros(64, np.int64)
-                        coef[_ZIGZAG] = zz
-                        block = _idct2(coef.reshape(8, 8) * q) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+
+
+def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
+                    restart_interval) -> None:
+    """Progressive DC scan (T.81 G.1.2.1): first scan (Ah=0) DIFF-codes
+    the point-transformed DC values; refinement scans (Ah>0) append one
+    raw bit per block at position Al."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    single = len(scomps) == 1
+    if single:
+        nby, nbx = _ni_blocks(frame, comps[scomps[0][0]], hmax, vmax)
+        total = nby * nbx
+    else:
+        total = mcux * mcuy
+    tabs = []
+    for ci, dct_t, _ in scomps:
+        if ah == 0:
+            if dct_t not in huff_dc:
+                raise _err("jpeg: missing huffman table for scan")
+            tabs.append(huff_dc[dct_t])
+        else:
+            tabs.append(None)      # refinement is raw bits, no table
+    pred = [0] * len(scomps)
+    rst = 0
+    for m in range(total):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_and_expect_rst(rst)
+            rst = (rst + 1) & 7
+            pred = [0] * len(scomps)
+        if single:
+            blocks = [(0, scomps[0][0], m // nbx, m % nbx)]
+        else:
+            my, mx = divmod(m, mcux)
+            blocks = []
+            for si, (ci, _, _) in enumerate(scomps):
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blocks.append((si, ci, my * c["v"] + by,
+                                       mx * c["h"] + bx))
+        for si, ci, by, bx in blocks:
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                size = r.huff(tabs[si])
+                if size > 11:
+                    raise _err("jpeg: bad DC size")
+                pred[si] += _extend(r.bits(size), size)
+                v = pred[si] << al
+                # a crafted stream can drift the predictor without
+                # bound; int32 assignment would raise OverflowError
+                # instead of the side-drop error
+                if not -2147483648 <= v <= 2147483647:
+                    raise _err("jpeg: DC coefficient out of range")
+                blk[0] = v
+            else:
+                if r.bit():
+                    blk[0] |= np.int32(1 << al)
+
+
+def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
+                    restart_interval) -> None:
+    """Progressive AC scan over one component's band Ss..Se. First
+    scans (Ah=0, T.81 G.1.2.2) code point-transformed coefficients
+    with EOB-run codes; refinement scans (Ah>0, G.1.2.3) emit one
+    correction bit per already-nonzero coefficient and insert newly
+    nonzero ones as ±1<<Al."""
+    ci, _, act_t = scomp
+    c = frame["comps"][ci]
+    hmax, vmax, _, _ = _geometry(frame)
+    nby, nbx = _ni_blocks(frame, c, hmax, vmax)
+    tab = huff_ac.get(act_t)
+    if tab is None:
+        raise _err("jpeg: missing huffman table for scan")
+    grid = coefs[ci]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    rst = 0
+    for m in range(nby * nbx):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_and_expect_rst(rst)
+            rst = (rst + 1) & 7
+            eobrun = 0
+        blk = grid[m // nbx, m % nbx]
+        if ah == 0:
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = r.huff(tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:                  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1        # EOBn: this block +
+                    if run:                        # 2^run-1+ext more
+                        eobrun += r.bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise _err("jpeg: AC run past band")
+                blk[_ZIGZAG[k]] = _extend(r.bits(size), size) << al
+                k += 1
+            continue
+        # refinement
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = r.huff(tab)
+                run, size = rs >> 4, rs & 0x0F
+                val = 0
+                if size == 0:
+                    if run != 15:
+                        eobrun = 1 << run          # incl. this block's
+                        if run:                    # correction sweep
+                            eobrun += r.bits(run)
+                        break
+                    # run == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise _err("jpeg: bad AC refinement magnitude")
+                    val = p1 if r.bit() else m1
+                # advance: already-nonzero coefficients take a
+                # correction bit; zero-history ones consume the run
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    cur = int(blk[z])
+                    if cur != 0:
+                        if r.bit() and (cur & p1) == 0:
+                            blk[z] = cur + (p1 if cur >= 0 else m1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val != 0:
+                    if k > se:
+                        raise _err("jpeg: AC refinement run past band")
+                    blk[_ZIGZAG[k]] = val
+                k += 1
+        if eobrun:
+            # within an EOB run each block still carries correction
+            # bits for its remaining nonzero coefficients
+            while k <= se:
+                z = _ZIGZAG[k]
+                cur = int(blk[z])
+                if cur != 0:
+                    if r.bit() and (cur & p1) == 0:
+                        blk[z] = cur + (p1 if cur >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+
+def _reconstruct(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + inverse-DCT the accumulated coefficient grids and
+    assemble the image: one vectorized einsum per component (every 8x8
+    block at once), replicate-upsample subsampled chroma, crop the MCU
+    padding, YCbCr→RGB for 3-component frames."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for ci, c in enumerate(comps):
-        p = np.clip(np.floor(planes[ci] + 0.5), 0, 255)
+        if c["tq"] not in qt:
+            raise _err(f"jpeg: missing quant table {c['tq']}")
+        q = qt[c["tq"]]
+        arr = coefs[ci]
+        nby, nbx = arr.shape[:2]
+        blocks = arr.reshape(nby, nbx, 8, 8).astype(np.float64) * q
+        px = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT,
+                       optimize=True) + 128.0
+        coefs[ci] = None               # free before the next component
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        p = np.clip(np.floor(plane + 0.5), 0, 255)
         # replicate-upsample to full resolution, crop padding
         p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         out_planes.append(p[:h, :w])
     if len(comps) == 1:
         return out_planes[0].astype(np.uint8)
     y, cb, cr = out_planes
-    r_ = y + 1.402 * (cr - 128.0)
-    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b_ = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r_, g_, b_], axis=2)
-    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    cb -= 128.0
+    cr -= 128.0
+    out = np.empty((h, w, 3), np.uint8)
+    out[..., 0] = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255)
+    out[..., 1] = np.clip(np.floor(y - 0.344136 * cb - 0.714136 * cr
+                                   + 0.5), 0, 255)
+    out[..., 2] = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255)
+    return out

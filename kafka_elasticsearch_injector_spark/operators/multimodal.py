@@ -3,10 +3,11 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 
 Real kernels by lane: header dims decode for PNG/GIF/BMP/JPEG lives
 here (parse_image_header, r12); PIXEL decode + resize for all four —
-PNG, BMP, GIF (spec LZW), baseline JPEG (huffman + IDCT) — is
-operators/pixels.py + operators/jpeg_codec.py (r13, pure stdlib +
-numpy, no image libs); PCM16 audio features are real below. Only
-out-of-scope encodings stay stubbed (progressive JPEG, compressed
+PNG, BMP, GIF (spec LZW), JPEG baseline + progressive (huffman + IDCT,
+T.81 Annex G in r14) — is operators/pixels.py +
+operators/jpeg_codec.py (pure stdlib + numpy, no image libs); PCM16
+audio features are real below. Only out-of-scope encodings stay
+stubbed (arithmetic-coded JPEG, video frames, compressed
 audio — resize_stub marks the boundary); everything Spark-side is real
 and tested: schema contracts, binary column handling, Arrow batch
 shape, and the mapInPandas partition-parallel execution path.
@@ -287,8 +288,8 @@ def extract_features(df_media: DataFrame, n_bins: int = 16) -> DataFrame:
 
 def resize_stub(df_media: DataFrame, width: int, height: int) -> DataFrame:
     """Plumbing-only resize marking the remaining codec boundary —
-    formats outside the pure-Python decoders' scope (progressive JPEG,
-    video frames) need a native codec (PIL/opencv/ffmpeg, not in this
+    formats outside the pure-Python decoders' scope (arithmetic-coded
+    JPEG, video frames) need a native codec (PIL/opencv/ffmpeg, not in this
     container), so this kernel raises from the executors, by design.
     For PNG, BMP, GIF, and baseline JPEG the REAL path exists:
     operators/pixels.resize_images decodes, resamples, and re-encodes

@@ -18,10 +18,11 @@ nearest/bilinear resize — then wires them into the same Arrow-batched
 mapInPandas shape the rest of the multimodal lane uses
 (operators/multimodal.py), with the injector's malformed-record
 side-drop idiom: undecodable rows carry a reason, the batch never
-fails. Baseline JPEG decode (huffman + dequant + IDCT + YCbCr,
-ITU T.81) lives in the sibling operators/jpeg_codec.py and rides the
-same dispatch; progressive JPEG and other out-of-scope encodings
-side-drop with a reason.
+fails. JPEG decode — baseline, extended-sequential, AND progressive
+(huffman + dequant + IDCT + YCbCr, ITU T.81 incl. Annex G) — lives in
+the sibling operators/jpeg_codec.py and rides the same dispatch;
+out-of-scope encodings (arithmetic-coded JPEG, 12-bit) side-drop with
+a reason.
 
 100 TB design: decode runs where the bytes already are — one Python
 worker per core per executor, Arrow batch at a time, no shuffle (the
@@ -544,8 +545,9 @@ def decode_gif(buf: bytes) -> np.ndarray:
 def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
     """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg', pixels) — (H, W, C)
     uint8, or (H, W) for grayscale JPEG. Unknown magics and
-    out-of-scope encodings (progressive JPEG, 16-bit PNG with tRNS,
-    non-PCM codecs, ...) raise PixelDecodeError with the reason."""
+    out-of-scope encodings (arithmetic-coded JPEG, 16-bit PNG with
+    tRNS, non-PCM codecs, ...) raise PixelDecodeError with the
+    reason."""
     if buf[:8] == _PNG_SIG:
         return "png", decode_png(buf)
     if buf[:2] == b"BM":

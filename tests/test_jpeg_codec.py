@@ -83,10 +83,9 @@ def _build_table(symbols):
     return counts, syms, codes, length
 
 
-def _encode_jpeg(img, quant_luma=None, quant_chroma=None, subsample=False,
-                 restart_interval=0):
-    """Forward baseline JPEG. img: (H, W) gray or (H, W, 3) RGB uint8.
-    Returns the full byte stream (SOI..EOI)."""
+def _comp_setup(img, quant_luma=None, quant_chroma=None, subsample=False):
+    """Component planes (MCU-padded) + geometry, shared by the baseline
+    and progressive forward encoders."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     ql = np.ones((8, 8), np.int64) if quant_luma is None else quant_luma
@@ -119,12 +118,26 @@ def _encode_jpeg(img, quant_luma=None, quant_chroma=None, subsample=False,
     for c in comps:
         bh, bw = mcuy * 8 * c["v"], mcux * 8 * c["h"]
         c["plane"] = _pad(c["plane"], bh, bw)
+    return comps, h, w, hmax, vmax, mcux, mcuy, ql, qc, gray
+
+
+def _encode_jpeg(img, quant_luma=None, quant_chroma=None, subsample=False,
+                 restart_interval=0, scan_order=None):
+    """Forward baseline JPEG. img: (H, W) gray or (H, W, 3) RGB uint8.
+    Returns the full byte stream (SOI..EOI). scan_order permutes the
+    SOS component listing AND the in-MCU emission order to match
+    (T.81 B.2.3: the scan header defines the interleave order)."""
+    comps, h, w, hmax, vmax, mcux, mcuy, ql, qc, gray = _comp_setup(
+        img, quant_luma, quant_chroma, subsample)
+    order = list(range(len(comps))) if scan_order is None \
+        else list(scan_order)
 
     # pass 1: quantized blocks in MCU emission order + symbol sets
     units = []                                  # (comp_idx, zz[64])
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, c in enumerate(comps):
+            for ci in order:
+                c = comps[ci]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         y0 = (my * c["v"] + by) * 8
@@ -233,9 +246,9 @@ def _encode_jpeg(img, quant_luma=None, quant_chroma=None, subsample=False,
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
-    for ci, c in enumerate(comps):
+    for ci in order:
         cls = cls_of[ci]
-        sos += bytes([c["id"], (cls << 4) | cls])
+        sos += bytes([comps[ci]["id"], (cls << 4) | cls])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += body
@@ -365,6 +378,521 @@ def test_dispatch_and_header_parser_agree():
     assert parse_image_header(buf) == ("jpeg", 16, 24)
     fmt, arr = P.decode_pixels(buf)
     assert fmt == "jpeg" and arr.shape == (24, 16)
+
+
+# --- independent forward PROGRESSIVE encoder (T.81 Annex G) -----------------
+
+def _ni_grid_dims(w, h, c, hmax, vmax):
+    """Non-interleaved block counts: ceil over the component's OWN
+    downsampled dims (T.81 A.2.2) — NOT the MCU-padded counts."""
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+class _Collect:
+    """Pass-1 emitter: records huffman symbols, drops raw bits."""
+
+    def __init__(self):
+        self.dc, self.ac = [], []
+
+    def dc_sym(self, s):
+        self.dc.append(s)
+
+    def ac_sym(self, s):
+        self.ac.append(s)
+
+    def bits(self, v, n):
+        pass
+
+    def restart(self):
+        pass
+
+
+class _Emit:
+    """Pass-2 emitter: huffman codes + raw bits + RSTn markers."""
+
+    def __init__(self, dc_tab, ac_tab):
+        self.dc_tab, self.ac_tab = dc_tab, ac_tab
+        self.bw = _BitWriter()
+        self.body = bytearray()
+        self.rst = 0
+
+    def dc_sym(self, s):
+        _, _, codes, ln = self.dc_tab
+        self.bw.put(codes[s], ln)
+
+    def ac_sym(self, s):
+        _, _, codes, ln = self.ac_tab
+        self.bw.put(codes[s], ln)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.put(v, n)
+
+    def restart(self):
+        self.bw.align()
+        self.body.extend(self.bw.out)
+        self.bw.out = bytearray()
+        self.body.extend(bytes([0xFF, 0xD0 + self.rst]))
+        self.rst = (self.rst + 1) & 7
+
+    def finish(self):
+        self.bw.align()
+        self.body.extend(self.bw.out)
+        self.bw.out = bytearray()
+        return bytes(self.body)
+
+
+def _run_prog_scan(sel, ss, se, ah, al, grids, comps, geo,
+                   restart_interval, E):
+    """One progressive scan through emitter E (pass 1 or pass 2)."""
+    w, h, hmax, vmax, mcux, mcuy = geo
+
+    def dc_blocks():
+        if len(sel) == 1:
+            ci = sel[0]
+            nby, nbx = _ni_grid_dims(w, h, comps[ci], hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    yield [(ci, by, bx)]
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for ci in sel:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                mcu.append((ci, my * c["v"] + by,
+                                            mx * c["h"] + bx))
+                    yield mcu
+
+    if ss == 0:                                  # DC scan
+        pred = {ci: 0 for ci in sel}
+        for m, mcu in enumerate(dc_blocks()):
+            if restart_interval and m and m % restart_interval == 0:
+                E.restart()
+                pred = {ci: 0 for ci in sel}
+            for ci, by, bx in mcu:
+                v = int(grids[ci][by, bx][0]) >> al
+                if ah == 0:
+                    size, amp = _mag(v - pred[ci])
+                    pred[ci] = v
+                    E.dc_sym(size)
+                    E.bits(amp, size)
+                else:
+                    E.bits(v & 1, 1)
+        return
+
+    # AC scan: single component, band ss..se in zigzag space
+    ci = sel[0]
+    nby, nbx = _ni_grid_dims(w, h, comps[ci], hmax, vmax)
+    eobrun = 0
+    pending_bits = []        # correction bits tied to the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            nb = eobrun.bit_length() - 1
+            E.ac_sym(nb << 4)
+            E.bits(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+        for b in pending_bits:
+            E.bits(b, 1)
+        pending_bits.clear()
+
+    for m in range(nby * nbx):
+        if restart_interval and m and m % restart_interval == 0:
+            flush_eob()
+            E.restart()
+        zz = grids[ci][m // nbx, m % nbx]
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        if ah == 0:                              # first scan (G.1.2.2)
+            band = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in vals]
+            if not any(band):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i, v in enumerate(band):
+                if i > last_nz:
+                    eobrun = 1               # trailing zeros: EOB run
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    E.ac_sym(0xF0)
+                    run -= 16
+                size, amp = _mag(v)
+                E.ac_sym((run << 4) | size)
+                E.bits(amp, size)
+                run = 0
+            continue
+        # refinement scan (G.1.2.3, the libjpeg-equivalent shape
+        # re-derived from the spec figures)
+        absv = [abs(v) >> al for v in vals]
+        eobpos = max((i for i, a in enumerate(absv) if a == 1),
+                     default=-1)
+        run = 0
+        br = []                   # correction bits since the last code
+        for i, (v, a) in enumerate(zip(vals, absv)):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eobpos:
+                flush_eob()
+                E.ac_sym(0xF0)
+                run -= 16
+                for b in br:
+                    E.bits(b, 1)
+                br = []
+            if a > 1:             # history coefficient: correction bit
+                br.append(a & 1)
+                continue
+            flush_eob()           # newly-nonzero coefficient
+            E.ac_sym((run << 4) | 1)
+            E.bits(0 if v < 0 else 1, 1)
+            for b in br:
+                E.bits(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending_bits.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _default_script(ncomp):
+    if ncomp == 1:
+        return [((0,), 0, 0, 0, 1), ((0,), 1, 5, 0, 2),
+                ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+                ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)]
+    return [((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2), ((2,), 1, 63, 0, 1),
+            ((1,), 1, 63, 0, 1), ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+            ((2,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0),
+            ((0,), 1, 63, 1, 0)]
+
+
+def _encode_progressive(img, quant_luma=None, quant_chroma=None,
+                        subsample=False, scans=None, restart_interval=0):
+    """Forward progressive (SOF2) JPEG: spectral selection +
+    successive approximation over per-component quantized coefficient
+    grids, per-scan two-pass huffman tables (redefined via DHT before
+    each scan), EOB-run coding, optional restart markers. scans: list
+    of (comp_indices, Ss, Se, Ah, Al); default is a cjpeg-like
+    script."""
+    comps, h, w, hmax, vmax, mcux, mcuy, ql, qc, gray = _comp_setup(
+        img, quant_luma, quant_chroma, subsample)
+    geo = (w, h, hmax, vmax, mcux, mcuy)
+    grids = []                     # zigzag-ordered (nby, nbx, 64) int64
+    for c in comps:
+        nby, nbx = mcuy * c["v"], mcux * c["h"]
+        g = np.zeros((nby, nbx, 64), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = c["plane"][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                g[by, bx] = np.round(_fdct(blk) / c["q"]) \
+                    .astype(np.int64).reshape(64)[_ZIG]
+        grids.append(g)
+    if scans is None:
+        scans = _default_script(len(comps))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(
+        int(ql.reshape(64)[_ZIG][i]) for i in range(64)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(
+            int(qc.reshape(64)[_ZIG][i]) for i in range(64)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC2, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for sel, ss, se, ah, al in scans:
+        col = _Collect()
+        _run_prog_scan(sel, ss, se, ah, al, grids, comps, geo,
+                       restart_interval, col)
+        dc_tab = _build_table(col.dc) if col.dc else None
+        ac_tab = _build_table(col.ac) if col.ac else None
+        if dc_tab:
+            counts, syms, _, _ = dc_tab
+            out += seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms))
+        if ac_tab:
+            counts, syms, _, _ = ac_tab
+            out += seg(0xC4, bytes([0x10]) + bytes(counts) + bytes(syms))
+        emit = _Emit(dc_tab, ac_tab)
+        _run_prog_scan(sel, ss, se, ah, al, grids, comps, geo,
+                       restart_interval, emit)
+        sos = bytes([len(sel)])
+        for ci in sel:
+            sos += bytes([comps[ci]["id"], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += emit.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_matches_baseline_gray():
+    """Full progressive transmission accumulates the SAME coefficients
+    the baseline scan codes in one pass — with identical quantizers the
+    decodes must be bit-identical, not merely close."""
+    prog = J.decode_jpeg(_encode_progressive(GRAD))
+    base = J.decode_jpeg(_encode_jpeg(GRAD))
+    assert np.array_equal(prog, base)
+    assert int(np.abs(prog.astype(int) - GRAD.astype(int)).max()) <= 1
+
+
+def test_progressive_matches_baseline_color_444_and_420():
+    rng = np.random.default_rng(7)
+    img = np.kron(rng.integers(30, 226, (3, 2, 3)),
+                  np.ones((8, 8, 1))).astype(np.uint8)
+    assert np.array_equal(J.decode_jpeg(_encode_progressive(img)),
+                          J.decode_jpeg(_encode_jpeg(img)))
+    q = np.full((8, 8), 12, np.int64)
+    q[0, 0] = 4
+    assert np.array_equal(
+        J.decode_jpeg(_encode_progressive(img, quant_luma=q,
+                                          subsample=True)),
+        J.decode_jpeg(_encode_jpeg(img, quant_luma=q, subsample=True)))
+
+
+def test_progressive_odd_dims_and_lossy_quantizer():
+    img = GRAD[:19, :13]
+    q = np.full((8, 8), 16, np.int64)
+    q[0, 0] = 8
+    prog = J.decode_jpeg(_encode_progressive(img, quant_luma=q))
+    base = J.decode_jpeg(_encode_jpeg(img, quant_luma=q))
+    assert prog.shape == (19, 13)
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_scan_script_variants():
+    """Different spectral splits / approximation depths are different
+    bitstreams for the same coefficients — all must decode identically
+    to baseline."""
+    img = GRAD
+    base = J.decode_jpeg(_encode_jpeg(img))
+    scripts = [
+        # single DC + single full-band AC, no successive approximation
+        [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)],
+        # fine band splits
+        [((0,), 0, 0, 0, 0), ((0,), 1, 2, 0, 0), ((0,), 3, 9, 0, 0),
+         ((0,), 10, 62, 0, 0), ((0,), 63, 63, 0, 0)],
+        # deep successive approximation (3 refinement levels)
+        [((0,), 0, 0, 0, 3), ((0,), 1, 63, 0, 3), ((0,), 0, 0, 3, 2),
+         ((0,), 1, 63, 3, 2), ((0,), 0, 0, 2, 1), ((0,), 1, 63, 2, 1),
+         ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)],
+    ]
+    for scans in scripts:
+        got = J.decode_jpeg(_encode_progressive(img, scans=scans))
+        assert np.array_equal(got, base), scans
+
+
+def test_progressive_restart_markers_match_unrestarted():
+    img = GRAD[:24, :16]
+    plain = J.decode_jpeg(_encode_progressive(img))
+    with_rst = J.decode_jpeg(_encode_progressive(img,
+                                                 restart_interval=2))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_progressive_dc_only_scan_reconstructs_block_means():
+    """A stream with only the DC band transmitted must reconstruct
+    each 8x8 block as its (quantized) mean — the spec's own partial
+    reconstruction."""
+    img = GRAD[:16, :16]
+    buf = _encode_progressive(img, scans=[((0,), 0, 0, 0, 0)])
+    got = J.decode_jpeg(buf)
+    for by in range(2):
+        for bx in range(2):
+            blk = img[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] \
+                .astype(np.float64)
+            dc = np.round(_fdct(blk)[0, 0])
+            want = np.clip(np.floor(dc / 8.0 + 128.0 + 0.5), 0, 255)
+            assert np.all(got[8 * by:8 * by + 8, 8 * bx:8 * bx + 8]
+                          == want)
+
+
+def test_progressive_rejects_invalid_scan_headers():
+    good = _encode_progressive(GRAD, scans=[((0,), 0, 0, 0, 0),
+                                            ((0,), 1, 63, 0, 0)])
+
+    def patch_sos(buf, nth, ss, se, ahal):
+        i = -1
+        for _ in range(nth + 1):
+            i = buf.index(b"\xff\xda", i + 1)
+        # SOS: marker(2) len(2) ns(1) comp(2)*ns then Ss Se AhAl
+        j = i + 4 + 1 + 2
+        return buf[:j] + bytes([ss, se, ahal]) + buf[j + 3:]
+
+    # DC band with Se != 0 (also what a relabeled baseline looks like)
+    with pytest.raises(P.PixelDecodeError, match="progressive"):
+        J.decode_jpeg(patch_sos(good, 0, 0, 63, 0))
+    # successive approximation jumping two bits
+    with pytest.raises(P.PixelDecodeError, match="one bit"):
+        J.decode_jpeg(patch_sos(good, 1, 1, 63, 0x20))
+    # inverted spectral band
+    with pytest.raises(P.PixelDecodeError, match="spectral band"):
+        J.decode_jpeg(patch_sos(good, 1, 9, 3, 0))
+    # interleaved AC scan (patch a color stream's full SOS to AC band)
+    rgb = np.kron(np.array([[[80, 120, 160]]]),
+                  np.ones((8, 8, 1))).astype(np.uint8)
+    cbuf = _encode_progressive(rgb)
+    i = cbuf.index(b"\xff\xda")
+    ns = cbuf[i + 4]
+    assert ns == 3                                # the DC scan
+    j = i + 4 + 1 + 2 * ns
+    bad = cbuf[:j] + bytes([1, 63, 0]) + cbuf[j + 3:]
+    with pytest.raises(P.PixelDecodeError, match="single-component"):
+        J.decode_jpeg(bad)
+    # EOI with zero scans decoded
+    hdr = good[:good.index(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(P.PixelDecodeError, match="EOI before scan"):
+        J.decode_jpeg(hdr)
+
+
+def test_baseline_sos_component_order_defines_interleave():
+    """T.81 B.2.3: the MCU interleave follows the SOS listing, not
+    SOF — a file listing Cr,Cb,Y must decode identically to the
+    Y,Cb,Cr encoding of the same image."""
+    rng = np.random.default_rng(11)
+    img = np.kron(rng.integers(30, 226, (2, 2, 3)),
+                  np.ones((8, 8, 1))).astype(np.uint8)
+    normal = J.decode_jpeg(_encode_jpeg(img))
+    reordered = J.decode_jpeg(_encode_jpeg(img, scan_order=(2, 0, 1)))
+    assert np.array_equal(normal, reordered)
+    # and with subsampling, where per-component block counts differ
+    normal420 = J.decode_jpeg(_encode_jpeg(img, subsample=True))
+    reord420 = J.decode_jpeg(_encode_jpeg(img, subsample=True,
+                                          scan_order=(1, 2, 0)))
+    assert np.array_equal(normal420, reord420)
+
+
+def test_progressive_fuzz_side_drop_contract():
+    """Bit-flipped progressive streams must surface as PixelDecodeError
+    (the side-drop), never IndexError/OverflowError tracebacks."""
+    base = _encode_progressive(GRAD)
+    rng = np.random.default_rng(42)
+    for _ in range(400):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
+        try:
+            arr = J.decode_jpeg(bytes(buf))
+            assert arr.dtype == np.uint8 and arr.shape[0] > 0
+        except P.PixelDecodeError:
+            pass
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(
+        ">H", len(payload) + 2) + payload
+
+
+def _dht(cls, counts_values):
+    counts = [0] * 16
+    counts[0] = len(counts_values)        # all codes 1 bit (canonical)
+    return _seg(0xC4, bytes([cls << 4]) + bytes(counts)
+                + bytes(counts_values))
+
+
+def test_progressive_hand_derived_wire_vector_first_scans():
+    """Decoder vector hand-assembled from T.81 itself (independent of
+    this file's encoder): 16x8 gray, q=1, a DC-first scan then an
+    AC-first scan whose EOB1 run must cover the remainder of block A
+    AND all of block B. Expected coefficients: A: DC=3, zigzag-1=5;
+    B: DC=-1."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 16)
+               + bytes([1, 1, 0x11, 0]))
+    # DC scan: table {2: '0', 3: '1'}; A: size2 '0'+diff 3 '11';
+    # B: size3 '1'+diff -4 '011' -> bits 0111011 +pad1 = 0x77
+    sos_dc = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    # AC scan: table {0x03: '0', 0x10: '1'}; A: k=1 coef 5 = '0'+'101',
+    # then EOB1 '1' + ext '0' (run of 2: rest of A + all of B)
+    # -> bits 010110 +pad11 = 0x5B
+    sos_ac = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    buf = (b"\xff\xd8" + dqt + sof
+           + _dht(0, [2, 3]) + sos_dc + bytes([0x77])
+           + _dht(1, [0x03, 0x10]) + sos_ac + bytes([0x5B])
+           + b"\xff\xd9")
+    got = J.decode_jpeg(buf)
+    ca, cb_ = np.zeros((8, 8)), np.zeros((8, 8))
+    ca[0, 0] = 3
+    ca[0, 1] = 5                                  # zigzag index 1
+    cb_[0, 0] = -1
+    want = np.hstack([
+        np.clip(np.floor(_DCT.T @ ca @ _DCT + 128.0 + 0.5), 0, 255),
+        np.clip(np.floor(_DCT.T @ cb_ @ _DCT + 128.0 + 0.5), 0, 255),
+    ]).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_progressive_hand_derived_wire_vector_ac_refinement():
+    """Hand-assembled AC refinement (T.81 G.1.2.3): after an Al=1
+    first scan leaves zigzag-1 = 4, the refinement must apply a
+    correction bit (4 -> 5) and insert a newly-nonzero -1 at zigzag-2,
+    with the wire order code, sign bit, then buffered correction
+    bits."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
+               + bytes([1, 1, 0x11, 0]))
+    # DC: single symbol {0} -> code '0'; bits '0'+pad = 0x7F
+    sos_dc = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    # AC first at Al=1: coef 5 -> 5>>1 = 2: sym 0x02 '1' + amp '10',
+    # then EOB0 '0' -> 1100 +pad = 0xCF  (table {0x00:'0', 0x02:'1'})
+    sos_ac1 = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    # AC refine Ah=1 Al=0: sym 0x01 '1' (newly nonzero after 0-run),
+    # sign '0' (negative), buffered correction bit '1' (5 & 1), then
+    # EOB0 '0' -> 1010 +pad = 0xAF  (table {0x00:'0', 0x01:'1'})
+    sos_ac2 = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    buf = (b"\xff\xd8" + dqt + sof
+           + _dht(0, [0]) + sos_dc + bytes([0x7F])
+           + _dht(1, [0x00, 0x02]) + sos_ac1 + bytes([0xCF])
+           + _dht(1, [0x00, 0x01]) + sos_ac2 + bytes([0xAF])
+           + b"\xff\xd9")
+    got = J.decode_jpeg(buf)
+    coef = np.zeros((8, 8))
+    coef[0, 1] = 5                                # zigzag 1, refined
+    coef[1, 0] = -1                               # zigzag 2, new
+    want = np.clip(np.floor(_DCT.T @ coef @ _DCT + 128.0 + 0.5),
+                   0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_progressive_dispatch_and_spark_kernels(spark):
+    from kafka_elasticsearch_injector_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    img = np.kron(np.array([[[70, 150, 210]]]),
+                  np.ones((16, 16, 1))).astype(np.uint8)
+    buf = _encode_progressive(img)
+    assert parse_image_header(buf) == ("jpeg", 16, 16)
+    fmt, arr = P.decode_pixels(buf)
+    assert fmt == "jpeg" and arr.shape == (16, 16, 3)
+    rows = [(1, bytearray(buf)),
+            (2, bytearray(_encode_progressive(GRAD)))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r for r in P.image_pixel_stats(df).collect()}
+    assert got[1].format == "jpeg" and got[1].channels == 3
+    assert got[1].channel_mean == pytest.approx([70, 150, 210], abs=2)
+    assert got[2].channels == 1
 
 
 def test_jpeg_rides_the_spark_kernels(spark):

@@ -307,14 +307,27 @@ def test_allocation_caps_and_zlib_bomb():
     with pytest.raises(P.PixelDecodeError, match="dimensions"):
         P.decode_gif(b"GIF89a" + struct.pack("<HH", 65535, 65535)
                      + bytes(3))
-    with pytest.raises(P.PixelDecodeError, match="pixel cap"):
-        from kafka_elasticsearch_injector_spark.operators.jpeg_codec \
-            import decode_jpeg
+    from kafka_elasticsearch_injector_spark.operators.jpeg_codec \
+        import decode_jpeg
 
-        sof = bytes([8]) + struct.pack(">HH", 65535, 65535) + bytes(
-            [1, 1, 0x11, 0])
-        decode_jpeg(b"\xff\xd8\xff\xc0" + struct.pack(
-            ">H", len(sof) + 2) + sof + b"\xff\xd9\x00\x00")
+    def jpeg_header(w, h, ncomp):
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+        for cid in range(1, ncomp + 1):
+            sof += bytes([cid, 0x11, 0])
+        return b"\xff\xd8\xff\xc0" + struct.pack(
+            ">H", len(sof) + 2) + sof + b"\xff\xd9\x00\x00"
+
+    with pytest.raises(P.PixelDecodeError, match="byte budget"):
+        decode_jpeg(jpeg_header(65535, 65535, 1))
+    # the budget is BYTE-weighted: a 3-component 8000x8000 frame
+    # would zero-fill ~1.5 GB of planes despite passing a flat 64 MP
+    # pixel cap — it must be rejected at the header
+    with pytest.raises(P.PixelDecodeError, match="byte budget"):
+        decode_jpeg(jpeg_header(8000, 8000, 3))
+    # the same dims in grayscale fit the budget: the header gate
+    # passes and the failure moves to the (truncated) scan
+    with pytest.raises(P.PixelDecodeError, match="EOI before scan"):
+        decode_jpeg(jpeg_header(4000, 4000, 1))
     # zlib bomb: a few-KB IDAT declaring a 1x1 image must stop at the
     # bounded inflate, not materialize the payload
     bomb = zlib.compress(bytes(10_000_000), 9)
