@@ -14,9 +14,9 @@ kernels in operators/pixels.py turn that into the side-drop column.
 Faithfulness: huffman decode and dequantization are exact; both frame
 types accumulate exact integer coefficients (progressive scans refine
 them bit-by-bit per Annex G) and share one reconstruction: a
-vectorized float64 inverse DCT (separable orthonormal DCT-III as one
-einsum over all blocks) with round-half-up to uint8 — the same math
-every conformant decoder approximates (T.81 Annex A leaves IDCT
+vectorized float64 inverse DCT (separable orthonormal DCT-III as
+BLAS-batched matmuls over all blocks) with round-half-up to uint8 —
+the same math every conformant decoder approximates (T.81 Annex A leaves IDCT
 precision to the implementation, so decoders legitimately differ by
 ±1 count; tests bound the error against independent forward encoders
 instead of byte-comparing against another library). Chroma upsampling
@@ -27,9 +27,14 @@ against the header before anything is allocated — w*h*ncomp at 8
 bytes per sample must stay within 4x MAX_PIXELS (the ~256 MB RGBA
 budget pixels.py documents), so a crafted 3-component 8000x8000
 header is rejected up front instead of zero-filling ~1.5 GB of
-planes. Worst-case transient during reconstruction is ~40 B/pixel
-(coefficient planes + float64 IDCT intermediates), ~430 MB at the
-cap, a few MB at real web-image sizes.
+planes. Reconstruction is slab-chunked and in-place (coefficient grid
++ one preallocated float64 plane ≈ 12 B/sample in the transform,
+~40 B/pixel at the color convert): measured peak RSS 468 MB decoding
+a crafted header AT the 32 MP grayscale cap (~1.8x the budget;
+1552 MB before r14's review fixes), ~430 MB worst-case at the
+3-component cap, a few MB at real web-image sizes. A crafted stream
+of tiny EOB-run scans cannot buy unbounded CPU either: progressive
+streams are capped at 100 scans (real encoders emit ~6-12).
 
 Throughput: the entropy decoder is a per-bit Python loop — honest and
 correct, sized for curation-gate thumbnails and tests, not bulk pixel
@@ -221,6 +226,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         # (T.81 B.1.1.2): the marker code is the first non-FF byte
         while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(buf):
+            raise _err("jpeg: truncated at marker")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
@@ -365,6 +372,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 _decode_ac_scan(r, frame, scomps[0], ss, se, ah, al,
                                 coefs, huff_ac, restart_interval)
             scans_done += 1
+            # a crafted stream of tiny EOB-run scans buys a full block
+            # sweep per ~20 bytes — unbounded CPU with no side-drop
+            # (the classic progressive-JPEG DoS class). Real encoders
+            # emit ~6-12 scans; 100 is generous headroom.
+            if scans_done > 100:
+                raise _err("jpeg: more than 100 progressive scans")
             pos = _resync(buf, r.pos)
             continue
         # all other segments (APPn, COM, ...) skip
@@ -579,13 +592,12 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
 
 def _reconstruct(frame, coefs, qt) -> np.ndarray:
     """Dequantize + inverse-DCT the accumulated coefficient grids and
-    assemble the image: one vectorized einsum per component (every 8x8
-    block at once), replicate-upsample subsampled chroma, crop the MCU
-    padding, YCbCr→RGB for 3-component frames."""
+    assemble the image: batched matmul IDCT per component (every 8x8
+    block at once, BLAS-dispatched), replicate-upsample subsampled
+    chroma, crop the MCU padding, YCbCr→RGB for 3-component frames."""
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
+    hmax, vmax, _, _ = _geometry(frame)
     out_planes = []
     for ci, c in enumerate(comps):
         if c["tq"] not in qt:
@@ -593,23 +605,56 @@ def _reconstruct(frame, coefs, qt) -> np.ndarray:
         q = qt[c["tq"]]
         arr = coefs[ci]
         nby, nbx = arr.shape[:2]
-        blocks = arr.reshape(nby, nbx, 8, 8).astype(np.float64) * q
-        px = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT,
-                       optimize=True) + 128.0
-        coefs[ci] = None               # free before the next component
-        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        p = np.clip(np.floor(plane + 0.5), 0, 255)
-        # replicate-upsample to full resolution, crop padding
-        p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
-        out_planes.append(p[:h, :w])
+        # batched IDCT: @ broadcasts over the leading block dims and
+        # dispatches to BLAS (einsum's greedy path never does for
+        # 8-wide contractions — measured ~400x slower). Chunked by
+        # block-rows into a preallocated plane so the float64
+        # temporaries stay slab-sized: peak ≈ coefficient grid
+        # (4 B/sample) + plane (8 B/sample), not 3 full-frame float64
+        # arrays live at once
+        plane = np.empty((nby * 8, nbx * 8), np.float64)
+        rows = max(1, 32768 // max(1, nbx))      # ~2M samples per slab
+        for y0 in range(0, nby, rows):
+            sl = arr[y0:y0 + rows].astype(np.float64) \
+                .reshape(-1, nbx, 8, 8)
+            sl *= q
+            sl = _DCT.T @ sl @ _DCT
+            plane[y0 * 8:(y0 + rows) * 8] = \
+                np.ascontiguousarray(sl.transpose(0, 2, 1, 3)) \
+                .reshape(-1, nbx * 8)
+        coefs[ci] = None
+        del arr
+        plane += 128.5                 # +128 level shift, +0.5 for the
+        np.floor(plane, out=plane)     # round-half-up floor
+        np.clip(plane, 0, 255, out=plane)
+        # replicate-upsample to full resolution, crop padding (repeat
+        # at factor 1 still copies the full plane — skip the no-op)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = plane.repeat(ry, axis=0)
+        if rx > 1:
+            plane = plane.repeat(rx, axis=1)
+        out_planes.append(plane[:h, :w])
     if len(comps) == 1:
         return out_planes[0].astype(np.uint8)
     y, cb, cr = out_planes
-    cb -= 128.0
-    cr -= 128.0
+    cb = cb - 128.0
+    cr = cr - 128.0
     out = np.empty((h, w, 3), np.uint8)
-    out[..., 0] = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255)
-    out[..., 1] = np.clip(np.floor(y - 0.344136 * cb - 0.714136 * cr
-                                   + 0.5), 0, 255)
-    out[..., 2] = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255)
+    t = np.empty((h, w), np.float64)   # reused per channel
+
+    def emit(ch, t=t):
+        t += y
+        t += 0.5
+        np.floor(t, out=t)
+        np.clip(t, 0, 255, out=t)
+        out[..., ch] = t
+
+    np.multiply(cr, 1.402, out=t)
+    emit(0)
+    np.multiply(cb, -0.344136, out=t)
+    t -= 0.714136 * cr
+    emit(1)
+    np.multiply(cb, 1.772, out=t)
+    emit(2)
     return out

@@ -783,6 +783,37 @@ def test_baseline_sos_component_order_defines_interleave():
     assert np.array_equal(normal420, reord420)
 
 
+def test_truncated_ff_tail_is_side_drop_not_index_error():
+    """A stream ending in 0xFF 0xFF at a marker position must raise
+    the side-drop error, not IndexError (r14 review finding: the
+    fill-byte skip loop could read past the end)."""
+    with pytest.raises(P.PixelDecodeError, match="truncated"):
+        J.decode_jpeg(b"\xff\xd8\xff\xff")
+    # same tail after a valid progressive scan (via _resync)
+    good = _encode_progressive(GRAD, scans=[((0,), 0, 0, 0, 0)])
+    assert good.endswith(b"\xff\xd9")
+    with pytest.raises(P.PixelDecodeError, match="truncated"):
+        J.decode_jpeg(good[:-2] + b"\xff\xff")
+
+
+def test_progressive_scan_count_cap():
+    """A crafted stream of tiny EOB-run scans buys a full block sweep
+    per ~20 bytes — unbounded CPU with no side-drop (r14 review
+    finding). More than 100 scans must side-drop."""
+    base = _encode_progressive(GRAD, scans=[((0,), 0, 0, 0, 0),
+                                            ((0,), 1, 63, 0, 0)])
+    i = base.index(b"\xff\xda")                  # before the DC scan
+    j = base.index(b"\xff\xda", i + 1)           # the AC scan
+    k = base.index(b"\xff\xd9")                  # EOI
+    ac_scan = base[j:k]                          # DHT-less SOS + body
+    crafted = base[:k] + ac_scan * 120 + b"\xff\xd9"
+    with pytest.raises(P.PixelDecodeError, match="100 progressive"):
+        J.decode_jpeg(crafted)
+    # 40 repeats stays under the cap and must still decode fine
+    ok = base[:k] + ac_scan * 40 + b"\xff\xd9"
+    assert np.array_equal(J.decode_jpeg(ok), J.decode_jpeg(base))
+
+
 def test_progressive_fuzz_side_drop_contract():
     """Bit-flipped progressive streams must surface as PixelDecodeError
     (the side-drop), never IndexError/OverflowError tracebacks."""

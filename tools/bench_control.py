@@ -57,6 +57,9 @@ def materialize(ref: str) -> tuple[str, str]:
     sha = sh(["git", "rev-parse", ref])
     path = f"/tmp/wt_benchctl_{sha[:12]}"
     if not os.path.isdir(path):
+        # a /tmp cleanup (reboot) removes the directory but not git's
+        # registration; prune first so the add is self-healing
+        sh(["git", "worktree", "prune"])
         sh(["git", "worktree", "add", "--detach", path, sha])
     return path, sha
 
