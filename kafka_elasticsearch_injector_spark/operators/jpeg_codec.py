@@ -2,12 +2,13 @@
 public ITU T.81 spec only (no libjpeg).
 
 Scope (the curation-gate subset): huffman-coded JPEG with 8-bit
-samples — baseline and extended-sequential (SOF0/SOF1) and
-progressive (SOF2, spectral selection + successive approximation,
-T.81 Annex G) — grayscale or YCbCr with sampling factors 1-2 in each
-axis (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart markers, multiple DQT/DHT
-segments (including redefinition between progressive scans), 16-bit
-quantizer entries. Arithmetic coding (SOF9+), hierarchical, and
+samples — baseline and extended-sequential (SOF0/SOF1, including
+multi-scan frames that split components across full-band scans per
+T.81 A.2) and progressive (SOF2, spectral selection + successive
+approximation, T.81 Annex G) — grayscale or YCbCr with sampling
+factors 1-2 in each axis (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart
+markers, multiple DQT/DHT segments (including redefinition between
+scans), 16-bit quantizer entries. Arithmetic coding (SOF9+), hierarchical, and
 12-bit precision raise PixelDecodeError with the reason — the Spark
 kernels in operators/pixels.py turn that into the side-drop column.
 
@@ -218,6 +219,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     frame = None
     coefs = None
     scans_done = 0
+    seq_scanned: set[int] = set()
     restart_interval = 0
     while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
@@ -233,7 +235,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
             continue
         if marker == 0xD9:                       # EOI
-            if frame is not None and frame["progressive"] and scans_done:
+            # progressive streams normally end here; a sequential
+            # stream missing components reconstructs leniently with
+            # the absent planes flat (zero coefficients)
+            if frame is not None and scans_done:
                 return _reconstruct(frame, coefs, qt)
             raise _err("jpeg: EOI before scan")
         if pos + 2 > len(buf):
@@ -340,14 +345,23 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 coefs = _alloc_coefs(frame)
             data_pos = pos + seg_len
             if not frame["progressive"]:
-                if ns != len(comps):
-                    raise _err("jpeg: partial-scan SOS unsupported")
                 if (ss, se, ah, al) != (0, 63, 0, 0):
                     raise _err("jpeg: bad sequential scan header")
-                _decode_baseline_scan(buf, data_pos, frame, scomps,
-                                      coefs, huff_dc, huff_ac,
-                                      restart_interval)
-                return _reconstruct(frame, coefs, qt)
+                # sequential frames may split components across scans
+                # (T.81 A.2) — each component coded exactly once
+                for ci, _, _ in scomps:
+                    if ci in seq_scanned:
+                        raise _err("jpeg: component scanned twice in "
+                                   "sequential mode")
+                    seq_scanned.add(ci)
+                r = _decode_baseline_scan(buf, data_pos, frame, scomps,
+                                          coefs, huff_dc, huff_ac,
+                                          restart_interval)
+                scans_done += 1
+                if len(seq_scanned) == len(comps):
+                    return _reconstruct(frame, coefs, qt)
+                pos = _resync(buf, r.pos)
+                continue
             # progressive scan (T.81 Annex G): spectral band Ss..Se,
             # successive-approximation step Ah -> Al
             if al > 13 or ah > 13:
@@ -386,55 +400,69 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
 
 def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
-                          huff_ac, restart_interval) -> None:
-    """Sequential interleaved scan (T.81 F.2): full-band DC+AC per
-    block, components in SOS order within each MCU (T.81 B.2.3 — the
-    scan header, not SOF, defines the interleave order)."""
+                          huff_ac, restart_interval) -> _BitReader:
+    """Sequential scan (T.81 F.2): full-band DC+AC per block,
+    components in SOS order within each MCU (T.81 B.2.3 — the scan
+    header, not SOF, defines the interleave order). An Ns=1 scan is
+    NON-interleaved (A.2.2): one block per MCU in raster order over
+    the component's own downsampled grid — sequential frames may code
+    each component in its own scan."""
     comps = frame["comps"]
-    _, _, mcux, mcuy = _geometry(frame)
+    hmax, vmax, mcux, mcuy = _geometry(frame)
     tabs = []
     for ci, dct_t, act_t in scomps:
         if dct_t not in huff_dc or act_t not in huff_ac:
             raise _err("jpeg: missing huffman table for scan")
         tabs.append((huff_dc[dct_t], huff_ac[act_t]))
+    single = len(scomps) == 1
+    if single:
+        ci0 = scomps[0][0]
+        nby, nbx = _ni_blocks(frame, comps[ci0], hmax, vmax)
+        total = nby * nbx
+    else:
+        total = mcux * mcuy
     r = _BitReader(buf, pos)
     pred = [0] * len(scomps)
     rst = 0
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                r.align_and_expect_rst(rst)
-                rst = (rst + 1) & 7
-                pred = [0] * len(scomps)
-            mcu_count += 1
+    for m in range(total):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_and_expect_rst(rst)
+            rst = (rst + 1) & 7
+            pred = [0] * len(scomps)
+        if single:
+            blocks = [(0, ci0, m // nbx, m % nbx)]
+        else:
+            my, mx = divmod(m, mcux)
+            blocks = []
             for si, (ci, _, _) in enumerate(scomps):
                 c = comps[ci]
-                dc_tab, ac_tab = tabs[si]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = coefs[ci][my * c["v"] + by,
-                                        mx * c["h"] + bx]
-                        size = r.huff(dc_tab)
-                        if size > 11:
-                            raise _err("jpeg: bad DC size")
-                        pred[si] += _extend(r.bits(size), size)
-                        blk[0] = pred[si]
-                        k = 1
-                        while k < 64:
-                            rs = r.huff(ac_tab)
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:      # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break              # EOB
-                            k += run
-                            if k > 63:
-                                raise _err("jpeg: AC run past block")
-                            blk[_ZIGZAG[k]] = _extend(r.bits(size), size)
-                            k += 1
+                        blocks.append((si, ci, my * c["v"] + by,
+                                       mx * c["h"] + bx))
+        for si, ci, by, bx in blocks:
+            dc_tab, ac_tab = tabs[si]
+            blk = coefs[ci][by, bx]
+            size = r.huff(dc_tab)
+            if size > 11:
+                raise _err("jpeg: bad DC size")
+            pred[si] += _extend(r.bits(size), size)
+            blk[0] = pred[si]
+            k = 1
+            while k < 64:
+                rs = r.huff(ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:      # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break              # EOB
+                k += run
+                if k > 63:
+                    raise _err("jpeg: AC run past block")
+                blk[_ZIGZAG[k]] = _extend(r.bits(size), size)
+                k += 1
+    return r
 
 
 def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,

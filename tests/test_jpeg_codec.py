@@ -569,6 +569,184 @@ def _run_prog_scan(sel, ss, se, ah, al, grids, comps, geo,
     flush_eob()
 
 
+def _run_seq_scan(sel, grids, comps, geo, restart_interval, E):
+    """One full-band sequential scan (baseline block coding) through
+    emitter E — non-interleaved when the scan has one component."""
+    w, h, hmax, vmax, mcux, mcuy = geo
+
+    def gen():
+        if len(sel) == 1:
+            ci = sel[0]
+            nby, nbx = _ni_grid_dims(w, h, comps[ci], hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    yield [(ci, by, bx)]
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for ci in sel:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                mcu.append((ci, my * c["v"] + by,
+                                            mx * c["h"] + bx))
+                    yield mcu
+
+    pred = {ci: 0 for ci in sel}
+    for m, mcu in enumerate(gen()):
+        if restart_interval and m and m % restart_interval == 0:
+            E.restart()
+            pred = {ci: 0 for ci in sel}
+        for ci, by, bx in mcu:
+            zz = grids[ci][by, bx]
+            dc = int(zz[0])
+            size, amp = _mag(dc - pred[ci])
+            pred[ci] = dc
+            E.dc_sym(size)
+            E.bits(amp, size)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    E.ac_sym(0xF0)
+                    run -= 16
+                s_, a_ = _mag(v)
+                E.ac_sym((run << 4) | s_)
+                E.bits(a_, s_)
+                run = 0
+            if run:
+                E.ac_sym(0x00)
+
+
+def _encode_sequential(img, quant_luma=None, quant_chroma=None,
+                       subsample=False, groups=None,
+                       restart_interval=0):
+    """Forward SEQUENTIAL multi-scan JPEG (T.81 A.2): components split
+    across full-band scans, each coded exactly once; Ns=1 scans are
+    non-interleaved. groups: list of component-index tuples, default
+    one scan per component."""
+    comps, h, w, hmax, vmax, mcux, mcuy, ql, qc, gray = _comp_setup(
+        img, quant_luma, quant_chroma, subsample)
+    geo = (w, h, hmax, vmax, mcux, mcuy)
+    grids = []
+    for c in comps:
+        nby, nbx = mcuy * c["v"], mcux * c["h"]
+        g = np.zeros((nby, nbx, 64), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = c["plane"][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                g[by, bx] = np.round(_fdct(blk) / c["q"]) \
+                    .astype(np.int64).reshape(64)[_ZIG]
+        grids.append(g)
+    if groups is None:
+        groups = [(i,) for i in range(len(comps))]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(
+        int(ql.reshape(64)[_ZIG][i]) for i in range(64)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(
+            int(qc.reshape(64)[_ZIG][i]) for i in range(64)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for sel in groups:
+        col = _Collect()
+        _run_seq_scan(sel, grids, comps, geo, restart_interval, col)
+        dc_tab = _build_table(col.dc if col.dc else [0])
+        ac_tab = _build_table(col.ac if col.ac else [0])
+        counts, syms, _, _ = dc_tab
+        out += seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms))
+        counts, syms, _, _ = ac_tab
+        out += seg(0xC4, bytes([0x10]) + bytes(counts) + bytes(syms))
+        emit = _Emit(dc_tab, ac_tab)
+        _run_seq_scan(sel, grids, comps, geo, restart_interval, emit)
+        sos = bytes([len(sel)])
+        for ci in sel:
+            sos += bytes([comps[ci]["id"], 0x00])
+        sos += bytes([0, 63, 0x00])
+        out += seg(0xDA, sos)
+        out += emit.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_sequential_per_component_scans_match_interleaved():
+    """T.81 A.2: a sequential frame may code each component in its own
+    non-interleaved scan — same coefficients, so the decode must be
+    bit-identical to the single interleaved scan."""
+    rng = np.random.default_rng(5)
+    img = np.kron(rng.integers(30, 226, (3, 2, 3)),
+                  np.ones((8, 8, 1))).astype(np.uint8)
+    base = J.decode_jpeg(_encode_jpeg(img))
+    assert np.array_equal(J.decode_jpeg(_encode_sequential(img)), base)
+    # 4:2:0, lossy quantizer, odd dims: per-component block grids
+    # genuinely differ between luma and chroma
+    q = np.full((8, 8), 14, np.int64)
+    q[0, 0] = 6
+    img2 = np.kron(rng.integers(30, 226, (3, 3, 3)),
+                   np.ones((8, 8, 1))).astype(np.uint8)[:19, :21]
+    assert np.array_equal(
+        J.decode_jpeg(_encode_sequential(img2, quant_luma=q,
+                                         subsample=True)),
+        J.decode_jpeg(_encode_jpeg(img2, quant_luma=q, subsample=True)))
+
+
+def test_sequential_mixed_groups_and_restart():
+    rng = np.random.default_rng(9)
+    img = np.kron(rng.integers(30, 226, (2, 3, 3)),
+                  np.ones((8, 8, 1))).astype(np.uint8)
+    base = J.decode_jpeg(_encode_jpeg(img))
+    # luma alone, then the chroma pair interleaved in SWAPPED order
+    got = J.decode_jpeg(_encode_sequential(img, groups=[(0,), (2, 1)]))
+    assert np.array_equal(got, base)
+    with_rst = J.decode_jpeg(_encode_sequential(img, groups=[(0,), (2, 1)],
+                                                restart_interval=2))
+    assert np.array_equal(with_rst, base)
+
+
+def test_sequential_component_scanned_twice_rejected():
+    img = np.kron(np.array([[[90, 140, 200]]]),
+                  np.ones((8, 8, 1))).astype(np.uint8)
+    with pytest.raises(P.PixelDecodeError, match="scanned twice"):
+        J.decode_jpeg(_encode_sequential(
+            img, groups=[(0,), (0,), (1,), (2,)]))
+    # a complete frame ignores trailing garbage after its last scan
+    # (the single-scan fast path has always returned at coverage)
+    ok = _encode_sequential(img) + b"\x00garbage"
+    assert J.decode_jpeg(ok).shape == img.shape
+
+
+def test_sequential_incomplete_at_eoi_reconstructs_leniently():
+    """A sequential stream missing a component's scan reconstructs at
+    EOI with the absent plane flat (zero coefficients) rather than
+    failing the whole record — same leniency as partial progressive."""
+    img = np.kron(np.array([[[90, 140, 200]]]),
+                  np.ones((16, 16, 1))).astype(np.uint8)
+    full = _encode_sequential(img)
+    # cut just before the THIRD scan's DHT pair and close with EOI
+    third_sos = -1
+    for _ in range(3):
+        third_sos = full.index(b"\xff\xda", third_sos + 1)
+    cut = full.rindex(b"\xff\xc4", 0, third_sos)
+    second_dht = full.rindex(b"\xff\xc4", 0, cut)
+    got = J.decode_jpeg(full[:second_dht] + b"\xff\xd9")
+    assert got.shape == img.shape
+    # Y and Cb arrived; Cr plane is flat 128 so the red channel shifts
+    assert got[..., 2].std() < 2          # blue: Y+Cb only, uniform
+
+
 def _default_script(ncomp):
     if ncomp == 1:
         return [((0,), 0, 0, 0, 1), ((0,), 1, 5, 0, 2),
