@@ -339,14 +339,51 @@ class AudioDecodeError(ValueError):
     side-drop reason column (same idiom as pixels.PixelDecodeError)."""
 
 
+_G711_TABLES: dict[int, "object"] = {}
+
+
+def _g711_table(audio_fmt: int) -> "object":
+    """256-entry int16 expansion table for G.711 (ITU-T G.711, the
+    public telephony companding standard; format 6 = A-law, 7 = µ-law
+    in the RIFF registry). Derived directly from the standard's
+    segment/mantissa layout — the same arithmetic as the public-domain
+    reference expander (Sun g711.c): µ-law is bias-132 with
+    complemented codes; A-law XORs 0x55 with segment 0/1 special-cased
+    and, unlike µ-law, the (post-XOR) sign bit SET meaning positive."""
+    import numpy as np
+
+    if audio_fmt not in _G711_TABLES:
+        ulaw = np.empty(256, np.int16)
+        alaw = np.empty(256, np.int16)
+        for c in range(256):
+            u = ~c & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            ulaw[c] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+            a = c ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            alaw[c] = t if (a & 0x80) else -t
+        _G711_TABLES[6] = alaw
+        _G711_TABLES[7] = ulaw
+    return _G711_TABLES[audio_fmt]
+
+
 def parse_wav(buf: bytes) -> tuple[int, int, "object"]:
-    """RIFF/WAVE (PCM16) container → (sample_rate, n_channels,
+    """RIFF/WAVE container → (sample_rate, n_channels,
     (n_frames, n_channels) int16 samples). Public container format,
     pure stdlib+numpy: walks word-aligned RIFF chunks, requires a
-    PCM (format 1) 16-bit 'fmt ' chunk before 'data', ignores other
-    chunks (LIST/fact/cue). Float/ADPCM/extensible formats and other
-    bit widths raise AudioDecodeError with the reason — compressed
-    AUDIO codecs (mp3/aac) stay out of scope entirely."""
+    'fmt ' chunk before 'data', ignores other chunks (LIST/fact/cue).
+    Supported encodings: PCM16 (format 1) and the G.711 telephony pair
+    — A-law (6) and µ-law (7), 8-bit codes expanded to int16 per the
+    ITU tables. Float/ADPCM/extensible formats and other bit widths
+    raise AudioDecodeError with the reason — compressed AUDIO codecs
+    (mp3/aac) stay out of scope entirely."""
     import numpy as np
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -364,22 +401,32 @@ def parse_wav(buf: bytes) -> tuple[int, int, "object"]:
                 raise AudioDecodeError("wav: fmt chunk too short")
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", buf[body_at:body_at + 16])
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 6, 7):
                 raise AudioDecodeError(
-                    f"wav: format {audio_fmt} unsupported (PCM only)")
-            if bits != 16:
+                    f"wav: format {audio_fmt} unsupported "
+                    "(PCM and G.711 A-law/µ-law only)")
+            if audio_fmt == 1 and bits != 16:
                 raise AudioDecodeError(
                     f"wav: {bits}-bit unsupported (16-bit PCM only)")
+            if audio_fmt in (6, 7) and bits != 8:
+                raise AudioDecodeError(
+                    f"wav: G.711 requires 8-bit codes, got {bits}-bit")
             if ch < 1 or rate < 1:
                 raise AudioDecodeError("wav: bad fmt fields")
-            fmt = (rate, ch)
+            fmt = (rate, ch, audio_fmt)
         elif cid == b"data":
             if fmt is None:
                 raise AudioDecodeError("wav: data before fmt")
-            rate, ch = fmt
-            n = size // (2 * ch)
-            data = np.frombuffer(buf, "<i2", count=n * ch,
-                                 offset=body_at).reshape(n, ch)
+            rate, ch, audio_fmt = fmt
+            if audio_fmt == 1:
+                n = size // (2 * ch)
+                data = np.frombuffer(buf, "<i2", count=n * ch,
+                                     offset=body_at).reshape(n, ch)
+            else:
+                n = size // ch
+                codes = np.frombuffer(buf, np.uint8, count=n * ch,
+                                      offset=body_at)
+                data = _g711_table(audio_fmt)[codes].reshape(n, ch)
             return rate, ch, data
         pos = body_at + size + (size & 1)    # chunks are word-aligned
     raise AudioDecodeError("wav: no data chunk")

@@ -349,14 +349,75 @@ def test_parse_wav_mono_stereo_and_word_alignment():
     assert ch == 2 and np.array_equal(data, stereo)
 
 
+def _g711_wav(rate, codes, ch, fmt_code):
+    """Hand-built RIFF/WAVE with 8-bit G.711 codes."""
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * ch, ch, 8)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(codes)) + bytes(codes))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_wav_g711_expansion_tables():
+    """G.711 µ-law/A-law expansion against published ITU table values
+    (independent of the implementation's formula), plus the structural
+    invariants the standard fixes: sign symmetry in the top code bit,
+    strict monotonicity within each sign, and the per-segment step
+    doubling."""
+    import numpy as np
+
+    allc = bytes(range(256))
+    _, _, u = M.parse_wav(_g711_wav(8000, allc, 1, 7))
+    _, _, a = M.parse_wav(_g711_wav(8000, allc, 1, 6))
+    u, a = u[:, 0].astype(int), a[:, 0].astype(int)
+    # published spot values (CCITT G.711 tables, e.g. Sun g711.c)
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert u[0x01] == -31100 and u[0xFF] == 0 and u[0x7F] == 0
+    assert u[0xFE] == 8
+    assert a[0x55] == -8 and a[0xD5] == 8
+    assert a[0x2A] == -32256 and a[0xAA] == 32256
+    assert a[0x00] == -5504
+    # sign symmetry: flipping the transmitted sign bit negates
+    for tab in (u, a):
+        assert all(tab[c] == -tab[c ^ 0x80] for c in range(256))
+    # µ-law: codes 0x80..0xFF run +32124 down to 0 (monotone)
+    assert list(u[0x80:]) == sorted(u[0x80:], reverse=True)
+    # A-law positive codes sorted by value: 128 distinct levels in 8
+    # segments of 16, with the chord step constant inside a segment
+    # and doubling from segment 2 on (16,16,32,64,...,1024 — G.711
+    # Table 1's segmented quantizer shape)
+    pos = sorted(a[c] for c in range(256) if a[c] > 0)
+    assert len(set(pos)) == 128
+    for seg in range(8):
+        chord = np.diff(pos[16 * seg:16 * (seg + 1)])
+        assert set(chord) == {16 << max(0, seg - 1)}, seg
+
+
+def test_wav_g711_rides_decode_and_features(spark):
+    """G.711 WAVs flow through the same Spark audio lane as PCM16."""
+    import numpy as np
+
+    codes = bytes([0xFF, 0xFE, 0x7F, 0x00] * 25)        # µ-law mono
+    rows = [(1, bytearray(_g711_wav(8000, codes, 1, 7)), "audio/wav"),
+            (2, bytearray(_g711_wav(8000, bytes([0xD5, 0x55] * 50),
+                                    2, 6)), "audio/wav")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary, "
+                                     "media_type string")
+    got = {r.doc_id: r for r in M.decode_wav(df).collect()}
+    assert got[1].sample_rate == 8000 and got[1].n_channels == 1
+    assert got[1].n_samples == 100 and got[1].decode_error is None
+    assert got[2].n_channels == 2 and got[2].n_samples == 50
+
+
 def test_parse_wav_rejects_with_reasons():
     import numpy as np
 
     mono = np.array([[1]], np.int16)
     with pytest.raises(M.AudioDecodeError, match="RIFF"):
         M.parse_wav(b"RIFX" + _wav(8000, mono)[4:])
-    with pytest.raises(M.AudioDecodeError, match="PCM only"):
+    with pytest.raises(M.AudioDecodeError, match="unsupported"):
         M.parse_wav(_wav(8000, mono, fmt_code=3))       # IEEE float
+    with pytest.raises(M.AudioDecodeError, match="8-bit codes"):
+        M.parse_wav(_wav(8000, mono, fmt_code=7))       # µ-law at 16-bit
     with pytest.raises(M.AudioDecodeError, match="16-bit"):
         M.parse_wav(_wav(8000, mono, bits=8))
     with pytest.raises(M.AudioDecodeError, match="truncated"):
