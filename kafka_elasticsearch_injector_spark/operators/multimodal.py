@@ -115,6 +115,66 @@ _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 _JPEG_BARE = {0x01} | set(range(0xD0, 0xD8))
 
 
+def _tiff_orientation(t: bytes) -> int | None:
+    """Orientation (tag 0x0112) from a TIFF structure (Exif APP1
+    payload after the 'Exif\\0\\0' signature): II/MM byte order,
+    magic 42, IFD0 entry walk. Returns None for anything malformed —
+    orientation is advisory metadata, never a reason to side-drop an
+    otherwise decodable image."""
+    try:
+        if t[:2] == b"II":
+            e = "<"
+        elif t[:2] == b"MM":
+            e = ">"
+        else:
+            return None
+        if struct.unpack(e + "H", t[2:4])[0] != 42:
+            return None
+        (ifd,) = struct.unpack(e + "I", t[4:8])
+        (n,) = struct.unpack(e + "H", t[ifd:ifd + 2])
+        for i in range(n):
+            ent = t[ifd + 2 + 12 * i:ifd + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+            if tag == 0x0112 and typ == 3 and cnt == 1:
+                (val,) = struct.unpack(e + "H", ent[8:10])
+                return val if 1 <= val <= 8 else None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def parse_exif_orientation(buf: bytes) -> int | None:
+    """Exif orientation (1-8) from a JPEG's APP1 segment, or None when
+    absent/malformed (public Exif 2.x + TIFF 6.0 layouts). Phone
+    cameras routinely store the sensor raster plus this tag instead of
+    rotating pixels — a curation pipeline that ignores it computes
+    wrong aspect gates and emits sideways thumbnails for a large slice
+    of any real photo corpus."""
+    if buf[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1                         # fill bytes (B.1.1.2)
+        if pos + 2 > len(buf):
+            return None
+        marker = buf[pos + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):
+            return None                      # scan reached: no Exif
+        (seg_len,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > len(buf):
+            return None
+        if marker == 0xE1 and buf[pos + 4:pos + 10] == b"Exif\x00\x00":
+            return _tiff_orientation(buf[pos + 10:pos + 2 + seg_len])
+        pos += 2 + seg_len
+    return None
+
+
 def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
     """Parse (format, width, height) from raw image bytes — PNG IHDR,
     GIF logical screen descriptor, BMP DIB header (INFO and CORE

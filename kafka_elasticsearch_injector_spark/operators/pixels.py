@@ -45,7 +45,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .multimodal import _PNG_SIG
+from .multimodal import _PNG_SIG, parse_exif_orientation
 
 
 class PixelDecodeError(ValueError):
@@ -542,6 +542,28 @@ def decode_gif(buf: bytes) -> np.ndarray:
     raise PixelDecodeError("gif: no image descriptor")
 
 
+def apply_exif_orientation(arr: np.ndarray, orientation) -> np.ndarray:
+    """Upright a pixel array per Exif orientation 1-8 (TIFF 6.0 /
+    Exif 2.x): the stored raster is transformed so row 0 becomes the
+    visual top and column 0 the visual left. None/1/unknown values are
+    identity; 5-8 swap width and height."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:                     # transpose (main diagonal)
+        return arr.swapaxes(0, 1)
+    if orientation == 6:                     # rotate 90 CW to display
+        return np.rot90(arr, -1)
+    if orientation == 7:                     # transverse (anti-diagonal)
+        return arr[::-1, ::-1].swapaxes(0, 1)
+    if orientation == 8:                     # rotate 90 CCW to display
+        return np.rot90(arr, 1)
+    return arr
+
+
 def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
     """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg', pixels) — (H, W, C)
     uint8, or (H, W) for grayscale JPEG. Unknown magics and
@@ -621,7 +643,15 @@ def image_pixel_stats(df_media: DataFrame,
             for doc_id, media in zip(pdf["doc_id"], pdf[media_col]):
                 rows["doc_id"].append(doc_id)
                 try:
-                    fmt, arr = decode_pixels(bytes(media))
+                    data = bytes(media)
+                    fmt, arr = decode_pixels(data)
+                    if fmt == "jpeg":
+                        # phone cameras store the sensor raster plus an
+                        # Exif tag instead of rotating pixels — width/
+                        # height must be the DISPLAY dims or aspect
+                        # gates misfire on a large slice of real photos
+                        arr = apply_exif_orientation(
+                            arr, parse_exif_orientation(data))
                 except Exception as ex:  # noqa: BLE001 — side-drop idiom
                     reason = (str(ex) if isinstance(ex, PixelDecodeError)
                               else f"decode failed: {ex}")
@@ -672,7 +702,11 @@ def resize_images(df_media: DataFrame, width: int, height: int,
             for doc_id, media in zip(pdf["doc_id"], pdf[media_col]):
                 rows["doc_id"].append(doc_id)
                 try:
-                    _, arr = decode_pixels(bytes(media))
+                    data = bytes(media)
+                    fmt, arr = decode_pixels(data)
+                    if fmt == "jpeg":
+                        arr = apply_exif_orientation(
+                            arr, parse_exif_orientation(data))
                     thumb = encode_png(resample(arr, width, height))
                 except Exception as ex:  # noqa: BLE001 — side-drop idiom
                     reason = (str(ex) if isinstance(ex, PixelDecodeError)

@@ -1104,6 +1104,44 @@ def test_progressive_dispatch_and_spark_kernels(spark):
     assert got[2].channels == 1
 
 
+def _with_exif(jpeg: bytes, orientation: int) -> bytes:
+    """Insert a minimal Exif APP1 (II order, one IFD0 entry) after
+    SOI."""
+    tiff = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<H", orientation) + b"\x00\x00"
+            + struct.pack("<I", 0))
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    assert jpeg[:2] == b"\xff\xd8"
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def test_exif_orientation_applied_in_spark_kernels(spark):
+    """Orientation-6 (90° CW to display) JPEGs must report DISPLAY
+    dims in image_pixel_stats and produce upright thumbnails in
+    resize_images; decode_jpeg itself stays raster-order (Exif is
+    container metadata, not scan data)."""
+    img = GRAD[:8, :16]                           # wide stored raster
+    buf = _with_exif(_encode_jpeg(img), 6)
+    raw = J.decode_jpeg(buf)
+    assert raw.shape == (8, 16)                   # decoder: stored raster
+    df = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, bytearray(_encode_jpeg(img)))],
+        "doc_id long, media binary")
+    got = {r.doc_id: r for r in P.image_pixel_stats(df).collect()}
+    assert (got[1].width, got[1].height) == (8, 16)   # display dims
+    assert (got[2].width, got[2].height) == (16, 8)   # no Exif: raster
+    thumbs = {r.doc_id: r for r in P.resize_images(df, 4, 8,
+                                                   method="nearest")
+              .collect()}
+    up = P.decode_png(bytes(thumbs[1].thumb))
+    want = P.resize_nearest(P.apply_exif_orientation(raw, 6)[:, :, None],
+                            4, 8)
+    assert np.array_equal(up, want)
+
+
 def test_jpeg_rides_the_spark_kernels(spark):
     img = np.kron(np.array([[[90, 140, 200]]]),
                   np.ones((16, 16, 1))).astype(np.uint8)

@@ -349,6 +349,49 @@ def test_parse_wav_mono_stereo_and_word_alignment():
     assert ch == 2 and np.array_equal(data, stereo)
 
 
+def _exif_app1(orientation, order="II", extra_entries=0):
+    import struct as _s
+
+    e = "<" if order == "II" else ">"
+    n = 1 + extra_entries
+    entries = b""
+    for _ in range(extra_entries):           # unrelated tag first
+        entries += _s.pack(e + "HHI", 0x010F, 2, 4) + b"test"
+    entries += _s.pack(e + "HHI", 0x0112, 3, 1) \
+        + _s.pack(e + "H", orientation) + b"\x00\x00"
+    tiff = (order.encode() + _s.pack(e + "H", 42) + _s.pack(e + "I", 8)
+            + _s.pack(e + "H", n) + entries + _s.pack(e + "I", 0))
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + _s.pack(">H", len(payload) + 2) + payload
+
+
+def test_parse_exif_orientation():
+    """Exif APP1 orientation: both byte orders, multi-entry IFDs,
+    non-Exif APP1 skipped, malformed TIFF returns None (advisory
+    metadata never side-drops)."""
+    for order in ("II", "MM"):
+        for o in range(1, 9):
+            buf = b"\xff\xd8" + _exif_app1(o, order) + b"\xff\xd9"
+            assert M.parse_exif_orientation(buf) == o, (order, o)
+    multi = b"\xff\xd8" + _exif_app1(6, "MM", extra_entries=2) \
+        + b"\xff\xd9"
+    assert M.parse_exif_orientation(multi) == 6
+    # XMP APP1 (no Exif signature) before the Exif one
+    xmp = b"\xff\xe1" + struct.pack(">H", 13) + b"http://ns.x"
+    assert M.parse_exif_orientation(
+        b"\xff\xd8" + xmp + _exif_app1(3) + b"\xff\xd9") == 3
+    assert M.parse_exif_orientation(b"\xff\xd8\xff\xd9") is None
+    assert M.parse_exif_orientation(b"not jpeg") is None
+    # out-of-range and malformed cases -> None, never an exception
+    bad = b"\xff\xd8" + _exif_app1(9) + b"\xff\xd9"
+    assert M.parse_exif_orientation(bad) is None
+    app1 = _exif_app1(6)
+    trunc = b"\xff\xd8" + app1[:14] + bytes(4) + b"\xff\xd9"
+    assert M.parse_exif_orientation(
+        trunc[:2] + b"\xff\xe1" + struct.pack(">H", 8)
+        + b"Exif\x00\x00" + b"\xff\xd9") is None
+
+
 def _g711_wav(rate, codes, ch, fmt_code):
     """Hand-built RIFF/WAVE with 8-bit G.711 codes."""
     fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * ch, ch, 8)

@@ -525,6 +525,33 @@ def test_decode_pixels_dispatch_and_dims_agree_with_header_parse():
             P.decode_pixels(bad)
 
 
+def test_apply_exif_orientation_all_eight():
+    """Hand-derived expectations for every orientation on a 2x3 array
+    (TIFF 6.0 semantics: the transform makes row 0 the visual top and
+    column 0 the visual left)."""
+    a = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    want = {
+        1: [[1, 2, 3], [4, 5, 6]],
+        2: [[3, 2, 1], [6, 5, 4]],            # mirror horizontal
+        3: [[6, 5, 4], [3, 2, 1]],            # rotate 180
+        4: [[4, 5, 6], [1, 2, 3]],            # mirror vertical
+        5: [[1, 4], [2, 5], [3, 6]],          # transpose
+        6: [[4, 1], [5, 2], [6, 3]],          # rotate 90 CW
+        7: [[6, 3], [5, 2], [4, 1]],          # transverse
+        8: [[3, 6], [2, 5], [1, 4]],          # rotate 90 CCW
+    }
+    for o, exp in want.items():
+        got = P.apply_exif_orientation(a, o)
+        assert np.array_equal(got, np.array(exp)), o
+    assert np.array_equal(P.apply_exif_orientation(a, None), a)
+    assert np.array_equal(P.apply_exif_orientation(a, 0), a)
+    # 3-channel arrays keep the channel axis untouched
+    rgb = np.stack([a, a + 10, a + 20], axis=2)
+    got = P.apply_exif_orientation(rgb, 6)
+    assert got.shape == (3, 2, 3)
+    assert np.array_equal(got[..., 1], np.array(want[6]) + 10)
+
+
 def test_resize_nearest_exact_block_upscale_and_identity():
     img = np.array([[[0, 0, 0], [255, 255, 255]],
                     [[255, 0, 0], [0, 0, 255]]], dtype=np.uint8)
