@@ -195,6 +195,39 @@ def _ni_blocks(frame, c, hmax, vmax) -> tuple[int, int]:
     return -(-ch // 8), -(-cw // 8)              # (nby, nbx)
 
 
+def _scan_mcus(frame, scomps):
+    """Shared MCU enumeration for full-band sequential and progressive
+    DC scans: (total_mcus, blocks(m)) where blocks(m) lists the
+    (scan_index, comp_index, block_y, block_x) units of MCU m — one
+    block per MCU in raster order over the component's own grid for a
+    single-component (non-interleaved, T.81 A.2.2) scan, else the
+    frame MCU grid with each scan component's v x h blocks in SOS
+    order."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    if len(scomps) == 1:
+        ci0 = scomps[0][0]
+        nby, nbx = _ni_blocks(frame, comps[ci0], hmax, vmax)
+
+        def blocks(m):
+            return [(0, ci0, m // nbx, m % nbx)]
+
+        return nby * nbx, blocks
+
+    def blocks(m):
+        my, mx = divmod(m, mcux)
+        out = []
+        for si, (ci, _, _) in enumerate(scomps):
+            c = comps[ci]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    out.append((si, ci, my * c["v"] + by,
+                                mx * c["h"] + bx))
+        return out
+
+    return mcux * mcuy, blocks
+
+
 def _alloc_coefs(frame) -> list[np.ndarray]:
     """Natural-order coefficient grids, one (nby, nbx, 64) int32 array
     per component at the interleaved (MCU-padded) block counts —
@@ -325,9 +358,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDA:                             # SOS
             if frame is None:
                 raise _err("jpeg: SOS before SOF")
-            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+            if len(seg) < 1:
                 raise _err("jpeg: SOS truncated")
             ns = seg[0]
+            if not 1 <= ns <= 4:
+                # T.81 B.2.3 bounds Ns to 1..4; Ns=0 in particular
+                # would sweep every MCU per ~14-byte scan while adding
+                # nothing to coverage — an unbounded-CPU hole
+                raise _err(f"jpeg: {ns} components in scan")
+            if len(seg) < 1 + 2 * ns + 3:
+                raise _err("jpeg: SOS truncated")
             comps = frame["comps"]
             by_id = {c["id"]: i for i, c in enumerate(comps)}
             scomps = []                 # (comp_idx, dc_tid, ac_tid)
@@ -354,10 +394,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         raise _err("jpeg: component scanned twice in "
                                    "sequential mode")
                     seq_scanned.add(ci)
+                scans_done += 1
                 r = _decode_baseline_scan(buf, data_pos, frame, scomps,
                                           coefs, huff_dc, huff_ac,
                                           restart_interval)
-                scans_done += 1
                 if len(seq_scanned) == len(comps):
                     return _reconstruct(frame, coefs, qt)
                 pos = _resync(buf, r.pos)
@@ -407,20 +447,12 @@ def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
     NON-interleaved (A.2.2): one block per MCU in raster order over
     the component's own downsampled grid — sequential frames may code
     each component in its own scan."""
-    comps = frame["comps"]
-    hmax, vmax, mcux, mcuy = _geometry(frame)
     tabs = []
     for ci, dct_t, act_t in scomps:
         if dct_t not in huff_dc or act_t not in huff_ac:
             raise _err("jpeg: missing huffman table for scan")
         tabs.append((huff_dc[dct_t], huff_ac[act_t]))
-    single = len(scomps) == 1
-    if single:
-        ci0 = scomps[0][0]
-        nby, nbx = _ni_blocks(frame, comps[ci0], hmax, vmax)
-        total = nby * nbx
-    else:
-        total = mcux * mcuy
+    total, blocks_of = _scan_mcus(frame, scomps)
     r = _BitReader(buf, pos)
     pred = [0] * len(scomps)
     rst = 0
@@ -429,18 +461,7 @@ def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
             r.align_and_expect_rst(rst)
             rst = (rst + 1) & 7
             pred = [0] * len(scomps)
-        if single:
-            blocks = [(0, ci0, m // nbx, m % nbx)]
-        else:
-            my, mx = divmod(m, mcux)
-            blocks = []
-            for si, (ci, _, _) in enumerate(scomps):
-                c = comps[ci]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blocks.append((si, ci, my * c["v"] + by,
-                                       mx * c["h"] + bx))
-        for si, ci, by, bx in blocks:
+        for si, ci, by, bx in blocks_of(m):
             dc_tab, ac_tab = tabs[si]
             blk = coefs[ci][by, bx]
             size = r.huff(dc_tab)
@@ -470,14 +491,6 @@ def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
     """Progressive DC scan (T.81 G.1.2.1): first scan (Ah=0) DIFF-codes
     the point-transformed DC values; refinement scans (Ah>0) append one
     raw bit per block at position Al."""
-    comps = frame["comps"]
-    hmax, vmax, mcux, mcuy = _geometry(frame)
-    single = len(scomps) == 1
-    if single:
-        nby, nbx = _ni_blocks(frame, comps[scomps[0][0]], hmax, vmax)
-        total = nby * nbx
-    else:
-        total = mcux * mcuy
     tabs = []
     for ci, dct_t, _ in scomps:
         if ah == 0:
@@ -486,6 +499,7 @@ def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
             tabs.append(huff_dc[dct_t])
         else:
             tabs.append(None)      # refinement is raw bits, no table
+    total, blocks_of = _scan_mcus(frame, scomps)
     pred = [0] * len(scomps)
     rst = 0
     for m in range(total):
@@ -493,18 +507,7 @@ def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
             r.align_and_expect_rst(rst)
             rst = (rst + 1) & 7
             pred = [0] * len(scomps)
-        if single:
-            blocks = [(0, scomps[0][0], m // nbx, m % nbx)]
-        else:
-            my, mx = divmod(m, mcux)
-            blocks = []
-            for si, (ci, _, _) in enumerate(scomps):
-                c = comps[ci]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blocks.append((si, ci, my * c["v"] + by,
-                                       mx * c["h"] + bx))
-        for si, ci, by, bx in blocks:
+        for si, ci, by, bx in blocks_of(m):
             blk = coefs[ci][by, bx]
             if ah == 0:
                 size = r.huff(tabs[si])

@@ -158,7 +158,9 @@ def parse_exif_orientation(buf: bytes) -> int | None:
             return None
         while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
             pos += 1                         # fill bytes (B.1.1.2)
-        if pos + 2 > len(buf):
+        # the skip can advance past the loop-top guard: re-check
+        # before the marker byte AND the two length bytes below
+        if pos + 4 > len(buf):
             return None
         marker = buf[pos + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -270,6 +272,13 @@ def decode_image_dims(df_media: DataFrame,
                     errs.append("unrecognized_or_corrupt_header")
                 else:
                     fmt, w, h = parsed
+                    if fmt == "jpeg" and parse_exif_orientation(buf) \
+                            in (5, 6, 7, 8):
+                        # DISPLAY dims, consistent with the pixel
+                        # kernels: orientations 5-8 transpose the
+                        # raster, and an aspect gate fed raster dims
+                        # passes sideways photos
+                        w, h = h, w
                     fmts.append(fmt)
                     ws.append(w)
                     hs.append(h)

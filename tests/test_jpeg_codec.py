@@ -716,6 +716,19 @@ def test_sequential_mixed_groups_and_restart():
     assert np.array_equal(with_rst, base)
 
 
+def test_sequential_ns_zero_rejected():
+    """Ns=0 scans add nothing to coverage but would sweep every MCU
+    per ~14-byte scan — unbounded CPU (r14 review finding). T.81
+    B.2.3 bounds Ns to 1..4; both values outside it must side-drop."""
+    good = _encode_sequential(GRAD)
+    i = good.index(b"\xff\xda")
+    # SOS payload: len(2) ns(1) ... — patch ns to 0 (and 5)
+    for bad_ns in (0, 5):
+        patched = good[:i + 4] + bytes([bad_ns]) + good[i + 5:]
+        with pytest.raises(P.PixelDecodeError, match="components in"):
+            J.decode_jpeg(patched)
+
+
 def test_sequential_component_scanned_twice_rejected():
     img = np.kron(np.array([[[90, 140, 200]]]),
                   np.ones((8, 8, 1))).astype(np.uint8)
@@ -730,21 +743,33 @@ def test_sequential_component_scanned_twice_rejected():
 
 def test_sequential_incomplete_at_eoi_reconstructs_leniently():
     """A sequential stream missing a component's scan reconstructs at
-    EOI with the absent plane flat (zero coefficients) rather than
-    failing the whole record — same leniency as partial progressive."""
-    img = np.kron(np.array([[[90, 140, 200]]]),
-                  np.ones((16, 16, 1))).astype(np.uint8)
-    full = _encode_sequential(img)
+    EOI with the absent plane flat (zero coefficients = 128) rather
+    than failing the whole record — same leniency as partial
+    progressive. Uses a spatially VARYING image so a decoder that
+    wrongly decoded or wrongly zeroed the other planes cannot pass."""
+    rng = np.random.default_rng(13)
+    img = np.kron(rng.integers(40, 216, (2, 2, 3)),
+                  np.ones((8, 8, 1))).astype(np.uint8)
+    full = _encode_sequential(img)                # scans: Y, Cb, Cr
+    full_dec = J.decode_jpeg(full).astype(np.float64)
     # cut just before the THIRD scan's DHT pair and close with EOI
     third_sos = -1
     for _ in range(3):
         third_sos = full.index(b"\xff\xda", third_sos + 1)
     cut = full.rindex(b"\xff\xc4", 0, third_sos)
     second_dht = full.rindex(b"\xff\xc4", 0, cut)
-    got = J.decode_jpeg(full[:second_dht] + b"\xff\xd9")
+    got = J.decode_jpeg(full[:second_dht] + b"\xff\xd9").astype(
+        np.float64)
     assert got.shape == img.shape
-    # Y and Cb arrived; Cr plane is flat 128 so the red channel shifts
-    assert got[..., 2].std() < 2          # blue: Y+Cb only, uniform
+    # Cr missing -> Cr plane sits at 128: blue (no Cr term) matches the
+    # full decode, red shifts by exactly -1.402*(Cr-128), and the
+    # spatial variation of Y/Cb still came through
+    y, cb, cr = (p.astype(np.float64) for p in _to_ycbcr(img))
+    assert np.abs(got[..., 2] - full_dec[..., 2]).max() <= 1
+    want_red_shift = -1.402 * (cr - 128.0)
+    assert np.abs((got[..., 0] - full_dec[..., 0])
+                  - want_red_shift).max() <= 2
+    assert got[..., 2].std() > 5          # Y/Cb variation survived
 
 
 def _default_script(ncomp):

@@ -285,6 +285,27 @@ def test_decode_image_dims_side_drop(spark):
     assert got[6].byte_len == 0
 
 
+def test_decode_image_dims_reports_display_dims_for_exif_rotation(spark):
+    """The header gate and the pixel gate must agree: orientations 5-8
+    transpose the raster, so decode_image_dims reports DISPLAY dims
+    (r14 review finding — an aspect gate fed raster dims passes
+    sideways phone photos that image_pixel_stats would report
+    upright)."""
+    app1 = _exif_app1(6)
+    rot = _jpeg(32, 64, pre_segments=[(0xE1, app1[4:])])
+    upr = _jpeg(32, 64, pre_segments=[(0xE1, _exif_app1(1)[4:])])
+    df = spark.createDataFrame(
+        [(1, rot, "image/jpeg"), (2, upr, "image/jpeg"),
+         (3, _jpeg(32, 64), "image/jpeg")],
+        "doc_id long, media binary, media_type string")
+    got = {r.doc_id: r for r in M.decode_image_dims(df).collect()}
+    assert (got[1].width, got[1].height) == (64, 32)   # transposed
+    assert (got[2].width, got[2].height) == (32, 64)   # orientation 1
+    assert (got[3].width, got[3].height) == (32, 64)   # no Exif
+    # parse_image_header itself stays raster-order (documented)
+    assert M.parse_image_header(bytes(rot)) == ("jpeg", 32, 64)
+
+
 from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
@@ -382,6 +403,9 @@ def test_parse_exif_orientation():
         b"\xff\xd8" + xmp + _exif_app1(3) + b"\xff\xd9") == 3
     assert M.parse_exif_orientation(b"\xff\xd8\xff\xd9") is None
     assert M.parse_exif_orientation(b"not jpeg") is None
+    # truncated tail mid-fill-bytes: None, not struct.error (r14
+    # review finding: the skip loop advanced past the bounds guard)
+    assert M.parse_exif_orientation(b"\xff\xd8\xff\xff\xff\xe0") is None
     # out-of-range and malformed cases -> None, never an exception
     bad = b"\xff\xd8" + _exif_app1(9) + b"\xff\xd9"
     assert M.parse_exif_orientation(bad) is None
