@@ -9,8 +9,10 @@ header multimodal.parse_image_header already walks. This module
 implements both ends to the spec — a CRC-verifying PNG reader (all
 five filters, gray/RGB/RGBA/gray+alpha, palette at depths 1/2/4/8,
 sub-byte grayscale, Adam7 de-interlacing, 16-bit reduced to the 8-bit
-high-byte view), a BI_RGB BMP reader (24/32-bit, top-down
-and bottom-up), a first-frame GIF reader (pure-Python LZW per the
+high-byte view with tRNS keys matched at full 16-bit precision), a
+BMP reader (BI_RGB 24/32-bit truecolor plus 1/4/8-bit palettized and
+RLE8/RLE4 compressed, top-down and bottom-up), a first-frame GIF
+reader (pure-Python LZW per the
 public GIF89a spec appendix F, interlace, local color tables,
 transparency → alpha, sub-rectangle compositing), a deterministic PNG
 writer (for thumbnail output and byte-stable fixtures), and numpy
@@ -159,13 +161,24 @@ def _rows_to_samples(rows: np.ndarray, wp: int, depth: int,
     return _expand_subbyte(rows, depth, wp).reshape(hp, wp, 1)
 
 
+def _rows_to_samples16(rows: np.ndarray, wp: int,
+                       samples: int) -> np.ndarray:
+    """(hp, stride) unfiltered bytes of a 16-bit raster → (hp, wp,
+    samples) uint16 FULL sample values (big-endian pairs) — needed
+    only to match a 16-bit tRNS key exactly before the 8-bit
+    reduction."""
+    hp = rows.shape[0]
+    v = rows.reshape(hp, wp, samples, 2).astype(np.uint16)
+    return (v[..., 0] << 8) | v[..., 1]
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes → (H, W, C) uint8, C ∈ {1, 2, 3, 4} (gray, gray+alpha,
     RGB, RGBA; palette expands to RGB, or RGBA when a tRNS chunk is
     present). CRC-verified per chunk; Adam7 interlace is de-interlaced;
-    16-bit samples reduce to the high byte (the standard 8-bit view —
-    tRNS keyed on a 16-bit image side-drops rather than approximate the
-    key on reduced samples). Raises PixelDecodeError with the reason
+    16-bit samples reduce to the high byte (the standard 8-bit view);
+    a tRNS key on a 16-bit image is matched against the FULL 16-bit
+    samples before the reduction. Raises PixelDecodeError with the reason
     for anything outside the supported subset, as for any corruption."""
     if buf[:8] != _PNG_SIG:
         raise PixelDecodeError("png: bad signature")
@@ -198,10 +211,6 @@ def decode_png(buf: bytes) -> np.ndarray:
     if depth not in ok_depths:
         raise PixelDecodeError(
             f"png: depth {depth} invalid for color type {ctype_n}")
-    if depth == 16 and trns is not None:
-        raise PixelDecodeError(
-            "png: tRNS with 16-bit depth unsupported (samples reduce "
-            "to 8-bit, the 16-bit key cannot be matched faithfully)")
     samples = _PNG_SAMPLES[ctype_n]
     # the decode budget is RASTER BYTES, not pixels: 16-bit rasters
     # weigh double, so halve the allowed pixel count there — otherwise
@@ -230,14 +239,22 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise PixelDecodeError(f"png: zlib {ex}") from None
     if len(raw) != expected:
         raise PixelDecodeError("png: decompressed size mismatch")
+    # a 16-bit tRNS key must be matched against the FULL 16-bit
+    # samples (spec §11.3.2) before the 8-bit reduction
+    need16 = depth == 16 and trns is not None and ctype_n in (0, 2)
+    vals16 = None
     if not interlace:
         _, _, _, _, wp, hp, stride = plan[0]
-        vals = _rows_to_samples(_unfilter(raw, hp, stride, bpp),
-                                wp, depth, samples)
+        rows = _unfilter(raw, hp, stride, bpp)
+        vals = _rows_to_samples(rows, wp, depth, samples)
+        if need16:
+            vals16 = _rows_to_samples16(rows, wp, samples)
     else:
         # every pixel belongs to exactly one Adam7 pass, so the canvas
         # needs no zero-fill
         vals = np.empty((h, w, samples), np.uint8)  # RAW sample values
+        if need16:
+            vals16 = np.empty((h, w, samples), np.uint16)
         off = 0
         for x0, y0, dx, dy, wp, hp, stride in plan:
             n = hp * (stride + 1)
@@ -245,6 +262,9 @@ def decode_png(buf: bytes) -> np.ndarray:
             off += n
             vals[y0::dy, x0::dx] = _rows_to_samples(
                 rows, wp, depth, samples)
+            if need16:
+                vals16[y0::dy, x0::dx] = _rows_to_samples16(
+                    rows, wp, samples)
     raw_gray = None                      # pre-scale samples for tRNS
     if ctype_n == 0:
         raw_gray = vals[:, :, 0]
@@ -280,12 +300,23 @@ def decode_png(buf: bytes) -> np.ndarray:
         nkeys = 1 if ctype_n == 0 else 3
         if len(trns) < 2 * nkeys:
             raise PixelDecodeError("png: tRNS too short")
-        keys = [struct.unpack(">H", trns[2 * i:2 * i + 2])[0] & 0xFF
+        full = [struct.unpack(">H", trns[2 * i:2 * i + 2])[0]
                 for i in range(nkeys)]
-        if ctype_n == 0:
-            match = raw_gray == keys[0]
+        if depth == 16:
+            # exact 16-bit match on the pre-reduction samples — the
+            # high-byte view alone would alias 256 distinct values
+            # onto the key
+            if ctype_n == 0:
+                match = vals16[:, :, 0] == full[0]
+            else:
+                match = (vals16 == np.array(full, np.uint16)) \
+                    .all(axis=2)
         else:
-            match = (arr == np.array(keys, np.uint8)).all(axis=2)
+            keys = [k & 0xFF for k in full]
+            if ctype_n == 0:
+                match = raw_gray == keys[0]
+            else:
+                match = (arr == np.array(keys, np.uint8)).all(axis=2)
         alpha = np.where(match, 0, 255).astype(np.uint8)
         return np.dstack([arr, alpha])
     return arr
@@ -323,16 +354,73 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 # --- BMP reader -------------------------------------------------------------
 
+def _bmp_rle(data: bytes, w: int, h: int, four: bool) -> np.ndarray:
+    """BI_RLE8/BI_RLE4 expansion (the public BITMAPINFOHEADER spec):
+    encoded runs, absolute runs (word-aligned), and the 0-escapes
+    end-of-line / end-of-bitmap / delta. Returns (h, w) palette
+    indices in STORED (bottom-up) row order; pixels no run covers stay
+    index 0, the common renderer behavior. Bounded: every write lands
+    inside the (h, w) canvas or raises."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    while i + 2 <= len(data):
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:                              # encoded run
+            if y >= h or x + cnt > w:
+                raise PixelDecodeError("bmp: RLE run past the row")
+            if four:
+                pair = np.array([val >> 4, val & 0x0F], np.uint8)
+                out[y, x:x + cnt] = np.tile(pair, (cnt + 1) // 2)[:cnt]
+            else:
+                out[y, x:x + cnt] = val
+            x += cnt
+            continue
+        if val == 0:                         # end of line
+            x, y = 0, y + 1
+        elif val == 1:                       # end of bitmap
+            return out
+        elif val == 2:                       # delta
+            if i + 2 > len(data):
+                raise PixelDecodeError("bmp: RLE delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise PixelDecodeError("bmp: RLE delta out of bounds")
+        else:                                # absolute mode: val pixels
+            n = val
+            nbytes = (n + 1) // 2 if four else n
+            nbytes += nbytes & 1             # runs are word-aligned
+            if i + nbytes > len(data):
+                raise PixelDecodeError("bmp: RLE absolute truncated")
+            if y >= h or x + n > w:
+                raise PixelDecodeError("bmp: RLE run past the row")
+            chunk = np.frombuffer(data, np.uint8, count=nbytes, offset=i)
+            if four:
+                nib = np.empty(nbytes * 2, np.uint8)
+                nib[0::2] = chunk >> 4
+                nib[1::2] = chunk & 0x0F
+                out[y, x:x + n] = nib[:n]
+            else:
+                out[y, x:x + n] = chunk[:n]
+            x += n
+            i += nbytes
+    raise PixelDecodeError("bmp: RLE data ended without end-of-bitmap")
+
+
 def decode_bmp(buf: bytes) -> np.ndarray:
-    """Uncompressed (BI_RGB) 24/32-bit BMP → (H, W, 3) uint8 in RGB
-    channel order (file order is BGR, rows 4-byte padded, bottom-up
-    unless the height is negative). The 4th byte of 32-bit BI_RGB
-    pixels is RESERVED, not alpha (alpha needs BI_BITFIELDS/V4+
-    headers, out of scope) — real files zero it, so surfacing it would
-    render every thumbnail fully transparent; it is dropped, matching
-    what PIL does for this case. Other bit depths and compressions
-    raise PixelDecodeError — parse_image_header still serves their
-    dims."""
+    """BMP → (H, W, 3) uint8 RGB: uncompressed (BI_RGB) 24/32-bit
+    truecolor, palettized 1/4/8-bit, and RLE-compressed palette images
+    (BI_RLE8/BI_RLE4) — the full classic BITMAPINFOHEADER surface.
+    File order is BGR with rows 4-byte padded, bottom-up unless the
+    height is negative (RLE is bottom-up only, per spec). The 4th byte
+    of 32-bit BI_RGB pixels is RESERVED, not alpha (alpha needs
+    BI_BITFIELDS/V4+ headers, out of scope) — real files zero it, so
+    surfacing it would render every thumbnail fully transparent; it is
+    dropped, matching what PIL does for this case. Other bit depths
+    and compressions raise PixelDecodeError — parse_image_header still
+    serves their dims."""
     if len(buf) < 54 or buf[:2] != b"BM":
         raise PixelDecodeError("bmp: bad header")
     (off,) = struct.unpack("<I", buf[10:14])
@@ -341,31 +429,71 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         raise PixelDecodeError("bmp: only BITMAPINFOHEADER+ supported")
     w, h_signed = struct.unpack("<ii", buf[18:26])
     bits, comp = struct.unpack("<HI", buf[28:34])
-    if comp != 0:
-        raise PixelDecodeError(f"bmp: compression {comp} unsupported")
-    if bits not in (24, 32):
-        raise PixelDecodeError(f"bmp: {bits}-bit unsupported")
+    if (bits, comp) not in ((24, 0), (32, 0), (8, 0), (4, 0), (1, 0),
+                            (8, 1), (4, 2)):
+        raise PixelDecodeError(
+            f"bmp: {bits}-bit compression {comp} unsupported")
     if w <= 0 or h_signed == 0:
         raise PixelDecodeError("bmp: bad dimensions")
+    if comp and h_signed < 0:
+        raise PixelDecodeError("bmp: RLE bitmaps must be bottom-up")
     h = abs(h_signed)
     if w * h > MAX_PIXELS:
         raise PixelDecodeError(f"bmp: {w}x{h} exceeds the decode "
                                "pixel cap")
-    nch = bits // 8
-    stride = (w * nch + 3) & ~3
+    pal = None
+    if bits <= 8:
+        (clr_used,) = struct.unpack("<I", buf[46:50])
+        n_pal = clr_used or (1 << bits)
+        if n_pal > 1 << bits:
+            raise PixelDecodeError("bmp: palette larger than the "
+                                   "index space")
+        pal_at = 14 + dib
+        if pal_at + 4 * n_pal > len(buf):
+            raise PixelDecodeError("bmp: truncated palette")
+        pal = np.frombuffer(buf, np.uint8, count=4 * n_pal,
+                            offset=pal_at).reshape(n_pal, 4)[:, [2, 1, 0]]
+        header_end = pal_at + 4 * n_pal
+    else:
+        header_end = 14 + dib
     # bfOffBits below the end of the headers would reinterpret header
     # bytes as pixels — plausible-looking garbage instead of a
     # side-drop; reject it like every other malformed case
-    if off < 14 + dib or off > len(buf):
+    if off < header_end or off > len(buf):
         raise PixelDecodeError("bmp: pixel-data offset inside header")
-    need = off + stride * h
-    if need > len(buf):
-        raise PixelDecodeError("bmp: truncated pixel data")
-    rows = np.frombuffer(buf, np.uint8, count=stride * h, offset=off) \
-        .reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
-    if h_signed > 0:                         # bottom-up storage
-        rows = rows[::-1]
-    return np.ascontiguousarray(rows[:, :, [2, 1, 0]])  # BGR(X) → RGB
+    if comp:                                 # RLE8 / RLE4
+        idx = _bmp_rle(buf[off:], w, h, four=comp == 2)[::-1]
+    elif bits <= 8:                          # uncompressed palette
+        stride = ((w * bits + 31) // 32) * 4
+        if off + stride * h > len(buf):
+            raise PixelDecodeError("bmp: truncated pixel data")
+        rows = np.frombuffer(buf, np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)
+        if bits == 8:
+            idx = rows[:, :w]
+        elif bits == 4:
+            nib = np.empty((h, stride * 2), np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :w]
+        else:
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        if h_signed > 0:                     # bottom-up storage
+            idx = idx[::-1]
+    else:
+        nch = bits // 8
+        stride = (w * nch + 3) & ~3
+        if off + stride * h > len(buf):
+            raise PixelDecodeError("bmp: truncated pixel data")
+        rows = np.frombuffer(buf, np.uint8, count=stride * h,
+                             offset=off) \
+            .reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
+        if h_signed > 0:                     # bottom-up storage
+            rows = rows[::-1]
+        return np.ascontiguousarray(rows[:, :, [2, 1, 0]])  # BGR(X)→RGB
+    if int(idx.max()) >= pal.shape[0]:
+        raise PixelDecodeError("bmp: palette index out of range")
+    return np.ascontiguousarray(pal[idx])
 
 
 # --- GIF reader (LZW is fully specified in the public GIF89a spec) ---------
@@ -567,9 +695,8 @@ def apply_exif_orientation(arr: np.ndarray, orientation) -> np.ndarray:
 def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
     """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg', pixels) — (H, W, C)
     uint8, or (H, W) for grayscale JPEG. Unknown magics and
-    out-of-scope encodings (arithmetic-coded JPEG, 16-bit PNG with
-    tRNS, non-PCM codecs, ...) raise PixelDecodeError with the
-    reason."""
+    out-of-scope encodings (arithmetic-coded JPEG, non-PCM audio
+    codecs, ...) raise PixelDecodeError with the reason."""
     if buf[:8] == _PNG_SIG:
         return "png", decode_png(buf)
     if buf[:2] == b"BM":

@@ -195,10 +195,12 @@ def test_bmp_24_and_32_bit_bottom_up_and_top_down():
     got32 = P.decode_bmp(bmp(img, 32, flip=False))
     assert got32.shape == img.shape
     assert np.array_equal(got32, img)
-    with pytest.raises(P.PixelDecodeError, match="unsupported"):
-        P.decode_bmp(bmp(img, 24, flip=True)[:28]
-                     + struct.pack("<HI", 8, 0)
-                     + bmp(img, 24, flip=True)[34:])
+    # 16-bit (BI_RGB) and BI_BITFIELDS stay out of scope
+    for bad_bits, bad_comp in ((16, 0), (32, 3)):
+        with pytest.raises(P.PixelDecodeError, match="unsupported"):
+            P.decode_bmp(bmp(img, 24, flip=True)[:28]
+                         + struct.pack("<HI", bad_bits, bad_comp)
+                         + bmp(img, 24, flip=True)[34:])
     with pytest.raises(P.PixelDecodeError, match="truncated"):
         P.decode_bmp(bmp(img, 24, flip=True)[:-4])
     # bfOffBits pointing back into the headers would silently decode
@@ -211,6 +213,104 @@ def test_bmp_24_and_32_bit_bottom_up_and_top_down():
     with pytest.raises(P.PixelDecodeError, match="offset"):
         P.decode_bmp(good[:10] + struct.pack("<I", len(good) + 1)
                      + good[14:])
+
+
+def _bmp_pal(w, h, bits, comp, pal_rgb, body, clr_used=None):
+    """Hand-built palettized BMP: pal_rgb is [(r,g,b), ...], body is
+    the raw (already strided/encoded) pixel data. biClrUsed defaults
+    to the actual table size (0 would declare a full 2^bits table)."""
+    n = len(pal_rgb)
+    if clr_used is None:
+        clr_used = n
+    pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal_rgb)
+    off = 14 + 40 + len(pal)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, comp,
+                      len(body), 2835, 2835, clr_used, 0)
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + dib + pal + body
+
+
+PAL_RGB = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+
+def test_bmp_palettized_1_4_8_bit():
+    idx = np.array([[0, 1, 2, 3, 2], [3, 2, 1, 0, 1]], np.uint8)
+    expect = np.array(PAL_RGB, np.uint8)[idx]
+    # 8-bit: stride pads 5 -> 8 bytes; bottom-up storage
+    body8 = b"".join(bytes(row) + bytes(3) for row in idx[::-1])
+    got = P.decode_bmp(_bmp_pal(5, 2, 8, 0, PAL_RGB, body8))
+    assert np.array_equal(got, expect)
+    # 4-bit: high nibble first, 3 data bytes -> padded to 4
+    def nibrow(row):
+        out = bytearray()
+        for i in range(0, len(row), 2):
+            hi = row[i] << 4
+            lo = row[i + 1] if i + 1 < len(row) else 0
+            out.append(hi | lo)
+        return bytes(out) + bytes(4 - len(out))
+    body4 = b"".join(nibrow(list(row)) for row in idx[::-1])
+    got = P.decode_bmp(_bmp_pal(5, 2, 4, 0, PAL_RGB, body4))
+    assert np.array_equal(got, expect)
+    # 1-bit: MSB-first, two colors
+    bits1 = np.array([[1, 0, 1, 1, 0], [0, 1, 0, 0, 1]], np.uint8)
+    body1 = b"".join(
+        bytes([int("".join(map(str, row)) + "000", 2)]) + bytes(3)
+        for row in bits1[::-1])
+    got = P.decode_bmp(_bmp_pal(5, 2, 1, 0, PAL_RGB[:2], body1))
+    assert np.array_equal(got, np.array(PAL_RGB[:2], np.uint8)[bits1])
+    # biClrUsed shrinks the table; an index past it must side-drop
+    with pytest.raises(P.PixelDecodeError, match="index out of range"):
+        P.decode_bmp(_bmp_pal(5, 2, 8, 0, PAL_RGB[:2], body8,
+                              clr_used=2))
+    with pytest.raises(P.PixelDecodeError, match="truncated palette"):
+        P.decode_bmp(_bmp_pal(5, 2, 8, 0, PAL_RGB, body8)[:60])
+
+
+def test_bmp_rle8_and_rle4():
+    # RLE8: encoded runs + absolute mode + delta + EOL + EOB over a
+    # 6x3 canvas (bottom-up: first decoded row is the BOTTOM one)
+    body = bytes([
+        3, 1,                 # bottom row: 1 1 1
+        0, 3, 0, 1, 2, 0,     # absolute 0 1 2 (+word-align pad byte)
+        0, 0,                 # EOL
+        0, 2, 2, 1,           # delta dx=2 dy=1: lands on stored row 2
+        4, 3,                 # 3 3 3 3
+        0, 1,                 # EOB
+    ])
+    got = P.decode_bmp(_bmp_pal(6, 3, 8, 1, PAL_RGB, body))
+    exp_idx = np.zeros((3, 3 + 3), np.uint8)   # stored bottom-up
+    exp_idx[0] = [1, 1, 1, 0, 1, 2]            # bottom
+    exp_idx[2, 2:6] = 3                        # after delta(2,1)
+    expect = np.array(PAL_RGB, np.uint8)[exp_idx[::-1]]
+    assert np.array_equal(got, expect)
+    # RLE4: a run alternates the byte's two nibbles; absolute packs
+    # nibbles high-first, byte count rounded up to a word boundary
+    # (3 nibbles -> 2 bytes, already even -> no pad)
+    body4 = bytes([
+        5, 0x12,              # 1 2 1 2 1
+        0, 3, 0x23, 0x10,     # absolute 3 px: 2 3 1
+        0, 0,                 # EOL
+        8, 0x30,              # 3 0 3 0 3 0 3 0
+        0, 1,                 # EOB
+    ])
+    got = P.decode_bmp(_bmp_pal(8, 2, 4, 2, PAL_RGB, body4))
+    exp_idx = np.zeros((2, 8), np.uint8)
+    exp_idx[0] = [1, 2, 1, 2, 1, 2, 3, 1]
+    exp_idx[1] = [3, 0, 3, 0, 3, 0, 3, 0]
+    assert np.array_equal(got,
+                          np.array(PAL_RGB, np.uint8)[exp_idx[::-1]])
+    # malformed RLE: run past the row, missing EOB, truncated delta
+    with pytest.raises(P.PixelDecodeError, match="past the row"):
+        P.decode_bmp(_bmp_pal(4, 2, 8, 1, PAL_RGB, bytes([9, 1, 0, 1])))
+    with pytest.raises(P.PixelDecodeError, match="without end-of-bitmap"):
+        P.decode_bmp(_bmp_pal(4, 2, 8, 1, PAL_RGB, bytes([2, 1])))
+    with pytest.raises(P.PixelDecodeError, match="delta truncated"):
+        P.decode_bmp(_bmp_pal(4, 2, 8, 1, PAL_RGB, bytes([0, 2])))
+    # RLE requires bottom-up storage (positive height)
+    neg = bytearray(_bmp_pal(4, 2, 8, 1, PAL_RGB, bytes([2, 1, 0, 1])))
+    neg[22:26] = struct.pack("<i", -2)
+    with pytest.raises(P.PixelDecodeError, match="bottom-up"):
+        P.decode_bmp(bytes(neg))
 
 
 @settings(max_examples=60, deadline=None)
@@ -268,10 +368,28 @@ def test_png_16bit_reduces_to_high_byte():
     body = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in rgb16)
     got = P.decode_png(_png(3, 2, 16, 2, body))
     assert np.array_equal(got, (rgb16 >> 8).astype(np.uint8))
-    # 16-bit + tRNS: the key cannot be matched on reduced samples
-    with pytest.raises(P.PixelDecodeError, match="tRNS with 16-bit"):
-        P.decode_png(_png(3, 2, 16, 2, body,
-                          trns=struct.pack(">HHH", 1, 2, 3)))
+    # 16-bit + tRNS (r14): the key is matched against the FULL 16-bit
+    # samples BEFORE the high-byte reduction — two pixels sharing a
+    # high byte must get different alphas when only one equals the key
+    rgb16 = rgb16.copy()
+    rgb16[0, 0] = (0x1234, 0x5678, 0x9ABC)
+    rgb16[0, 1] = (0x1235, 0x5679, 0x9ABD)       # same high bytes
+    body = b"".join(b"\x00" + row.astype(">u2").tobytes()
+                    for row in rgb16)
+    got = P.decode_png(_png(3, 2, 16, 2, body,
+                            trns=struct.pack(">HHH", 0x1234, 0x5678,
+                                             0x9ABC)))
+    assert got.shape == (2, 3, 4)
+    assert got[0, 0, 3] == 0 and got[0, 1, 3] == 255
+    assert np.array_equal(got[:, :, :3], (rgb16 >> 8).astype(np.uint8))
+    # a high-byte-only match would alias these; and the gray variant
+    g16 = np.array([[0x0100, 0x0101, 0x01FF]], dtype=np.uint16)
+    gbody = b"\x00" + g16.astype(">u2").tobytes()
+    got = P.decode_png(_png(3, 1, 16, 0, gbody,
+                            trns=struct.pack(">H", 0x0101)))
+    assert got.shape == (1, 3, 2)
+    assert list(got[0, :, 1]) == [255, 0, 255]
+    assert list(got[0, :, 0]) == [1, 1, 1]       # high-byte view
 
 
 def test_png_trns_gray_and_truecolor_keys():
