@@ -591,9 +591,9 @@ def test_gif_corrupt_reasons():
         P.decode_gif(_gif(4, 1, bytes(6), idx))
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=150, deadline=None)
 @given(st.integers(0, 2**32 - 1), st.sampled_from(["png", "bmp", "gif",
-                                                   "rand"]),
+                                                   "bmp_rle", "rand"]),
        st.integers(0, 3))
 def test_decode_pixels_fuzz_never_crashes(seed, kind, n_mut):
     """Malformed bytes must surface as PixelDecodeError (the side-drop
@@ -612,6 +612,10 @@ def test_decode_pixels_fuzz_never_crashes(seed, kind, n_mut):
             buf = P.encode_png(img)
         elif kind == "gif":
             buf = _gif(4, 2, PAL4, bytes([0, 1, 2, 3, 3, 2, 1, 0]))
+        elif kind == "bmp_rle":
+            buf = _bmp_pal(6, 3, 8, 1, PAL_RGB,
+                           bytes([3, 1, 0, 3, 0, 1, 2, 0, 0, 0,
+                                  0, 2, 2, 1, 4, 3, 0, 1]))
         else:
             buf = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
                    + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 24, 0,
