@@ -501,17 +501,94 @@ def parse_wav(buf: bytes) -> tuple[int, int, "object"]:
     raise AudioDecodeError("wav: no data chunk")
 
 
+def _f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the AIFF sample-rate field,
+    'EA IFF 85' / Apple Numerics): 1 sign bit, 15-bit exponent biased
+    16383, 64-bit mantissa with an EXPLICIT integer bit."""
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def parse_aiff(buf: bytes) -> tuple[int, int, "object"]:
+    """AIFF (big-endian PCM16, the classic 'EA IFF 85' container) →
+    (sample_rate, n_channels, (n_frames, n_channels) int16 samples,
+    little-endian-normalized). Walks word-aligned IFF chunks: COMM
+    (channels, frame count, bit width, 80-bit extended sample rate)
+    must precede SSND (offset/blockSize prologue then the samples).
+    AIFC/compressed variants and widths other than 16-bit raise
+    AudioDecodeError with the reason."""
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"FORM":
+        raise AudioDecodeError("aiff: bad FORM header")
+    if buf[8:12] != b"AIFF":
+        raise AudioDecodeError(
+            "aiff: only plain AIFF supported (AIFC/compressed is out "
+            "of scope)")
+    pos = 12
+    comm = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack(">I", buf[pos + 4:pos + 8])
+        body = pos + 8
+        if body + size > len(buf):
+            raise AudioDecodeError(f"aiff: truncated {cid!r} chunk")
+        if cid == b"COMM":
+            if size < 18:
+                raise AudioDecodeError("aiff: COMM chunk too short")
+            ch, nframes, bits = struct.unpack(
+                ">hIh", buf[body:body + 8])
+            rate = _f80(buf[body + 8:body + 18])
+            if bits != 16:
+                raise AudioDecodeError(
+                    f"aiff: {bits}-bit unsupported (16-bit PCM only)")
+            if ch < 1 or not 1 <= rate < 1 << 31:
+                raise AudioDecodeError("aiff: bad COMM fields")
+            comm = (int(round(rate)), ch, nframes)
+        elif cid == b"SSND":
+            if comm is None:
+                raise AudioDecodeError("aiff: SSND before COMM")
+            if size < 8:
+                raise AudioDecodeError("aiff: SSND chunk too short")
+            off, _blk = struct.unpack(">II", buf[body:body + 8])
+            rate, ch, nframes = comm
+            data_at = body + 8 + off
+            if data_at + nframes * ch * 2 > len(buf):
+                raise AudioDecodeError("aiff: truncated sample data")
+            data = np.frombuffer(buf, ">i2", count=nframes * ch,
+                                 offset=data_at).astype("<i2") \
+                .reshape(nframes, ch)
+            return rate, ch, data
+        pos = body + size + (size & 1)    # IFF chunks are word-aligned
+    raise AudioDecodeError("aiff: no SSND chunk")
+
+
+def parse_audio_container(buf: bytes) -> tuple[int, int, "object"]:
+    """Magic dispatch for the audio lane: RIFF/WAVE (PCM16 + G.711) or
+    FORM/AIFF (big-endian PCM16) → the same (rate, channels, int16
+    samples) contract."""
+    if buf[:4] == b"FORM":
+        return parse_aiff(buf)
+    return parse_wav(buf)
+
+
 WAV_SCHEMA = ("doc_id bigint, audio binary, media_type string, "
               "sample_rate int, n_channels int, n_samples int, "
               "content_md5 string, decode_error string")
 
 
 def decode_wav(df_media: DataFrame, media_col: str = "media") -> DataFrame:
-    """WAV container decode over Arrow batches: emits the mono PCM16
-    lane audio_features consumes (multi-channel mixes down by integer
-    mean — deterministic, no float) plus rate/channel metadata;
-    undecodable rows side-drop with a reason. Shuffle-free row-local
-    projection, same contract as pixels.image_pixel_stats."""
+    """Audio container decode over Arrow batches — RIFF/WAVE (PCM16 +
+    G.711) and FORM/AIFF (big-endian PCM16) by magic dispatch: emits
+    the mono PCM16 lane audio_features consumes (multi-channel mixes
+    down by integer mean — deterministic, no float) plus rate/channel
+    metadata; undecodable rows side-drop with a reason. Shuffle-free
+    row-local projection, same contract as pixels.image_pixel_stats."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -524,7 +601,7 @@ def decode_wav(df_media: DataFrame, media_col: str = "media") -> DataFrame:
             for doc_id, media in zip(pdf["doc_id"], pdf[media_col]):
                 rows["doc_id"].append(doc_id)
                 try:
-                    rate, ch, data = parse_wav(bytes(media))
+                    rate, ch, data = parse_audio_container(bytes(media))
                 except Exception as ex:  # noqa: BLE001 — side-drop idiom
                     reason = (str(ex) if isinstance(ex, AudioDecodeError)
                               else f"decode failed: {ex}")

@@ -475,6 +475,83 @@ def test_wav_g711_rides_decode_and_features(spark):
     assert got[2].n_channels == 2 and got[2].n_samples == 50
 
 
+def _f80_encode(x):
+    """Independent forward 80-bit extended encoder (math.frexp-based,
+    no reuse of the module's decoder)."""
+    import math
+
+    if x == 0:
+        return bytes(10)
+    m, e = math.frexp(x)                 # x = m * 2**e, 0.5 <= m < 1
+    mant = int(m * (1 << 64))
+    return struct.pack(">HQ", (e - 1) + 16383, mant)
+
+
+def _aiff(rate, samples, ssnd_offset=0, form=b"AIFF", bits=16):
+    """Hand-built FORM/AIFF: samples is an (n, ch) int16 array."""
+    import numpy as np
+
+    n, ch = samples.shape
+    comm = (struct.pack(">hIh", ch, n, bits) + _f80_encode(rate))
+    data = np.ascontiguousarray(samples.astype(">i2")).tobytes()
+    ssnd = struct.pack(">II", ssnd_offset, 0) + bytes(ssnd_offset) + data
+    chunks = (b"COMM" + struct.pack(">I", len(comm)) + comm
+              + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form + chunks
+
+
+def test_parse_aiff_mono_stereo_and_rate():
+    import numpy as np
+
+    mono = np.array([[100], [-200], [32767], [-32768]], np.int16)
+    rate, ch, data = M.parse_aiff(_aiff(44100, mono))
+    assert (rate, ch) == (44100, 1)
+    assert np.array_equal(data, mono)
+    # the canonical published 44.1 kHz extended-float encoding
+    assert _f80_encode(44100) == bytes.fromhex("400eac44000000000000")
+    assert M._f80(bytes.fromhex("400eac44000000000000")) == 44100.0
+    stereo = np.array([[1, -1], [1000, -1000]], np.int16)
+    rate, ch, data = M.parse_aiff(_aiff(8000, stereo, ssnd_offset=6))
+    assert (rate, ch) == (8000, 2)
+    assert np.array_equal(data, stereo)
+    # byte order actually matters: the container is big-endian
+    raw = _aiff(8000, np.array([[0x0102]], np.int16))
+    assert b"\x01\x02" in raw
+
+
+def test_parse_aiff_rejects_with_reasons():
+    import numpy as np
+
+    mono = np.array([[7]], np.int16)
+    with pytest.raises(M.AudioDecodeError, match="FORM"):
+        M.parse_aiff(b"FORX" + _aiff(8000, mono)[4:])
+    with pytest.raises(M.AudioDecodeError, match="AIFC"):
+        M.parse_aiff(_aiff(8000, mono, form=b"AIFC"))
+    with pytest.raises(M.AudioDecodeError, match="16-bit"):
+        M.parse_aiff(_aiff(8000, mono, bits=8))
+    with pytest.raises(M.AudioDecodeError, match="truncated"):
+        M.parse_aiff(_aiff(8000, mono)[:-1])
+    with pytest.raises(M.AudioDecodeError, match="no SSND"):
+        M.parse_aiff(_aiff(8000, mono)[:38])   # full COMM, no SSND
+
+
+def test_aiff_rides_decode_wav_kernel(spark):
+    import numpy as np
+
+    wav_mono = np.array([[5], [6]], np.int16)
+    aiff_st = np.array([[100, 300], [-100, -300]], np.int16)
+    rows = [(1, bytearray(_wav(16000, wav_mono)), "audio/wav"),
+            (2, bytearray(_aiff(22050, aiff_st)), "audio/aiff")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary, "
+                                     "media_type string")
+    got = {r.doc_id: r for r in M.decode_wav(df).collect()}
+    assert got[1].sample_rate == 16000 and got[1].n_channels == 1
+    assert got[2].sample_rate == 22050 and got[2].n_channels == 2
+    # integer-mean mixdown of the big-endian stereo, normalized LE
+    mono = np.frombuffer(bytes(got[2].audio), "<i2")
+    assert list(mono) == [200, -200]
+
+
 def test_parse_wav_rejects_with_reasons():
     import numpy as np
 
