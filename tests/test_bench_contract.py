@@ -132,3 +132,34 @@ def test_gc_is_gated_on_workload_mode():
     assert gc_java_options("streaming") == ""
     with pytest.raises(ValueError):
         gc_java_options("interactive")
+
+
+def test_bench_control_tail_percentiles_are_symmetric():
+    """p10 must not degenerate to the minimum for small n, and the two
+    tails must use the same estimator (r14 ADVICE: the old k//10-1
+    index returned p0 for k<=19 and sat one rank low generally)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_control",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "bench_control.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def runs(vals):
+        return [{"queries": {f"q{i}": v for i, v in enumerate(vals)}}]
+
+    control = runs([1.0] * 19)
+    head = runs([0.5] + [1.0] * 17 + [2.0])
+    out = mod.per_query_ratios(head, control)
+    assert out["n_common"] == 19
+    # exclusive-deciles estimator: both tails pull toward the extremes
+    # symmetrically, and p10 > min (the old code returned exactly 0.5)
+    assert out["p10"] > 0.5
+    assert out["p90"] < 2.0
+    assert abs((1.0 - out["p10"]) - (out["p90"] - 1.0)) < 1e-9
+    # single-query edge: both tails defined, equal to the one ratio
+    one = mod.per_query_ratios(runs([3.0]), runs([2.0]))
+    assert one["p10"] == one["p90"] == 1.5

@@ -356,7 +356,14 @@ def test_fill_bytes_before_markers_are_skipped():
 
 def test_unsupported_and_corrupt_reasons():
     good = _encode_jpeg(GRAD)
-    with pytest.raises(P.PixelDecodeError, match="progressive"):
+    # arithmetic coding (SOF9) stays a declared unsupported boundary
+    with pytest.raises(P.PixelDecodeError, match="SOF9.*unsupported"):
+        J.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    # a progressive FRAME whose scan header is still the sequential
+    # one (byte-swapped SOF0->SOF2) must side-drop as an invalid
+    # progressive scan header, not decode garbage
+    with pytest.raises(P.PixelDecodeError,
+                       match="progressive scan header"):
         J.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(P.PixelDecodeError, match="truncated|ended"):
         J.decode_jpeg(good[:len(good) // 2])

@@ -109,10 +109,15 @@ def per_query_ratios(head_runs: list[dict],
     movers = [{"query": q, "ratio": round(r, 3)}
               for r, q in ratios[-5:][::-1] if r >= 1.5]
     k = len(vals)
+    if k >= 2:
+        deciles = statistics.quantiles(vals, n=10)
+        p10, p90 = deciles[0], deciles[8]
+    else:
+        p10 = p90 = vals[0]
     return {"n_common": k,
             "median": round(statistics.median(vals), 4),
-            "p10": round(vals[max(0, k // 10 - 1)], 4),
-            "p90": round(vals[min(k - 1, (9 * k) // 10)], 4),
+            "p10": round(p10, 4),
+            "p90": round(p90, 4),
             "movers_ge_1p5x": movers}
 
 
@@ -128,6 +133,12 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=1,
                     help="control+head pairs to run (default 1)")
     ap.add_argument("--quiet-load", type=float, default=1.5)
+    ap.add_argument("--cooldown-max", type=int, default=0,
+                    help="wait up to this many seconds before EACH leg "
+                         "for the 1-min load to fall under --quiet-load "
+                         "(a bench leg leaves load ~4, so back-to-back "
+                         "legs can never start quiet without this; the "
+                         "r14 close pair was flagged for exactly that)")
     ap.add_argument("--label", default="",
                     help="tag recorded in the JSON (e.g. r14-open)")
     ap.add_argument("--out", default=os.path.join(REPO,
@@ -153,6 +164,14 @@ def main() -> None:
         if i % 2:
             order.reverse()
         for side, tree in order:
+            waited = 0
+            while (args.cooldown_max and waited < args.cooldown_max
+                   and os.getloadavg()[0] > args.quiet_load):
+                time.sleep(15)
+                waited += 15
+            if waited:
+                print(f"  cooled down {waited}s (load now "
+                      f"{os.getloadavg()[0]:.2f})", flush=True)
             r = run_bench(tree, args.sf_dir)
             r["side"] = side
             r["pair"] = i
