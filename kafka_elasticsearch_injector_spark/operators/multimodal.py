@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Real kernels by lane: header dims decode for PNG/GIF/BMP/JPEG lives
-here (parse_image_header, r12); PIXEL decode + resize for all four —
-PNG, BMP, GIF (spec LZW), JPEG baseline + progressive (huffman + IDCT,
-T.81 Annex G in r14) — is operators/pixels.py +
-operators/jpeg_codec.py (pure stdlib + numpy, no image libs); PCM16
-audio features are real below. Only out-of-scope encodings stay
-stubbed (arithmetic-coded JPEG, video frames, compressed
-audio — resize_stub marks the boundary); everything Spark-side is real
+Real kernels by lane: header dims decode for PNG/GIF/BMP/JPEG/WebP
+lives here (parse_image_header, r12; WebP r15); PIXEL decode + resize
+for all five — PNG, BMP, GIF (spec LZW), JPEG baseline + progressive
+(huffman + IDCT, T.81 Annex G in r14), WebP VP8L (RFC 9649 §5 in
+r15) — is operators/pixels.py + operators/jpeg_codec.py +
+operators/webp_codec.py (pure stdlib + numpy, no image libs); PCM
+16/24-bit, IEEE-float, and G.711 audio features are real below. Only
+out-of-scope encodings stay stubbed (arithmetic-coded JPEG, lossy VP8,
+video frames, compressed audio — resize_stub marks the boundary);
+everything Spark-side is real
 and tested: schema contracts, binary column handling, Arrow batch
 shape, and the mapInPandas partition-parallel execution path.
 
@@ -99,7 +101,7 @@ def decode_media(df_media: DataFrame) -> DataFrame:
 #
 # The header fields a curation pipeline filters on — format, width,
 # height — are parseable from the first bytes with the stdlib alone
-# for all four formats. That makes dims-based pruning (min-resolution
+# for all five formats. That makes dims-based pruning (min-resolution
 # gates, aspect filters, thumbnail routing) REAL, not faked, while
 # keeping the blob opaque past the header. Since r13 pixel decode is
 # real for all four formats too (operators/pixels.py + jpeg_codec.py:
@@ -149,7 +151,18 @@ def parse_exif_orientation(buf: bytes) -> int | None:
     cameras routinely store the sensor raster plus this tag instead of
     rotating pixels — a curation pipeline that ignores it computes
     wrong aspect gates and emits sideways thumbnails for a large slice
-    of any real photo corpus."""
+    of any real photo corpus. WebP carries the same TIFF structure in
+    the container's EXIF chunk (VP8X layout), with or without the
+    'Exif\\0\\0' prefix — both are seen in the wild and libwebp-written
+    files omit it."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        for fourcc, body, size in _walk_riff_webp(buf):
+            if fourcc == b"EXIF":
+                t = buf[body:body + size]
+                if t[:6] == b"Exif\x00\x00":
+                    t = t[6:]
+                return _tiff_orientation(t)
+        return None
     if buf[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -177,17 +190,73 @@ def parse_exif_orientation(buf: bytes) -> int | None:
     return None
 
 
+def _walk_riff_webp(buf: bytes):
+    """Yield (fourcc, payload_start, payload_size) for each chunk of a
+    RIFF/WEBP container (word-aligned, little-endian sizes), stopping
+    at the first structural inconsistency — truncated chunks simply
+    end the walk, callers decide whether what they saw was enough."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        return
+    (riff_size,) = struct.unpack("<I", buf[4:8])
+    end = min(len(buf), 8 + riff_size)
+    pos = 12
+    while pos + 8 <= end:
+        fourcc = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        body = pos + 8
+        if body + size > end:
+            return
+        yield fourcc, body, size
+        pos = body + size + (size & 1)       # chunks are word-aligned
+
+
+def _webp_dims(buf: bytes) -> tuple[int, int] | None:
+    """(width, height) from a WebP header (RFC 9649 §2): the first
+    chunk is VP8 (lossy key frame: 3-byte frame tag, 9D 01 2A start
+    code, 14-bit dims), VP8L (lossless: 0x2F signature then 14-bit
+    dims-minus-one), or VP8X (extended: 24-bit canvas dims-minus-one).
+    None for anything malformed — same contract as the other formats'
+    header parsers."""
+    for fourcc, body, size in _walk_riff_webp(buf):
+        chunk = buf[body:body + size]
+        if fourcc == b"VP8 ":
+            # key frame: tag bit 0 must be 0, then the start code
+            if size < 10 or chunk[0] & 1 or chunk[3:6] != b"\x9d\x01\x2a":
+                return None
+            (w16,) = struct.unpack("<H", chunk[6:8])
+            (h16,) = struct.unpack("<H", chunk[8:10])
+            w, h = w16 & 0x3FFF, h16 & 0x3FFF
+        elif fourcc == b"VP8L":
+            if size < 5 or chunk[0] != 0x2F:
+                return None
+            (bits,) = struct.unpack("<I", chunk[1:5])
+            if (bits >> 29) & 0x7:           # version must be 0
+                return None
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"VP8X":
+            if size < 10:
+                return None
+            w = int.from_bytes(chunk[4:7], "little") + 1
+            h = int.from_bytes(chunk[7:10], "little") + 1
+        else:
+            return None                      # first chunk must be VP8*
+        return (w, h) if w > 0 and h > 0 else None
+    return None
+
+
 def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
     """Parse (format, width, height) from raw image bytes — PNG IHDR,
     GIF logical screen descriptor, BMP DIB header (INFO and CORE
-    variants), or a JPEG SOF segment scan. Returns None for anything
-    not recognizably well-formed (truncated header, zero dims, JPEG
-    with no SOF before SOS/EOI): callers side-drop those rows with a
-    reason instead of propagating garbage dims.
+    variants), a WebP VP8/VP8L/VP8X chunk header, or a JPEG SOF
+    segment scan. Returns None for anything not recognizably
+    well-formed (truncated header, zero dims, JPEG with no SOF before
+    SOS/EOI): callers side-drop those rows with a reason instead of
+    propagating garbage dims.
 
-    Pure stdlib + O(header) bytes: PNG/GIF/BMP read fixed offsets; the
-    JPEG scan walks segment lengths (never entropy-coded data) so it
-    touches a few hundred bytes even on multi-MB files."""
+    Pure stdlib + O(header) bytes: PNG/GIF/BMP/WebP read fixed
+    offsets; the JPEG scan walks segment lengths (never entropy-coded
+    data) so it touches a few hundred bytes even on multi-MB files."""
     if len(buf) >= 24 and buf[:8] == _PNG_SIG and buf[12:16] == b"IHDR":
         w, h = struct.unpack(">II", buf[16:24])
         return ("png", w, h) if 0 < w < 1 << 31 and 0 < h < 1 << 31 \
@@ -205,6 +274,9 @@ def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
             w, h = struct.unpack("<HH", buf[18:22])
             return ("bmp", w, h) if w > 0 and h > 0 else None
         return None
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        dims = _webp_dims(buf)
+        return ("webp", dims[0], dims[1]) if dims else None
     if len(buf) >= 4 and buf[:2] == b"\xff\xd8":  # SOI
         pos = 2
         while pos + 1 < len(buf):
@@ -272,7 +344,8 @@ def decode_image_dims(df_media: DataFrame,
                     errs.append("unrecognized_or_corrupt_header")
                 else:
                     fmt, w, h = parsed
-                    if fmt == "jpeg" and parse_exif_orientation(buf) \
+                    if fmt in ("jpeg", "webp") \
+                            and parse_exif_orientation(buf) \
                             in (5, 6, 7, 8):
                         # DISPLAY dims, consistent with the pixel
                         # kernels: orientations 5-8 transpose the
@@ -358,9 +431,10 @@ def extract_features(df_media: DataFrame, n_bins: int = 16) -> DataFrame:
 def resize_stub(df_media: DataFrame, width: int, height: int) -> DataFrame:
     """Plumbing-only resize marking the remaining codec boundary —
     formats outside the pure-Python decoders' scope (arithmetic-coded
-    JPEG, video frames) need a native codec (PIL/opencv/ffmpeg, not in this
-    container), so this kernel raises from the executors, by design.
-    For PNG, BMP, GIF, and baseline JPEG the REAL path exists:
+    JPEG, lossy VP8, video frames) need a native codec
+    (PIL/opencv/ffmpeg, not in this container), so this kernel raises
+    from the executors, by design. For PNG, BMP, GIF, JPEG
+    (baseline + progressive), and WebP VP8L the REAL path exists:
     operators/pixels.resize_images decodes, resamples, and re-encodes
     deterministic PNG thumbnails with pure stdlib + numpy."""
 
@@ -368,7 +442,7 @@ def resize_stub(df_media: DataFrame, width: int, height: int) -> DataFrame:
         raise NotImplementedError(
             "resize for codecs outside the pure-Python scope requires "
             "PIL/opencv (not available in this container); "
-            "PNG/BMP/GIF/baseline-JPEG resize is implemented in "
+            "PNG/BMP/GIF/JPEG/WebP-VP8L resize is implemented in "
             "operators/pixels.resize_images")
         yield  # pragma: no cover
 
@@ -448,11 +522,15 @@ def parse_wav(buf: bytes) -> tuple[int, int, "object"]:
     (n_frames, n_channels) int16 samples). Public container format,
     pure stdlib+numpy: walks word-aligned RIFF chunks, requires a
     'fmt ' chunk before 'data', ignores other chunks (LIST/fact/cue).
-    Supported encodings: PCM16 (format 1) and the G.711 telephony pair
-    — A-law (6) and µ-law (7), 8-bit codes expanded to int16 per the
-    ITU tables. Float/ADPCM/extensible formats and other bit widths
-    raise AudioDecodeError with the reason — compressed AUDIO codecs
-    (mp3/aac) stay out of scope entirely."""
+    Supported encodings: integer PCM (format 1) at 16-bit, plus 24-bit
+    reduced to the int16 high bytes (the standard 16-bit view, same
+    convention as the PNG reader's 16-bit reduction); IEEE float
+    (format 3, 32- and 64-bit) clipped to [-1, 1] and scaled to int16
+    (round-half-even, NaN → 0 — deterministic across platforms); and
+    the G.711 telephony pair — A-law (6) and µ-law (7), 8-bit codes
+    expanded to int16 per the ITU tables. ADPCM/extensible formats and
+    other bit widths raise AudioDecodeError with the reason —
+    compressed AUDIO codecs (mp3/aac) stay out of scope entirely."""
     import numpy as np
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -470,27 +548,45 @@ def parse_wav(buf: bytes) -> tuple[int, int, "object"]:
                 raise AudioDecodeError("wav: fmt chunk too short")
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", buf[body_at:body_at + 16])
-            if audio_fmt not in (1, 6, 7):
+            if audio_fmt not in (1, 3, 6, 7):
                 raise AudioDecodeError(
                     f"wav: format {audio_fmt} unsupported "
-                    "(PCM and G.711 A-law/µ-law only)")
-            if audio_fmt == 1 and bits != 16:
+                    "(integer PCM, IEEE float, G.711 A-law/µ-law only)")
+            if audio_fmt == 1 and bits not in (16, 24):
                 raise AudioDecodeError(
-                    f"wav: {bits}-bit unsupported (16-bit PCM only)")
+                    f"wav: {bits}-bit unsupported (16/24-bit PCM only)")
+            if audio_fmt == 3 and bits not in (32, 64):
+                raise AudioDecodeError(
+                    f"wav: {bits}-bit float unsupported (32/64 only)")
             if audio_fmt in (6, 7) and bits != 8:
                 raise AudioDecodeError(
                     f"wav: G.711 requires 8-bit codes, got {bits}-bit")
             if ch < 1 or rate < 1:
                 raise AudioDecodeError("wav: bad fmt fields")
-            fmt = (rate, ch, audio_fmt)
+            fmt = (rate, ch, audio_fmt, bits)
         elif cid == b"data":
             if fmt is None:
                 raise AudioDecodeError("wav: data before fmt")
-            rate, ch, audio_fmt = fmt
-            if audio_fmt == 1:
+            rate, ch, audio_fmt, bits = fmt
+            if audio_fmt == 1 and bits == 16:
                 n = size // (2 * ch)
                 data = np.frombuffer(buf, "<i2", count=n * ch,
                                      offset=body_at).reshape(n, ch)
+            elif audio_fmt == 1:                 # 24-bit little-endian
+                n = size // (3 * ch)
+                tri = np.frombuffer(buf, np.uint8, count=n * ch * 3,
+                                    offset=body_at).reshape(-1, 3)
+                # int16 high-byte view: bytes 1-2 of each LE triple
+                data = np.ascontiguousarray(tri[:, 1:3]) \
+                    .view("<i2").reshape(n, ch)
+            elif audio_fmt == 3:                 # IEEE float
+                width = bits // 8
+                n = size // (width * ch)
+                f = np.frombuffer(buf, f"<f{width}", count=n * ch,
+                                  offset=body_at).astype(np.float64)
+                f = np.nan_to_num(f, nan=0.0, posinf=1.0, neginf=-1.0)
+                data = np.rint(np.clip(f, -1.0, 1.0) * 32767.0) \
+                    .astype(np.int16).reshape(n, ch)
             else:
                 n = size // ch
                 codes = np.frombuffer(buf, np.uint8, count=n * ch,
@@ -558,7 +654,10 @@ def parse_aiff(buf: bytes) -> tuple[int, int, "object"]:
             off, _blk = struct.unpack(">II", buf[body:body + 8])
             rate, ch, nframes = comm
             data_at = body + 8 + off
-            if data_at + nframes * ch * 2 > len(buf):
+            # bound against the SSND chunk's own extent, not the file:
+            # COMM may over-declare nframes while later chunks follow,
+            # and those bytes must never be read as samples (r14 ADVICE)
+            if data_at + nframes * ch * 2 > body + size:
                 raise AudioDecodeError("aiff: truncated sample data")
             data = np.frombuffer(buf, ">i2", count=nframes * ch,
                                  offset=data_at).astype("<i2") \
@@ -569,9 +668,9 @@ def parse_aiff(buf: bytes) -> tuple[int, int, "object"]:
 
 
 def parse_audio_container(buf: bytes) -> tuple[int, int, "object"]:
-    """Magic dispatch for the audio lane: RIFF/WAVE (PCM16 + G.711) or
-    FORM/AIFF (big-endian PCM16) → the same (rate, channels, int16
-    samples) contract."""
+    """Magic dispatch for the audio lane: RIFF/WAVE (PCM 16/24-bit,
+    IEEE float, G.711) or FORM/AIFF (big-endian PCM16) → the same
+    (rate, channels, int16 samples) contract."""
     if buf[:4] == b"FORM":
         return parse_aiff(buf)
     return parse_wav(buf)
@@ -583,8 +682,9 @@ WAV_SCHEMA = ("doc_id bigint, audio binary, media_type string, "
 
 
 def decode_wav(df_media: DataFrame, media_col: str = "media") -> DataFrame:
-    """Audio container decode over Arrow batches — RIFF/WAVE (PCM16 +
-    G.711) and FORM/AIFF (big-endian PCM16) by magic dispatch: emits
+    """Audio container decode over Arrow batches — RIFF/WAVE (PCM
+    16/24-bit, IEEE float 32/64, G.711) and FORM/AIFF (big-endian
+    PCM16) by magic dispatch: emits
     the mono PCM16 lane audio_features consumes (multi-channel mixes
     down by integer mean — deterministic, no float) plus rate/channel
     metadata; undecodable rows side-drop with a reason. Shuffle-free

@@ -22,9 +22,10 @@ mapInPandas shape the rest of the multimodal lane uses
 side-drop idiom: undecodable rows carry a reason, the batch never
 fails. JPEG decode — baseline, extended-sequential, AND progressive
 (huffman + dequant + IDCT + YCbCr, ITU T.81 incl. Annex G) — lives in
-the sibling operators/jpeg_codec.py and rides the same dispatch;
-out-of-scope encodings (arithmetic-coded JPEG, 12-bit) side-drop with
-a reason.
+the sibling operators/jpeg_codec.py and rides the same dispatch, as
+does WebP VP8L lossless decode (RFC 9649 §5, operators/webp_codec.py);
+out-of-scope encodings (arithmetic-coded JPEG, 12-bit, lossy VP8,
+animated WebP) side-drop with a reason.
 
 100 TB design: decode runs where the bytes already are — one Python
 worker per core per executor, Arrow batch at a time, no shuffle (the
@@ -693,10 +694,11 @@ def apply_exif_orientation(arr: np.ndarray, orientation) -> np.ndarray:
 
 
 def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
-    """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg', pixels) — (H, W, C)
-    uint8, or (H, W) for grayscale JPEG. Unknown magics and
-    out-of-scope encodings (arithmetic-coded JPEG, non-PCM audio
-    codecs, ...) raise PixelDecodeError with the reason."""
+    """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg'|'webp', pixels) —
+    (H, W, C) uint8, or (H, W) for grayscale JPEG. Unknown magics and
+    out-of-scope encodings (arithmetic-coded JPEG, lossy VP8 WebP,
+    non-PCM audio codecs, ...) raise PixelDecodeError with the
+    reason."""
     if buf[:8] == _PNG_SIG:
         return "png", decode_png(buf)
     if buf[:2] == b"BM":
@@ -707,6 +709,10 @@ def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
         from .jpeg_codec import decode_jpeg
 
         return "jpeg", decode_jpeg(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from .webp_codec import decode_webp
+
+        return "webp", decode_webp(buf)
     raise PixelDecodeError("unknown image format")
 
 
@@ -772,7 +778,7 @@ def image_pixel_stats(df_media: DataFrame,
                 try:
                     data = bytes(media)
                     fmt, arr = decode_pixels(data)
-                    if fmt == "jpeg":
+                    if fmt in ("jpeg", "webp"):
                         # phone cameras store the sensor raster plus an
                         # Exif tag instead of rotating pixels — width/
                         # height must be the DISPLAY dims or aspect
@@ -831,7 +837,7 @@ def resize_images(df_media: DataFrame, width: int, height: int,
                 try:
                     data = bytes(media)
                     fmt, arr = decode_pixels(data)
-                    if fmt == "jpeg":
+                    if fmt in ("jpeg", "webp"):
                         arr = apply_exif_orientation(
                             arr, parse_exif_orientation(data))
                     thumb = encode_png(resample(arr, width, height))

@@ -207,6 +207,74 @@ def _jpeg(w, h, sof=0xC0, pre_segments=()):
     return out + b"\xff\xda\x00\x02" + b"entropy..."  # SOS + data
 
 
+def _webp(chunks):
+    """RIFF/WEBP container from [(fourcc, payload)], word-aligned."""
+    body = b"WEBP"
+    for cc, pl in chunks:
+        body += cc + struct.pack("<I", len(pl)) + pl
+        if len(pl) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _webp_vp8(w, h):
+    """Lossy key-frame header: frame tag (keyframe, show bit), the
+    9D 01 2A start code, 14-bit dims (RFC 6386 §9.1)."""
+    payload = (b"\x10\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", w, h) + b"partitions...")
+    return _webp([(b"VP8 ", payload)])
+
+
+def _webp_vp8l_hdr(w, h, alpha=0, version=0, tail=b"\x00\x00"):
+    bits = (w - 1) | ((h - 1) << 14) | (alpha << 28) | (version << 29)
+    return _webp([(b"VP8L", b"\x2f" + struct.pack("<I", bits) + tail)])
+
+
+def _webp_vp8x(w, h, extra=()):
+    payload = (b"\x00\x00\x00\x00" + (w - 1).to_bytes(3, "little")
+               + (h - 1).to_bytes(3, "little"))
+    return _webp([(b"VP8X", payload), *extra])
+
+
+def test_parse_image_header_webp():
+    p = M.parse_image_header
+    assert p(_webp_vp8(640, 480)) == ("webp", 640, 480)
+    assert p(_webp_vp8l_hdr(12, 34)) == ("webp", 12, 34)
+    assert p(_webp_vp8l_hdr(1, 1)) == ("webp", 1, 1)
+    assert p(_webp_vp8x(16384, 2)) == ("webp", 16384, 2)
+    # corrupt / out-of-contract cases → None
+    assert p(_webp_vp8(640, 480)[:14]) is None          # truncated chunk
+    bad_start = _webp_vp8(9, 9).replace(b"\x9d\x01\x2a", b"\x9d\x01\x2b")
+    assert p(bad_start) is None
+    inter = _webp([(b"VP8 ", b"\x11\x00\x00\x9d\x01\x2a"
+                    + struct.pack("<HH", 9, 9))])       # inter frame
+    assert p(inter) is None
+    assert p(_webp_vp8l_hdr(12, 34, version=1)) is None
+    assert p(_webp([(b"VP8L", b"\x30\x00\x00\x00\x00")])) is None  # bad sig
+    assert p(_webp([(b"VP8X", b"\x00" * 9)])) is None   # short VP8X
+    assert p(_webp([(b"ALPH", b"\x00\x00")])) is None   # wrong first chunk
+    assert p(b"RIFF\x04\x00\x00\x00WAVE") is None       # RIFF, not WEBP
+
+
+def test_webp_exif_orientation_and_display_dims(spark):
+    app1 = _exif_app1(6)                    # APP1 wrapper + Exif payload
+    exif_payload = app1[4:]                 # 'Exif\0\0' + TIFF
+    rot = _webp_vp8x(32, 64, extra=[(b"EXIF", exif_payload)])
+    assert M.parse_exif_orientation(rot) == 6
+    # libwebp-written files omit the 'Exif\0\0' prefix: bare TIFF
+    bare = _webp_vp8x(32, 64, extra=[(b"EXIF", exif_payload[6:])])
+    assert M.parse_exif_orientation(bare) == 6
+    assert M.parse_exif_orientation(_webp_vp8(32, 64)) is None
+    df = spark.createDataFrame(
+        [(1, rot, "image/webp"), (2, _webp_vp8(32, 64), "image/webp")],
+        "doc_id long, media binary, media_type string")
+    got = {r.doc_id: r for r in M.decode_image_dims(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("webp", 64, 32)
+    assert (got[2].format, got[2].width, got[2].height) == ("webp", 32, 64)
+    # parse_image_header itself stays raster-order (documented)
+    assert M.parse_image_header(rot) == ("webp", 32, 64)
+
+
 def test_parse_image_header_fixtures():
     p = M.parse_image_header
     assert p(_png(640, 480)) == ("png", 640, 480)
@@ -320,17 +388,19 @@ def test_parse_image_header_never_raises(buf):
     out = M.parse_image_header(buf)
     if out is not None:
         fmt, w, h = out
-        assert fmt in ("png", "gif", "bmp", "jpeg") and w > 0 and h > 0
+        assert fmt in ("png", "gif", "bmp", "jpeg", "webp") \
+            and w > 0 and h > 0
 
 
 @settings(max_examples=150, deadline=None)
-@given(st.sampled_from(["png", "gif", "bmp", "jpeg"]),
+@given(st.sampled_from(["png", "gif", "bmp", "jpeg", "webp"]),
        st.integers(0, 40), st.binary(max_size=8))
 def test_parse_image_header_truncation_and_tail_noise(kind, cut, noise):
     """Prefixes of VALID headers (cut anywhere) never raise; a full
     valid header keeps parsing no matter what bytes follow it."""
     full = {"png": _png(12, 34), "gif": _gif(12, 34),
-            "bmp": _bmp_info(12, 34), "jpeg": _jpeg(12, 34)}[kind]
+            "bmp": _bmp_info(12, 34), "jpeg": _jpeg(12, 34),
+            "webp": _webp_vp8(12, 34)}[kind]
     out = M.parse_image_header(full[:cut])
     assert out is None or out == (kind, 12, 34)
     assert M.parse_image_header(full + noise) == (kind, 12, 34)
@@ -535,6 +605,34 @@ def test_parse_aiff_rejects_with_reasons():
         M.parse_aiff(_aiff(8000, mono)[:38])   # full COMM, no SSND
 
 
+def test_parse_aiff_bounds_samples_to_ssnd_chunk_extent():
+    """COMM may over-declare nframes while a trailing chunk supplies
+    the bytes the read would otherwise spill into — those bytes must
+    never be read as samples (r14 ADVICE: bound against the SSND
+    chunk's own extent, not len(buf))."""
+    import numpy as np
+
+    mono = np.array([[11], [22]], np.int16)
+    raw = bytearray(_aiff(8000, mono))
+    # COMM nframes lives right after the 2-byte channel count:
+    # FORM(12) + 'COMM'(4) + size(4) + ch(2) → offset 22, ">I"
+    assert struct.unpack(">I", raw[22:26])[0] == 2
+    raw[22:26] = struct.pack(">I", 4)          # claim 4 frames
+    # trailing ANNO chunk makes len(buf) big enough to fool a
+    # whole-file bound — 8 bytes of annotation = 4 fake samples
+    tail = b"ANNO" + struct.pack(">I", 8) + b"\x7f\xff" * 4
+    raw += tail
+    raw[4:8] = struct.pack(">I", len(raw) - 8)  # fix FORM size
+    with pytest.raises(M.AudioDecodeError, match="truncated sample"):
+        M.parse_aiff(bytes(raw))
+    # and the honest version (no over-claim) still decodes fine
+    ok = bytearray(_aiff(8000, mono)) + tail
+    ok[4:8] = struct.pack(">I", len(ok) - 8)
+    rate, ch, data = M.parse_aiff(bytes(ok))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(data, mono)
+
+
 def test_aiff_rides_decode_wav_kernel(spark):
     import numpy as np
 
@@ -558,11 +656,13 @@ def test_parse_wav_rejects_with_reasons():
     mono = np.array([[1]], np.int16)
     with pytest.raises(M.AudioDecodeError, match="RIFF"):
         M.parse_wav(b"RIFX" + _wav(8000, mono)[4:])
-    with pytest.raises(M.AudioDecodeError, match="unsupported"):
-        M.parse_wav(_wav(8000, mono, fmt_code=3))       # IEEE float
+    with pytest.raises(M.AudioDecodeError, match="format 2 unsupported"):
+        M.parse_wav(_wav(8000, mono, fmt_code=2))       # ADPCM
+    with pytest.raises(M.AudioDecodeError, match="float unsupported"):
+        M.parse_wav(_wav(8000, mono, fmt_code=3))       # float at 16-bit
     with pytest.raises(M.AudioDecodeError, match="8-bit codes"):
         M.parse_wav(_wav(8000, mono, fmt_code=7))       # µ-law at 16-bit
-    with pytest.raises(M.AudioDecodeError, match="16-bit"):
+    with pytest.raises(M.AudioDecodeError, match="16/24-bit"):
         M.parse_wav(_wav(8000, mono, bits=8))
     with pytest.raises(M.AudioDecodeError, match="truncated"):
         M.parse_wav(_wav(8000, mono)[:-1])
@@ -571,6 +671,65 @@ def test_parse_wav_rejects_with_reasons():
     buf = _wav(8000, mono)
     with pytest.raises(M.AudioDecodeError, match="data before fmt"):
         M.parse_wav(buf[:12] + buf[buf.index(b"data"):])
+
+
+def _wav_raw(rate, ch, fmt_code, bits, payload):
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, 0, 0, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_wav_ieee_float_clips_and_scales():
+    import numpy as np
+
+    vals = [-2.0, -1.0, -0.5, 0.0, 0.25, 1.0, 1.5, float("nan")]
+    want = [-32767, -32767, -16384, 0, 8192, 32767, 32767, 0]
+    for width, code in ((4, "<f"), (8, "<d")):
+        payload = b"".join(struct.pack(code, v) for v in vals)
+        rate, ch, data = M.parse_wav(
+            _wav_raw(48000, 1, 3, width * 8, payload))
+        assert (rate, ch) == (48000, 1)
+        assert data.dtype == np.int16
+        assert data[:, 0].tolist() == want, width
+    # stereo float32: interleaved frames keep channel order
+    st = struct.pack("<4f", 1.0, -1.0, 0.5, -0.5)
+    rate, ch, data = M.parse_wav(_wav_raw(8000, 2, 3, 32, st))
+    assert ch == 2
+    assert data.tolist() == [[32767, -32767], [16384, -16384]]
+
+
+def test_parse_wav_24bit_reduces_to_high_bytes():
+    import numpy as np
+
+    # LE triples: 0x123456 → int16 0x1234; 0x876543 → int16 -30875
+    payload = bytes([0x56, 0x34, 0x12, 0x43, 0x65, 0x87])
+    rate, ch, data = M.parse_wav(_wav_raw(44100, 1, 1, 24, payload))
+    assert (rate, ch) == (44100, 1)
+    assert data[:, 0].tolist() == [0x1234,
+                                   np.int16(np.uint16(0x8765))]
+    # stereo: one frame of two 24-bit samples
+    st = bytes([0, 0, 1, 0, 0, 0xFF])
+    _, ch, data = M.parse_wav(_wav_raw(8000, 2, 1, 24, st))
+    assert ch == 2 and data.tolist() == [[0x0100, -256]]
+
+
+def test_float_and_24bit_ride_decode_wav_kernel(spark):
+    import numpy as np
+
+    f32 = _wav_raw(16000, 1, 3, 32, struct.pack("<3f", 0.5, -0.25, 2.0))
+    i24 = _wav_raw(22050, 1, 1, 24, bytes([0, 0x10, 0x20] * 2))
+    rows = [(1, bytearray(f32), "audio/wav"),
+            (2, bytearray(i24), "audio/wav")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary, "
+                                     "media_type string")
+    got = {r.doc_id: r for r in M.decode_wav(df).collect()}
+    assert got[1].decode_error is None and got[1].n_samples == 3
+    assert np.frombuffer(bytes(got[1].audio), "<i2").tolist() == \
+        [16384, -8192, 32767]
+    assert got[2].decode_error is None and got[2].n_samples == 2
+    assert np.frombuffer(bytes(got[2].audio), "<i2").tolist() == \
+        [0x2010, 0x2010]
 
 
 def test_decode_wav_feeds_audio_features(spark):
