@@ -240,11 +240,17 @@ _HASH_MUL = 0x1E35A7BD                        # color-cache hash (spec §4.3)
 
 def _decode_entropy_pixels(br, w, h, groups, meta_idx, meta_bits,
                            cache_bits):
-    """The per-symbol pixel loop → flat Python list of ARGB ints.
+    """The per-symbol pixel loop → flat array('I') of ARGB values.
     Sequential by construction (LZ77 + cache state) — the documented
-    pure-Python boundary, same as the JPEG entropy decoder."""
+    pure-Python boundary, same as the JPEG entropy decoder. The buffer
+    is an unboxed 4-bytes-per-pixel array, NOT a Python list — a list
+    of fresh PyLongs weighs ~44 bytes/pixel (measured), which would
+    let a 12-byte crafted header allocate ~11x what the byte-weighted
+    budget in decode_vp8l thinks it capped."""
+    from array import array
+
     n = w * h
-    out = [0] * n
+    out = array("I", bytes(4 * n))
     cache = [0] * (1 << cache_bits) if cache_bits else None
     shift = 32 - cache_bits if cache_bits else 0
     green_c, red_c, blue_c, alpha_c, dist_c = groups[0]
@@ -389,12 +395,16 @@ def _inverse_predictor(img, size_bits, sub):
     # modes 14/15 (outside the 14 defined) predict like mode 0
     res = np.stack([(img >> 24) & 0xFF, (img >> 16) & 0xFF,
                     (img >> 8) & 0xFF, img & 0xFF], axis=2) \
-        .astype(np.int64).tolist()
-    out = [[None] * w for _ in range(h)]
+        .astype(np.int64)
+    # completed rows land in an unboxed (h, w, 4) uint8 array; only the
+    # current and previous rows exist as Python tuples, so transient
+    # boxing is O(w), not O(w*h) — the budget contract again
+    out = np.empty((h, w, 4), np.uint8)
     black = (0xFF, 0, 0, 0)
+    prev = None
     for y in range(h):
-        row = out[y]
-        prev = out[y - 1] if y else None
+        res_row = res[y].tolist()
+        row = [black] * w
         mrow = modes[y >> size_bits] if y else None
         for x in range(w):
             if y == 0:
@@ -438,10 +448,12 @@ def _inverse_predictor(img, size_bits, sub):
                         p = _casf(left, top, prev[x - 1])
                     else:                     # m == 13
                         p = _cash(left, top, prev[x - 1])
-            r = res[y][x]
+            r = res_row[x]
             row[x] = ((r[0] + p[0]) & 0xFF, (r[1] + p[1]) & 0xFF,
                       (r[2] + p[2]) & 0xFF, (r[3] + p[3]) & 0xFF)
-    arr = np.array(out, dtype=np.uint32)      # (h, w, 4) a r g b
+        out[y] = row
+        prev = row
+    arr = out.astype(np.uint32)               # (h, w, 4) a r g b
     return (arr[:, :, 0] << 24) | (arr[:, :, 1] << 16) \
         | (arr[:, :, 2] << 8) | arr[:, :, 3]
 
@@ -522,7 +534,7 @@ def _decode_image_stream(br, w, h, level0, budget):
               for _ in range(num_groups)]
     flat = _decode_entropy_pixels(br, cur_w, h, groups, meta_idx,
                                   meta_bits, cache_bits)
-    img = np.array(flat, dtype=np.uint32).reshape(h, cur_w)
+    img = np.frombuffer(flat, dtype=np.uint32).reshape(h, cur_w).copy()
     for ttype, p1, p2, t_w in reversed(transforms):
         if ttype == 0:
             img = _inverse_predictor(img, p1, p2)

@@ -772,6 +772,39 @@ def test_header_budget_rejects_before_allocating():
         W.decode_vp8l(bw.bytes())
 
 
+def test_pixel_buffer_stays_unboxed():
+    """The budget charges 4 bytes/pixel; a Python-list pixel buffer of
+    fresh PyLongs weighs ~44 (r15 review finding: a 12-byte header
+    could allocate ~11x the cap). 1 MPix via 0-bit codes must peak
+    well under the boxed regime (~48 MB measured); the unboxed
+    array('I') + numpy path stays ~25 MB."""
+    import tracemalloc
+
+    bw = _BitW()
+    bw.w(0x2F, 8)
+    bw.w(999, 14)                             # 1000 x 1000
+    bw.w(999, 14)
+    bw.w(0, 1)
+    bw.w(0, 3)
+    bw.w(0, 1)                                # no transforms
+    bw.w(0, 1)                                # no cache
+    bw.w(0, 1)                                # no meta
+    for sym in (42, 7, 9, 255, 0):            # five 0-bit codes
+        bw.w(1, 1)
+        bw.w(0, 1)
+        bw.w(1, 1)
+        bw.w(sym, 8)
+    buf = bw.bytes()
+    assert len(buf) < 20                      # the amplification vector
+    tracemalloc.start()
+    arr = W.decode_vp8l(buf)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert arr.shape == (1000, 1000, 3)
+    assert (arr == [7, 42, 9]).all()
+    assert peak < 35e6, f"pixel buffer boxing regressed: peak {peak}"
+
+
 def test_corrupt_reasons():
     rng = np.random.default_rng(17)
     img = _rand_rgba(rng, 5, 5)

@@ -34,10 +34,35 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 import numpy as np  # noqa: E402
 
 
+# ITU T.81 Annex K.1 example quantization tables (quality ~50) — the
+# published tables virtually every encoder scales from. The test
+# encoder's DEFAULT is an all-ones (lossless) quantizer for its +-1
+# round trips; benching with that produces dense coefficient grids no
+# camera emits and a ~100x slower, meaningless number.
+_ANNEX_K_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.int64)
+_ANNEX_K_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], np.int64)
+
+
 def build_corpus(n_images: int, seed: int = 42):
     """(doc_id, media, media_type) rows: 20% PNG / 15% BMP / 15% WebP
     (VP8L) / 50% JPEG (baseline 4:2:0, progressive, grayscale),
-    128x128 - 512x384, photo-ish gradients + noise."""
+    128x128 - 512x384, photo-ish gradients + mild dither."""
     from test_jpeg_codec import _encode_jpeg, _encode_progressive
     from test_webp_codec import _webp_wrap, encode_vp8l
 
@@ -45,6 +70,7 @@ def build_corpus(n_images: int, seed: int = 42):
         encode_png,
     )
 
+    jq = {"quant_luma": _ANNEX_K_LUMA, "quant_chroma": _ANNEX_K_CHROMA}
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_images):
@@ -54,7 +80,11 @@ def build_corpus(n_images: int, seed: int = 42):
         base = (xx * 255 // max(1, w - 1) + yy * 131 // max(1, h - 1))
         img = np.stack([(base + k * 37) % 256 for k in range(3)],
                        axis=2).astype(np.uint8)
-        img ^= rng.integers(0, 32, size=img.shape, dtype=np.uint8)
+        # photo-like, NOT white noise: heavy noise quantizes to dense
+        # JPEG coefficient grids and the per-bit entropy loop price
+        # explodes ~70x (r15 measurement) — real photos sit near the
+        # r14 corpus' ~0.7 bytes/pixel, which mild dither preserves
+        img += rng.integers(0, 6, size=img.shape, dtype=np.uint8)
         kind = i % 20
         if kind < 4:                                    # 20% PNG
             buf, mt = encode_png(img), "image/png"
@@ -72,12 +102,12 @@ def build_corpus(n_images: int, seed: int = 42):
             buf, mt = hdr + rowbytes, "image/bmp"
         elif kind < 10:                                 # 15% WebP VP8L
             buf, mt = _webp_wrap(encode_vp8l(img)), "image/webp"
-        elif kind < 16:                                 # 30% baseline JPEG
-            buf, mt = _encode_jpeg(img), "image/jpeg"
+        elif kind < 16:                                 # 30% baseline 4:2:0
+            buf, mt = _encode_jpeg(img, subsample=True, **jq), "image/jpeg"
         elif kind < 18:                                 # 10% progressive
-            buf, mt = _encode_progressive(img), "image/jpeg"
+            buf, mt = _encode_progressive(img, **jq), "image/jpeg"
         else:                                           # 10% grayscale
-            buf, mt = _encode_jpeg(img[:, :, 0]), "image/jpeg"
+            buf, mt = _encode_jpeg(img[:, :, 0], **jq), "image/jpeg"
         rows.append((i, bytearray(buf), mt, w * h))
     return rows
 
@@ -123,10 +153,14 @@ def main() -> None:
     for label, frame in (
             ("pixel_stats", image_pixel_stats(df)),
             ("resize", resize_images(df, args.thumb, args.thumb))):
-        frame.count()                                   # warm the lane
+        # collect only the tiny columns — never thumbnail binaries
+        probe = frame.select("format", "decode_error") \
+            if label == "pixel_stats" else frame.select("decode_error")
+        probe.count()                                   # warm the lane
         t0 = time.time()
-        decoded = frame.where("decode_error is null").count()
+        rows = probe.collect()
         wall = time.time() - t0
+        decoded = sum(r.decode_error is None for r in rows)
         result[label] = {
             "decoded": decoded, "wall_sec": round(wall, 2),
             "rec_per_sec": round(args.images / wall, 1),
@@ -134,11 +168,22 @@ def main() -> None:
         print(f"{label}: {decoded}/{args.images} decoded, "
               f"{wall:.1f}s warm = {args.images / wall:.1f} rec/s, "
               f"{total_mpix / wall:.2f} MPix/s", flush=True)
-    # per-format decode success must be total — a silent side-drop
-    # would inflate throughput while shrinking coverage
-    stats = image_pixel_stats(df).groupBy("format").count().collect()
-    result["by_format"] = {r["format"]: r["count"] for r in stats}
-    print("by format:", result["by_format"], flush=True)
+        if label == "pixel_stats":
+            result["by_format"] = {}
+            for r in rows:
+                k = r.format or "undecoded"
+                result["by_format"][k] = result["by_format"].get(k, 0) + 1
+            print("by format:", result["by_format"], flush=True)
+        # coverage must be total: a side-dropping decoder would shrink
+        # the work while the rec/s divides by the FULL corpus — the
+        # recorded number would go UP as coverage silently went down
+        if decoded != args.images:
+            drops = sorted({r.decode_error for r in rows
+                            if r.decode_error})[:5]
+            raise SystemExit(
+                f"{label}: only {decoded}/{args.images} decoded — "
+                f"refusing to record inflated throughput; reasons: "
+                f"{drops}")
     history = []
     if os.path.exists(args.out):
         with open(args.out) as f:
