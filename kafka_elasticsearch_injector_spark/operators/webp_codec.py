@@ -8,12 +8,15 @@ max_symbol early stop), meta prefix codes, color cache, LZ77 backward
 references with the 120-entry close-neighbor distance map, and all
 four transforms inverted in reverse stream order — predictor (14
 spatial modes), cross-color, subtract-green, and color-indexing with
-sub-byte pixel bundling. Lossy VP8 (a full video intra-frame codec:
-boolean arithmetic coder + loop filter) and animation are the
-documented out-of-scope boundary, like arithmetic-coded JPEG in
-jpeg_codec.py: they side-drop with a reason while their DIMENSIONS
-still parse via multimodal.parse_image_header, so dims-based curation
-gates see every WebP row.
+sub-byte pixel bundling. Animations with VP8L-coded frames decode
+their FIRST frame composited onto the VP8X canvas over the ANIM
+background color (the first-frame GIF reader's contract). Lossy VP8
+(a full video intra-frame codec: boolean arithmetic coder + loop
+filter) is the documented out-of-scope boundary, like
+arithmetic-coded JPEG in jpeg_codec.py: still or animated, it
+side-drops with a reason while its DIMENSIONS still parse via
+multimodal.parse_image_header, so dims-based curation gates see every
+WebP row.
 
 Reference parity note: the reference engine (inloco/
 kafka-elasticsearch-injector, Go) has no media path at all — this
@@ -30,6 +33,8 @@ transform inversion and unbundling are vectorized numpy.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 
@@ -575,21 +580,86 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return np.dstack(rgb)
 
 
+def _decode_first_frame(buf, body, size, canvas, bg):
+    """First ANMF frame of an animation (the GIF first-frame
+    precedent): the frame's VP8L payload composites onto the VP8X
+    canvas at the ANMF offset over the ANIM background color (stored
+    B,G,R,A). Lossy (VP8) frames side-drop like still lossy files."""
+    if size < 16:
+        raise _err("ANMF chunk too short")
+    fx = int.from_bytes(buf[body:body + 3], "little") * 2
+    fy = int.from_bytes(buf[body + 3:body + 6], "little") * 2
+    fw = int.from_bytes(buf[body + 6:body + 9], "little") + 1
+    fh = int.from_bytes(buf[body + 9:body + 12], "little") + 1
+    pos = body + 16                           # past duration + flags
+    end = body + size
+    while pos + 8 <= end:
+        cc = buf[pos:pos + 4]
+        (csz,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        cb = pos + 8
+        if cb + csz > end:
+            raise _err("truncated ANMF subchunk")
+        if cc == b"VP8L":
+            frame = decode_vp8l(buf[cb:cb + csz])
+            break
+        if cc == b"VP8 ":
+            raise _err("animated WebP with lossy (VP8) frames "
+                       "unsupported")
+        pos = cb + csz + (csz & 1)            # ALPH etc.: skip
+    else:
+        raise _err("ANMF frame without an image chunk")
+    if canvas is None:
+        raise _err("animation without a VP8X canvas")
+    cw, ch = canvas
+    if cw * ch * 4 > MAX_PIXELS:
+        raise _err(f"{cw}x{ch} canvas exceeds the decode budget")
+    if frame.shape[1] != fw or frame.shape[0] != fh:
+        raise _err("ANMF frame dims disagree with its image chunk")
+    if fx + fw > cw or fy + fh > ch:
+        raise _err("frame outside the canvas")
+    b, g, r, a = bg if bg is not None else (255, 255, 255, 255)
+    out = np.empty((ch, cw, 4), np.uint8)
+    out[:] = (r, g, b, a)
+    if frame.shape[2] == 3:
+        frame = np.dstack(
+            [frame, np.full(frame.shape[:2], 255, np.uint8)])
+    out[fy:fy + fh, fx:fx + fw] = frame
+    if int(out[:, :, 3].min()) == 255:
+        return out[:, :, :3]
+    return out
+
+
 def decode_webp(buf: bytes) -> np.ndarray:
-    """RIFF/WEBP container → pixels for the VP8L (lossless) payload,
-    including inside a VP8X extended layout. Lossy VP8 and animation
-    side-drop with a reason (documented out-of-scope boundary — their
+    """RIFF/WEBP container → pixels for the VP8L (lossless) payload —
+    a plain still, inside a VP8X extended layout, or the FIRST frame
+    of an animation (composited onto the canvas over the background
+    color, the same contract as the first-frame GIF reader). Lossy
+    VP8 side-drops with a reason (documented out-of-scope boundary —
     dims still parse header-only via multimodal.parse_image_header)."""
-    saw_any = False
+    saw_any = saw_anim = False
+    canvas = None
+    anim_bg = None
     for fourcc, body, size in _walk_riff_webp(buf):
         saw_any = True
-        if fourcc == b"VP8L":
+        if fourcc == b"VP8X":
+            if size >= 10:
+                canvas = (
+                    int.from_bytes(buf[body + 4:body + 7], "little") + 1,
+                    int.from_bytes(buf[body + 7:body + 10], "little") + 1)
+        elif fourcc == b"VP8L":
             return decode_vp8l(buf[body:body + size])
-        if fourcc == b"VP8 ":
+        elif fourcc == b"VP8 ":
             raise _err("lossy VP8 decode unsupported (out-of-scope "
                        "codec; dims parse header-only)")
-        if fourcc in (b"ANIM", b"ANMF"):
-            raise _err("animated WebP unsupported")
-        # VP8X/ICCP/EXIF/XMP/ALPH: header or metadata — keep walking
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise _err("ANIM chunk too short")
+            saw_anim = True
+            anim_bg = tuple(buf[body:body + 4])
+        elif fourcc == b"ANMF":
+            return _decode_first_frame(buf, body, size, canvas, anim_bg)
+        # ICCP/EXIF/XMP/ALPH: metadata — keep walking
+    if saw_anim:
+        raise _err("animation without frames")
     raise _err("no VP8L image chunk" if saw_any
                else "bad RIFF/WEBP container")

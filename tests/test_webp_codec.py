@@ -736,7 +736,7 @@ def test_container_dispatch_and_lossy_side_drop():
         P.decode_pixels(lossy)
     anim = (b"RIFF" + struct.pack("<I", 18) + b"WEBPANIM"
             + struct.pack("<I", 6) + b"\x00" * 6)
-    with pytest.raises(P.PixelDecodeError, match="animated"):
+    with pytest.raises(P.PixelDecodeError, match="animation without"):
         P.decode_pixels(anim)
     with pytest.raises(P.PixelDecodeError, match="no VP8L"):
         W.decode_webp(b"RIFF" + struct.pack("<I", 14) + b"WEBPXMP "
@@ -759,6 +759,101 @@ def test_vp8x_wrapped_vp8l_decodes():
     buf = b"RIFF" + struct.pack("<I", len(body)) + body
     fmt, arr = P.decode_pixels(buf)
     assert fmt == "webp" and np.array_equal(arr, img[:, :, :3])
+
+
+def _anim_webp(frames, canvas_wh, bg=(0, 0, 0, 255), loop=0):
+    """Animated container: VP8X + ANIM + one ANMF per (payload, fx,
+    fy, fw, fh). bg is (B, G, R, A) — the container's byte order."""
+    cw, chh = canvas_wh
+    chunks = [(b"VP8X", b"\x02\x00\x00\x00"
+               + (cw - 1).to_bytes(3, "little")
+               + (chh - 1).to_bytes(3, "little")),
+              (b"ANIM", bytes(bg) + struct.pack("<H", loop))]
+    for payload, fx, fy, fw, fh in frames:
+        anmf = ((fx // 2).to_bytes(3, "little")
+                + (fy // 2).to_bytes(3, "little")
+                + (fw - 1).to_bytes(3, "little")
+                + (fh - 1).to_bytes(3, "little")
+                + b"\x64\x00\x00" + b"\x00"    # duration 100ms, flags
+                + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+        if len(payload) & 1:
+            anmf += b"\x00"
+        chunks.append((b"ANMF", anmf))
+    body = b"WEBP"
+    for cc, pl in chunks:
+        body += cc + struct.pack("<I", len(pl)) + pl
+        if len(pl) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_animation_first_frame_composites_onto_canvas():
+    """First-frame decode for VP8L-coded animations — the GIF
+    first-frame contract: frame at its offset over the ANIM
+    background color (stored B,G,R,A), canvas dims from VP8X."""
+    rng = np.random.default_rng(20)
+    img = _rand_rgba(rng, 2, 3)
+    img[:, :, 3] = 255
+    payload = encode_vp8l(img)
+    # bg bytes B=9 G=8 R=7 A=255 → canvas pixels RGB (7, 8, 9)
+    buf = _anim_webp([(payload, 2, 4, 3, 2)], (8, 8), bg=(9, 8, 7, 255))
+    fmt, arr = P.decode_pixels(buf)
+    assert fmt == "webp" and arr.shape == (8, 8, 3)
+    assert np.array_equal(arr[4:6, 2:5], img[:, :, :3])
+    assert arr[0, 0].tolist() == [7, 8, 9]
+    assert (arr[:4] == [7, 8, 9]).all() and (arr[6:] == [7, 8, 9]).all()
+    # a second frame is ignored: FIRST frame only, like the GIF reader
+    two = _anim_webp([(payload, 0, 0, 3, 2), (payload, 4, 4, 3, 2)],
+                     (8, 8))
+    _, arr2 = P.decode_pixels(two)
+    assert np.array_equal(arr2[0:2, 0:3], img[:, :, :3])
+    assert (arr2[4:6, 4:7] == 0).all()        # second frame NOT drawn
+    # transparent background → RGBA out
+    _, arr3 = P.decode_pixels(
+        _anim_webp([(payload, 0, 0, 3, 2)], (4, 4), bg=(0, 0, 0, 0)))
+    assert arr3.shape == (4, 4, 4)
+    assert arr3[3, 3].tolist() == [0, 0, 0, 0]
+    assert arr3[0, 0, 3] == 255
+
+
+def test_animation_reasons():
+    rng = np.random.default_rng(21)
+    img = _rand_rgba(rng, 2, 2)
+    payload = encode_vp8l(img)
+    with pytest.raises(P.PixelDecodeError, match="outside the canvas"):
+        W.decode_webp(_anim_webp([(payload, 6, 6, 2, 2)], (7, 7)))
+    with pytest.raises(P.PixelDecodeError, match="dims disagree"):
+        W.decode_webp(_anim_webp([(payload, 0, 0, 3, 2)], (8, 8)))
+    # lossy frame: ANMF wrapping a VP8 chunk
+    lossy_anmf = (bytes(6) + (1).to_bytes(3, "little")
+                  + (1).to_bytes(3, "little") + bytes(4)
+                  + b"VP8 " + struct.pack("<I", 4) + b"\x10\x00\x00\x9d")
+    body = (b"WEBPVP8X" + struct.pack("<I", 10) + b"\x02\x00\x00\x00"
+            + (1).to_bytes(3, "little") + (1).to_bytes(3, "little")
+            + b"ANIM" + struct.pack("<I", 6) + bytes(6)
+            + b"ANMF" + struct.pack("<I", len(lossy_anmf)) + lossy_anmf)
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(P.PixelDecodeError, match="lossy.*frames"):
+        W.decode_webp(buf)
+    # ANMF too short / no image chunk / missing canvas
+    def riff(body):
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(P.PixelDecodeError, match="ANMF chunk too short"):
+        W.decode_webp(riff(b"WEBPANIM" + struct.pack("<I", 6) + bytes(6)
+                           + b"ANMF" + struct.pack("<I", 2) + b"\x00\x00"))
+    anmf16 = bytes(6) + (2).to_bytes(3, "little") \
+        + (2).to_bytes(3, "little") + bytes(4)
+    with pytest.raises(P.PixelDecodeError, match="without an image"):
+        W.decode_webp(riff(b"WEBPANIM" + struct.pack("<I", 6) + bytes(6)
+                           + b"ANMF" + struct.pack("<I", 16) + anmf16))
+    with pytest.raises(P.PixelDecodeError, match="without a VP8X"):
+        body = (b"WEBPANIM" + struct.pack("<I", 6) + bytes(6)
+                + b"ANMF" + struct.pack("<I", 16 + 8 + len(payload))
+                + bytes(6) + (1).to_bytes(3, "little")
+                + (1).to_bytes(3, "little") + bytes(4)
+                + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+        W.decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
 def test_header_budget_rejects_before_allocating():
