@@ -190,16 +190,13 @@ def parse_exif_orientation(buf: bytes) -> int | None:
     return None
 
 
-def _walk_riff_webp(buf: bytes):
-    """Yield (fourcc, payload_start, payload_size) for each chunk of a
-    RIFF/WEBP container (word-aligned, little-endian sizes), stopping
-    at the first structural inconsistency — truncated chunks simply
-    end the walk, callers decide whether what they saw was enough."""
-    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
-        return
-    (riff_size,) = struct.unpack("<I", buf[4:8])
-    end = min(len(buf), 8 + riff_size)
-    pos = 12
+def _walk_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) over word-aligned
+    RIFF-style chunks in buf[start:end], stopping at the first
+    structural inconsistency — truncated chunks simply end the walk,
+    callers decide whether what they saw was enough. Shared by the
+    container walk below and the ANMF frame walk in webp_codec."""
+    pos = start
     while pos + 8 <= end:
         fourcc = buf[pos:pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
@@ -208,6 +205,15 @@ def _walk_riff_webp(buf: bytes):
             return
         yield fourcc, body, size
         pos = body + size + (size & 1)       # chunks are word-aligned
+
+
+def _walk_riff_webp(buf: bytes):
+    """Chunks of a RIFF/WEBP container (the RIFF size field caps the
+    walk; bytes after it are tail noise, not chunks)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        return
+    (riff_size,) = struct.unpack("<I", buf[4:8])
+    yield from _walk_chunks(buf, 12, min(len(buf), 8 + riff_size))
 
 
 def _webp_dims(buf: bytes) -> tuple[int, int] | None:
@@ -344,9 +350,10 @@ def decode_image_dims(df_media: DataFrame,
                     errs.append("unrecognized_or_corrupt_header")
                 else:
                     fmt, w, h = parsed
-                    if fmt in ("jpeg", "webp") \
-                            and parse_exif_orientation(buf) \
-                            in (5, 6, 7, 8):
+                    # parse_exif_orientation returns None for formats
+                    # without an Exif carrier (its magic check IS the
+                    # format gate — no list to keep in sync here)
+                    if parse_exif_orientation(buf) in (5, 6, 7, 8):
                         # DISPLAY dims, consistent with the pixel
                         # kernels: orientations 5-8 transpose the
                         # raster, and an aspect gate fed raster dims

@@ -779,13 +779,14 @@ def image_pixel_stats(df_media: DataFrame,
                 try:
                     data = bytes(media)
                     fmt, arr = decode_pixels(data)
-                    if fmt in ("jpeg", "webp"):
-                        # phone cameras store the sensor raster plus an
-                        # Exif tag instead of rotating pixels — width/
-                        # height must be the DISPLAY dims or aspect
-                        # gates misfire on a large slice of real photos
-                        arr = apply_exif_orientation(
-                            arr, parse_exif_orientation(data))
+                    # phone cameras store the sensor raster plus an
+                    # Exif tag instead of rotating pixels — width/
+                    # height must be the DISPLAY dims or aspect gates
+                    # misfire on a large slice of real photos. The
+                    # parser returns None for formats without an Exif
+                    # carrier, so no format list to keep in sync.
+                    arr = apply_exif_orientation(
+                        arr, parse_exif_orientation(data))
                 except Exception as ex:  # noqa: BLE001 — side-drop idiom
                     reason = (str(ex) if isinstance(ex, PixelDecodeError)
                               else f"decode failed: {ex}")
@@ -838,9 +839,8 @@ def resize_images(df_media: DataFrame, width: int, height: int,
                 try:
                     data = bytes(media)
                     fmt, arr = decode_pixels(data)
-                    if fmt in ("jpeg", "webp"):
-                        arr = apply_exif_orientation(
-                            arr, parse_exif_orientation(data))
+                    arr = apply_exif_orientation(
+                        arr, parse_exif_orientation(data))
                     thumb = encode_png(resample(arr, width, height))
                 except Exception as ex:  # noqa: BLE001 — side-drop idiom
                     reason = (str(ex) if isinstance(ex, PixelDecodeError)

@@ -38,7 +38,7 @@ import struct
 
 import numpy as np
 
-from .multimodal import _walk_riff_webp
+from .multimodal import _walk_chunks, _walk_riff_webp
 from .pixels import MAX_PIXELS, PixelDecodeError
 
 
@@ -398,17 +398,17 @@ def _inverse_predictor(img, size_bits, sub):
     h, w = img.shape
     modes = ((sub >> 8) & 0xF).tolist()       # libwebp masks to 4 bits;
     # modes 14/15 (outside the 14 defined) predict like mode 0
-    res = np.stack([(img >> 24) & 0xFF, (img >> 16) & 0xFF,
-                    (img >> 8) & 0xFF, img & 0xFF], axis=2) \
-        .astype(np.int64)
     # completed rows land in an unboxed (h, w, 4) uint8 array; only the
-    # current and previous rows exist as Python tuples, so transient
-    # boxing is O(w), not O(w*h) — the budget contract again
+    # current and previous rows exist as Python objects (residual rows
+    # are extracted per y, never the whole image — an (h, w, 4) int64
+    # residual array measured ~69 bytes/pixel, 17x the budget's 4)
     out = np.empty((h, w, 4), np.uint8)
     black = (0xFF, 0, 0, 0)
     prev = None
     for y in range(h):
-        res_row = res[y].tolist()
+        iy = img[y]
+        res_row = np.stack([(iy >> 24) & 0xFF, (iy >> 16) & 0xFF,
+                            (iy >> 8) & 0xFF, iy & 0xFF], 1).tolist()
         row = [black] * w
         mrow = modes[y >> size_bits] if y else None
         for x in range(w):
@@ -458,9 +458,9 @@ def _inverse_predictor(img, size_bits, sub):
                       (r[2] + p[2]) & 0xFF, (r[3] + p[3]) & 0xFF)
         out[y] = row
         prev = row
-    arr = out.astype(np.uint32)               # (h, w, 4) a r g b
-    return (arr[:, :, 0] << 24) | (arr[:, :, 1] << 16) \
-        | (arr[:, :, 2] << 8) | arr[:, :, 3]
+    # (a, r, g, b) bytes reversed to (b, g, r, a) read little-endian
+    # ARE the ARGB words — one 4-byte/px copy, no uint32 temporaries
+    return out[:, :, ::-1].copy().view("<u4").reshape(h, w)
 
 
 def _inverse_color_indexing(img, width_bits, palette, full_w):
@@ -591,22 +591,17 @@ def _decode_first_frame(buf, body, size, canvas, bg):
     fy = int.from_bytes(buf[body + 3:body + 6], "little") * 2
     fw = int.from_bytes(buf[body + 6:body + 9], "little") + 1
     fh = int.from_bytes(buf[body + 9:body + 12], "little") + 1
-    pos = body + 16                           # past duration + flags
-    end = body + size
-    while pos + 8 <= end:
-        cc = buf[pos:pos + 4]
-        (csz,) = struct.unpack("<I", buf[pos + 4:pos + 8])
-        cb = pos + 8
-        if cb + csz > end:
-            raise _err("truncated ANMF subchunk")
+    frame = None
+    # frame data = chunks after the 16-byte prologue (duration+flags)
+    for cc, cb, csz in _walk_chunks(buf, body + 16, body + size):
         if cc == b"VP8L":
             frame = decode_vp8l(buf[cb:cb + csz])
             break
         if cc == b"VP8 ":
             raise _err("animated WebP with lossy (VP8) frames "
                        "unsupported")
-        pos = cb + csz + (csz & 1)            # ALPH etc.: skip
-    else:
+        # ALPH etc.: skip
+    if frame is None:
         raise _err("ANMF frame without an image chunk")
     if canvas is None:
         raise _err("animation without a VP8X canvas")

@@ -898,6 +898,45 @@ def test_pixel_buffer_stays_unboxed():
     assert arr.shape == (1000, 1000, 3)
     assert (arr == [7, 42, 9]).all()
     assert peak < 35e6, f"pixel buffer boxing regressed: peak {peak}"
+    # and the predictor-inverse path (second review finding: a whole-
+    # image int64 residual array measured ~69 B/px; residuals must be
+    # extracted per row)
+    bw = _BitW()
+    bw.w(0x2F, 8)
+    bw.w(999, 14)
+    bw.w(999, 14)
+    bw.w(0, 1)
+    bw.w(0, 3)
+    bw.w(1, 1)                                # a transform follows
+    bw.w(0, 2)                                # predictor transform
+    bw.w(7, 3)                                # size_bits 9 → 2x2 blocks
+    bw.w(0, 1)                                # subimage: no cache
+    for sym in (2, 0, 0, 255, 0):             # mode 2 (T) everywhere
+        bw.w(1, 1)
+        bw.w(0, 1)
+        bw.w(1, 1)
+        bw.w(sym, 8)
+    bw.w(0, 1)                                # end of transforms
+    bw.w(0, 1)                                # no cache
+    bw.w(0, 1)                                # no meta
+    for sym in (1, 1, 1, 0, 0):               # residual (0,1,1,1) px
+        bw.w(1, 1)
+        bw.w(0, 1)
+        bw.w(1, 1)
+        bw.w(sym, 8)
+    buf = bw.bytes()
+    assert len(buf) < 30
+    tracemalloc.start()
+    arr = W.decode_vp8l(buf)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert arr.shape == (1000, 1000, 3)
+    # row 0 follows L (accumulates x), then mode T accumulates down
+    # each column: arr[y, x] = (x + 1 + y) mod 256 per channel
+    assert arr[0, 0].tolist() == [1, 1, 1]
+    assert arr[0, 3].tolist() == [4, 4, 4]
+    assert arr[500, 3].tolist() == [248, 248, 248]   # 504 mod 256
+    assert peak < 40e6, f"predictor residual boxing regressed: {peak}"
 
 
 def test_corrupt_reasons():
