@@ -30,17 +30,22 @@ budget pixels.py documents), so a crafted 3-component 8000x8000
 header is rejected up front instead of zero-filling ~1.5 GB of
 planes. Reconstruction is slab-chunked and in-place (coefficient grid
 + one preallocated float64 plane ≈ 12 B/sample in the transform,
-~40 B/pixel at the color convert): measured peak RSS 468 MB decoding
-a crafted header AT the 32 MP grayscale cap (~1.8x the budget;
-1552 MB before r14's review fixes), ~430 MB worst-case at the
-3-component cap, a few MB at real web-image sizes. A crafted stream
+~40 B/pixel at the color convert; the entropy scans batch sparse
+coefficient writes through Python lists flushed every 64k entries, so
+a crafted fully-dense stream cannot grow them past a few MB):
+measured peak RSS 534 MB decoding a crafted header AT the 32 MP
+grayscale cap (~2.1x the budget; 1552 MB before r14's review fixes),
+a few MB at real web-image sizes. A crafted stream
 of tiny EOB-run scans cannot buy unbounded CPU either: progressive
 streams are capped at 100 scans (real encoders emit ~6-12).
 
-Throughput: the entropy decoder is a per-bit Python loop — honest and
-correct, sized for curation-gate thumbnails and tests, not bulk pixel
-serving; at full 100 TB pixel volume a native codec slots in behind
-the same decode_pixels contract (operators/pixels.py docstring).
+Throughput: the entropy decoder reads a pre-unstuffed chunk through
+an integer accumulator (8-byte refills) and resolves huffman symbols
+with one flat 16-bit LUT peek per symbol instead of a per-bit tree
+walk — still pure Python per symbol, sized for curation-gate
+thumbnails and tests, not bulk pixel serving; at full 100 TB pixel
+volume a native codec slots in behind the same decode_pixels contract
+(operators/pixels.py docstring).
 """
 
 from __future__ import annotations
@@ -69,6 +74,12 @@ _ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
 
+# natural position of zigzag index k is _ZIGZAG[k]; the scans store
+# coefficients in ZIGZAG order (run/band indices address the grid
+# directly, no per-coefficient reorder) and _reconstruct applies the
+# inverse permutation once, vectorized, per slab
+_INVZ = np.argsort(_ZIGZAG)
+
 # Orthonormal 8-point DCT-II basis: C[k, n] = a(k) cos((2n+1)kπ/16).
 _DCT = np.array([[ (1 / np.sqrt(8)) if k == 0 else
                    0.5 * np.cos((2 * n + 1) * k * np.pi / 16)
@@ -76,86 +87,177 @@ _DCT = np.array([[ (1 / np.sqrt(8)) if k == 0 else
 
 
 class _Huff:
-    """Canonical huffman table from a DHT segment: 16 length counts +
-    values, decoded by walking one bit at a time against the canonical
-    (length, code) map (T.81 Annex C)."""
+    """Canonical huffman table from a DHT segment (T.81 Annex C),
+    compiled to a flat 16-bit lookup table: lut16[next16bits] =
+    (symbol << 5) | code_length, 0 = no code. Max code length is 16,
+    so one peek + one list index resolves any symbol — no per-bit tree
+    walk. Compilation is LAZY (first use in a scan): the table costs
+    65536 slots, and an eager build would let a crafted stream of tiny
+    DHT segments buy ~1 ms per ~20 bytes — with the 100-scan cap the
+    lazy build is bounded at ~8 tables per scan."""
+
+    __slots__ = ("counts", "values", "_lut16")
 
     def __init__(self, counts: bytes, values: bytes):
-        self.lut: dict[tuple[int, int], int] = {}
-        code = 0
-        k = 0
-        for ln in range(1, 17):
-            for _ in range(counts[ln - 1]):
-                if k >= len(values):
-                    raise _err("jpeg: DHT values truncated")
-                self.lut[(ln, code)] = values[k]
-                code += 1
-                k += 1
-            code <<= 1
+        if sum(counts) > len(values):
+            raise _err("jpeg: DHT values truncated")
+        self.counts = counts
+        self.values = values
+        self._lut16 = None
+
+    @property
+    def lut16(self) -> list[int]:
+        lut = self._lut16
+        if lut is None:
+            # canonical codes fill the scaled 16-bit space contiguously
+            # from 0 (next code's start is always the previous range's
+            # end), so the table is a prefix of ranges + invalid zeros
+            lut = [0] * 65536
+            code = 0
+            k = 0
+            for ln in range(1, 17):
+                shift = 16 - ln
+                for _ in range(self.counts[ln - 1]):
+                    if code >= (1 << ln):
+                        raise _err("jpeg: DHT code table overfull")
+                    packed = (self.values[k] << 5) | ln
+                    lut[code << shift:(code + 1) << shift] = \
+                        [packed] * (1 << shift)
+                    code += 1
+                    k += 1
+                code <<= 1
+            self._lut16 = lut
+        return lut
 
 
 class _BitReader:
-    """Entropy-segment bit reader: MSB-first, 0xFF00 byte-unstuffing;
-    stops at any non-stuffing marker (the caller handles RSTn)."""
+    """Entropy-segment bit reader: MSB-first over a pre-unstuffed
+    chunk (0xFF00 → 0xFF, chunk ends at any real marker — the caller
+    handles RSTn), refilled into an integer accumulator 8 bytes at a
+    time instead of per bit. `pos` always tracks the original-buffer
+    position of the chunk-ending marker (or EOF), which is what
+    `_resync` / `align_and_expect_rst` consume."""
+
+    __slots__ = ("buf", "pos", "acc", "nbits", "data", "dlen", "dpos",
+                 "end_is_marker")
 
     def __init__(self, buf: bytes, pos: int):
         self.buf = buf
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self._load_chunk()
 
-    def _fill(self) -> None:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) \
-                else None
-            if nxt == 0x00:
-                self.pos += 2          # stuffed 0xFF data byte
-            else:
-                raise _err("jpeg: entropy data ended at a marker")
+    def _load_chunk(self) -> None:
+        buf, pos = self.buf, self.pos
+        n = len(buf)
+        idx = buf.find(b"\xff", pos)
+        while idx != -1 and idx + 1 < n and buf[idx + 1] == 0x00:
+            idx = buf.find(b"\xff", idx + 2)
+        if idx == -1:
+            end, self.end_is_marker = n, False
         else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+            # a marker, or a lone trailing 0xFF (read attempts on it
+            # surface as "ended at a marker", like the per-byte reader)
+            end, self.end_is_marker = idx, True
+        self.data = buf[pos:end].replace(b"\xff\x00", b"\xff")
+        self.dlen = len(self.data)
+        self.dpos = 0
+        self.pos = end
+
+    def _end_err(self):
+        if self.end_is_marker:
+            return _err("jpeg: entropy data ended at a marker")
+        return _err("jpeg: entropy data truncated")
+
+    def _refill(self) -> None:
+        d = self.dpos
+        avail = self.dlen - d
+        if avail >= 8:
+            self.acc = (self.acc << 64) | \
+                int.from_bytes(self.data[d:d + 8], "big")
+            self.nbits += 64
+            self.dpos = d + 8
+        elif avail > 0:
+            self.acc = (self.acc << (avail * 8)) | \
+                int.from_bytes(self.data[d:], "big")
+            self.nbits += avail * 8
+            self.dpos = self.dlen
 
     def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.buf):
-                raise _err("jpeg: entropy data truncated")
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        nb = self.nbits
+        if nb == 0:
+            self._refill()
+            nb = self.nbits
+            if nb == 0:
+                raise self._end_err()
+        nb -= 1
+        v = self.acc >> nb
+        self.acc &= (1 << nb) - 1
+        self.nbits = nb
         return v
 
-    def huff(self, table: _Huff) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.lut.get((ln, code))
-            if sym is not None:
-                return sym
-        raise _err("jpeg: invalid huffman code")
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        nb = self.nbits
+        if nb < n:
+            self._refill()
+            nb = self.nbits
+            if nb < n:
+                raise self._end_err()
+        nb -= n
+        v = self.acc >> nb
+        self.acc &= (1 << nb) - 1
+        self.nbits = nb
+        return v
+
+    def huff(self, lut: list[int]) -> int:
+        """Decode one symbol against a compiled `_Huff.lut16` list."""
+        nb = self.nbits
+        if nb < 16:
+            self._refill()
+            nb = self.nbits
+        if nb >= 16:
+            code = (self.acc >> (nb - 16)) & 0xFFFF
+        else:
+            code = (self.acc << (16 - nb)) & 0xFFFF  # zero-pad peek
+        e = lut[code]
+        ln = e & 31
+        if ln == 0:
+            if nb >= 16:
+                raise _err("jpeg: invalid huffman code")
+            raise self._end_err()       # ran out mid-code
+        if ln > nb:
+            raise self._end_err()       # matched only via pad bits
+        nb -= ln
+        self.acc &= (1 << nb) - 1
+        self.nbits = nb
+        return e >> 5
 
     def align_and_expect_rst(self, n: int) -> None:
         """Byte-align and consume the next RSTn marker (T.81 E.2.4).
-        Unconsumed pad bytes before the marker are skipped: 0xFF fill
-        bytes, and an all-ones pad byte — which the encoder emits as a
-        stuffed 0xFF 0x00 pair like any other 0xFF data byte."""
-        self.nbits = 0
-        while self.pos + 1 < len(self.buf) \
-                and self.buf[self.pos] == 0xFF \
-                and self.buf[self.pos + 1] in (0x00, 0xFF):
-            self.pos += 2 if self.buf[self.pos + 1] == 0x00 else 1
-        if self.pos + 2 > len(self.buf) \
-                or self.buf[self.pos] != 0xFF \
-                or self.buf[self.pos + 1] != 0xD0 + (n & 7):
+        Unconsumed pad before the marker: partial-byte pad bits are
+        dropped; whole unconsumed bytes must be 0xFF (a stuffed
+        0xFF 0x00 pad unstuffs to that; anything else is not pad);
+        bare 0xFF fill bytes sit past the chunk end and are skipped."""
+        nb = self.nbits & ~7
+        self.acc &= (1 << nb) - 1
+        if self.acc != (1 << nb) - 1 or \
+                self.data[self.dpos:] != b"\xff" * (self.dlen - self.dpos):
             raise _err("jpeg: missing restart marker")
-        self.pos += 2
+        buf, p = self.buf, self.pos
+        if not self.end_is_marker:
+            raise _err("jpeg: missing restart marker")
+        while p + 2 < len(buf) and buf[p + 1] == 0xFF:
+            p += 1                                   # 0xFF fill bytes
+        if p + 2 > len(buf) or buf[p] != 0xFF \
+                or buf[p + 1] != 0xD0 + (n & 7):
+            raise _err("jpeg: missing restart marker")
+        self.pos = p + 2
+        self.acc = 0
+        self.nbits = 0
+        self._load_chunk()
 
 
 def _extend(v: int, size: int) -> int:
@@ -229,10 +331,11 @@ def _scan_mcus(frame, scomps):
 
 
 def _alloc_coefs(frame) -> list[np.ndarray]:
-    """Natural-order coefficient grids, one (nby, nbx, 64) int32 array
+    """ZIGZAG-order coefficient grids, one (nby, nbx, 64) int32 array
     per component at the interleaved (MCU-padded) block counts —
     progressive scans refine these across the whole stream; the
-    byte-budget check at SOF bounds the allocation."""
+    byte-budget check at SOF bounds the allocation. _reconstruct
+    permutes to natural order slab-by-slab."""
     _, _, mcux, mcuy = _geometry(frame)
     return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
             for c in frame["comps"]]
@@ -451,8 +554,24 @@ def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
     for ci, dct_t, act_t in scomps:
         if dct_t not in huff_dc or act_t not in huff_ac:
             raise _err("jpeg: missing huffman table for scan")
-        tabs.append((huff_dc[dct_t], huff_ac[act_t]))
+        tabs.append((huff_dc[dct_t].lut16, huff_ac[act_t].lut16))
     total, blocks_of = _scan_mcus(frame, scomps)
+    # coded coefficients accumulate in Python lists and scatter into
+    # the int32 grids in batches — one fancy-index store per ~64k
+    # coefficients instead of a numpy scalar store per coefficient.
+    # The bounded flush keeps the transient at a few MB regardless of
+    # how dense a crafted stream codes the blocks.
+    nbxs = [g.shape[1] for g in coefs]
+    flats = [g.reshape(-1) for g in coefs]
+    idxs: list[list[int]] = [[] for _ in coefs]
+    vals: list[list[int]] = [[] for _ in coefs]
+
+    def flush(ci: int) -> None:
+        flats[ci][np.array(idxs[ci], np.int64)] = \
+            np.array(vals[ci], np.int64)
+        idxs[ci].clear()
+        vals[ci].clear()
+
     r = _BitReader(buf, pos)
     pred = [0] * len(scomps)
     rst = 0
@@ -462,16 +581,24 @@ def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
             rst = (rst + 1) & 7
             pred = [0] * len(scomps)
         for si, ci, by, bx in blocks_of(m):
-            dc_tab, ac_tab = tabs[si]
-            blk = coefs[ci][by, bx]
-            size = r.huff(dc_tab)
+            dc_lut, ac_lut = tabs[si]
+            base = (by * nbxs[ci] + bx) * 64
+            ix, vx = idxs[ci], vals[ci]
+            size = r.huff(dc_lut)
             if size > 11:
                 raise _err("jpeg: bad DC size")
-            pred[si] += _extend(r.bits(size), size)
-            blk[0] = pred[si]
+            p = pred[si] + _extend(r.bits(size), size)
+            pred[si] = p
+            # a crafted stream can drift the predictor past int32; the
+            # batched scatter below would silently wrap where a scalar
+            # store raised OverflowError — side-drop explicitly
+            if not -2147483648 <= p <= 2147483647:
+                raise _err("jpeg: DC coefficient out of range")
+            ix.append(base)
+            vx.append(p)
             k = 1
             while k < 64:
-                rs = r.huff(ac_tab)
+                rs = r.huff(ac_lut)
                 run, size = rs >> 4, rs & 0x0F
                 if size == 0:
                     if run == 15:      # ZRL: 16 zeros
@@ -481,8 +608,14 @@ def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
                 k += run
                 if k > 63:
                     raise _err("jpeg: AC run past block")
-                blk[_ZIGZAG[k]] = _extend(r.bits(size), size)
+                ix.append(base + k)
+                vx.append(_extend(r.bits(size), size))
                 k += 1
+            if len(ix) >= 65536:
+                flush(ci)
+    for ci in range(len(coefs)):
+        if idxs[ci]:
+            flush(ci)
     return r
 
 
@@ -496,10 +629,15 @@ def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
         if ah == 0:
             if dct_t not in huff_dc:
                 raise _err("jpeg: missing huffman table for scan")
-            tabs.append(huff_dc[dct_t])
+            tabs.append(huff_dc[dct_t].lut16)
         else:
             tabs.append(None)      # refinement is raw bits, no table
     total, blocks_of = _scan_mcus(frame, scomps)
+    # batched like the sequential scan: DC positions/values collect in
+    # Python lists (bounded at one entry per block) and scatter once
+    nbxs = [g.shape[1] for g in coefs]
+    idxs: list[list[int]] = [[] for _ in coefs]
+    vals: list[list[int]] = [[] for _ in coefs]
     pred = [0] * len(scomps)
     rst = 0
     for m in range(total):
@@ -508,7 +646,6 @@ def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
             rst = (rst + 1) & 7
             pred = [0] * len(scomps)
         for si, ci, by, bx in blocks_of(m):
-            blk = coefs[ci][by, bx]
             if ah == 0:
                 size = r.huff(tabs[si])
                 if size > 11:
@@ -516,14 +653,22 @@ def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
                 pred[si] += _extend(r.bits(size), size)
                 v = pred[si] << al
                 # a crafted stream can drift the predictor without
-                # bound; int32 assignment would raise OverflowError
-                # instead of the side-drop error
+                # bound; the int32 scatter would silently wrap where a
+                # scalar store raised OverflowError
                 if not -2147483648 <= v <= 2147483647:
                     raise _err("jpeg: DC coefficient out of range")
-                blk[0] = v
+                idxs[ci].append((by * nbxs[ci] + bx) * 64)
+                vals[ci].append(v)
             else:
                 if r.bit():
-                    blk[0] |= np.int32(1 << al)
+                    idxs[ci].append((by * nbxs[ci] + bx) * 64)
+    for ci, g in enumerate(coefs):
+        if idxs[ci]:
+            ia = np.array(idxs[ci], np.int64)
+            if ah == 0:
+                g.reshape(-1)[ia] = np.array(vals[ci], np.int64)
+            else:
+                g.reshape(-1)[ia] |= np.int32(1 << al)
 
 
 def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
@@ -540,23 +685,30 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
     tab = huff_ac.get(act_t)
     if tab is None:
         raise _err("jpeg: missing huffman table for scan")
+    lut = tab.lut16
     grid = coefs[ci]
     p1, m1 = 1 << al, -(1 << al)
     eobrun = 0
     rst = 0
-    for m in range(nby * nbx):
-        if restart_interval and m and m % restart_interval == 0:
-            r.align_and_expect_rst(rst)
-            rst = (rst + 1) & 7
-            eobrun = 0
-        blk = grid[m // nbx, m % nbx]
-        if ah == 0:
+    if ah == 0:
+        # first scans write sparse coefficients: collect (flat index,
+        # value) in Python lists and scatter in bounded batches — the
+        # zigzag-order grid makes the band index the grid index
+        flat = grid.reshape(-1)
+        ix: list[int] = []
+        vx: list[int] = []
+        for m in range(nby * nbx):
+            if restart_interval and m and m % restart_interval == 0:
+                r.align_and_expect_rst(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
             if eobrun:
                 eobrun -= 1
                 continue
+            base = m * 64
             k = ss
             while k <= se:
-                rs = r.huff(tab)
+                rs = r.huff(lut)
                 run, size = rs >> 4, rs & 0x0F
                 if size == 0:
                     if run == 15:                  # ZRL: 16 zeros
@@ -569,14 +721,31 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
                 k += run
                 if k > se:
                     raise _err("jpeg: AC run past band")
-                blk[_ZIGZAG[k]] = _extend(r.bits(size), size) << al
+                ix.append(base + k)
+                vx.append(_extend(r.bits(size), size) << al)
                 k += 1
-            continue
-        # refinement
+            if len(ix) >= 65536:
+                flat[np.array(ix, np.int64)] = np.array(vx, np.int64)
+                ix.clear()
+                vx.clear()
+        if ix:
+            flat[np.array(ix, np.int64)] = np.array(vx, np.int64)
+        return
+    # refinement scans read every in-band coefficient: one C-level
+    # tolist/writeback per block instead of a numpy scalar read per
+    # coefficient (the write-back only happens when a bit landed)
+    blocks = grid.reshape(-1, 64)
+    for m in range(nby * nbx):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_and_expect_rst(rst)
+            rst = (rst + 1) & 7
+            eobrun = 0
+        bl = blocks[m].tolist()
+        changed = False
         k = ss
         if eobrun == 0:
             while k <= se:
-                rs = r.huff(tab)
+                rs = r.huff(lut)
                 run, size = rs >> 4, rs & 0x0F
                 val = 0
                 if size == 0:
@@ -593,11 +762,11 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
                 # advance: already-nonzero coefficients take a
                 # correction bit; zero-history ones consume the run
                 while k <= se:
-                    z = _ZIGZAG[k]
-                    cur = int(blk[z])
+                    cur = bl[k]
                     if cur != 0:
                         if r.bit() and (cur & p1) == 0:
-                            blk[z] = cur + (p1 if cur >= 0 else m1)
+                            bl[k] = cur + (p1 if cur >= 0 else m1)
+                            changed = True
                     else:
                         if run == 0:
                             break
@@ -606,19 +775,22 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
                 if val != 0:
                     if k > se:
                         raise _err("jpeg: AC refinement run past band")
-                    blk[_ZIGZAG[k]] = val
+                    bl[k] = val
+                    changed = True
                 k += 1
         if eobrun:
             # within an EOB run each block still carries correction
             # bits for its remaining nonzero coefficients
             while k <= se:
-                z = _ZIGZAG[k]
-                cur = int(blk[z])
+                cur = bl[k]
                 if cur != 0:
                     if r.bit() and (cur & p1) == 0:
-                        blk[z] = cur + (p1 if cur >= 0 else m1)
+                        bl[k] = cur + (p1 if cur >= 0 else m1)
+                        changed = True
                 k += 1
             eobrun -= 1
+        if changed:
+            blocks[m] = bl
 
 
 def _reconstruct(frame, coefs, qt) -> np.ndarray:
@@ -646,8 +818,10 @@ def _reconstruct(frame, coefs, qt) -> np.ndarray:
         plane = np.empty((nby * 8, nbx * 8), np.float64)
         rows = max(1, 32768 // max(1, nbx))      # ~2M samples per slab
         for y0 in range(0, nby, rows):
-            sl = arr[y0:y0 + rows].astype(np.float64) \
-                .reshape(-1, nbx, 8, 8)
+            # grids are zigzag-ordered (see _alloc_coefs): permute to
+            # natural order here, once per slab, vectorized
+            sl = arr[y0:y0 + rows].take(_INVZ, axis=-1) \
+                .astype(np.float64).reshape(-1, nbx, 8, 8)
             sl *= q
             sl = _DCT.T @ sl @ _DCT
             plane[y0 * 8:(y0 + rows) * 8] = \

@@ -1188,3 +1188,54 @@ def test_jpeg_rides_the_spark_kernels(spark):
     arr = P.decode_png(bytes(thumbs[1].thumb))
     assert arr.shape == (4, 4, 3)
     assert np.abs(arr.astype(int) - [90, 140, 200]).max() <= 2
+
+
+def test_batched_scatter_flush_boundary_roundtrip():
+    """The r15 entropy rework batches coefficient writes through
+    Python lists flushed every 64k entries: a dense q=1 image with
+    ~92k coded coefficients per scan must cross the flush boundary
+    and still round-trip exactly like any other q=1 stream."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (304, 304), np.uint8)
+    got = J.decode_jpeg(_encode_jpeg(img))
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_overfull_dht_side_drops():
+    """A DHT whose counts describe more codes than the prefix space
+    holds (three 1-bit codes) is spec-invalid (T.81 C.2) and must
+    side-drop when a scan first compiles the table, not decode with
+    garbage rows or grow the LUT."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+               + bytes([1, 1, 0x11, 0]))
+    counts = [0] * 16
+    counts[0] = 3                       # 1-bit codes: only 2 exist
+    bad_dht = _seg(0xC4, bytes([0x00]) + bytes(counts) + bytes([0, 1, 2]))
+    ac_dht = _dht(1, [0x00])
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+    buf = (b"\xff\xd8" + dqt + sof + bad_dht + ac_dht + sos
+           + bytes([0x00]) + b"\xff\xd9")
+    with pytest.raises(P.PixelDecodeError, match="overfull"):
+        J.decode_jpeg(buf)
+
+
+def test_progressive_dc_drift_side_drops():
+    """A crafted Al=13 DC-first scan whose per-block DIFFs keep
+    climbing drives pred << 13 past int32 after ~193 blocks; the
+    decoder must side-drop (r14 guard — now load-bearing again since
+    the batched int32 scatter would silently wrap where the old
+    scalar store raised OverflowError)."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC2, bytes([8]) + struct.pack(">HH", 104, 128)
+               + bytes([1, 1, 0x11, 0]))              # 16x13 = 208 blocks
+    counts = [0] * 16
+    counts[0] = 1                       # single 1-bit code: size 11
+    dht = _seg(0xC4, bytes([0x00]) + bytes(counts) + bytes([11]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x0D]))  # Ah=0 Al=13
+    # per block: code '0' + amplitude '10101010101' (= +1365), so the
+    # 12-bit pattern tiles as 0x55 bytes with no 0xFF to stuff
+    body = bytes([0x55]) * 312                         # 208 blocks
+    buf = b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+    with pytest.raises(P.PixelDecodeError, match="out of range"):
+        J.decode_jpeg(buf)
