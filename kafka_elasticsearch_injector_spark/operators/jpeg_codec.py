@@ -690,6 +690,11 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
     p1, m1 = 1 << al, -(1 << al)
     eobrun = 0
     rst = 0
+    # the scan rasters the component's NON-interleaved (nby, nbx) block
+    # grid, but the coefficient array is allocated at the MCU-padded
+    # counts — its row stride (gnbx) can be wider than nbx, so flat
+    # indices must go through the 2D position, not m directly
+    gnbx = grid.shape[1]
     if ah == 0:
         # first scans write sparse coefficients: collect (flat index,
         # value) in Python lists and scatter in bounded batches — the
@@ -705,7 +710,7 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
             if eobrun:
                 eobrun -= 1
                 continue
-            base = m * 64
+            base = ((m // nbx) * gnbx + m % nbx) * 64
             k = ss
             while k <= se:
                 rs = r.huff(lut)
@@ -740,7 +745,8 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
             r.align_and_expect_rst(rst)
             rst = (rst + 1) & 7
             eobrun = 0
-        bl = blocks[m].tolist()
+        gm = (m // nbx) * gnbx + m % nbx
+        bl = blocks[gm].tolist()
         changed = False
         k = ss
         if eobrun == 0:
@@ -790,7 +796,7 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
                 k += 1
             eobrun -= 1
         if changed:
-            blocks[m] = bl
+            blocks[gm] = bl
 
 
 def _reconstruct(frame, coefs, qt) -> np.ndarray:

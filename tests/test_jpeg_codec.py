@@ -1239,3 +1239,19 @@ def test_progressive_dc_drift_side_drops():
     buf = b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
     with pytest.raises(P.PixelDecodeError, match="out of range"):
         J.decode_jpeg(buf)
+
+
+def test_progressive_subsampled_unaligned_width_matches_baseline():
+    """Progressive AC scans raster the component's NON-interleaved
+    block grid, which is narrower than the MCU-padded coefficient
+    array whenever width is not a multiple of the MCU width (24x24
+    4:2:0: luma NI width 3 vs padded 4) — the flat block index must go
+    through the padded row stride (r15 review finding: m * 64 scattered
+    luma AC into padding blocks). Per-pixel random data keeps AC energy
+    nonzero in every block."""
+    rng = np.random.default_rng(11)
+    for w, h in [(24, 24), (24, 8), (40, 24)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        base = J.decode_jpeg(_encode_jpeg(img, subsample=True))
+        prog = J.decode_jpeg(_encode_progressive(img, subsample=True))
+        assert np.array_equal(base, prog), (w, h)
