@@ -92,7 +92,8 @@ class _Bits:
 
 class _Code:
     """One prefix code: a single-symbol 0-bit code, or a peek table of
-    size 1<<max_len mapping LSB-first bit windows to (symbol, len)."""
+    size 1<<max_len mapping LSB-first bit windows to packed
+    (symbol << 4) | code_length ints (lengths are capped at 15)."""
     __slots__ = ("single", "table", "max_len")
 
     def __init__(self, single=None, table=None, max_len=0):
@@ -103,9 +104,9 @@ class _Code:
     def decode(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
-        sym, ln = self.table[br.peek(self.max_len)]
-        br.drop(ln)
-        return sym
+        e = self.table[br.peek(self.max_len)]
+        br.drop(e & 15)
+        return e >> 4
 
 
 def _build_code(lengths: list[int], budget: list[int]) -> _Code:
@@ -129,14 +130,14 @@ def _build_code(lengths: list[int], budget: list[int]) -> _Code:
     budget[0] -= 1 << max_len
     if budget[0] < 0:
         raise _err("prefix-code table budget exceeded")
-    table = [(0, 0)] * (1 << max_len)
+    table = [0] * (1 << max_len)
     code = 0
     cur_len = 0
     for ln, s in used:
         code <<= ln - cur_len
         cur_len = ln
         rev = int(f"{code:0{ln}b}"[::-1], 2)
-        entry = (s, ln)
+        entry = (s << 4) | ln
         for t in range(rev, 1 << max_len, 1 << ln):
             table[t] = entry
         code += 1
@@ -258,31 +259,113 @@ def _decode_entropy_pixels(br, w, h, groups, meta_idx, meta_bits,
     out = array("I", bytes(4 * n))
     cache = [0] * (1 << cache_bits) if cache_bits else None
     shift = 32 - cache_bits if cache_bits else 0
-    green_c, red_c, blue_c, alpha_c, dist_c = groups[0]
     multi = meta_idx is not None
+    # the hot loop keeps the bit state in locals and decodes inline
+    # against pre-resolved (table, mask) pairs — a single-symbol 0-bit
+    # code becomes a 1-entry table with mask 0, so every channel is
+    # the same unconditional lookup + shift (the same rework the JPEG
+    # entropy decoder got; state syncs back to `br` on return). One
+    # 64-bit refill per pixel covers the worst case of four 15-bit
+    # literal codes; the per-decode ln > nb check catches truncation.
+    gs = [tuple(
+        ((c.table, (1 << c.max_len) - 1) if c.single is None
+         else ([c.single << 4], 0))
+        for c in g) for g in groups]
+    buf = br.buf
+    blen = len(buf)
+    acc, nb, pos_b = br.acc, br.n, br.pos
+
+    def rd(k):
+        nonlocal acc, nb, pos_b
+        while nb < k:
+            if pos_b >= blen:
+                raise _err("bitstream truncated")
+            acc |= buf[pos_b] << nb
+            pos_b += 1
+            nb += 8
+        v = acc & ((1 << k) - 1)
+        acc >>= k
+        nb -= k
+        return v
+
+    def lz77(code):
+        if code < 4:
+            return code + 1
+        extra = (code - 2) >> 1
+        return ((2 + (code & 1)) << extra) + rd(extra) + 1
+
+    (g_tbl, g_mask), (r_tbl, r_mask), (b_tbl, b_mask), \
+        (a_tbl, a_mask), (d_tbl, d_mask) = gs[0]
     pos = x = y = 0
     while pos < n:
         if multi:
             g_row = meta_idx[y >> meta_bits]
-            green_c, red_c, blue_c, alpha_c, dist_c = \
-                groups[g_row[x >> meta_bits]]
-        s = green_c.decode(br)
+            (g_tbl, g_mask), (r_tbl, r_mask), (b_tbl, b_mask), \
+                (a_tbl, a_mask), (d_tbl, d_mask) = \
+                gs[g_row[x >> meta_bits]]
+        if nb < 60:
+            if pos_b + 8 <= blen:
+                acc |= int.from_bytes(buf[pos_b:pos_b + 8],
+                                      "little") << nb
+                pos_b += 8
+                nb += 64
+            else:
+                while nb < 60 and pos_b < blen:
+                    acc |= buf[pos_b] << nb
+                    pos_b += 1
+                    nb += 8
+        e = g_tbl[acc & g_mask]
+        ln = e & 15
+        if ln > nb:
+            raise _err("bitstream truncated")
+        acc >>= ln
+        nb -= ln
+        s = e >> 4
         if s < 256:                           # literal: G then R, B, A
-            r = red_c.decode(br)              # stream order matters —
-            b = blue_c.decode(br)             # decode in spec order,
-            a = alpha_c.decode(br)            # not expression order
-            px = (a << 24) | (r << 16) | (s << 8) | b
+            e = r_tbl[acc & r_mask]           # stream order matters —
+            ln = e & 15                       # decode in spec order,
+            if ln > nb:                       # not expression order
+                raise _err("bitstream truncated")
+            acc >>= ln
+            nb -= ln
+            r = e >> 4
+            e = b_tbl[acc & b_mask]
+            ln = e & 15
+            if ln > nb:
+                raise _err("bitstream truncated")
+            acc >>= ln
+            nb -= ln
+            b = e >> 4
+            e = a_tbl[acc & a_mask]
+            ln = e & 15
+            if ln > nb:
+                raise _err("bitstream truncated")
+            acc >>= ln
+            nb -= ln
+            px = ((e >> 4) << 24) | (r << 16) | (s << 8) | b
             out[pos] = px
             if cache is not None:
                 cache[((px * _HASH_MUL) & 0xFFFFFFFF) >> shift] = px
             pos += 1
-            x += 1
-            if x == w:
-                x = 0
-                y += 1
+            if multi:
+                x += 1
+                if x == w:
+                    x = 0
+                    y += 1
         elif s < 280:                         # LZ77 backward reference
-            length = _lz77_value(s - 256, br)
-            dcode = _lz77_value(dist_c.decode(br), br)
+            length = lz77(s - 256)
+            if nb < 15:
+                while nb < 60 and pos_b < blen:
+                    acc |= buf[pos_b] << nb
+                    pos_b += 1
+                    nb += 8
+            e = d_tbl[acc & d_mask]
+            ln = e & 15
+            if ln > nb:
+                raise _err("bitstream truncated")
+            acc >>= ln
+            nb -= ln
+            dcode = lz77(e >> 4)
             if dcode > 120:
                 dist = dcode - 120
             else:
@@ -304,8 +387,9 @@ def _decode_entropy_pixels(br, w, h, groups, meta_idx, meta_bits,
                     out[pos] = px
                     cache[((px * _HASH_MUL) & 0xFFFFFFFF) >> shift] = px
                     pos += 1
-            x = pos % w
-            y = pos // w
+            if multi:
+                x = pos % w
+                y = pos // w
         else:                                 # color-cache reference
             idx = s - 280
             if cache is None or idx >= len(cache):
@@ -313,10 +397,12 @@ def _decode_entropy_pixels(br, w, h, groups, meta_idx, meta_bits,
             px = cache[idx]
             out[pos] = px
             pos += 1
-            x += 1
-            if x == w:
-                x = 0
-                y += 1
+            if multi:
+                x += 1
+                if x == w:
+                    x = 0
+                    y += 1
+    br.acc, br.n, br.pos = acc, nb, pos_b
     return out
 
 
