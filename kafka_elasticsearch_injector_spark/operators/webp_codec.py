@@ -215,15 +215,8 @@ def _read_prefix_code(br: _Bits, alphabet_size: int,
                        budget)
 
 
-# --- LZ77 prefix values and the close-neighbor distance map ------------------
-
-def _lz77_value(code: int, br: _Bits) -> int:
-    if code < 4:
-        return code + 1
-    extra = (code - 2) >> 1
-    offset = (2 + (code & 1)) << extra
-    return offset + br.read(extra) + 1
-
+# --- LZ77 close-neighbor distance map (the prefix-value rule lives in
+# the hot loop's lz77 closure in _decode_entropy_pixels) ----------------------
 
 def _distance_map() -> list[tuple[int, int]]:
     """The 120-entry (dx, dy) close-neighbor table of spec §5.2.3,
