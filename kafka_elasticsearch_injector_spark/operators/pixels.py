@@ -509,21 +509,25 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
     eoi = clear + 1
     out = bytearray()
     table: list[bytes] = []
+    tlen = 0                    # == len(table), tracked: the per-code
+    n_out = 0                   # loop calls len() ~5x otherwise
+    dlen = len(data)
     code_size = min_code_size + 1
     prev: bytes | None = None
     acc = nbits = 0
     pos = 0
 
     def reset():
-        nonlocal table, code_size, prev
+        nonlocal table, tlen, code_size, prev
         table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        tlen = clear + 2
         code_size = min_code_size + 1
         prev = None
 
     reset()
-    while len(out) < n_pixels:
+    while n_out < n_pixels:
         while nbits < code_size:
-            if pos >= len(data):
+            if pos >= dlen:
                 raise PixelDecodeError("gif: LZW stream truncated")
             acc |= data[pos] << nbits
             nbits += 8
@@ -541,20 +545,23 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
                 # first code after clear must be a literal root
                 raise PixelDecodeError("gif: bad first LZW code")
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
-            if len(table) < 4096:          # table freezes when full
+            if tlen < 4096:                # table freezes when full
                 table.append(prev + entry[:1])
-        elif code == len(table) and len(table) < 4096:  # the KwKwK case
+                tlen += 1
+        elif code == tlen and tlen < 4096:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
+            tlen += 1
         else:
             raise PixelDecodeError("gif: LZW code out of range")
         out.extend(entry)
+        n_out += len(entry)
         prev = entry
-        if len(table) == (1 << code_size) and code_size < 12:
+        if tlen == (1 << code_size) and code_size < 12:
             code_size += 1
-    if len(out) < n_pixels:
+    if n_out < n_pixels:
         raise PixelDecodeError("gif: LZW ended before raster complete")
     return bytes(out[:n_pixels])
 

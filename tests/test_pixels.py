@@ -487,10 +487,11 @@ def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
             w += c
             continue
         emit(table[w])
-        table[w + c] = next_code
-        next_code += 1
-        if next_code - 1 == (1 << code_size) and code_size < 12:
-            code_size += 1
+        if next_code < 4096:           # table freezes at the 12-bit
+            table[w + c] = next_code   # ceiling, mirroring the decoder
+            next_code += 1             # (which stops appending at 4096
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1         # and keeps decoding old codes)
         w = c
     emit(table[w])
     emit(eoi)
@@ -732,3 +733,22 @@ def test_resize_images_spark_e2e_deterministic_thumbnails(spark):
         hashlib.md5(thumb).hexdigest()
     with pytest.raises(ValueError, match="method"):
         P.resize_images(df, 4, 4, method="lanczos")
+
+
+def test_gif_table_freeze_long_stream_roundtrip():
+    """A photo-sized frame overflows the 4096-entry LZW table, so the
+    stream keeps coding against the frozen table — the decoder's
+    freeze branch had no round-trip coverage before r15 (the forward
+    encoder used to keep assigning codes past the ceiling, which no
+    decoder accepts)."""
+    rng = np.random.default_rng(3)
+    h, w = 240, 320
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((xx * 255 // (w - 1) + yy * 131 // (h - 1)
+            + rng.integers(0, 8, (h, w))) % 256).astype(np.uint8)
+    palette = bytes(range(256)) * 3
+    pal = np.frombuffer(palette, np.uint8).reshape(3, 256).T.copy()
+    gif = _gif(w, h, pal.tobytes(), idx.tobytes(), min_code=8)
+    got = P.decode_gif(gif)
+    want = pal[idx]
+    assert np.array_equal(got, want)
