@@ -870,15 +870,18 @@ def test_header_budget_rejects_before_allocating():
 def test_pixel_buffer_stays_unboxed():
     """The budget charges 4 bytes/pixel; a Python-list pixel buffer of
     fresh PyLongs weighs ~44 (r15 review finding: a 12-byte header
-    could allocate ~11x the cap). 1 MPix via 0-bit codes must peak
-    well under the boxed regime (~48 MB measured); the unboxed
-    array('I') + numpy path stays ~25 MB."""
+    could allocate ~11x the cap). 0.36 MPix via 0-bit codes must peak
+    well under the boxed regime (~44 B/px ≈ 15.8 MB here); the
+    unboxed array('I') + numpy path stays ~25 B/px ≈ 9 MB. (The
+    contract is the per-pixel ratio — the image was shrunk from 1 MPix
+    to keep the tracemalloc run seconds, not minutes, with the
+    thresholds scaled by the same factor.)"""
     import tracemalloc
 
     bw = _BitW()
     bw.w(0x2F, 8)
-    bw.w(999, 14)                             # 1000 x 1000
-    bw.w(999, 14)
+    bw.w(599, 14)                             # 600 x 600
+    bw.w(599, 14)
     bw.w(0, 1)
     bw.w(0, 3)
     bw.w(0, 1)                                # no transforms
@@ -895,16 +898,16 @@ def test_pixel_buffer_stays_unboxed():
     arr = W.decode_vp8l(buf)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    assert arr.shape == (1000, 1000, 3)
+    assert arr.shape == (600, 600, 3)
     assert (arr == [7, 42, 9]).all()
-    assert peak < 35e6, f"pixel buffer boxing regressed: peak {peak}"
+    assert peak < 12.6e6, f"pixel buffer boxing regressed: peak {peak}"
     # and the predictor-inverse path (second review finding: a whole-
     # image int64 residual array measured ~69 B/px; residuals must be
     # extracted per row)
     bw = _BitW()
     bw.w(0x2F, 8)
-    bw.w(999, 14)
-    bw.w(999, 14)
+    bw.w(599, 14)
+    bw.w(599, 14)
     bw.w(0, 1)
     bw.w(0, 3)
     bw.w(1, 1)                                # a transform follows
@@ -930,13 +933,13 @@ def test_pixel_buffer_stays_unboxed():
     arr = W.decode_vp8l(buf)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    assert arr.shape == (1000, 1000, 3)
+    assert arr.shape == (600, 600, 3)
     # row 0 follows L (accumulates x), then mode T accumulates down
     # each column: arr[y, x] = (x + 1 + y) mod 256 per channel
     assert arr[0, 0].tolist() == [1, 1, 1]
     assert arr[0, 3].tolist() == [4, 4, 4]
     assert arr[500, 3].tolist() == [248, 248, 248]   # 504 mod 256
-    assert peak < 40e6, f"predictor residual boxing regressed: {peak}"
+    assert peak < 14.4e6, f"predictor residual boxing regressed: {peak}"
 
 
 def test_corrupt_reasons():
