@@ -5,7 +5,9 @@ Scope (the curation-gate subset): huffman-coded JPEG with 8-bit
 samples — baseline and extended-sequential (SOF0/SOF1, including
 multi-scan frames that split components across full-band scans per
 T.81 A.2) and progressive (SOF2, spectral selection + successive
-approximation, T.81 Annex G) — grayscale or YCbCr with sampling
+approximation, T.81 Annex G) — grayscale, YCbCr, or Adobe
+4-component CMYK/YCCK (APP14 ColorTransform: 0 → direct, 2 → YCCK;
+the inverted-ink convention, composited to RGB) with sampling
 factors 1-2 in each axis (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart
 markers, multiple DQT/DHT segments (including redefinition between
 scans), 16-bit quantizer entries. Arithmetic coding (SOF9+), hierarchical, and
@@ -357,6 +359,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     scans_done = 0
     seq_scanned: set[int] = set()
     restart_interval = 0
+    adobe = None                # APP14 ColorTransform byte, if present
     while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise _err("jpeg: lost marker sync")
@@ -375,6 +378,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             # stream missing components reconstructs leniently with
             # the absent planes flat (zero coefficients)
             if frame is not None and scans_done:
+                frame["adobe"] = adobe
                 return _reconstruct(frame, coefs, qt)
             raise _err("jpeg: EOI before scan")
         if pos + 2 > len(buf):
@@ -423,7 +427,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise _err(f"jpeg: {prec}-bit precision unsupported")
             if h == 0 or w == 0:
                 raise _err("jpeg: bad dimensions")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise _err(f"jpeg: {ncomp} components unsupported")
             from .pixels import MAX_PIXELS
 
@@ -458,6 +462,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if len(seg) < 2:
                 raise _err("jpeg: DRI truncated")
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE:                             # APP14 (Adobe)
+            # "Adobe" + version(2) + flags0(2) + flags1(2) + transform:
+            # the transform byte disambiguates 4-component color
+            # (0 = CMYK as-coded, 2 = YCCK)
+            if len(seg) >= 12 and seg[:5] == b"Adobe":
+                adobe = seg[11]
         elif marker == 0xDA:                             # SOS
             if frame is None:
                 raise _err("jpeg: SOS before SOF")
@@ -502,6 +512,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                                           coefs, huff_dc, huff_ac,
                                           restart_interval)
                 if len(seq_scanned) == len(comps):
+                    frame["adobe"] = adobe
                     return _reconstruct(frame, coefs, qt)
                 pos = _resync(buf, r.pos)
                 continue
@@ -848,6 +859,26 @@ def _reconstruct(frame, coefs, qt) -> np.ndarray:
         out_planes.append(plane[:h, :w])
     if len(comps) == 1:
         return out_planes[0].astype(np.uint8)
+    if len(comps) == 4:
+        # Adobe 4-component color (APP14): samples are stored with the
+        # Adobe INVERTED-ink convention (255 = no ink). transform 2
+        # (YCCK) runs the standard YCbCr inverse to recover the
+        # inverted C'M'Y'; transform 0 (or a missing APP14 — libjpeg's
+        # assumption for 4-component frames, and in practice these
+        # files all come from Adobe tooling) codes C'M'Y'K' directly.
+        # RGB = channel' * K' / 255, round-half-up like every other
+        # sample path here.
+        c0, c1, c2, k = out_planes
+        if frame.get("adobe") == 2:               # YCCK
+            y4, cb4, cr4 = c0, c1 - 128.0, c2 - 128.0
+            c0 = np.clip(np.floor(y4 + 1.402 * cr4 + 0.5), 0, 255)
+            c1 = np.clip(np.floor(
+                y4 - 0.344136 * cb4 - 0.714136 * cr4 + 0.5), 0, 255)
+            c2 = np.clip(np.floor(y4 + 1.772 * cb4 + 0.5), 0, 255)
+        out = np.empty((h, w, 3), np.uint8)
+        for ch, p in enumerate((c0, c1, c2)):
+            out[..., ch] = np.floor(p * k / 255.0 + 0.5)
+        return out
     y, cb, cr = out_planes
     cb = cb - 128.0
     cr = cr - 128.0

@@ -1255,3 +1255,157 @@ def test_progressive_subsampled_unaligned_width_matches_baseline():
         base = J.decode_jpeg(_encode_jpeg(img, subsample=True))
         prog = J.decode_jpeg(_encode_progressive(img, subsample=True))
         assert np.array_equal(base, prog), (w, h)
+
+
+def _encode_jpeg_cmyk(planes: np.ndarray, transform: int,
+                      quant=None) -> bytes:
+    """Forward 4-component baseline JPEG (Adobe APP14). `planes` is
+    (H, W, 4) uint8 of the STORED samples — the Adobe inverted-ink
+    C'M'Y'K'. transform 2 (YCCK) forward-transforms the first three
+    channels through the standard RGB→YCbCr matrix before coding, as
+    Adobe encoders do; transform 0 codes them directly. 4:4:4, one
+    quant/huffman class shared by all components."""
+    h, w, _ = planes.shape
+    q = np.ones((8, 8), np.int64) if quant is None else quant
+    chans = [planes[:, :, i].astype(np.float64) for i in range(4)]
+    if transform == 2:
+        y, cb, cr = _to_ycbcr(np.stack(planes[:, :, :3].transpose(2, 0, 1),
+                                       -1).astype(np.uint8))
+        chans[0], chans[1], chans[2] = y, cb, cr
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    chans = [_pad(c, bh, bw) for c in chans]
+
+    units = []
+    for my in range(bh // 8):
+        for mx in range(bw // 8):
+            for ci in range(4):
+                blk = chans[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                coef = np.round(_fdct(blk) / q).astype(np.int64)
+                units.append((ci, coef.reshape(64)[_ZIG]))
+    dc_syms, ac_syms = [], []
+    pred = [0] * 4
+    for ci, zz in units:
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        dc_syms.append(_mag(diff)[0])
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.append(0xF0)
+                run -= 16
+            ac_syms.append((run << 4) | _mag(int(zz[k]))[0])
+            run = 0
+        if run:
+            ac_syms.append(0x00)
+    dcounts, dsyms, dcodes, dlen = _build_table(dc_syms or [0])
+    acounts, asyms, acodes, alen = _build_table(ac_syms or [0])
+
+    bw_ = _BitWriter()
+    pred = [0] * 4
+    for ci, zz in units:
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, amp = _mag(diff)
+        bw_.put(dcodes[size], dlen)
+        if size:
+            bw_.put(amp, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw_.put(acodes[0xF0], alen)
+                run -= 16
+            size, amp = _mag(v)
+            bw_.put(acodes[(run << 4) | size], alen)
+            bw_.put(amp, size)
+            run = 0
+        if run:
+            bw_.put(acodes[0x00], alen)
+    bw_.align()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform]))
+    out += _seg(0xDB, bytes([0x00]) + bytes(
+        int(q.reshape(64)[_ZIG][i]) for i in range(64)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([4])
+    for cid in range(1, 5):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(dcounts) + bytes(dsyms))
+    out += _seg(0xC4, bytes([0x10]) + bytes(acounts) + bytes(asyms))
+    sos = bytes([4])
+    for cid in range(1, 5):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_cmyk_adobe_transform0_composites_to_rgb():
+    """Adobe CMYK (transform 0): stored inverted-ink planes composite
+    as RGB = channel' * K' / 255 (round-half-up) — the expected image
+    is computed here from the source planes, independent of the
+    decoder."""
+    rng = np.random.default_rng(5)
+    planes = rng.integers(0, 256, (24, 16, 4), np.uint8)
+    got = J.decode_jpeg(_encode_jpeg_cmyk(planes, transform=0))
+    p = planes.astype(np.float64)
+    want = np.floor(p[:, :, :3] * p[:, :, 3:4] / 255.0 + 0.5)
+    # q=1 entropy coding is exact; IDCT rounding moves a stored sample
+    # by at most 1, which the /255 composite keeps within 1 count
+    assert got.shape == (24, 16, 3)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 2
+
+
+def test_ycck_adobe_transform2_round_trips():
+    """YCCK (transform 2): the first three stored channels ride the
+    YCbCr forward/inverse pair, then composite with K like CMYK. The
+    inverse must recover the inverted C'M'Y' within the same ±1 the
+    3-component path guarantees before the K composite."""
+    rng = np.random.default_rng(6)
+    planes = rng.integers(0, 256, (16, 24, 4), np.uint8)
+    got = J.decode_jpeg(_encode_jpeg_cmyk(planes, transform=2))
+    p = planes.astype(np.float64)
+    want = np.floor(p[:, :, :3] * p[:, :, 3:4] / 255.0 + 0.5)
+    assert got.shape == (16, 24, 3)
+    # YCbCr float round-trip adds ±1 on the primes before the composite
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 3
+
+
+def test_cmyk_without_app14_assumes_adobe_convention():
+    """A 4-component frame with no APP14 is decoded as direct CMYK
+    with the inverted-ink convention (libjpeg's assumption; these
+    files all come from Adobe tooling in practice)."""
+    rng = np.random.default_rng(7)
+    planes = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    buf = _encode_jpeg_cmyk(planes, transform=0)
+    i = buf.index(b"\xff\xee")
+    (ln,) = struct.unpack(">H", buf[i + 2:i + 4])
+    stripped = buf[:i] + buf[i + 2 + ln:]         # drop APP14 entirely
+    assert np.array_equal(J.decode_jpeg(stripped),
+                          J.decode_jpeg(buf))
+
+
+def test_cmyk_fuzz_side_drop_contract():
+    """Bit-flipped 4-component streams must surface as PixelDecodeError
+    or decode — never an uncaught traceback."""
+    rng = np.random.default_rng(8)
+    base = _encode_jpeg_cmyk(
+        rng.integers(0, 256, (16, 16, 4), np.uint8), transform=2)
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
+        try:
+            arr = J.decode_jpeg(bytes(buf))
+            assert arr.dtype == np.uint8 and arr.shape[0] > 0
+        except P.PixelDecodeError:
+            pass
