@@ -87,6 +87,10 @@ _DCT = np.array([[ (1 / np.sqrt(8)) if k == 0 else
                    0.5 * np.cos((2 * n + 1) * k * np.pi / 16)
                    for n in range(8)] for k in range(8)])
 
+# YCbCr inverse coefficients (ITU T.871) — ONE set of constants shared
+# by the 3-component emit path and the YCCK branch in _reconstruct
+_CR_R, _CB_G, _CR_G, _CB_B = 1.402, 0.344136, 0.714136, 1.772
+
 
 class _Huff:
     """Canonical huffman table from a DHT segment (T.81 Annex C),
@@ -378,8 +382,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             # stream missing components reconstructs leniently with
             # the absent planes flat (zero coefficients)
             if frame is not None and scans_done:
-                frame["adobe"] = adobe
-                return _reconstruct(frame, coefs, qt)
+                return _reconstruct(frame, coefs, qt, adobe)
             raise _err("jpeg: EOI before scan")
         if pos + 2 > len(buf):
             raise _err("jpeg: truncated segment")
@@ -512,8 +515,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                                           coefs, huff_dc, huff_ac,
                                           restart_interval)
                 if len(seq_scanned) == len(comps):
-                    frame["adobe"] = adobe
-                    return _reconstruct(frame, coefs, qt)
+                    return _reconstruct(frame, coefs, qt, adobe)
                 pos = _resync(buf, r.pos)
                 continue
             # progressive scan (T.81 Annex G): spectral band Ss..Se,
@@ -810,11 +812,14 @@ def _decode_ac_scan(r, frame, scomp, ss, se, ah, al, coefs, huff_ac,
             blocks[gm] = bl
 
 
-def _reconstruct(frame, coefs, qt) -> np.ndarray:
+def _reconstruct(frame, coefs, qt, adobe=None) -> np.ndarray:
     """Dequantize + inverse-DCT the accumulated coefficient grids and
     assemble the image: batched matmul IDCT per component (every 8x8
     block at once, BLAS-dispatched), replicate-upsample subsampled
-    chroma, crop the MCU padding, YCbCr→RGB for 3-component frames."""
+    chroma, crop the MCU padding, then color per the APP14 transform
+    byte (`adobe`): 3 components → YCbCr inverse, or pass-through for
+    transform 0 (Adobe RGB-coded); 4 components → CMYK/YCCK composite
+    with the inverted-ink convention."""
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     hmax, vmax, _, _ = _geometry(frame)
@@ -867,17 +872,55 @@ def _reconstruct(frame, coefs, qt) -> np.ndarray:
         # assumption for 4-component frames, and in practice these
         # files all come from Adobe tooling) codes C'M'Y'K' directly.
         # RGB = channel' * K' / 255, round-half-up like every other
-        # sample path here.
+        # sample path here. Buffer discipline matches the 3-component
+        # path: one scratch plane + in-place ops, no full-frame temps.
         c0, c1, c2, k = out_planes
-        if frame.get("adobe") == 2:               # YCCK
-            y4, cb4, cr4 = c0, c1 - 128.0, c2 - 128.0
-            c0 = np.clip(np.floor(y4 + 1.402 * cr4 + 0.5), 0, 255)
-            c1 = np.clip(np.floor(
-                y4 - 0.344136 * cb4 - 0.714136 * cr4 + 0.5), 0, 255)
-            c2 = np.clip(np.floor(y4 + 1.772 * cb4 + 0.5), 0, 255)
+        k *= 1.0 / 255.0                          # K' scaled in place
         out = np.empty((h, w, 3), np.uint8)
-        for ch, p in enumerate((c0, c1, c2)):
-            out[..., ch] = np.floor(p * k / 255.0 + 0.5)
+        t = np.empty((h, w), np.float64)
+
+        def composite(ch, t=t):
+            # t holds the linear inverted channel; finish its rounding,
+            # then apply the K composite with its own round-half-up
+            t += 0.5
+            np.floor(t, out=t)
+            np.clip(t, 0, 255, out=t)
+            t *= k
+            t += 0.5
+            np.floor(t, out=t)
+            out[..., ch] = t
+
+        if adobe == 2:                            # YCCK
+            y4, cb4, cr4 = c0, c1, c2
+            cb4 -= 128.0
+            cr4 -= 128.0
+            np.multiply(cr4, _CR_R, out=t)
+            t += y4
+            composite(0)
+            np.multiply(cb4, -_CB_G, out=t)
+            cr4 *= _CR_G                          # cr4 consumed here
+            t -= cr4
+            t += y4
+            composite(1)
+            np.multiply(cb4, _CB_B, out=cb4)      # cb4 consumed here
+            np.add(cb4, y4, out=t)
+            composite(2)
+        else:                                     # direct C'M'Y'K'
+            for ch, p in enumerate((c0, c1, c2)):
+                # planes are already floored/clipped samples; skip the
+                # first rounding and apply only the K composite
+                np.multiply(p, k, out=t)
+                t += 0.5
+                np.floor(t, out=t)
+                out[..., ch] = t
+        return out
+    if adobe == 0:
+        # APP14 transform 0 on a 3-component frame: the components are
+        # coded RGB directly (Adobe tooling emits these) — running the
+        # YCbCr inverse here would silently scramble the colors
+        out = np.empty((h, w, 3), np.uint8)
+        for ch, p in enumerate(out_planes):
+            out[..., ch] = p
         return out
     y, cb, cr = out_planes
     cb = cb - 128.0
@@ -892,11 +935,11 @@ def _reconstruct(frame, coefs, qt) -> np.ndarray:
         np.clip(t, 0, 255, out=t)
         out[..., ch] = t
 
-    np.multiply(cr, 1.402, out=t)
+    np.multiply(cr, _CR_R, out=t)
     emit(0)
-    np.multiply(cb, -0.344136, out=t)
-    t -= 0.714136 * cr
+    np.multiply(cb, -_CB_G, out=t)
+    t -= _CR_G * cr
     emit(1)
-    np.multiply(cb, 1.772, out=t)
+    np.multiply(cb, _CB_B, out=t)
     emit(2)
     return out

@@ -1259,18 +1259,18 @@ def test_progressive_subsampled_unaligned_width_matches_baseline():
 
 def _encode_jpeg_cmyk(planes: np.ndarray, transform: int,
                       quant=None) -> bytes:
-    """Forward 4-component baseline JPEG (Adobe APP14). `planes` is
-    (H, W, 4) uint8 of the STORED samples — the Adobe inverted-ink
-    C'M'Y'K'. transform 2 (YCCK) forward-transforms the first three
-    channels through the standard RGB→YCbCr matrix before coding, as
-    Adobe encoders do; transform 0 codes them directly. 4:4:4, one
-    quant/huffman class shared by all components."""
-    h, w, _ = planes.shape
+    """Forward 3- or 4-component baseline JPEG with an Adobe APP14
+    marker. `planes` is (H, W, 3|4) uint8 of the STORED samples — for
+    4 components, the Adobe inverted-ink C'M'Y'K'; for 3 with
+    transform 0, direct RGB. transform 2 (YCCK) forward-transforms the
+    first three channels through the standard RGB→YCbCr matrix before
+    coding, as Adobe encoders do; transform 0 codes them directly.
+    4:4:4, one quant/huffman class shared by all components."""
+    h, w, nc = planes.shape
     q = np.ones((8, 8), np.int64) if quant is None else quant
-    chans = [planes[:, :, i].astype(np.float64) for i in range(4)]
+    chans = [planes[:, :, i].astype(np.float64) for i in range(nc)]
     if transform == 2:
-        y, cb, cr = _to_ycbcr(np.stack(planes[:, :, :3].transpose(2, 0, 1),
-                                       -1).astype(np.uint8))
+        y, cb, cr = _to_ycbcr(planes[:, :, :3])
         chans[0], chans[1], chans[2] = y, cb, cr
     bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
     chans = [_pad(c, bh, bw) for c in chans]
@@ -1278,12 +1278,12 @@ def _encode_jpeg_cmyk(planes: np.ndarray, transform: int,
     units = []
     for my in range(bh // 8):
         for mx in range(bw // 8):
-            for ci in range(4):
+            for ci in range(nc):
                 blk = chans[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
                 coef = np.round(_fdct(blk) / q).astype(np.int64)
                 units.append((ci, coef.reshape(64)[_ZIG]))
     dc_syms, ac_syms = [], []
-    pred = [0] * 4
+    pred = [0] * nc
     for ci, zz in units:
         diff = int(zz[0]) - pred[ci]
         pred[ci] = int(zz[0])
@@ -1304,7 +1304,7 @@ def _encode_jpeg_cmyk(planes: np.ndarray, transform: int,
     acounts, asyms, acodes, alen = _build_table(ac_syms or [0])
 
     bw_ = _BitWriter()
-    pred = [0] * 4
+    pred = [0] * nc
     for ci, zz in units:
         diff = int(zz[0]) - pred[ci]
         pred[ci] = int(zz[0])
@@ -1333,14 +1333,14 @@ def _encode_jpeg_cmyk(planes: np.ndarray, transform: int,
     out += _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform]))
     out += _seg(0xDB, bytes([0x00]) + bytes(
         int(q.reshape(64)[_ZIG][i]) for i in range(64)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([4])
-    for cid in range(1, 5):
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for cid in range(1, nc + 1):
         sof += bytes([cid, 0x11, 0])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, bytes([0x00]) + bytes(dcounts) + bytes(dsyms))
     out += _seg(0xC4, bytes([0x10]) + bytes(acounts) + bytes(asyms))
-    sos = bytes([4])
-    for cid in range(1, 5):
+    sos = bytes([nc])
+    for cid in range(1, nc + 1):
         sos += bytes([cid, 0x00])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
@@ -1409,3 +1409,15 @@ def test_cmyk_fuzz_side_drop_contract():
             assert arr.dtype == np.uint8 and arr.shape[0] > 0
         except P.PixelDecodeError:
             pass
+
+
+def test_rgb_coded_adobe_transform0_skips_ycbcr_inverse():
+    """APP14 transform 0 on a THREE-component frame means the
+    components are coded RGB directly (Adobe tooling emits these);
+    the decoder must pass them through instead of running the YCbCr
+    inverse (r15 review finding: it silently scrambled the colors)."""
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    got = J.decode_jpeg(_encode_jpeg_cmyk(rgb, transform=0))
+    assert got.shape == (16, 16, 3)
+    assert int(np.abs(got.astype(int) - rgb.astype(int)).max()) <= 1
