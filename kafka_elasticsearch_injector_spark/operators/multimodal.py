@@ -117,12 +117,13 @@ _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 _JPEG_BARE = {0x01} | set(range(0xD0, 0xD8))
 
 
-def _tiff_orientation(t: bytes) -> int | None:
-    """Orientation (tag 0x0112) from a TIFF structure (Exif APP1
-    payload after the 'Exif\\0\\0' signature): II/MM byte order,
-    magic 42, IFD0 entry walk. Returns None for anything malformed —
-    orientation is advisory metadata, never a reason to side-drop an
-    otherwise decodable image."""
+def _tiff_ifd0_tags(t: bytes,
+                    wanted: frozenset[int]) -> dict[int, list[int]] | None:
+    """Resolve the wanted IFD0 tags of a TIFF structure to integer
+    lists (TIFF 6.0 §2: II/MM byte order, magic 42, 12-byte entries;
+    SHORT and LONG values, inline or offset-stored). None for anything
+    malformed. Shared by the Exif orientation walk, TIFF header dims,
+    and the TIFF raster decode in pixels.py."""
     try:
         if t[:2] == b"II":
             e = "<"
@@ -134,15 +135,41 @@ def _tiff_orientation(t: bytes) -> int | None:
             return None
         (ifd,) = struct.unpack(e + "I", t[4:8])
         (n,) = struct.unpack(e + "H", t[ifd:ifd + 2])
+        out: dict[int, list[int]] = {}
         for i in range(n):
             ent = t[ifd + 2 + 12 * i:ifd + 14 + 12 * i]
+            if len(ent) < 12:
+                return None
             tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
-            if tag == 0x0112 and typ == 3 and cnt == 1:
-                (val,) = struct.unpack(e + "H", ent[8:10])
-                return val if 1 <= val <= 8 else None
+            if tag not in wanted or typ not in (3, 4):
+                continue
+            width, fmt = (2, "H") if typ == 3 else (4, "I")
+            total = width * cnt
+            if cnt == 0 or cnt > 1 << 20:        # bounds the resolve
+                return None
+            if total <= 4:
+                raw = ent[8:8 + total]
+            else:
+                (off,) = struct.unpack(e + "I", ent[8:12])
+                raw = t[off:off + total]
+            if len(raw) < total:
+                return None
+            out[tag] = list(struct.unpack(e + str(cnt) + fmt, raw))
+        return out
     except (struct.error, IndexError):
         return None
-    return None
+
+
+def _tiff_orientation(t: bytes) -> int | None:
+    """Orientation (tag 0x0112) from a TIFF structure (Exif APP1
+    payload after the 'Exif\\0\\0' signature). Returns None for
+    anything malformed — orientation is advisory metadata, never a
+    reason to side-drop an otherwise decodable image."""
+    tags = _tiff_ifd0_tags(t, frozenset((0x0112,)))
+    if not tags or 0x0112 not in tags:
+        return None
+    val = tags[0x0112][0]
+    return val if 1 <= val <= 8 else None
 
 
 def parse_exif_orientation(buf: bytes) -> int | None:
@@ -254,7 +281,8 @@ def _webp_dims(buf: bytes) -> tuple[int, int] | None:
 def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
     """Parse (format, width, height) from raw image bytes — PNG IHDR,
     GIF logical screen descriptor, BMP DIB header (INFO and CORE
-    variants), a WebP VP8/VP8L/VP8X chunk header, or a JPEG SOF
+    variants), a WebP VP8/VP8L/VP8X chunk header, a TIFF IFD0
+    (ImageWidth/ImageLength tags), or a JPEG SOF
     segment scan. Returns None for anything not recognizably
     well-formed (truncated header, zero dims, JPEG with no SOF before
     SOS/EOI): callers side-drop those rows with a reason instead of
@@ -283,6 +311,12 @@ def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         dims = _webp_dims(buf)
         return ("webp", dims[0], dims[1]) if dims else None
+    if len(buf) >= 8 and buf[:4] in (b"II*\x00", b"MM\x00*"):
+        tags = _tiff_ifd0_tags(buf, frozenset((256, 257)))
+        if tags and 256 in tags and 257 in tags:
+            w, h = tags[256][0], tags[257][0]
+            return ("tiff", w, h) if w > 0 and h > 0 else None
+        return None
     if len(buf) >= 4 and buf[:2] == b"\xff\xd8":  # SOI
         pos = 2
         while pos + 1 < len(buf):

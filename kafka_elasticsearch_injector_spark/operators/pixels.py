@@ -701,12 +701,88 @@ def apply_exif_orientation(arr: np.ndarray, orientation) -> np.ndarray:
     return arr
 
 
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Baseline TIFF 6.0 raster subset: uncompressed (Compression 1),
+    chunky (PlanarConfiguration 1), 8-bit grayscale (Photometric 0 —
+    inverted — or 1) or RGB (2), strip-organized, strict strip-size
+    validation. Everything else — LZW/PackBits/JPEG-in-TIFF
+    compression, tiles, planar, 16-bit, palette — side-drops with the
+    reason; this subset plus the standalone JPEG path covers the
+    scanned-document slice of a web corpus."""
+    from .multimodal import _tiff_ifd0_tags
+
+    tags = _tiff_ifd0_tags(buf, frozenset(
+        (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317,
+         322, 323)))
+    if tags is None or 256 not in tags or 257 not in tags:
+        raise PixelDecodeError("tiff: malformed IFD")
+    if 322 in tags or 323 in tags:
+        raise PixelDecodeError("tiff: tiled layout unsupported")
+    w, h = tags[256][0], tags[257][0]
+    if w <= 0 or h <= 0:
+        raise PixelDecodeError("tiff: bad dimensions")
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise PixelDecodeError(f"tiff: compression {comp} unsupported")
+    if tags.get(317, [1])[0] != 1:
+        raise PixelDecodeError("tiff: predictor unsupported")
+    if tags.get(284, [1])[0] != 1:
+        raise PixelDecodeError("tiff: planar layout unsupported")
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    if photo == 2:
+        if spp != 3:
+            raise PixelDecodeError(
+                f"tiff: {spp} samples for RGB unsupported")
+    elif photo in (0, 1):
+        if spp != 1:
+            raise PixelDecodeError(
+                "tiff: multi-sample grayscale unsupported")
+    else:
+        raise PixelDecodeError(f"tiff: photometric {photo} unsupported")
+    bps = tags.get(258, [8] * spp)
+    if len(bps) < spp or any(b != 8 for b in bps[:spp]):
+        raise PixelDecodeError("tiff: only 8-bit samples supported")
+    if w * h * spp > MAX_PIXELS:
+        raise PixelDecodeError(
+            f"tiff: {w}x{h}x{spp} exceeds the decode budget")
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise PixelDecodeError("tiff: missing strip layout")
+    rps = tags.get(278, [h])[0]
+    if rps <= 0:
+        raise PixelDecodeError("tiff: bad rows-per-strip")
+    row_bytes = w * spp
+    rows_left = h
+    parts = []
+    for off, cnt in zip(offs, cnts):
+        if rows_left == 0:
+            break                      # extra declared strips: ignore
+        rows_here = min(rps, rows_left)
+        # uncompressed strips have exact sizes (TIFF 6.0 §3) — a
+        # mismatch means a layout this subset doesn't model
+        if cnt != rows_here * row_bytes:
+            raise PixelDecodeError("tiff: strip size mismatch")
+        if off + cnt > len(buf):
+            raise PixelDecodeError("tiff: strip out of bounds")
+        parts.append(buf[off:off + cnt])
+        rows_left -= rows_here
+    if rows_left:
+        raise PixelDecodeError("tiff: truncated strip data")
+    arr = np.frombuffer(b"".join(parts), np.uint8)
+    arr = arr.reshape(h, w, spp).copy()
+    if photo == 0:                     # white-is-zero: invert
+        arr = 255 - arr
+    return arr
+
+
 def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
-    """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg'|'webp', pixels) —
-    (H, W, C) uint8, or (H, W) for grayscale JPEG. Unknown magics and
-    out-of-scope encodings (arithmetic-coded JPEG, lossy VP8 WebP,
-    non-PCM audio codecs, ...) raise PixelDecodeError with the
-    reason."""
+    """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg'|'webp'|'tiff',
+    pixels) — (H, W, C) uint8, or (H, W) for grayscale JPEG. Unknown
+    magics and out-of-scope encodings (arithmetic-coded JPEG, lossy
+    VP8 WebP, compressed TIFF, non-PCM audio codecs, ...) raise
+    PixelDecodeError with the reason."""
     if buf[:8] == _PNG_SIG:
         return "png", decode_png(buf)
     if buf[:2] == b"BM":
@@ -721,6 +797,8 @@ def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
         from .webp_codec import decode_webp
 
         return "webp", decode_webp(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff", decode_tiff(buf)
     raise PixelDecodeError("unknown image format")
 
 

@@ -752,3 +752,167 @@ def test_gif_table_freeze_long_stream_roundtrip():
     got = P.decode_gif(gif)
     want = pal[idx]
     assert np.array_equal(got, want)
+
+
+# --- hand-rolled TIFF container (independent of the module's reader) -------
+
+def _tiff(w, h, raster: bytes, endian="<", compression=1, photometric=2,
+          spp=3, bps=None, rows_per_strip=None, planar=1,
+          extra_entries=()):
+    """Forward baseline TIFF writer: header + strip data + IFD0 with
+    offset-stored arrays where they don't fit inline (TIFF 6.0 §2).
+    Strips split the raster at rows_per_strip boundaries."""
+    e = endian
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    rps = h if rows_per_strip is None else rows_per_strip
+    row_bytes = w * spp
+    strips = []
+    y = 0
+    while y < h:
+        rows = min(rps, h - y)
+        strips.append(raster[y * row_bytes:(y + rows) * row_bytes])
+        y += rows
+    # layout: 8-byte header, strip data, IFD, then offset-stored arrays
+    data_start = 8
+    offs, pos = [], data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    bps = [8] * spp if bps is None else bps
+
+    entries = []                       # (tag, type, count, values)
+    entries.append((256, 4, 1, [w]))
+    entries.append((257, 4, 1, [h]))
+    entries.append((258, 3, len(bps), bps))
+    entries.append((259, 3, 1, [compression]))
+    entries.append((262, 3, 1, [photometric]))
+    entries.append((273, 4, len(offs), offs))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 4, 1, [rps]))
+    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    entries.append((284, 3, 1, [planar]))
+    entries.extend(extra_entries)
+    entries.sort()
+
+    n = len(entries)
+    tail_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack(e + "H", n)
+    tail = b""
+    for tag, typ, cnt, vals in entries:
+        width, fmt = (2, "H") if typ == 3 else (4, "I")
+        raw = struct.pack(e + str(cnt) + fmt, *vals)
+        if len(raw) <= 4:
+            val_bytes = raw + bytes(4 - len(raw))
+        else:
+            val_bytes = struct.pack(e + "I", tail_off + len(tail))
+            tail += raw
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + val_bytes
+    ifd += struct.pack(e + "I", 0)     # no next IFD
+    return (magic + struct.pack(e + "I", ifd_off)
+            + b"".join(strips) + ifd + tail)
+
+
+def test_tiff_rgb_multistrip_roundtrip_both_endians():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (7, 5, 3), np.uint8)
+    for e in ("<", ">"):
+        buf = _tiff(5, 7, img.tobytes(), endian=e, rows_per_strip=3)
+        fmt, got = P.decode_pixels(buf)
+        assert fmt == "tiff"
+        assert np.array_equal(got, img), e
+
+
+def test_tiff_grayscale_both_photometrics():
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6) * 10
+    buf = _tiff(6, 4, img.tobytes(), photometric=1, spp=1)
+    assert np.array_equal(P.decode_tiff(buf), img[:, :, None])
+    # photometric 0: white-is-zero, decoder inverts
+    buf = _tiff(6, 4, img.tobytes(), photometric=0, spp=1)
+    assert np.array_equal(P.decode_tiff(buf), 255 - img[:, :, None])
+
+
+def test_tiff_header_dims_and_kernel_ride(spark):
+    from kafka_elasticsearch_injector_spark.operators.multimodal import (
+        parse_image_header,
+    )
+    img = np.full((4, 6, 3), 200, np.uint8)
+    buf = _tiff(6, 4, img.tobytes(), endian=">", rows_per_strip=2)
+    assert parse_image_header(buf) == ("tiff", 6, 4)
+    df = spark.createDataFrame([(1, bytearray(buf))],
+                               "doc_id long, media binary")
+    row = P.image_pixel_stats(df).collect()[0]
+    assert row.format == "tiff" and (row.width, row.height) == (6, 4)
+    assert row.channels == 3
+    assert row.channel_mean == pytest.approx([200.0, 200.0, 200.0])
+
+
+def test_tiff_unsupported_and_corrupt_reasons():
+    img = np.zeros((2, 2, 3), np.uint8)
+    raster = img.tobytes()
+    with pytest.raises(P.PixelDecodeError, match="compression 5"):
+        P.decode_tiff(_tiff(2, 2, raster, compression=5))     # LZW
+    with pytest.raises(P.PixelDecodeError, match="planar"):
+        P.decode_tiff(_tiff(2, 2, raster, planar=2))
+    with pytest.raises(P.PixelDecodeError, match="8-bit"):
+        P.decode_tiff(_tiff(2, 2, raster, bps=[16, 16, 16]))
+    with pytest.raises(P.PixelDecodeError, match="photometric 3"):
+        P.decode_tiff(_tiff(2, 2, raster, photometric=3))
+    with pytest.raises(P.PixelDecodeError, match="tiled"):
+        P.decode_tiff(_tiff(2, 2, raster,
+                            extra_entries=[(322, 4, 1, [16])]))
+    # declared strip byte count disagreeing with rows*row_bytes: patch
+    # the inline 279 value (last strip count) of a valid single-strip
+    # file from 12 to 13
+    good = _tiff(2, 2, raster)
+    i = good.rindex(struct.pack("<I", 12))
+    with pytest.raises(P.PixelDecodeError, match="strip size"):
+        P.decode_tiff(good[:i] + struct.pack("<I", 13) + good[i + 4:])
+    with pytest.raises(P.PixelDecodeError, match="malformed IFD"):
+        P.decode_tiff(b"II*\x00\xff\xff\xff\xff")
+    # budget: a crafted huge header must fail before allocation
+    with pytest.raises(P.PixelDecodeError, match="decode budget"):
+        P.decode_tiff(_huge_tiff())
+
+
+def _huge_tiff():
+    # header declaring 60000x60000x3 with a single (bogus) strip
+    e = "<"
+    entries = [
+        (256, 4, 1, [60000]), (257, 4, 1, [60000]),
+        (258, 3, 3, [8, 8, 8]), (259, 3, 1, [1]), (262, 3, 1, [2]),
+        (273, 4, 1, [8]), (277, 3, 1, [3]), (278, 4, 1, [60000]),
+        (279, 4, 1, [4]), (284, 3, 1, [1]),
+    ]
+    ifd_off = 12
+    n = len(entries)
+    tail_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack(e + "H", n)
+    tail = b""
+    for tag, typ, cnt, vals in entries:
+        width, fmt = (2, "H") if typ == 3 else (4, "I")
+        raw = struct.pack(e + str(cnt) + fmt, *vals)
+        if len(raw) <= 4:
+            vb = raw + bytes(4 - len(raw))
+        else:
+            vb = struct.pack(e + "I", tail_off + len(tail))
+            tail += raw
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + vb
+    ifd += struct.pack(e + "I", 0)
+    return b"II*\x00" + struct.pack(e + "I", ifd_off) + bytes(4) \
+        + ifd + tail
+
+
+def test_tiff_fuzz_side_drop_contract():
+    rng = np.random.default_rng(13)
+    base = _tiff(8, 8, rng.integers(0, 256, (8, 8, 3), np.uint8)
+                 .tobytes(), rows_per_strip=3)
+    for _ in range(400):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
+        try:
+            fmt, arr = P.decode_pixels(bytes(buf))
+            assert arr.dtype == np.uint8
+        except P.PixelDecodeError:
+            pass
