@@ -139,7 +139,11 @@ def _tiff_ifd0_tags(t: bytes,
         for i in range(n):
             ent = t[ifd + 2 + 12 * i:ifd + 14 + 12 * i]
             if len(ent) < 12:
-                return None
+                # truncated ENTRY LIST: keep what resolved so far —
+                # scraped corpora are full of cut-short Exif blocks,
+                # and a tag read before the cut is still good (callers
+                # validate required tags themselves)
+                break
             tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
             if tag not in wanted or typ not in (3, 4):
                 continue
@@ -190,6 +194,10 @@ def parse_exif_orientation(buf: bytes) -> int | None:
                     t = t[6:]
                 return _tiff_orientation(t)
         return None
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        # a bare TIFF file IS the Exif carrier structure: Orientation
+        # lives in its own IFD0
+        return _tiff_orientation(buf)
     if buf[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -315,7 +323,10 @@ def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
         tags = _tiff_ifd0_tags(buf, frozenset((256, 257)))
         if tags and 256 in tags and 257 in tags:
             w, h = tags[256][0], tags[257][0]
-            return ("tiff", w, h) if w > 0 and h > 0 else None
+            # LONG values are unbounded: cap like the PNG branch so a
+            # crafted 2^31 width can't blow the Int32 dims kernel
+            return ("tiff", w, h) \
+                if 0 < w < 1 << 31 and 0 < h < 1 << 31 else None
         return None
     if len(buf) >= 4 and buf[:2] == b"\xff\xd8":  # SOI
         pos = 2

@@ -743,9 +743,9 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     bps = tags.get(258, [8] * spp)
     if len(bps) < spp or any(b != 8 for b in bps[:spp]):
         raise PixelDecodeError("tiff: only 8-bit samples supported")
-    if w * h * spp > MAX_PIXELS:
-        raise PixelDecodeError(
-            f"tiff: {w}x{h}x{spp} exceeds the decode budget")
+    if w * h > MAX_PIXELS:                 # the same per-pixel cap the
+        raise PixelDecodeError(            # other 8-bit formats use
+            f"tiff: {w}x{h} exceeds the decode budget")
     offs = tags.get(273)
     cnts = tags.get(279)
     if not offs or not cnts or len(offs) != len(cnts):

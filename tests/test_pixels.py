@@ -916,3 +916,39 @@ def test_tiff_fuzz_side_drop_contract():
             assert arr.dtype == np.uint8
         except P.PixelDecodeError:
             pass
+
+
+def test_tiff_review_fixes(spark):
+    """r15 second-review findings on the TIFF add: crafted 2^31 dims
+    must not reach the Int32 dims kernel; a bare TIFF's own IFD0
+    Orientation must flow through the Exif path (TIFF IS the carrier
+    structure); a truncated entry list keeps tags read before the
+    cut."""
+    from kafka_elasticsearch_injector_spark.operators.multimodal import (
+        parse_exif_orientation,
+        parse_image_header,
+    )
+    img = np.full((4, 6, 3), 0, np.uint8)
+    img[:, :, 0] = 255                                # red raster
+    # 1. dims at/over 2^31 → None (the PNG-branch bound)
+    big = _tiff(6, 4, img.tobytes(),
+                extra_entries=())
+    i = big.index(struct.pack("<HHI", 256, 4, 1))
+    patched = big[:i + 8] + struct.pack("<I", 1 << 31) + big[i + 12:]
+    assert parse_image_header(patched) is None
+    # 2. bare-TIFF orientation: tag 0x0112 in IFD0
+    rot = _tiff(6, 4, img.tobytes(),
+                extra_entries=[(0x0112, 3, 1, [6])])
+    assert parse_exif_orientation(rot) == 6
+    df = spark.createDataFrame([(1, bytearray(rot))],
+                               "doc_id long, media binary")
+    row = P.image_pixel_stats(df).collect()[0]
+    assert (row.width, row.height) == (4, 6)          # rotated display
+    # 3. truncated entry list: entries read before the cut survive —
+    # bump the declared entry count past the real one
+    tr = _tiff(6, 4, img.tobytes(),
+               extra_entries=[(0x0112, 3, 1, [6])])
+    e_ifd = struct.unpack("<I", tr[4:8])[0]
+    (n,) = struct.unpack("<H", tr[e_ifd:e_ifd + 2])
+    bumped = tr[:e_ifd] + struct.pack("<H", n + 4) + tr[e_ifd + 2:]
+    assert parse_exif_orientation(bumped) == 6
