@@ -701,14 +701,100 @@ def apply_exif_orientation(arr: np.ndarray, orientation) -> np.ndarray:
     return arr
 
 
+def _packbits(src: bytes, need: int) -> bytes:
+    """PackBits run-length decode (TIFF 6.0 §9) for one strip: control
+    byte n<128 copies n+1 literals, n>128 repeats the next byte 257-n
+    times, 128 is a no-op. Output is bounded at `need` (runs never
+    cross row — and hence strip — boundaries per the spec)."""
+    out = bytearray()
+    i = 0
+    n_src = len(src)
+    while len(out) < need and i < n_src:
+        n = src[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > n_src:
+                raise PixelDecodeError("tiff: PackBits truncated")
+            out += src[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= n_src:
+                raise PixelDecodeError("tiff: PackBits truncated")
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+    if len(out) != need:
+        raise PixelDecodeError("tiff: PackBits strip size mismatch")
+    return bytes(out)
+
+
+def _tiff_lzw(src: bytes, need: int) -> bytes:
+    """TIFF-variant LZW decode (TIFF 6.0 §13) for one strip: MSB-first
+    code packing (unlike GIF's LSB-first), Clear=256/EOI=257, codes
+    start at 9 bits and grow with the EARLY-CHANGE rule — the width
+    bumps when the table reaches 2^width - 1, one code sooner than the
+    GIF variant. Output is bounded at `need`; the 4096-entry table
+    freezes until a clear."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    n_src = len(src)
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < need:
+        while nbits < width:
+            if pos >= n_src:
+                raise PixelDecodeError("tiff: LZW strip truncated")
+            acc = (acc << 8) | src[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = acc >> nbits
+        acc &= (1 << nbits) - 1
+        if code == 256:                        # Clear
+            reset()
+            continue
+        if code == 257:                        # EOI
+            break
+        if prev is None:
+            if code >= 256:
+                raise PixelDecodeError("tiff: bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]            # KwKwK
+            table.append(entry)
+        else:
+            raise PixelDecodeError("tiff: LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1                         # early change
+    if len(out) < need:
+        raise PixelDecodeError("tiff: LZW strip size mismatch")
+    return bytes(out[:need])
+
+
 def decode_tiff(buf: bytes) -> np.ndarray:
-    """Baseline TIFF 6.0 raster subset: uncompressed (Compression 1),
+    """Baseline TIFF 6.0 raster subset: uncompressed, PackBits, or LZW
+    compression (with the optional horizontal-differencing predictor),
     chunky (PlanarConfiguration 1), 8-bit grayscale (Photometric 0 —
-    inverted — or 1) or RGB (2), strip-organized, strict strip-size
-    validation. Everything else — LZW/PackBits/JPEG-in-TIFF
-    compression, tiles, planar, 16-bit, palette — side-drops with the
-    reason; this subset plus the standalone JPEG path covers the
-    scanned-document slice of a web corpus."""
+    inverted — or 1) or RGB (2), strip-organized with validated strip
+    sizes. Everything else — JPEG-in-TIFF/CCITT compression, tiles,
+    planar, 16-bit, palette — side-drops with the reason; this subset
+    plus the standalone JPEG path covers the scanned-document slice of
+    a web corpus."""
     from .multimodal import _tiff_ifd0_tags
 
     tags = _tiff_ifd0_tags(buf, frozenset(
@@ -722,10 +808,12 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise PixelDecodeError("tiff: bad dimensions")
     comp = tags.get(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise PixelDecodeError(f"tiff: compression {comp} unsupported")
-    if tags.get(317, [1])[0] != 1:
-        raise PixelDecodeError("tiff: predictor unsupported")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise PixelDecodeError(f"tiff: predictor {predictor} "
+                               "unsupported")
     if tags.get(284, [1])[0] != 1:
         raise PixelDecodeError("tiff: planar layout unsupported")
     photo = tags.get(262, [1])[0]
@@ -760,18 +848,33 @@ def decode_tiff(buf: bytes) -> np.ndarray:
         if rows_left == 0:
             break                      # extra declared strips: ignore
         rows_here = min(rps, rows_left)
-        # uncompressed strips have exact sizes (TIFF 6.0 §3) — a
-        # mismatch means a layout this subset doesn't model
-        if cnt != rows_here * row_bytes:
-            raise PixelDecodeError("tiff: strip size mismatch")
+        need = rows_here * row_bytes
         if off + cnt > len(buf):
             raise PixelDecodeError("tiff: strip out of bounds")
-        parts.append(buf[off:off + cnt])
+        raw = buf[off:off + cnt]
+        if comp == 1:
+            # uncompressed strips have exact sizes (TIFF 6.0 §3) — a
+            # mismatch means a layout this subset doesn't model
+            if cnt != need:
+                raise PixelDecodeError("tiff: strip size mismatch")
+            parts.append(raw)
+        elif comp == 32773:
+            parts.append(_packbits(raw, need))
+        else:                          # 5: LZW
+            parts.append(_tiff_lzw(raw, need))
         rows_left -= rows_here
     if rows_left:
         raise PixelDecodeError("tiff: truncated strip data")
     arr = np.frombuffer(b"".join(parts), np.uint8)
-    arr = arr.reshape(h, w, spp).copy()
+    arr = arr.reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing (TIFF 6.0 §14): each sample is a
+        # delta from the same sample one pixel left — invert with a
+        # per-channel cumulative sum along the row, mod 256
+        arr = (arr.astype(np.int64).cumsum(axis=1) & 0xFF) \
+            .astype(np.uint8)
+    else:
+        arr = arr.copy()
     if photo == 0:                     # white-is-zero: invert
         arr = 255 - arr
     return arr

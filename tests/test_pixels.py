@@ -850,8 +850,8 @@ def test_tiff_header_dims_and_kernel_ride(spark):
 def test_tiff_unsupported_and_corrupt_reasons():
     img = np.zeros((2, 2, 3), np.uint8)
     raster = img.tobytes()
-    with pytest.raises(P.PixelDecodeError, match="compression 5"):
-        P.decode_tiff(_tiff(2, 2, raster, compression=5))     # LZW
+    with pytest.raises(P.PixelDecodeError, match="compression 7"):
+        P.decode_tiff(_tiff(2, 2, raster, compression=7))  # JPEG-in-TIFF
     with pytest.raises(P.PixelDecodeError, match="planar"):
         P.decode_tiff(_tiff(2, 2, raster, planar=2))
     with pytest.raises(P.PixelDecodeError, match="8-bit"):
@@ -952,3 +952,210 @@ def test_tiff_review_fixes(spark):
     (n,) = struct.unpack("<H", tr[e_ifd:e_ifd + 2])
     bumped = tr[:e_ifd] + struct.pack("<H", n + 4) + tr[e_ifd + 2:]
     assert parse_exif_orientation(bumped) == 6
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Forward PackBits (TIFF 6.0 §9), one row at a time (runs must
+    not cross row boundaries): repeat packets for runs >= 3, literal
+    packets otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Forward TIFF-LZW (TIFF 6.0 §13): MSB-first packing, 9-bit
+    start, EARLY CHANGE (width grows when the next free code reaches
+    2^width — one sooner than GIF), clear at table-full."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)                              # leading Clear
+    w_s = bytes([data[0]])
+    for b in data[1:]:
+        c = bytes([b])
+        if w_s + c in table:
+            w_s += c
+            continue
+        emit(table[w_s])
+        if next_code < 4094:
+            table[w_s + c] = next_code
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        else:                              # table full: clear + reset
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w_s = c
+    emit(table[w_s])
+    emit(257)                              # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _pack_codes_msb(codes, widths):
+    """Bit-pack an explicit (code, width) list MSB-first — the
+    hand-vector path, independent of the forward encoder."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in zip(codes, widths):
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_hand_derived_wire_vector():
+    """Spec-walked vector: [7,7,7,8,8,7] codes as Clear,7,258(KwKwK),
+    8,8,7,EOI — all 9-bit. Packed here from the explicit code list,
+    independent of the forward encoder."""
+    wire = _pack_codes_msb([256, 7, 258, 8, 8, 7, 257], [9] * 7)
+    assert P._tiff_lzw(wire, 6) == bytes([7, 7, 7, 8, 8, 7])
+
+
+def test_tiff_lzw_and_packbits_roundtrip():
+    rng = np.random.default_rng(14)
+    # enough distinct sequences to cross the 9->10->11-bit widths
+    img = rng.integers(0, 256, (40, 40, 3), np.uint8)
+    raster = img.tobytes()
+    out = P._tiff_lzw(_tiff_lzw_encode(raster), len(raster))
+    assert out == raster
+    # low-entropy data exercises long runs + table reuse
+    img2 = np.repeat(np.arange(64, dtype=np.uint8), 200).reshape(80, -1)
+    r2 = img2.tobytes()
+    assert P._tiff_lzw(_tiff_lzw_encode(r2), len(r2)) == r2
+    rows = [r2[i:i + img2.shape[1]] for i in range(0, len(r2),
+                                                   img2.shape[1])]
+    pb = b"".join(_packbits_encode(r) for r in rows)
+    assert P._packbits(pb, len(r2)) == r2
+
+
+def _tiff_compressed(w, h, raster, comp, spp=3, rows_per_strip=None,
+                     predictor=1, photometric=2):
+    """Build a compressed TIFF through the uncompressed writer's
+    container, swapping in encoded strips."""
+    rps = h if rows_per_strip is None else rows_per_strip
+    row_bytes = w * spp
+    if predictor == 2:
+        arr = np.frombuffer(raster, np.uint8).reshape(h, w, spp)
+        diff = arr.astype(np.int64)
+        diff[:, 1:] -= arr[:, :-1].astype(np.int64)
+        raster = (diff & 0xFF).astype(np.uint8).tobytes()
+    strips = []
+    y = 0
+    while y < h:
+        rows = min(rps, h - y)
+        chunk = raster[y * row_bytes:(y + rows) * row_bytes]
+        if comp == 5:
+            strips.append(_tiff_lzw_encode(chunk))
+        else:
+            strips.append(b"".join(
+                _packbits_encode(chunk[i:i + row_bytes])
+                for i in range(0, len(chunk), row_bytes)))
+        y += rows
+    # container: header + strips + IFD (reuse _tiff's layout manually)
+    e = "<"
+    data_start = 8
+    offs, pos = [], data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, spp, [8] * spp),
+        (259, 3, 1, [comp]), (262, 3, 1, [photometric]),
+        (273, 4, len(offs), offs), (277, 3, 1, [spp]),
+        (278, 4, 1, [rps]), (279, 4, len(strips),
+                             [len(s) for s in strips]),
+        (284, 3, 1, [1]), (317, 3, 1, [predictor]),
+    ]
+    entries.sort()
+    n = len(entries)
+    tail_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack(e + "H", n)
+    tail = b""
+    for tag, typ, cnt, vals in entries:
+        width_b, fmt = (2, "H") if typ == 3 else (4, "I")
+        raw = struct.pack(e + str(cnt) + fmt, *vals)
+        if len(raw) <= 4:
+            vb = raw + bytes(4 - len(raw))
+        else:
+            vb = struct.pack(e + "I", tail_off + len(tail))
+            tail += raw
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + vb
+    ifd += struct.pack(e + "I", 0)
+    return (b"II*\x00" + struct.pack(e + "I", ifd_off)
+            + b"".join(strips) + ifd + tail)
+
+
+def test_tiff_lzw_and_packbits_full_file_roundtrip():
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (13, 9, 3), np.uint8)
+    for comp in (5, 32773):
+        buf = _tiff_compressed(9, 13, img.tobytes(), comp,
+                               rows_per_strip=4)
+        fmt, got = P.decode_pixels(buf)
+        assert fmt == "tiff" and np.array_equal(got, img), comp
+    # LZW + horizontal-differencing predictor (the common pairing)
+    buf = _tiff_compressed(9, 13, img.tobytes(), 5, rows_per_strip=4,
+                           predictor=2)
+    assert np.array_equal(P.decode_tiff(buf), img)
+    # grayscale LZW with predictor
+    g = rng.integers(0, 256, (6, 11), np.uint8)
+    buf = _tiff_compressed(11, 6, g.tobytes(), 5, spp=1, predictor=2,
+                           photometric=1)
+    assert np.array_equal(P.decode_tiff(buf), g[:, :, None])
+
+
+def test_tiff_compressed_fuzz_side_drop_contract():
+    rng = np.random.default_rng(16)
+    base = _tiff_compressed(
+        8, 8, rng.integers(0, 256, (8, 8, 3), np.uint8).tobytes(), 5,
+        rows_per_strip=3, predictor=2)
+    for _ in range(400):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
+        try:
+            fmt, arr = P.decode_pixels(bytes(buf))
+            assert arr.dtype == np.uint8
+        except P.PixelDecodeError:
+            pass
