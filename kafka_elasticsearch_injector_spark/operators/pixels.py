@@ -870,9 +870,10 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     if predictor == 2:
         # horizontal differencing (TIFF 6.0 §14): each sample is a
         # delta from the same sample one pixel left — invert with a
-        # per-channel cumulative sum along the row, mod 256
-        arr = (arr.astype(np.int64).cumsum(axis=1) & 0xFF) \
-            .astype(np.uint8)
+        # per-channel cumulative sum along the row; the uint8
+        # accumulator wraps mod 256 natively (an int64 intermediate
+        # would cost 8x the frame in executor memory for nothing)
+        arr = arr.cumsum(axis=1, dtype=np.uint8)
     else:
         arr = arr.copy()
     if photo == 0:                     # white-is-zero: invert
@@ -884,8 +885,8 @@ def decode_pixels(buf: bytes) -> tuple[str, np.ndarray]:
     """Dispatch by magic: ('png'|'bmp'|'gif'|'jpeg'|'webp'|'tiff',
     pixels) — (H, W, C) uint8, or (H, W) for grayscale JPEG. Unknown
     magics and out-of-scope encodings (arithmetic-coded JPEG, lossy
-    VP8 WebP, compressed TIFF, non-PCM audio codecs, ...) raise
-    PixelDecodeError with the reason."""
+    VP8 WebP, JPEG-in-TIFF/CCITT/tiled TIFF, non-PCM audio codecs,
+    ...) raise PixelDecodeError with the reason."""
     if buf[:8] == _PNG_SIG:
         return "png", decode_png(buf)
     if buf[:2] == b"BM":
