@@ -1,8 +1,11 @@
 """Baseline + progressive JPEG pixel decode — pure Python + numpy,
 public ITU T.81 spec only (no libjpeg).
 
-Scope (the curation-gate subset): huffman-coded JPEG with 8-bit
-samples — baseline and extended-sequential (SOF0/SOF1, including
+Scope (the curation-gate subset): huffman-coded JPEG with 8-bit or
+12-bit samples (12-bit reconstructs at its own scale — level shift
+2048, clip 0..4095 — and reduces to the uint8 high nibble, the PNG
+16-bit high-byte convention) — baseline and extended-sequential
+(SOF0/SOF1, including
 multi-scan frames that split components across full-band scans per
 T.81 A.2) and progressive (SOF2, spectral selection + successive
 approximation, T.81 Annex G) — grayscale, YCbCr, or Adobe
@@ -10,8 +13,8 @@ approximation, T.81 Annex G) — grayscale, YCbCr, or Adobe
 the inverted-ink convention, composited to RGB) with sampling
 factors 1-2 in each axis (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart
 markers, multiple DQT/DHT segments (including redefinition between
-scans), 16-bit quantizer entries. Arithmetic coding (SOF9+), hierarchical, and
-12-bit precision raise PixelDecodeError with the reason — the Spark
+scans), 16-bit quantizer entries. Arithmetic coding (SOF9+) and
+hierarchical raise PixelDecodeError with the reason — the Spark
 kernels in operators/pixels.py turn that into the side-drop column.
 
 Faithfulness: huffman decode and dequantization are exact; both frame
@@ -426,12 +429,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if len(seg) < 6 + 3 * ncomp:
                 raise _err("jpeg: SOF truncated")
-            if prec != 8:
+            if prec not in (8, 12):
                 raise _err(f"jpeg: {prec}-bit precision unsupported")
             if h == 0 or w == 0:
                 raise _err("jpeg: bad dimensions")
             if ncomp not in (1, 3, 4):
                 raise _err(f"jpeg: {ncomp} components unsupported")
+            if prec == 12 and ncomp == 4:
+                raise _err("jpeg: 12-bit 4-component unsupported")
             from .pixels import MAX_PIXELS
 
             # the decode budget is BYTES, not pixels: every component
@@ -456,7 +461,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 # factors ignored (grayscale files routinely declare
                 # the color default 2x2)
                 comps[0]["h"] = comps[0]["v"] = 1
-            frame = {"w": w, "h": h, "comps": comps,
+            frame = {"w": w, "h": h, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -588,6 +593,9 @@ def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
     r = _BitReader(buf, pos)
     pred = [0] * len(scomps)
     rst = 0
+    # T.81 Table F.1: DC DIFF categories reach 11 for 8-bit samples,
+    # 15 for 12-bit
+    dc_cap = 11 if frame["prec"] == 8 else 15
     for m in range(total):
         if restart_interval and m and m % restart_interval == 0:
             r.align_and_expect_rst(rst)
@@ -598,7 +606,7 @@ def _decode_baseline_scan(buf, pos, frame, scomps, coefs, huff_dc,
             base = (by * nbxs[ci] + bx) * 64
             ix, vx = idxs[ci], vals[ci]
             size = r.huff(dc_lut)
-            if size > 11:
+            if size > dc_cap:
                 raise _err("jpeg: bad DC size")
             p = pred[si] + _extend(r.bits(size), size)
             pred[si] = p
@@ -653,6 +661,7 @@ def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
     vals: list[list[int]] = [[] for _ in coefs]
     pred = [0] * len(scomps)
     rst = 0
+    dc_cap = 11 if frame["prec"] == 8 else 15   # T.81 Table F.1
     for m in range(total):
         if restart_interval and m and m % restart_interval == 0:
             r.align_and_expect_rst(rst)
@@ -661,7 +670,7 @@ def _decode_dc_scan(r, frame, scomps, ah, al, coefs, huff_dc,
         for si, ci, by, bx in blocks_of(m):
             if ah == 0:
                 size = r.huff(tabs[si])
-                if size > 11:
+                if size > dc_cap:
                     raise _err("jpeg: bad DC size")
                 pred[si] += _extend(r.bits(size), size)
                 v = pred[si] << al
@@ -823,6 +832,22 @@ def _reconstruct(frame, coefs, qt, adobe=None) -> np.ndarray:
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     hmax, vmax, _, _ = _geometry(frame)
+    # 12-bit frames (SOF1/SOF2 extended precision) reconstruct at
+    # their own scale (level shift 2048, clip 0..4095) and reduce to
+    # the uint8 HIGH nibble at the end — the same high-bits convention
+    # the PNG 16-bit and WAV 24-bit paths use
+    prec = frame.get("prec", 8)
+    mid = 128.5 if prec == 8 else 2048.5
+    maxv = 255.0 if prec == 8 else 4095.0
+    center = 128.0 if prec == 8 else 2048.0
+
+    def narrow(t):
+        # in place: 12-bit sample plane -> uint8 high nibble
+        if prec != 8:
+            t *= 0.0625
+            np.floor(t, out=t)
+        return t
+
     out_planes = []
     for ci, c in enumerate(comps):
         if c["tq"] not in qt:
@@ -851,9 +876,9 @@ def _reconstruct(frame, coefs, qt, adobe=None) -> np.ndarray:
                 .reshape(-1, nbx * 8)
         coefs[ci] = None
         del arr
-        plane += 128.5                 # +128 level shift, +0.5 for the
+        plane += mid                   # level shift, +0.5 for the
         np.floor(plane, out=plane)     # round-half-up floor
-        np.clip(plane, 0, 255, out=plane)
+        np.clip(plane, 0, maxv, out=plane)
         # replicate-upsample to full resolution, crop padding (repeat
         # at factor 1 still copies the full plane — skip the no-op)
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -863,7 +888,7 @@ def _reconstruct(frame, coefs, qt, adobe=None) -> np.ndarray:
             plane = plane.repeat(rx, axis=1)
         out_planes.append(plane[:h, :w])
     if len(comps) == 1:
-        return out_planes[0].astype(np.uint8)
+        return narrow(out_planes[0]).astype(np.uint8)
     if len(comps) == 4:
         # Adobe 4-component color (APP14): samples are stored with the
         # Adobe INVERTED-ink convention (255 = no ink). transform 2
@@ -920,11 +945,11 @@ def _reconstruct(frame, coefs, qt, adobe=None) -> np.ndarray:
         # YCbCr inverse here would silently scramble the colors
         out = np.empty((h, w, 3), np.uint8)
         for ch, p in enumerate(out_planes):
-            out[..., ch] = p
+            out[..., ch] = narrow(p)
         return out
     y, cb, cr = out_planes
-    cb = cb - 128.0
-    cr = cr - 128.0
+    cb = cb - center
+    cr = cr - center
     out = np.empty((h, w, 3), np.uint8)
     t = np.empty((h, w), np.float64)   # reused per channel
 
@@ -932,8 +957,8 @@ def _reconstruct(frame, coefs, qt, adobe=None) -> np.ndarray:
         t += y
         t += 0.5
         np.floor(t, out=t)
-        np.clip(t, 0, 255, out=t)
-        out[..., ch] = t
+        np.clip(t, 0, maxv, out=t)
+        out[..., ch] = narrow(t)
 
     np.multiply(cr, _CR_R, out=t)
     emit(0)

@@ -369,10 +369,11 @@ def test_unsupported_and_corrupt_reasons():
         J.decode_jpeg(good[:len(good) // 2])
     with pytest.raises(P.PixelDecodeError, match="bad SOI"):
         J.decode_jpeg(b"not jpeg")
-    # 12-bit precision flag in SOF
+    # 16-bit precision flag in SOF (12-bit is supported since r15;
+    # anything else still side-drops)
     i = good.index(b"\xff\xc0")
-    bad = good[:i + 4] + bytes([12]) + good[i + 5:]
-    with pytest.raises(P.PixelDecodeError, match="12-bit"):
+    bad = good[:i + 4] + bytes([16]) + good[i + 5:]
+    with pytest.raises(P.PixelDecodeError, match="16-bit"):
         J.decode_jpeg(bad)
 
 
@@ -1421,3 +1422,140 @@ def test_rgb_coded_adobe_transform0_skips_ycbcr_inverse():
     got = J.decode_jpeg(_encode_jpeg_cmyk(rgb, transform=0))
     assert got.shape == (16, 16, 3)
     assert int(np.abs(got.astype(int) - rgb.astype(int)).max()) <= 1
+
+
+def _encode_jpeg12(planes: np.ndarray, quant=None) -> bytes:
+    """Forward 12-bit extended-sequential JPEG (SOF1, the legal
+    carrier for 12-bit precision). `planes` is (H, W) gray or
+    (H, W, 3) STORED 12-bit samples (0..4095; for color these are the
+    YCbCr planes as coded). Level shift 2048, 4:4:4, one quant and one
+    huffman class shared by all components."""
+    arr = planes if planes.ndim == 3 else planes[:, :, None]
+    h, w, nc = arr.shape
+    q = np.ones((8, 8), np.int64) if quant is None else quant
+    chans = [_pad(arr[:, :, i].astype(np.float64),
+                  -(-h // 8) * 8, -(-w // 8) * 8) for i in range(nc)]
+    bh, bw = chans[0].shape
+
+    units = []
+    for my in range(bh // 8):
+        for mx in range(bw // 8):
+            for ci in range(nc):
+                blk = chans[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                coef = np.round(
+                    (_DCT @ (blk - 2048.0) @ _DCT.T) / q).astype(np.int64)
+                units.append((ci, coef.reshape(64)[_ZIG]))
+    dc_syms, ac_syms = [], []
+    pred = [0] * nc
+    for ci, zz in units:
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        dc_syms.append(_mag(diff)[0])
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.append(0xF0)
+                run -= 16
+            ac_syms.append((run << 4) | _mag(int(zz[k]))[0])
+            run = 0
+        if run:
+            ac_syms.append(0x00)
+    dcounts, dsyms, dcodes, dlen = _build_table(dc_syms or [0])
+    acounts, asyms, acodes, alen = _build_table(ac_syms or [0])
+
+    bw_ = _BitWriter()
+    pred = [0] * nc
+    for ci, zz in units:
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, amp = _mag(diff)
+        bw_.put(dcodes[size], dlen)
+        if size:
+            bw_.put(amp, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw_.put(acodes[0xF0], alen)
+                run -= 16
+            size, amp = _mag(v)
+            bw_.put(acodes[(run << 4) | size], alen)
+            bw_.put(amp, size)
+            run = 0
+        if run:
+            bw_.put(acodes[0x00], alen)
+    bw_.align()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(
+        int(q.reshape(64)[_ZIG][i]) for i in range(64)))
+    sof = bytes([12]) + struct.pack(">HH", h, w) + bytes([nc])
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC1, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(dcounts) + bytes(dsyms))
+    out += _seg(0xC4, bytes([0x10]) + bytes(acounts) + bytes(asyms))
+    sos = bytes([nc])
+    for cid in range(1, nc + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_12bit_grayscale_high_nibble():
+    """12-bit gray (SOF1): decode reconstructs at 12-bit scale and
+    returns the uint8 high nibble. The checker pattern makes the DC
+    DIFFs swing +-16384, exercising DC size categories 12-15 that are
+    illegal (and rejected) in 8-bit streams."""
+    rng = np.random.default_rng(21)
+    plane = rng.integers(0, 4096, (24, 16)).astype(np.uint16)
+    plane[:8, :8] = 0                      # extreme DC swings
+    plane[:8, 8:16] = 4095
+    got = J.decode_jpeg(_encode_jpeg12(plane))
+    want = (plane >> 4).astype(np.uint8)
+    assert got.shape == plane.shape
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_12bit_ycbcr_color():
+    """12-bit 3-component: the YCbCr inverse runs at 12-bit scale
+    (center 2048, clip 0..4095) before the high-nibble reduction; the
+    expected image is computed here from the stored planes,
+    independent of the decoder."""
+    rng = np.random.default_rng(22)
+    ycc = rng.integers(0, 4096, (16, 8, 3)).astype(np.uint16)
+    got = J.decode_jpeg(_encode_jpeg12(ycc))
+    y = ycc[:, :, 0].astype(np.float64)
+    cb = ycc[:, :, 1].astype(np.float64) - 2048.0
+    cr = ycc[:, :, 2].astype(np.float64) - 2048.0
+    want = np.stack([
+        np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 4095),
+        np.clip(np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5),
+                0, 4095),
+        np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 4095)], -1) // 16
+    assert got.shape == (16, 8, 3)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_12bit_rejections():
+    """Still-unsupported precision combinations side-drop: 12-bit
+    4-component, and any precision outside {8, 12}."""
+    base = _encode_jpeg_cmyk(
+        np.zeros((8, 8, 4), np.uint8), transform=0)
+    i = base.index(b"\xff\xc0")
+    patched = base[:i + 4] + bytes([12]) + base[i + 5:]
+    with pytest.raises(P.PixelDecodeError, match="12-bit 4-component"):
+        J.decode_jpeg(patched)
+    g = _encode_jpeg(GRAD)
+    i = g.index(b"\xff\xc0")
+    with pytest.raises(P.PixelDecodeError, match="10-bit"):
+        J.decode_jpeg(g[:i + 4] + bytes([10]) + g[i + 5:])
