@@ -25,8 +25,8 @@ fails. JPEG decode — baseline, extended-sequential, AND progressive
 the sibling operators/jpeg_codec.py and rides the same dispatch, as
 does WebP VP8L lossless decode (RFC 9649 §5, operators/webp_codec.py —
 stills, VP8X layouts, and first frames of VP8L-coded animations);
-out-of-scope encodings (arithmetic-coded JPEG, 12-bit, lossy VP8
-still or animated) side-drop with a reason.
+out-of-scope encodings (arithmetic-coded JPEG, lossy VP8 still or
+animated, JPEG-in-TIFF/CCITT/tiled TIFF) side-drop with a reason.
 
 100 TB design: decode runs where the bytes already are — one Python
 worker per core per executor, Arrow batch at a time, no shuffle (the

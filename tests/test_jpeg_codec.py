@@ -1559,3 +1559,25 @@ def test_12bit_rejections():
     i = g.index(b"\xff\xc0")
     with pytest.raises(P.PixelDecodeError, match="10-bit"):
         J.decode_jpeg(g[:i + 4] + bytes([10]) + g[i + 5:])
+
+
+def test_12bit_progressive_dc_hand_vector():
+    """Hand-assembled 12-bit SOF2 stream (r15 review finding: the
+    progressive DC path's widened size cap had no coverage): one 8x8
+    block, DC-first scan coding size category 12 — illegal in 8-bit
+    streams — with DIFF +2730; expected pixels computed from the
+    coefficient independently of the decoder."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC2, bytes([12]) + struct.pack(">HH", 8, 8)
+               + bytes([1, 1, 0x11, 0]))
+    dht = _seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([12]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    # bits: code '0' + amplitude '101010101010' (+2730), pad with 1s
+    buf = (b"\xff\xd8" + dqt + sof + dht + sos
+           + bytes([0x55, 0x57]) + b"\xff\xd9")
+    got = J.decode_jpeg(buf)
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 2730
+    want = (np.clip(np.floor(_DCT.T @ coef @ _DCT + 2048.5), 0, 4095)
+            // 16).astype(np.uint8)
+    assert np.array_equal(got, want)
