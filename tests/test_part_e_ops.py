@@ -117,6 +117,24 @@ def test_semdedup_stats_match_brute_force(spark):
         assert stats[c] == (n, pairs, len(pruned))
 
 
+def test_semdedup_stats_chunked_kernel_identical(spark):
+    """The r15 tile kernel chunks the within-cluster scoring matrix
+    (chunk×|cluster|, never |cluster|²); a chunk smaller than every
+    cluster must produce byte-identical stats to one big tile."""
+    from kafka_elasticsearch_injector_spark.operators.semdedup import (
+        semdedup_cluster_stats,
+    )
+
+    df = _emb_df(spark, n=50, dim=8, seed=11)
+    big = sorted(map(tuple, semdedup_cluster_stats(
+        df, threshold=0.2, k=3, iters=2, dim=8,
+        chunk_rows=4096).collect()))
+    small = sorted(map(tuple, semdedup_cluster_stats(
+        df, threshold=0.2, k=3, iters=2, dim=8,
+        chunk_rows=7).collect()))
+    assert big == small
+
+
 # ------------------------------------------------------- winnowing
 
 
