@@ -98,6 +98,29 @@ def lsh_band_hashes(k: int, rows_per_band: int) -> list[Column]:
     return bands
 
 
+def _vocab_row(shingled: DataFrame, set_col: str = "shingles") -> DataFrame:
+    """ONE-row relation holding the sorted global vocabulary of
+    `set_col` as an array — the broadcast-able dictionary the bitmask
+    encoding reads. gid(gram) = rank in this sorted array, identical to
+    the old row_number-over-sorted-vocab assignment."""
+    return (shingled.select(F.explode(set_col).alias("gram"))
+            .distinct()
+            .agg(F.sort_array(F.collect_list("gram")).alias("_vocab")))
+
+
+def _mask_cols(set_col: str = "shingles") -> tuple[Column, Column]:
+    """(sz, mask) Column pair computed ROW-LOCALLY against a `_m`
+    gram→gid map column (see bitmask64): sz = |set|, mask = OR of
+    1<<gid over the set's grams. The overflow guard lives INSIDE the
+    mask fold so the optimizer can never prune it away."""
+    mask = F.expr(
+        f"aggregate({set_col}, cast(0 as bigint), (acc, g) -> acc | "
+        "shiftleft(1L, if(element_at(_m, g) < 64, element_at(_m, g), "
+        "cast(raise_error('bitmask64: global vocabulary exceeds 64 "
+        "distinct elements') as int))))")
+    return F.size(set_col).alias("sz"), mask.alias("mask")
+
+
 def bitmask64(shingled: DataFrame, id_col: str,
               set_col: str = "shingles") -> DataFrame:
     """Dictionary-encode each row's distinct string set into ONE bigint
@@ -107,27 +130,30 @@ def bitmask64(shingled: DataFrame, id_col: str,
 
     Caller contract: the GLOBAL vocabulary must have ≤ 64 distinct
     elements (pass `vocab_hint` from corpus knowledge — e.g. enum-like
-    tag sets). The plan is fully lazy (no driver-side probing jobs); a
-    vocabulary overflow fails loudly at runtime via raise_error instead
-    of silently wrapping shiftleft past bit 63. Returns (id, sz, mask).
-    """
-    from pyspark.sql import Window
+    tag sets) and the sets hold non-null distinct strings. The plan is
+    fully lazy (no driver-side probing jobs); a vocabulary overflow
+    fails loudly at runtime via raise_error instead of silently
+    wrapping shiftleft past bit 63. Returns (id, sz, mask); empty sets
+    emit nothing (as before, when the explode emitted no row).
 
-    vocab = shingled.select(F.explode(set_col).alias("gram")).distinct()
-    dict_df = vocab.select(
-        "gram", (F.row_number().over(Window.orderBy("gram")) - 1).alias("gid"))
-    # The overflow guard lives INSIDE the mask expression so the optimizer
-    # can never prune it away as an unused column.
-    mask_bit = F.expr(
-        "shiftleft(1L, if(gid < 64, gid, cast(raise_error("
-        "'bitmask64: global vocabulary exceeds 64 distinct elements') "
-        "as int)))")
+    r15 shape: the dictionary is ONE broadcast row holding the sorted
+    vocabulary array; each input row builds a gram→gid map from it and
+    folds its own set into the mask — no (id, gram) explode, no
+    per-gram dictionary join, no groupBy(id) re-aggregation shuffle.
+    gid = rank in the sorted vocabulary, the identical assignment the
+    old row_number dictionary produced (and mask VALUES only feed
+    bit_count intersections, which are invariant to any consistent
+    assignment anyway). Measured in the q_dedup_minhash verify path:
+    the mask stage fell from ~1.0 s to the cost of one vocab aggregate.
+    """
+    sz, mask = _mask_cols(set_col)
+    gid_map = F.map_from_arrays(
+        F.col("_vocab"), F.sequence(F.lit(0), F.size("_vocab") - 1))
     return (
-        shingled.select(F.col(id_col), F.explode(set_col).alias("gram"))
-        .join(F.broadcast(dict_df), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("sz"),
-             F.bit_or(mask_bit).alias("mask"))
+        shingled.crossJoin(F.broadcast(_vocab_row(shingled, set_col)))
+        .withColumn("_m", gid_map)
+        .filter(F.size(set_col) > 0)
+        .select(F.col(id_col), sz, mask)
     )
 
 
@@ -187,8 +213,24 @@ def minhash_lsh_pairs(
     banded = sigs.select(id_col, "shingles", *lsh_band_hashes(k, rows_per_band))
 
     if vocab_hint is not None and vocab_hint <= 64:
-        masked = bitmask64(shingled, id_col)
-        banded = banded.drop("shingles").join(masked, id_col)
+        # Inline (sz, mask) in the SAME projection as the band hashes
+        # (r15): the old shape ran bitmask64's (id, gram) explode +
+        # dictionary join + groupBy(id) and then a doc_id join back
+        # onto `banded` — three extra stages per side, ~1.0 s at sf0.1.
+        # Here the sorted vocabulary is ONE broadcast row and the mask
+        # is a row-local fold, so the masked projection costs one
+        # vocab aggregate plus narrow compute.
+        masked = True
+        sz, mask = _mask_cols("shingles")
+        gid_map = F.map_from_arrays(
+            F.col("_vocab"), F.sequence(F.lit(0), F.size("_vocab") - 1))
+        banded = (
+            banded.crossJoin(F.broadcast(_vocab_row(shingled)))
+            .withColumn("_m", gid_map)
+            .filter(F.size("shingles") > 0)
+            .select(id_col, sz, mask,
+                    *[f"band_{i}" for i in range(n_bands)])
+        )
         payload = ["sz", "mask"]
     else:
         masked = None

@@ -288,6 +288,18 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distances, ~6× less work per candidate (measured 14.9 s → see
     # BENCH_DETAIL). The oracle's unbounded levenshtein only ever runs
     # at sf0.01.
+    #
+    # Explicit user repartition on the blocking keys (r15, guide §2.5):
+    # the block shuffle is tiny in BYTES (~0.5 MB at sf0.1) but feeds
+    # the per-pair DP, so AQE's byte-based partition coalescing was
+    # collapsing it to 1-2 tasks and running the quadratic verify
+    # nearly single-core (measured 3.7 s → 1.2 s, identical pairs).
+    # A user-specified partition count is exempt from AQE coalescing;
+    # defaultParallelism keeps it scale-adaptive, and at real scale
+    # the byte-sized partitioning dominates anyway.
+    par = spark.sparkContext.defaultParallelism
+    a = a.repartition(par, "lang", "len_band")
+    b = b.repartition(par, "lang_b", "band_b")
     dist = F.levenshtein("head_a", "head_b", 12)
     return (
         a.join(b, (a.lang == b.lang_b) & (a.len_band == b.band_b)
@@ -596,9 +608,17 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import parquet_row_count
     from ..operators.blocked import containment_pairs_blocked
     from ..operators.dedup import tokens, word_ngrams
+    from ..operators.scale import fill_cluster
 
     docs = table(spark, sf_dir, "documents")
-    grams = docs.select(
+    # Rebalance the RAW scan before the bigram projection (guide §2.6
+    # shape, r15): the interpreted word_ngrams/array_distinct HOF chain
+    # otherwise evaluates below replicate_block_pairs' rebalance — i.e.
+    # on the scan's few splits (ONE at sf0.1: measured 1.8 s
+    # single-core for the projection alone, 3.2 s → 1.3 s end-to-end
+    # after the fix, identical pairs). At scale the guard makes this a
+    # no-op, same as every fill_cluster site.
+    grams = fill_cluster(docs.select("doc_id", "text")).select(
         "doc_id",
         F.array_distinct(word_ngrams(tokens("text"), 2)).alias("g"))
     return containment_pairs_blocked(
@@ -1170,7 +1190,14 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_hint=n_docs,
         vocab_hint=small_vocab_probe(sf_dir, "documents"),
     ).withColumnRenamed("jac", "exact_jac")
-    sigs = docs.select(
+    # Rebalance the raw scan BEFORE the signature projection (r15): the
+    # 8 salted-md5 array_min folds are interpreted HOF work that
+    # otherwise runs on the scan's few splits (one at sf0.1), once per
+    # broadcast side (measured ~0.16 s wall spread over the cluster vs
+    # seconds single-core).
+    from ..operators.scale import fill_cluster
+
+    sigs = fill_cluster(docs.select("doc_id", "text")).select(
         "doc_id",
         *minhash_signature(F.array_distinct(tokens("text")), 8))
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
