@@ -224,8 +224,17 @@ def minhash_lsh_pairs(
         sz, mask = _mask_cols("shingles")
         gid_map = F.map_from_arrays(
             F.col("_vocab"), F.sequence(F.lit(0), F.size("_vocab") - 1))
+        # The vocab aggregate reads the RAW scan, not the rebalanced
+        # `shingled`: explode→distinct partial-aggregates per
+        # partition, so rebalancing first only adds a full shuffle and
+        # ~32 extra tasks per candidate-join side (measured ~0.5 s per
+        # side at sf0.01, pure stage overhead). At scale the scan's
+        # own splits parallelize the distinct.
+        raw_grams = df.select(
+            F.array_distinct(word_ngrams(tokens(text_col), shingle_n))
+            .alias("shingles"))
         banded = (
-            banded.crossJoin(F.broadcast(_vocab_row(shingled)))
+            banded.crossJoin(F.broadcast(_vocab_row(raw_grams)))
             .withColumn("_m", gid_map)
             .filter(F.size("shingles") > 0)
             .select(id_col, sz, mask,
@@ -446,6 +455,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from 16-bit SimHash fingerprints:
     (doc_a < doc_b, hamming ≤ max_hamming). Returns (doc_a, doc_b, hamming).
@@ -472,16 +482,32 @@ def simhash_pairs(
     fp = simhash16(df, id_col=id_col, text_col=text_col)
     return hamming_segment_pairs(
         fp, id_col=id_col, fp_col="simhash", bits=16,
-        max_hamming=max_hamming)
+        max_hamming=max_hamming, size_hint=size_hint)
 
 
 def hamming_segment_pairs(fp: DataFrame, id_col: str = "doc_id",
                           fp_col: str = "simhash", bits: int = 16,
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          size_hint: int | None = None) -> DataFrame:
     """Pairs within `max_hamming` of a `bits`-wide fingerprint column,
     via the pigeonhole segment equi-join (see simhash_pairs docstring).
     Shared candidate topology for the 16-bit (oracle) and 64-bit
-    (production) fingerprint widths."""
+    (production) fingerprint widths.
+
+    `size_hint` (≈ |fp| rows, from parquet footer metadata — zero
+    plan-time Spark jobs) picks the candidate-join topology exactly
+    like minhash_lsh_pairs: when the exploded segment side provably
+    fits a broadcast (size_hint·(r+1) ≤ 1M rows), one side broadcasts
+    and the streamed side is EXPLICITLY repartitioned to
+    defaultParallelism — the streamed side descends from the
+    fingerprint aggregation, whose KB-sized shuffle AQE coalesces to
+    1-2 partitions, which then produce the (possibly millions of)
+    candidate pairs nearly single-core (measured at sf0.1:
+    3.5 s → 0.85 s for q_dedup_simhash_pairs' 7.1M pairs; a
+    user-specified repartition is exempt from AQE coalescing). Beyond
+    broadcastable size (or with no hint) it stays the plain shuffle
+    equi-join on (segment, value) — the corpus-scale topology, where
+    partitions are byte-sized and coalescing is not a hazard."""
     n_seg = max_hamming + 1
     assert 1 <= n_seg <= bits, f"max_hamming must be in [0, {bits - 1}]"
 
@@ -515,7 +541,13 @@ def hamming_segment_pairs(fp: DataFrame, id_col: str = "doc_id",
         F.col(fp_col).alias("fp_b"),
         *[F.col(c).alias(f"b_{c}") for c in seg_names])
 
-    joined = a.join(b, ["sidx", "sval"]).filter(F.col("doc_a") < F.col("doc_b"))
+    n_seg_rows = None if size_hint is None else size_hint * n_seg
+    if n_seg_rows is not None and n_seg_rows <= 1_000_000:
+        par = fp.sparkSession.sparkContext.defaultParallelism
+        joined = a.repartition(par).join(F.broadcast(b), ["sidx", "sval"])
+    else:
+        joined = a.join(b, ["sidx", "sval"])
+    joined = joined.filter(F.col("doc_a") < F.col("doc_b"))
     # First-matching-segment emission: all segments before sidx differ.
     for j in range(n_seg - 1):
         joined = joined.filter(

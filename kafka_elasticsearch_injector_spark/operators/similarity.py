@@ -85,12 +85,22 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
     Returns (probe_id, label, vec_id, cos_sim, rn).
     """
     # Per-candidate cosine is interpreted-HOF work below any exchange —
-    # spread the corpus scan before it.
+    # spread the corpus scan before it. The centroid aggregate and the
+    # probe lookup deliberately read the RAW scan instead (r15):
+    # - label_centroids is partial-aggregated, so each scan split
+    #   collapses to ≤nlist rows before any exchange — rebalancing the
+    #   full data FIRST just shuffles everything to aggregate it anyway
+    #   (measured 0.77 s → 0.49 s for the centroid stage at sf0.1), and
+    #   the decimal lane sums are order-independent by design, so the
+    #   result is bit-identical either way;
+    # - the probe filter pushes `id IN (...)` into the parquet scan,
+    #   which a post-shuffle filter never can.
+    raw = emb
     emb = fill_cluster(emb)
-    cents = label_centroids(emb, label_col, vec_col, dim=dim,
+    cents = label_centroids(raw, label_col, vec_col, dim=dim,
                             prefilled=True)
     probes = (
-        emb.filter(F.col(id_col).isin(probe_ids))
+        raw.filter(F.col(id_col).isin(probe_ids))
         .select(F.col(id_col).alias("probe_id"),
                 V.to_double(F.col(vec_col)).alias("probe_vec"))
     )

@@ -327,9 +327,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import dedup as D
 
+    from ..io import parquet_row_count
+
     return D.simhash_pairs(
         table(spark, sf_dir, "documents"),
         max_hamming=_SIMHASH_MAX_HAMMING,
+        size_hint=parquet_row_count(sf_dir, "documents"),
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 

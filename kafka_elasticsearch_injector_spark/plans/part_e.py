@@ -414,6 +414,7 @@ _PH_LANES = " + ".join(
         "downstream is the production path.",
 )
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import parquet_row_count
     from ..operators.dedup import hamming_segment_pairs
     from ..operators.multimodal import attach_media, perceptual_hash
 
@@ -421,7 +422,8 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_media(table(spark, sf_dir, "documents")), bits=_PH_BITS)
     return hamming_segment_pairs(
         ph, id_col="doc_id", fp_col="phash", bits=_PH_BITS,
-        max_hamming=_PH_MAX_HAMMING
+        max_hamming=_PH_MAX_HAMMING,
+        size_hint=parquet_row_count(sf_dir, "documents"),
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
