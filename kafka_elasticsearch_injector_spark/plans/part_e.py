@@ -360,15 +360,25 @@ _WINNOW_SEL_CTES = f"""t AS (
         "selection fused into one bigint key so plain window MIN "
         "implements the tie-break; per-doc sketch density ≈ 2/(w+1). "
         "operators/text.winnow_stats — the whole sketch is row-local "
-        "array algebra (transform/slice/array_min/array_distinct), so "
-        "the plan is a ZERO-exchange narrow projection (plan-gated); "
-        "density is an integer ratio (bit-exact).",
+        "array algebra (transform/slice/array_min/array_distinct): a "
+        "narrow projection with no aggregation exchange (plan-gated; "
+        "r15 adds the standard fill_cluster scan rebalance below it "
+        "so the interpreted md5 sketch uses the cluster on few-split "
+        "inputs — a no-op at real scale); density is an integer "
+        "ratio (bit-exact).",
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import fill_cluster
     from ..operators.text import winnow_stats
 
-    return winnow_stats(table(spark, sf_dir, "documents"),
-                        k=_WIN_K, w=_WIN_W)
+    # Rebalance the raw scan below the sketch projection (r15): the
+    # md5 k-gram transform is interpreted HOF work that otherwise runs
+    # on the scan's single sf0.1 split (measured 0.56 s → 0.37 s with
+    # the shuffle included; the guard no-ops at real scale).
+    return winnow_stats(
+        fill_cluster(table(spark, sf_dir, "documents")
+                     .select("doc_id", "text")),
+        k=_WIN_K, w=_WIN_W)
 
 
 # ===================================================================

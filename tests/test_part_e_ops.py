@@ -429,12 +429,18 @@ def test_kmeans_final_assignment_is_narrow(spark, sf_dir):
 
 def test_winnow_rollup_shuffle_free(spark, sf_dir):
     """winnow_stats is row-local array algebra over the scan — the
-    executed plan must contain ZERO Exchanges and zero window/agg
-    operators: a narrow projection that parallelizes by input split."""
+    executed plan must contain zero window/agg operators and no
+    KEYED exchange: a narrow projection that parallelizes by input
+    split. The one allowed exchange is the r15 fill_cluster scan
+    rebalance BELOW the sketch (round-robin, no partition key), which
+    spreads the interpreted md5 transform on few-split inputs and is
+    guard-disabled at real scale."""
     from kafka_elasticsearch_injector_spark.plans import queries
 
     plan = _executed(queries()["q_winnow_fingerprints"](spark, sf_dir))
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
     assert "Window" not in plan, plan
 
 
