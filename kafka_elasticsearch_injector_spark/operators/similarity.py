@@ -46,13 +46,9 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
     divides by the cell's ROW count; a null element or short array
     would silently deflate that dimension's mean (sum skips nulls, the
     count doesn't) — quantize/ingest lanes are responsible for
-    quarantining such vectors before indexing. `prefilled` is retained
-    for API compatibility but no longer changes the plan (r15): the
-    aggregation is partial — every scan split collapses to ≤nlist rows
-    before the exchange — so rebalancing the full data first only adds
-    a shuffle plus a task wave to then aggregate it anyway (measured
-    0.77 s → 0.49 s at sf0.1), and the decimal lane sums are
-    order-independent by design, so the result is bit-identical.
+    quarantining such vectors before indexing. `prefilled=True` skips
+    the fill_cluster rebalance when the caller already ran it (saves a
+    plan→RDD partition probe).
 
     Plan shape: no explode — a posexplode formulation shuffles N·dim rows
     through two aggregations (per-(cell,pos) mean, then collect_list
@@ -65,8 +61,7 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
         return (F.element_at(F.col(vec_col), d + 1)
                 .cast("double").cast("decimal(30,10)"))
 
-    del prefilled  # see docstring: the rebalance was pure overhead
-    sums = emb.groupBy(label_col).agg(
+    sums = (emb if prefilled else fill_cluster(emb)).groupBy(label_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(xd(d)).alias(f"_s{d}") for d in range(dim)],
     )
@@ -90,22 +85,12 @@ def ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 3,
     Returns (probe_id, label, vec_id, cos_sim, rn).
     """
     # Per-candidate cosine is interpreted-HOF work below any exchange —
-    # spread the corpus scan before it. The centroid aggregate and the
-    # probe lookup deliberately read the RAW scan instead (r15):
-    # - label_centroids is partial-aggregated, so each scan split
-    #   collapses to ≤nlist rows before any exchange — rebalancing the
-    #   full data FIRST just shuffles everything to aggregate it anyway
-    #   (measured 0.77 s → 0.49 s for the centroid stage at sf0.1), and
-    #   the decimal lane sums are order-independent by design, so the
-    #   result is bit-identical either way;
-    # - the probe filter pushes `id IN (...)` into the parquet scan,
-    #   which a post-shuffle filter never can.
-    raw = emb
+    # spread the corpus scan before it.
     emb = fill_cluster(emb)
-    cents = label_centroids(raw, label_col, vec_col, dim=dim,
+    cents = label_centroids(emb, label_col, vec_col, dim=dim,
                             prefilled=True)
     probes = (
-        raw.filter(F.col(id_col).isin(probe_ids))
+        emb.filter(F.col(id_col).isin(probe_ids))
         .select(F.col(id_col).alias("probe_id"),
                 V.to_double(F.col(vec_col)).alias("probe_vec"))
     )
