@@ -171,6 +171,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     size_hint: int | None = None,
     vocab_hint: int | None = None,
+    carry_sigs: bool = False,
 ) -> DataFrame:
     """MinHash→LSH→verify near-dup pairs (doc_a < doc_b, jac ≥ threshold).
 
@@ -195,6 +196,15 @@ def minhash_lsh_pairs(
       verify is `bit_count(mask_a & mask_b)` inline in the same codegen
       stage — no join back to shingle arrays. Real text vocabularies
       leave this None and verify via array_intersect on candidates.
+    - `carry_sigs`: additionally emit the two endpoints' signatures as
+      16-byte binaries (a_sig_0..k-1 / b_sig_0..k-1) on every pair.
+      The calibration consumer (q_minhash_calibration) needs per-pair
+      signature agreement; carrying the already-computed sigs through
+      the candidate join replaces two whole-corpus signature joins
+      back onto the pair stream (r15: measured −0.25 s at sf0.1, plan
+      loses 2 BroadcastHashJoins + one signature-projection subtree).
+      Adds k·16 B per exploded row, so pair it with the hash-sampled
+      calibration contract at corpus scale, not full-corpus runs.
 
     Two shuffle-killers on top of the naive bucket join:
     - **first-matching-band emission**: a pair sharing several bands is
@@ -214,7 +224,13 @@ def minhash_lsh_pairs(
         id_col, "shingles", *minhash_signature(F.col("shingles"), k))
     n_bands = k // rows_per_band
     band_cols = [f"band_{i}" for i in range(n_bands)]
-    banded = sigs.select(id_col, "shingles", *lsh_band_hashes(k, rows_per_band))
+    # carry_sigs transport: 16-byte binaries (unhex halves the exploded
+    # row vs the 32-char hex strings; equality — all est needs — is
+    # representation-invariant).
+    sig_names = [f"sig_{i}" for i in range(k)] if carry_sigs else []
+    sig_carry = [F.unhex(F.col(n)).alias(n) for n in sig_names]
+    banded = sigs.select(
+        id_col, "shingles", *sig_carry, *lsh_band_hashes(k, rows_per_band))
 
     if vocab_hint is not None and vocab_hint <= 64:
         # Inline (sz, mask) in the SAME projection as the band hashes
@@ -241,13 +257,13 @@ def minhash_lsh_pairs(
             banded.crossJoin(F.broadcast(_vocab_row(raw_grams)))
             .withColumn("_m", gid_map)
             .filter(F.size("shingles") > 0)
-            .select(id_col, sz, mask,
+            .select(id_col, sz, mask, *sig_names,
                     *[f"band_{i}" for i in range(n_bands)])
         )
-        payload = ["sz", "mask"]
+        payload = ["sz", "mask", *sig_names]
     else:
         masked = None
-        payload = ["shingles"]
+        payload = ["shingles", *sig_names]
 
     exploded = banded.select(
         id_col, *payload, *band_cols,
@@ -289,16 +305,24 @@ def minhash_lsh_pairs(
     # value in BOTH branches for the same reason (the second branch
     # previously filtered the rounded value, which could admit a
     # boundary pair the exact-jaccard oracle rejects).
+    carried = [F.col(f"a_{n}") for n in sig_names] + [
+        F.col(f"b_{n}") for n in sig_names]
     if masked is not None:
         inter = F.bit_count(F.col("a_mask").bitwiseAND(F.col("b_mask")))
         jac = inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - inter)
-        return (
-            joined.filter(jac >= threshold)
-            .select("doc_a", "doc_b", jac.alias("jac"))
-        )
+        # threshold ≤ 0 is a tautology on this branch — every row here
+        # has sz ≥ 1 on both sides (the size(shingles) > 0 filter), so
+        # union ≥ 1 and jac ∈ [0, 1]: skip the per-pair filter instead
+        # of evaluating bit_count+division twice on millions of
+        # candidates (r15; the unmasked branch below keeps its filter —
+        # empty-set docs reach it and their 0/0 jac is NULL, which the
+        # filter drops even at threshold 0).
+        if threshold > 0.0:
+            joined = joined.filter(jac >= threshold)
+        return joined.select("doc_a", "doc_b", jac.alias("jac"), *carried)
     jac = jaccard(F.col("a_shingles"), F.col("b_shingles"))
     return (
-        joined.select("doc_a", "doc_b", jac.alias("jac"))
+        joined.select("doc_a", "doc_b", jac.alias("jac"), *carried)
         .filter(F.col("jac") >= threshold)
     )
 

@@ -1146,13 +1146,6 @@ def _minhash_calibration_sql() -> str:
     """
 
 
-#: Pin F.broadcast on the calibration's per-doc signature tables only
-#: below this corpus size (~100 B/row → ≤~200 MB broadcast); above it
-#: the join strategy is left to Catalyst/AQE. Tests monkeypatch this to
-#: exercise the degrade regime.
-_CALIBRATION_BROADCAST_MAX_DOCS = 2_000_000
-
-
 @register(
     "q_minhash_calibration",
     _minhash_calibration_sql(),
@@ -1171,11 +1164,7 @@ _CALIBRATION_BROADCAST_MAX_DOCS = 2_000_000
 )
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import parquet_row_count, small_vocab_probe
-    from ..operators.dedup import (
-        minhash_lsh_pairs,
-        minhash_signature,
-        tokens,
-    )
+    from ..operators.dedup import minhash_lsh_pairs
 
     docs = table(spark, sf_dir, "documents")
     # Candidates + exact Jaccard come from the PRODUCTION path at
@@ -1183,44 +1172,33 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate set; bitmask verify when the vocabulary fits 64 bits).
     # A hand-rolled candidate join + array_intersect verify re-paid the
     # costs that path exists to kill — measured 13-15 s at sf0.1 vs
-    # ~2 s this way.
+    # ~2 s this way. The per-pair signature agreement rides the
+    # candidate join itself (carry_sigs, r15): the signatures are
+    # already computed below the banding, so re-deriving them in a
+    # separate fill_cluster'd projection and joining them back onto
+    # the ~10M-pair stream twice paid two BroadcastHashJoins plus a
+    # second signature evaluation (measured −0.25 s at sf0.1 removing
+    # them; plan: 2 joins fewer, identical 10,576,638-row output,
+    # decimal-checksum-verified). This also retires the
+    # broadcast-size guard the join-back needed — nothing
+    # corpus-sized is ever pinned broadcast here; the candidate
+    # join's own topology stays size_hint-gated inside
+    # minhash_lsh_pairs, and at 100 TB the calibration contract is
+    # the hash-sampled candidate subset either way.
     n_docs = parquet_row_count(sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, k=8, rows_per_band=2, shingle_n=1, threshold=0.0,
         size_hint=n_docs,
         vocab_hint=small_vocab_probe(sf_dir, "documents"),
+        carry_sigs=True,
     ).withColumnRenamed("jac", "exact_jac")
-    # Rebalance the raw scan BEFORE the signature projection (r15): the
-    # 8 salted-md5 array_min folds are interpreted HOF work that
-    # otherwise runs on the scan's few splits (one at sf0.1), once per
-    # broadcast side (measured ~0.16 s wall spread over the cluster vs
-    # seconds single-core).
-    from ..operators.scale import fill_cluster
-
-    sigs = fill_cluster(docs.select("doc_id", "text")).select(
-        "doc_id",
-        *minhash_signature(F.array_distinct(tokens("text")), 8))
-    sa = sigs.select(F.col("doc_id").alias("doc_a"),
-                     *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(8)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"),
-                     *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(8)])
     est = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
         for i in range(8))
-    # Size-guarded broadcast (token_familiarity's degrade pattern): the
-    # signature table is ~100 B/row (id + 8 longs), so pinning the hint
-    # is right only while it provably fits executor memory; past the
-    # cap the hint disappears and Catalyst/AQE picks the join (shuffled
-    # hash / sort-merge on doc ids). An unconditional F.broadcast here
-    # would OOM a full-corpus calibration run at 100 TB.
-    hint = (F.broadcast if n_docs <= _CALIBRATION_BROADCAST_MAX_DOCS
-            else (lambda d: d))
-    return (
-        pairs.join(hint(sa), "doc_a")
-        .join(hint(sb), "doc_b")
-        .select("doc_a", "doc_b",
-                (est.cast("double") / 8).alias("est_jac"),
-                "exact_jac")
+    return pairs.select(
+        "doc_a", "doc_b",
+        (est.cast("double") / 8).alias("est_jac"),
+        "exact_jac",
     )
 
 

@@ -79,6 +79,63 @@ def test_minhash_bitmask_path_matches_array_path(spark):
     assert a == b and len(a) > 0
 
 
+def test_minhash_threshold_zero_taut_filter_skip_identical(spark):
+    # The masked branch skips the per-pair jac filter at threshold ≤ 0
+    # (r15: provably tautological — both sides pass size(shingles) > 0,
+    # so union ≥ 1 and jac ∈ [0, 1]). The pair set must equal the
+    # explicitly-filtered array path's at the same threshold.
+    rows = [(i, " ".join("abcde"[j] for j in range(1 + i % 5)))
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    bit = D.minhash_lsh_pairs(df, threshold=0.0, size_hint=24, vocab_hint=5)
+    arr = D.minhash_lsh_pairs(df, threshold=0.0, size_hint=24)
+    got_b = {(r.doc_a, r.doc_b, r.jac) for r in bit.collect()}
+    got_a = {(r.doc_a, r.doc_b, r.jac) for r in arr.collect()}
+    assert got_b == got_a and got_b
+    assert all(0.0 <= j <= 1.0 for _, _, j in got_b)
+
+
+def test_minhash_carry_sigs_matches_per_doc_signatures(spark):
+    # carry_sigs must (a) not change the pair set, and (b) emit each
+    # endpoint's true minhash signature as 16-byte binaries, on both
+    # the masked and the array verify paths.
+    df = _planted_corpus(spark)
+    sigs = {
+        r["doc_id"]: [bytes.fromhex(r[f"sig_{i}"]) for i in range(8)]
+        for r in df.select(
+            "doc_id", *D.minhash_signature(
+                F.array_distinct(D.tokens("text")), 8)).collect()
+    }
+    for vocab_hint in (None, 64):
+        if vocab_hint is not None:
+            small = spark.createDataFrame(
+                [(i, "a b c d" if i % 2 else "a b c e") for i in range(20)],
+                "doc_id int, text string")
+            plain = D.minhash_lsh_pairs(
+                small, threshold=0.5, size_hint=20, vocab_hint=5)
+            carried = D.minhash_lsh_pairs(
+                small, threshold=0.5, size_hint=20, vocab_hint=5,
+                carry_sigs=True)
+            ref = {
+                r["doc_id"]: [bytes.fromhex(r[f"sig_{i}"]) for i in range(8)]
+                for r in small.select(
+                    "doc_id", *D.minhash_signature(
+                        F.array_distinct(D.tokens("text")), 8)).collect()
+            }
+        else:
+            plain = D.minhash_lsh_pairs(df, threshold=0.5, size_hint=63)
+            carried = D.minhash_lsh_pairs(
+                df, threshold=0.5, size_hint=63, carry_sigs=True)
+            ref = sigs
+        got_plain = {(r.doc_a, r.doc_b, r.jac) for r in plain.collect()}
+        rows_c = carried.collect()
+        got_carried = {(r.doc_a, r.doc_b, r.jac) for r in rows_c}
+        assert got_plain == got_carried and got_plain
+        for r in rows_c:
+            assert [r[f"a_sig_{i}"] for i in range(8)] == ref[r.doc_a]
+            assert [r[f"b_sig_{i}"] for i in range(8)] == ref[r.doc_b]
+
+
 def test_blocked_kernels_reject_string_ids(spark):
     # pmod on a string id yields NULL blocks and a silently-empty result;
     # the kernels must reject non-integral ids at plan time instead.

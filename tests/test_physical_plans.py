@@ -723,45 +723,38 @@ def test_q11_grand_total_scans_lineitem_once(spark, sf_dir):
     assert final.count("lineitem.parquet") == 1, final
 
 
-def test_minhash_calibration_broadcast_size_guard(spark, sf_dir, monkeypatch):
-    """q_minhash_calibration pins F.broadcast on the per-doc signature
-    tables only under _CALIBRATION_BROADCAST_MAX_DOCS (~100 B/row); past
-    the cap the hint must vanish so Catalyst/AQE picks the join — an
-    unconditional pin would OOM a full-corpus calibration at 100 TB.
-    Exercise BOTH regimes and prove identical results."""
-    from kafka_elasticsearch_injector_spark.plans import part_d3
+def test_minhash_calibration_carries_sigs_through_candidate_join(
+        spark, sf_dir):
+    """q_minhash_calibration's est_jac rides the candidate join
+    (carry_sigs, r15) instead of two signature joins back onto the
+    ~10M-pair stream: the executed plan must contain exactly ONE join
+    family (the candidate equi-join) and no doc_a/doc_b sig join —
+    and the carried-signature formulation must agree pairwise with an
+    independently joined signature table."""
+    import pyspark.sql.functions as F
+
+    from kafka_elasticsearch_injector_spark.io import table as _table
+    from kafka_elasticsearch_injector_spark.operators.dedup import (
+        minhash_signature, tokens)
 
     q = plans.queries()["q_minhash_calibration"]
+    df = q(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE appends a copy
+    # One candidate join; the two sig join-backs are gone.
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
 
-    def hint_count(df):
-        return df._jdf.queryExecution().optimizedPlan().toString().count(
-            "broadcast")
-
-    pinned = q(spark, sf_dir)
-    pinned_hints = hint_count(pinned)
-
-    monkeypatch.setattr(part_d3, "_CALIBRATION_BROADCAST_MAX_DOCS", 0)
-    degraded = q(spark, sf_dir)
-    # Exactly the two signature-table pins disappear; the candidate
-    # path's own (size-safe) hints stay. At tiny SF Catalyst may STILL
-    # broadcast by size — that's the point of the guard: strategy
-    # becomes Catalyst's call, not a pin.
-    assert hint_count(degraded) == pinned_hints - 2, (
-        pinned_hints, hint_count(degraded))
-
-    # Past the broadcast threshold the unhinted sig joins must fall
-    # back to a shuffle join (the token_familiarity degrade shape).
-    key = "spark.sql.autoBroadcastJoinThreshold"
-    old = spark.conf.get(key)
-    try:
-        spark.conf.set(key, "-1")
-        fallback = q(spark, sf_dir)
-        plan = fallback._jdf.queryExecution().executedPlan().toString()
-        plan = plan.split("== Initial Plan ==")[0]  # AQE appends a copy
-        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), plan
-    finally:
-        spark.conf.set(key, old)
-
-    got_p = sorted(map(tuple, pinned.collect()))
-    got_d = sorted(map(tuple, degraded.collect()))
-    assert got_p == got_d and got_p
+    # Independent re-derivation: join per-doc signatures onto the pairs
+    # and recompute est; must match row-for-row.
+    docs = _table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", *minhash_signature(
+            F.array_distinct(tokens("text")), 8)).collect()
+    by_id = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in sigs}
+    got = df.collect()
+    assert got
+    for r in got:
+        sa, sb = by_id[r["doc_a"]], by_id[r["doc_b"]]
+        est = sum(1 for i in range(8) if sa[i] == sb[i]) / 8
+        assert r["est_jac"] == est, (r, est)
