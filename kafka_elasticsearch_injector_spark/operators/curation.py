@@ -118,9 +118,15 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
     """
     grams = F.array_distinct(word_ngrams(tokens(text_col), n))
     # N-gram construction is the CPU cost here and runs below any
-    # exchange — rebalance both sides so it uses the whole cluster.
-    ev = (fill_cluster(eval_df)
-          .select(F.explode(grams).alias("gram")).distinct())
+    # exchange — rebalance the CORPUS side so it uses the whole
+    # cluster. The eval side stays on its scan's own splits (the same
+    # call ngram_coverage makes for its probe): eval sets are tiny by
+    # contract, the distinct already partial-aggregates per split, and
+    # rebalancing a KB-sized probe bought nothing while costing a full
+    # extra stage wave per run (r15: interleaved A/B at sf0.1,
+    # 0.94-1.13 s → 0.60-0.71 s for the whole screen, identical
+    # output; the ev-gram distinct alone fell 0.46 → 0.16 s).
+    ev = eval_df.select(F.explode(grams).alias("gram")).distinct()
     co = fill_cluster(corpus).select(
         F.col(id_col), F.explode(grams).alias("gram"))
     return (
