@@ -227,16 +227,24 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    doc="Rollup grouping sets with grouping_id disambiguating supergroups.",
+    doc="Rollup grouping sets with grouping_id disambiguating supergroups. "
+        "r15: rollup runs over a pre-aggregate keyed by the two dims — "
+        "Expand multiplies its input by the grouping-set count BEFORE "
+        "partial aggregation, so rolling up the raw scan pays 3× the "
+        "fact rows in hash-agg updates; the pre-aggregate pays 3×|groups|. "
+        "count/decimal-sum re-aggregate exactly → bit-identical output.",
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    pre = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(dec("l_quantity")).alias("_sq"),
+                F.count(F.lit(1)).alias("_n")))
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        pre.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
-            as_double6(F.sum(dec("l_quantity"))).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
+            as_double6(F.sum("_sq")).alias("sum_qty"),
+            F.sum("_n").alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
     )
