@@ -277,11 +277,21 @@ def minhash_lsh_pairs(
         *[F.col(c).alias(f"b_{c}") for c in [*payload, *band_cols]])
 
     # The exploded sides are N·bands rows. Small corpora: broadcast one
-    # side and repartition the other, so the N_candidate-row join OUTPUT
-    # is produced (and filtered) in parallel with zero shuffle. Beyond
-    # broadcastable size (or with no hint), the shuffle equi-join on
-    # (band, hash) — the standard LSH topology; AQE splits hot buckets.
-    par = a.sparkSession.sparkContext.defaultParallelism
+    # side, so the N_candidate-row join OUTPUT is produced (and
+    # filtered) in parallel with zero shuffle. The streamed side is NOT
+    # re-repartitioned (r15): it already sits on fill_cluster's
+    # explicit repartition (user-specified ⇒ AQE-coalescing-exempt, so
+    # the probe stays at defaultParallelism — unlike
+    # hamming_segment_pairs, whose streamed side descends from a
+    # KB-sized AGGREGATION shuffle and does need the explicit
+    # repartition), and at scale it is the scan's own splits. The
+    # removed exchange was reshipping the per-doc shingle arrays:
+    # measured on the bigram leg at sf0.1, 1.01 → 0.73 s for the
+    # identical pair set (a full join-back rewrite measured 0.79 —
+    # keeping arrays on the streamed side and slimming only the
+    # exchange wins). Beyond broadcastable size (or with no hint), the
+    # shuffle equi-join on (band, hash) — the standard LSH topology;
+    # AQE splits hot buckets.
     broadcastable = size_hint is not None and size_hint * n_bands <= 1_000_000
     first_match = [
         (F.lit(j) >= F.col("bidx"))
@@ -289,7 +299,7 @@ def minhash_lsh_pairs(
         for j in range(n_bands - 1)
     ]
     if broadcastable:
-        joined = a.repartition(par).join(F.broadcast(b), ["bidx", "bh"])
+        joined = a.join(F.broadcast(b), ["bidx", "bh"])
     else:
         joined = a.join(b, ["bidx", "bh"])
     joined = joined.filter(F.col("doc_a") < F.col("doc_b"))
