@@ -141,21 +141,28 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity key + time inequality, then keep-latest per left row. At "
         "100 TB: partition both sides by key, sort by time — the window "
         "collapses to a per-partition merge; or run merge-asof inside "
-        "applyInPandas over cogrouped key buckets.",
+        "applyInPandas over cogrouped key buckets. r15: keep-latest is a "
+        "max(struct(date, key)) HASH AGGREGATE, not a row_number sort-"
+        "window — struct max IS the (date DESC, key DESC) top-1 (lexical "
+        "field order, o_orderkey unique so no ties), it partial-"
+        "aggregates map-side above the join instead of sorting the "
+        "multiplied join output, and the one NULL-padded row an "
+        "unmatched event carries maxes to itself (a left-join group is "
+        "either all-real or exactly that row). A/B row-set equal over "
+        "all 100k events; 0.56 → 0.48 s at sf0.1.",
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate")
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
     return (
         ev.join(orders, (orders.o_custkey == ev.user_id)
                 & (orders.o_orderdate <= ev.ts), "left")
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("event_id", "user_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("_m"))
+        .select("event_id", "user_id",
+                F.col("_m.o_orderkey").alias("o_orderkey"),
+                F.col("_m.o_orderdate").alias("o_orderdate"))
     )
 
 
