@@ -216,7 +216,16 @@ def minhash_lsh_pairs(
     toks = tokens(text_col)
     # Shingling + k salted hashes are CPU-bound and sit BELOW any later
     # exchange, so they inherit the scan's split count — rebalance first.
-    shingled = fill_cluster(df).select(
+    filled = fill_cluster(df)
+    # When fill_cluster DID insert its repartition, the streamed side of
+    # the broadcastable candidate join below sits on that explicit
+    # (AQE-coalescing-exempt) exchange and needs no further guard. When
+    # it no-op'd (input already ≥ cores partitions), the input may
+    # descend from an upstream AQE-coalescible exchange — the
+    # hamming_segment_pairs single-core trap — so the old explicit
+    # probe-side repartition is restored for exactly that case.
+    guard_probe_side = filled is df
+    shingled = filled.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(toks, shingle_n)).alias("shingles"),
     )
@@ -279,19 +288,21 @@ def minhash_lsh_pairs(
     # The exploded sides are N·bands rows. Small corpora: broadcast one
     # side, so the N_candidate-row join OUTPUT is produced (and
     # filtered) in parallel with zero shuffle. The streamed side is NOT
-    # re-repartitioned (r15): it already sits on fill_cluster's
-    # explicit repartition (user-specified ⇒ AQE-coalescing-exempt, so
-    # the probe stays at defaultParallelism — unlike
-    # hamming_segment_pairs, whose streamed side descends from a
-    # KB-sized AGGREGATION shuffle and does need the explicit
-    # repartition), and at scale it is the scan's own splits. The
-    # removed exchange was reshipping the per-doc shingle arrays:
-    # measured on the bigram leg at sf0.1, 1.01 → 0.73 s for the
-    # identical pair set (a full join-back rewrite measured 0.79 —
+    # re-repartitioned when fill_cluster already rebalanced it (r15):
+    # it then sits on that explicit repartition (user-specified ⇒
+    # AQE-coalescing-exempt, so the probe stays at defaultParallelism),
+    # and the removed exchange was reshipping the per-doc shingle
+    # arrays — measured on the bigram leg at sf0.1, 1.01 → 0.73 s for
+    # the identical pair set (a full join-back rewrite measured 0.79 —
     # keeping arrays on the streamed side and slimming only the
-    # exchange wins). Beyond broadcastable size (or with no hint), the
-    # shuffle equi-join on (band, hash) — the standard LSH topology;
-    # AQE splits hot buckets.
+    # exchange wins). When fill_cluster no-op'd (guard_probe_side), the
+    # input's own partitioning may be an AQE-coalescible upstream
+    # exchange — the same trap hamming_segment_pairs documents, whose
+    # streamed side descends from a KB-sized AGGREGATION shuffle — so
+    # the explicit repartition is kept for that case (bounded: the
+    # broadcastable gate caps this side at ≤ 1M rows). Beyond
+    # broadcastable size (or with no hint), the shuffle equi-join on
+    # (band, hash) — the standard LSH topology; AQE splits hot buckets.
     broadcastable = size_hint is not None and size_hint * n_bands <= 1_000_000
     first_match = [
         (F.lit(j) >= F.col("bidx"))
@@ -299,7 +310,10 @@ def minhash_lsh_pairs(
         for j in range(n_bands - 1)
     ]
     if broadcastable:
-        joined = a.join(F.broadcast(b), ["bidx", "bh"])
+        probe = a
+        if guard_probe_side:
+            probe = a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+        joined = probe.join(F.broadcast(b), ["bidx", "bh"])
     else:
         joined = a.join(b, ["bidx", "bh"])
     joined = joined.filter(F.col("doc_a") < F.col("doc_b"))

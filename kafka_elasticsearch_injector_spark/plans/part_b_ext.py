@@ -142,14 +142,18 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB: partition both sides by key, sort by time — the window "
         "collapses to a per-partition merge; or run merge-asof inside "
         "applyInPandas over cogrouped key buckets. r15: keep-latest is a "
-        "max(struct(date, key)) HASH AGGREGATE, not a row_number sort-"
-        "window — struct max IS the (date DESC, key DESC) top-1 (lexical "
-        "field order, o_orderkey unique so no ties), it partial-"
-        "aggregates map-side above the join instead of sorting the "
-        "multiplied join output, and the one NULL-padded row an "
-        "unmatched event carries maxes to itself (a left-join group is "
-        "either all-real or exactly that row). A/B row-set equal over "
-        "all 100k events; 0.56 → 0.48 s at sf0.1.",
+        "max(struct(date, key, user)) aggregate keyed by event_id ALONE "
+        "(the spec's window partition), not a row_number sort-window — "
+        "struct max IS the (date DESC, key DESC) top-1 (lexical field "
+        "order, o_orderkey unique so no ties; a NULL-padded row's "
+        "(NULL, NULL, user) struct sorts below every real match, "
+        "mirroring DESC-nulls-last), and user_id rides the struct so "
+        "the emitted row is the winning JOINED row even if an event_id "
+        "ever repeated across users. Plans as a SortAggregate (struct "
+        "buffers aren't hash-aggregable) but still partial-aggregates "
+        "map-side above the join instead of sorting the multiplied "
+        "join output, and its sort is by the group key only. A/B "
+        "row-set equal over all 100k events; 0.56 → 0.48 s at sf0.1.",
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -158,9 +162,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(orders, (orders.o_custkey == ev.user_id)
                 & (orders.o_orderdate <= ev.ts), "left")
-        .groupBy("event_id", "user_id")
-        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("_m"))
-        .select("event_id", "user_id",
+        .groupBy("event_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey", "user_id"))
+             .alias("_m"))
+        .select("event_id", F.col("_m.user_id").alias("user_id"),
                 F.col("_m.o_orderkey").alias("o_orderkey"),
                 F.col("_m.o_orderdate").alias("o_orderdate"))
     )

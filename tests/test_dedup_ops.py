@@ -308,3 +308,36 @@ def test_containment_kernel_is_directional(spark):
     assert rows[(1, 2)] == 1.0
     assert rows[(2, 1)] == 0.5
     assert (3, 1) not in rows and (1, 3) not in rows
+
+
+def test_minhash_probe_side_guard_follows_fill_cluster(spark):
+    """r15: the broadcastable candidate join re-repartitions its
+    streamed side ONLY when fill_cluster no-op'd (input already at
+    >= defaultParallelism partitions — whose upstream exchange AQE may
+    coalesce to 1-2 tasks); when fill_cluster inserted its own exempt
+    repartition, a second exchange would just reship the shingle
+    payloads (measured 1.01 -> 0.73 s on the bigram leg)."""
+    df = _planted_corpus(spark)                       # few-partition input
+    par = spark.sparkContext.defaultParallelism
+
+    def n_roundrobin(frame):
+        plan = frame._jdf.queryExecution().sparkPlan().toString()
+        return plan.count("RoundRobinPartitioning")
+
+    # fill_cluster rebalances this input: its ONE round-robin exchange
+    # is the only one — no second reshuffle of the shingle payloads.
+    fast = D.minhash_lsh_pairs(df, threshold=0.5, size_hint=63)
+    assert n_roundrobin(fast) == 1, \
+        fast._jdf.queryExecution().sparkPlan().toString()
+
+    # Pre-spread input (>= par partitions): fill_cluster no-ops (no
+    # round-robin below the shingles), so the ONE round-robin present
+    # must be the probe-side guard above the banding.
+    wide = df.repartition(par, "doc_id")              # hash exchange, not RR
+    guarded = D.minhash_lsh_pairs(wide, threshold=0.5, size_hint=63)
+    assert n_roundrobin(guarded) == 1, \
+        guarded._jdf.queryExecution().sparkPlan().toString()
+    # and the guarded path still produces the identical pair set
+    a = {(r.doc_a, r.doc_b) for r in fast.collect()}
+    b = {(r.doc_a, r.doc_b) for r in guarded.collect()}
+    assert a == b
