@@ -126,6 +126,12 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
     # extra stage wave per run (r15: interleaved A/B at sf0.1,
     # 0.94-1.13 s → 0.60-0.71 s for the whole screen, identical
     # output; the ev-gram distinct alone fell 0.46 → 0.16 s).
+    # Contract boundary: "tiny" means the eval side's gram pass is
+    # cheap WHEREVER it runs — a benchmark suite is MBs. A caller with
+    # a GB-sized eval dump packed into one split should pre-spread it
+    # (fill_cluster / repartition) BEFORE calling; an eval side derived
+    # from the corpus scan at cluster scale already has ≥-cores splits,
+    # so the removed rebalance was a no-op there anyway.
     ev = eval_df.select(F.explode(grams).alias("gram")).distinct()
     co = fill_cluster(corpus).select(
         F.col(id_col), F.explode(grams).alias("gram"))

@@ -1155,8 +1155,10 @@ def _minhash_calibration_sql() -> str:
         "error is acceptable before trusting it at a scale where exact "
         "verification is unaffordable (the dedup analog of "
         "q_ann_recall). Candidates come from the same banded equi-join "
-        "as the production path; the two signature joins are on doc "
-        "ids against the KB-per-doc signature table. At 100 TB the "
+        "as the production path; the per-pair signature agreement "
+        "rides the candidate join itself (carry_sigs — the signatures "
+        "are already computed below the banding, so no join back onto "
+        "the pair stream; plan-gated). At 100 TB the "
         "calibration runs on a hash-sampled candidate subset "
         "(pmod(xxhash64(doc_a, doc_b), K) = 0) — error estimates "
         "converge at thousands of pairs, so emitting every candidate "
