@@ -75,7 +75,15 @@ def q_json_decode(spark, sf_dir):
         "column filter; batch continues.",
 )
 def q_corrupt_drop(spark, sf_dir):
-    df = ops.filter_null_payload(_events(spark, sf_dir), "props")
+    from ..operators.scale import fill_cluster
+
+    # from_json runs TWICE per row (corrupt filter + projection — the
+    # pinned double-parse, see the r15 q_corrupt_drop note) over a
+    # single-row-group scan, i.e. serially at bench scale. Rebalance
+    # the two needed columns first; no-op at real scale (fill_cluster
+    # guard). Measured 0.54 → 0.40 s at sf0.1 (r16).
+    events = fill_cluster(_events(spark, sf_dir).select("event_id", "props"))
+    df = ops.filter_null_payload(events, "props")
     df = ops.decode_json(df, "k INT", payload_col="props")
     return ops.drop_corrupt(df).select("event_id", F.col("decoded.k").alias("k"))
 

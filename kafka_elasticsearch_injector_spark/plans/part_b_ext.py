@@ -653,8 +653,19 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg() whose accumulation order could differ.",
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import fill_cluster
+
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    # The sf-scale lineitem file is ONE parquet row group, so the scan —
+    # and with it the 8-lane decimal partial aggregate — runs as a
+    # single task. Rebalance the filtered, pruned rows first (guide
+    # §2.5 "unsplittable input"; fill_cluster no-ops whenever the scan
+    # already has ≥ cores splits, i.e. at any real scale). Filter stays
+    # pushed below the exchange; measured 0.68 → 0.54 s at sf0.1 (r16).
+    li = fill_cluster(li.select("l_returnflag", "l_linestatus",
+                                "l_quantity", "l_extendedprice",
+                                "l_discount", "l_tax"))
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     charge = disc_price * (F.lit(1) + dec("l_tax"))
     cnt = F.count(F.lit(1))

@@ -218,8 +218,14 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final ordering if the gram vocabulary itself explodes.",
 )
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import fill_cluster
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # Regex tokenization + the trigram window evaluate below the first
+    # exchange, i.e. on the single-row-group scan's one task at bench
+    # scale. Rebalance the text column first; no-op at real scale
+    # (fill_cluster guard). Measured 0.56 → 0.31 s at sf0.1 (r16).
+    toks = fill_cluster(docs.select("text")).select(
         F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
                  lambda x: x != "").alias("w"))
     grams = toks.select(
