@@ -115,6 +115,14 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
     set's size — reach the reducers. n≈8-13 word n-grams is the
     published decontamination range (GPT-3 used 13-grams); collisions
     at that length are evidence of copying, not chance.
+
+    Caller contract (r15/r16): `eval_df` is NOT rebalanced here — its
+    gram pass runs on the input's own splits. "Tiny by contract" means
+    that pass is cheap wherever it runs (benchmark suites are MBs). A
+    caller holding a GB-sized eval dump packed into one split must
+    pre-spread it (fill_cluster / repartition) BEFORE calling; an eval
+    side derived from a cluster-scale corpus scan already has ≥-cores
+    splits, so no rebalance is needed there either way.
     """
     grams = F.array_distinct(word_ngrams(tokens(text_col), n))
     # N-gram construction is the CPU cost here and runs below any
@@ -125,13 +133,9 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
     # rebalancing a KB-sized probe bought nothing while costing a full
     # extra stage wave per run (r15: interleaved A/B at sf0.1,
     # 0.94-1.13 s → 0.60-0.71 s for the whole screen, identical
-    # output; the ev-gram distinct alone fell 0.46 → 0.16 s).
-    # Contract boundary: "tiny" means the eval side's gram pass is
-    # cheap WHEREVER it runs — a benchmark suite is MBs. A caller with
-    # a GB-sized eval dump packed into one split should pre-spread it
-    # (fill_cluster / repartition) BEFORE calling; an eval side derived
-    # from the corpus scan at cluster scale already has ≥-cores splits,
-    # so the removed rebalance was a no-op there anyway.
+    # output; the ev-gram distinct alone fell 0.46 → 0.16 s). The
+    # eval-side placement contract lives in the docstring above
+    # (caller-visible, ADVICE r15).
     ev = eval_df.select(F.explode(grams).alias("gram")).distinct()
     co = fill_cluster(corpus).select(
         F.col(id_col), F.explode(grams).alias("gram"))

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .scale import fill_cluster
+from .scale import fill_cluster, fill_cluster_rebalanced
 
 
 def tokens(text: Column | str) -> Column:
@@ -223,8 +223,12 @@ def minhash_lsh_pairs(
     # it no-op'd (input already ≥ cores partitions), the input may
     # descend from an upstream AQE-coalescible exchange — the
     # hamming_segment_pairs single-core trap — so the old explicit
-    # probe-side repartition is restored for exactly that case.
-    guard_probe_side = filled is df
+    # probe-side repartition is restored for exactly that case. The
+    # branch is read off fill_cluster's own marker, not object identity
+    # against our input: a prior fill_cluster OUTPUT routed back in
+    # returns via the memo with `filled is df` True although it already
+    # sits on its explicit repartition (ADVICE r15).
+    guard_probe_side = not fill_cluster_rebalanced(filled)
     shingled = filled.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(toks, shingle_n)).alias("shingles"),

@@ -31,6 +31,15 @@ from pyspark.sql import functions as F
 # mutates caller-owned objects.
 _FILL_CLUSTER_SEEN: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
 
+# Subset of _FILL_CLUSTER_SEEN: outputs that sit DIRECTLY on the
+# explicit repartition fill_cluster inserted (as opposed to inputs the
+# probe left untouched). Queried via fill_cluster_rebalanced() by
+# callers that must know whether a further exchange guard is needed —
+# previously inferred at the call site from object identity
+# (`filled is df`), which mis-fires when a prior fill_cluster OUTPUT is
+# routed back in and returns via the memo (ADVICE r15).
+_FILL_CLUSTER_REBALANCED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+
 
 def fill_cluster(df: DataFrame) -> DataFrame:
     """Rebalance a narrow scan across the cluster before a compute-heavy
@@ -73,9 +82,24 @@ def fill_cluster(df: DataFrame) -> DataFrame:
         return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    if df.rdd.getNumPartitions() < target:
+        out = df.repartition(target)
+        _FILL_CLUSTER_REBALANCED.add(out)
+    else:
+        out = df
     _FILL_CLUSTER_SEEN.add(out)
     return out
+
+
+def fill_cluster_rebalanced(df: DataFrame) -> bool:
+    """True iff `df` is a fill_cluster output sitting directly on the
+    explicit (AQE-coalescing-exempt) repartition fill_cluster inserted.
+    False for outputs the probe left untouched — whose own partitioning
+    may descend from an AQE-coalescible upstream exchange — and for
+    anything fill_cluster never returned. Callers use this (not object
+    identity against their input) to decide whether a downstream
+    exchange guard is still required."""
+    return df in _FILL_CLUSTER_REBALANCED
 
 
 def no_pushdown(col: Column) -> Column:

@@ -311,33 +311,54 @@ def test_containment_kernel_is_directional(spark):
 
 
 def test_minhash_probe_side_guard_follows_fill_cluster(spark):
-    """r15: the broadcastable candidate join re-repartitions its
-    streamed side ONLY when fill_cluster no-op'd (input already at
-    >= defaultParallelism partitions — whose upstream exchange AQE may
-    coalesce to 1-2 tasks); when fill_cluster inserted its own exempt
-    repartition, a second exchange would just reship the shingle
-    payloads (measured 1.01 -> 0.73 s on the bigram leg)."""
-    df = _planted_corpus(spark)                       # few-partition input
+    """r15/r16: the broadcastable candidate join re-repartitions its
+    streamed side ONLY when fill_cluster left the input untouched
+    (already >= defaultParallelism partitions — whose upstream exchange
+    AQE may coalesce to 1-2 tasks); when fill_cluster inserted its own
+    exempt repartition — or the input IS such an output already — a
+    second exchange would just reship the shingle payloads (measured
+    1.01 -> 0.73 s on the bigram leg).
+
+    Plan-count convention: sparkPlan() is PRE-ReuseExchange, so one
+    shared exchange below the self-join is listed once per side. The
+    fill_cluster exchange therefore counts 2; a probe-side guard counts
+    1 (streamed side only). The r15 form of this test fed a
+    createDataFrame input (already par partitions): fill_cluster
+    no-op'd in BOTH arms and the 'fast' assertion exercised only the
+    guard branch (ADVICE r15)."""
     par = spark.sparkContext.defaultParallelism
 
     def n_roundrobin(frame):
         plan = frame._jdf.queryExecution().sparkPlan().toString()
         return plan.count("RoundRobinPartitioning")
 
-    # fill_cluster rebalances this input: its ONE round-robin exchange
-    # is the only one — no second reshuffle of the shingle payloads.
-    fast = D.minhash_lsh_pairs(df, threshold=0.5, size_hint=63)
-    assert n_roundrobin(fast) == 1, \
+    # Genuinely few-partition input: fill_cluster FIRES. Its exchange
+    # (CollapseRepartition merges the input's repartition(1) into it)
+    # appears once per join side = 2; a guard would make it 3.
+    narrow = _planted_corpus(spark).repartition(1)
+    fast = D.minhash_lsh_pairs(narrow, threshold=0.5, size_hint=63)
+    assert n_roundrobin(fast) == 2, \
         fast._jdf.queryExecution().sparkPlan().toString()
 
-    # Pre-spread input (>= par partitions): fill_cluster no-ops (no
-    # round-robin below the shingles), so the ONE round-robin present
-    # must be the probe-side guard above the banding.
-    wide = df.repartition(par, "doc_id")              # hash exchange, not RR
+    # Pre-spread input (>= par partitions, hash — not RR): fill_cluster
+    # no-ops, so the ONE round-robin present is the probe-side guard.
+    wide = _planted_corpus(spark).repartition(par, "doc_id")
     guarded = D.minhash_lsh_pairs(wide, threshold=0.5, size_hint=63)
     assert n_roundrobin(guarded) == 1, \
         guarded._jdf.queryExecution().sparkPlan().toString()
-    # and the guarded path still produces the identical pair set
+
+    # A prior fill_cluster OUTPUT routed back in returns via the memo:
+    # it already sits on its explicit repartition, so NO guard — the
+    # branch reads fill_cluster_rebalanced(), not object identity
+    # (ADVICE r15; identity said `filled is df` here and mis-guarded).
+    from kafka_elasticsearch_injector_spark.operators.scale import fill_cluster
+    pre = fill_cluster(_planted_corpus(spark).repartition(1))
+    memoed = D.minhash_lsh_pairs(pre, threshold=0.5, size_hint=63)
+    assert n_roundrobin(memoed) == 2, \
+        memoed._jdf.queryExecution().sparkPlan().toString()
+
+    # all three branches produce the identical pair set
     a = {(r.doc_a, r.doc_b) for r in fast.collect()}
     b = {(r.doc_a, r.doc_b) for r in guarded.collect()}
-    assert a == b
+    c = {(r.doc_a, r.doc_b) for r in memoed.collect()}
+    assert a == b == c
