@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..operators import injector as ops
+from ..operators.scale import fill_cluster
 from .registry import register
 
 
@@ -75,8 +76,6 @@ def q_json_decode(spark, sf_dir):
         "column filter; batch continues.",
 )
 def q_corrupt_drop(spark, sf_dir):
-    from ..operators.scale import fill_cluster
-
     # from_json runs TWICE per row (corrupt filter + projection — the
     # pinned double-parse, see the r15 q_corrupt_drop note) over a
     # single-row-group scan, i.e. serially at bench scale. Rebalance

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.scale import fill_cluster
 from ._util import as_double6, dec
 from .registry import register
 
@@ -141,8 +142,6 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="3-way join chain (fact⋈fact⋈dim) + exact decimal revenue.",
 )
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scale import fill_cluster
-
     # The lineitem probe side is a single-row-group scan at bench scale
     # (one task probes both broadcasts and runs the partial decimal
     # aggregate serially). Rebalance the pruned probe columns before

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.scale import fill_cluster
 from ._util import as_double6, dec
 from .registry import register
 
@@ -653,8 +654,6 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg() whose accumulation order could differ.",
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scale import fill_cluster
-
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     # The sf-scale lineitem file is ONE parquet row group, so the scan —

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.scale import fill_cluster
 from ._util import as_double6, dec
 from .registry import register
 
@@ -218,8 +219,6 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final ordering if the gram vocabulary itself explodes.",
 )
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scale import fill_cluster
-
     docs = table(spark, sf_dir, "documents")
     # Regex tokenization + the trigram window evaluate below the first
     # exchange, i.e. on the single-row-group scan's one task at bench

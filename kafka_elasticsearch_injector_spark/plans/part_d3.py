@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.scale import fill_cluster
 from ._util import as_double6, dec
 from .registry import register
 
@@ -217,8 +218,6 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
-    from ..operators.scale import fill_cluster
-
     emb = table(spark, sf_dir, "embeddings")
     probes = (
         emb.filter(F.col("vec_id") < 5)
@@ -369,15 +368,15 @@ _BM25_K1, _BM25_B = 1.2, 0.75
         "is a fixed-width chain of exact decimals.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scale import fill_cluster
-
     # Both passes (stats, scoring) evaluate the per-term tf lanes below
     # their first exchange — one task each at bench scale (single-row-
-    # group scan). Rebalancing the shared base ALSO lets AQE reuse the
-    # one exchange for both passes, so the executed plan reads the text
-    # column ONCE (ReusedExchange), an improvement on the r9 two-scan
-    # minimum. No-op at real scale (fill_cluster guard). Measured
-    # 0.34 → 0.25 s at sf0.1 (r16).
+    # group scan). Rebalance the shared base; no-op at real scale
+    # (fill_cluster guard). Measured 0.325 → 0.298 s at sf0.1 (r16,
+    # interleaved). The two passes still read the text column twice:
+    # column pruning and the pushed tf filter specialize each side's
+    # copy of the exchange (different ReadSchemas), so ReuseExchange
+    # cannot fire — the r9 two-scan shape is unchanged, only
+    # parallelized (r16 review finding; plans/r16/q_bm25_after.txt).
     docs = fill_cluster(table(spark, sf_dir, "documents")
                         .select("doc_id", "text"))
     toks = F.split("text", " ")
@@ -413,9 +412,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = total + F.when(tf > 0, term_score).otherwise(
             F.lit("0").cast("decimal(18,6)"))
         any_tf = any_tf | (tf > 0)
+    # Pin the term filter ABOVE the rebalance: split-and-pushed, the
+    # three interpreted filter lambdas re-serialize onto the narrow
+    # pre-rebalance scan task — the exact case scale.no_pushdown
+    # documents (r16 review finding; Filter(2) sat under Exchange(3)
+    # in the first cut's after-plan).
+    from ..operators.scale import no_pushdown
+
     return (
         per.crossJoin(F.broadcast(stats))
-        .filter(any_tf)
+        .filter(no_pushdown(any_tf.cast("int")) == 1)
         .select("doc_id", as_double6(total).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
@@ -618,8 +624,6 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import parquet_row_count
     from ..operators.blocked import containment_pairs_blocked
     from ..operators.dedup import tokens, word_ngrams
-    from ..operators.scale import fill_cluster
-
     docs = table(spark, sf_dir, "documents")
     # Rebalance the RAW scan before the bigram projection (guide §2.6
     # shape, r15): the interpreted word_ngrams/array_distinct HOF chain
@@ -1018,8 +1022,6 @@ def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "this is the canonical map-side-combine word-count shape.",
 )
 def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scale import fill_cluster
-
     docs = table(spark, sf_dir, "documents")
     # The word explode + per-character pair window run below the first
     # exchange — one task at bench scale (single-row-group scan).
