@@ -295,8 +295,16 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-tokenizing the JSON text (vs get_json_object per path).",
 )
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import fill_cluster
+
+    # try_parse_json over every payload runs on the single-row-group
+    # scan's one task at bench scale — rebalance the two needed columns
+    # first; no-op at real scale (fill_cluster guard). Measured
+    # 0.32 → 0.19 s at sf0.1 (r16).
     v = F.try_parse_json(F.col("props"))
-    return table(spark, sf_dir, "events").select(
+    return fill_cluster(
+        table(spark, sf_dir, "events").select("event_id", "props")
+    ).select(
         "event_id",
         F.try_variant_get(v, "$.k", "int").alias("k"),
     )

@@ -665,7 +665,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as T
 
-    return T.fingerprints(table(spark, sf_dir, "documents"))
+    # The 64-char polynomial fold is an interpreted HOF evaluated on
+    # the single-row-group scan's one task at bench scale — rebalance
+    # first; no-op at real scale (fill_cluster guard). Measured
+    # 0.19 → 0.10 s at sf0.1 (r16).
+    return T.fingerprints(
+        fill_cluster(table(spark, sf_dir, "documents")
+                     .select("doc_id", "text")))
 
 
 # ===================================================================
