@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..operators import injector as ops
-from ..operators.scale import fill_cluster
+from ..operators.scale import fill_cluster, no_pushdown
 from .registry import register
 
 
@@ -79,12 +79,20 @@ def q_corrupt_drop(spark, sf_dir):
     # from_json runs TWICE per row (corrupt filter + projection — the
     # pinned double-parse, see the r15 q_corrupt_drop note) over a
     # single-row-group scan, i.e. serially at bench scale. Rebalance
-    # the two needed columns first; no-op at real scale (fill_cluster
-    # guard). Measured 0.54 → 0.40 s at sf0.1 (r16).
+    # the two needed columns first (no-op at real scale — fill_cluster
+    # guard), AND pin the corrupt filter above the exchange: split and
+    # pushed, its from_json copy re-serializes onto the one-task scan
+    # (r16 review finding — the same Filter-under-Exchange shape as
+    # q_bm25's any_tf pin). The filter spells ops.drop_corrupt's
+    # condition through no_pushdown; semantics identical (rows
+    # verified equal by full collect). Measured 0.54 → 0.40 (rebalance
+    # alone) → 0.21-0.31 s (plus the pin) at sf0.1.
     events = fill_cluster(_events(spark, sf_dir).select("event_id", "props"))
     df = ops.filter_null_payload(events, "props")
     df = ops.decode_json(df, "k INT", payload_col="props")
-    return ops.drop_corrupt(df).select("event_id", F.col("decoded.k").alias("k"))
+    df = df.filter(no_pushdown(
+        F.col("decoded._corrupt_record").isNull().cast("int")) == 1)
+    return df.select("event_id", F.col("decoded.k").alias("k"))
 
 
 @register(

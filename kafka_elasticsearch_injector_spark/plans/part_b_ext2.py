@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.scale import fill_cluster
 from .registry import register
 
 # ----------------------------------------------------------- subqueries
@@ -295,8 +296,6 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-tokenizing the JSON text (vs get_json_object per path).",
 )
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scale import fill_cluster
-
     # try_parse_json over every payload runs on the single-row-group
     # scan's one task at bench scale — rebalance the two needed columns
     # first; no-op at real scale (fill_cluster guard). Measured

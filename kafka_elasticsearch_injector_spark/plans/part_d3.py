@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
-from ..operators.scale import fill_cluster
+from ..operators.scale import fill_cluster, no_pushdown
 from ._util import as_double6, dec
 from .registry import register
 
@@ -417,8 +417,6 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-rebalance scan task — the exact case scale.no_pushdown
     # documents (r16 review finding; Filter(2) sat under Exchange(3)
     # in the first cut's after-plan).
-    from ..operators.scale import no_pushdown
-
     return (
         per.crossJoin(F.broadcast(stats))
         .filter(no_pushdown(any_tf.cast("int")) == 1)
